@@ -1,0 +1,219 @@
+"""Stage 4 — materialize: deterministic sort, partitioned output, manifests.
+
+- sort-key computation reproduces the reference's OrderedTurtleSerializer
+  sorters (mc2skos.py:336-344): table numbers → ``C{t}--{n}``, schedule
+  numbers → ``B{n}``, fallback → ``A{uri}``; we apply them per-triple (the
+  reference sorts per concept block — documented divergence: triples from
+  one subject still end up adjacent because the key is subject-derived).
+- output is partitioned Parquet (one directory per run, many files) plus a
+  ``_MANIFEST.json`` recording input fingerprint, per-file row counts and
+  the pipeline config — the checkpoint/resume + lineage unit (north rule).
+- serializers: N-Triples (streaming via iter_batches), Turtle and
+  JSKOS-style NDJSON (grouped per concept with the bucket+local-groupby
+  pattern) for reference-format parity (mc2skos.py:332-358).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_SORTERS = [
+    (re.compile(r"/([0-9A-Z\-]+)--([0-9.\-;:]+)/e"), lambda m: "C{}--{}".format(m.group(1), m.group(2))),
+    (re.compile(r"/([0-9.\-;:]+)/e"), lambda m: "B" + m.group(1)),
+    (re.compile(r"^(.+)$"), lambda m: "A" + m.group(1)),
+]
+
+
+def sort_key(uri: str) -> str:
+    """URI → deterministic global sort key (parity: mc2skos.py:340-344)."""
+    for pattern, fmt in _SORTERS:
+        m = pattern.search(uri)
+        if m:
+            return fmt(m)
+    return uri
+
+
+def _add_sort_key(df: pd.DataFrame) -> pd.DataFrame:
+    return df.assign(sort_key=[sort_key(s) for s in df["subj"].tolist()])
+
+
+def sorted_graph(graph):
+    """Range-partitioned global sort by the serializer key."""
+    return graph.map_batches(_add_sort_key, batch_format="pandas").sort(
+        ["sort_key", "subj", "pred", "obj"]
+    )
+
+
+def materialize(graph, path: str, fingerprint: Optional[str] = None,
+                sort: bool = True, config_dict: Optional[dict] = None) -> dict:
+    """Write the graph as partitioned Parquet + _MANIFEST.json.
+
+    Returns the manifest dict. If a complete manifest with the same
+    fingerprint already exists, the write is skipped (resume semantics).
+    """
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    if fingerprint is not None and os.path.isfile(manifest_path):
+        with open(manifest_path) as fp:
+            existing = json.load(fp)
+        if existing.get("fingerprint") == fingerprint and existing.get("complete"):
+            existing["skipped"] = True
+            return existing
+
+    ds = sorted_graph(graph) if sort else graph
+    t0 = time.time()
+    ds.write_parquet(path)
+
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    partitions = []
+    total_rows = 0
+    for f in files:
+        meta = pq.read_metadata(os.path.join(path, f))
+        partitions.append({"file": f, "rows": meta.num_rows})
+        total_rows += meta.num_rows
+    manifest = {
+        "fingerprint": fingerprint,
+        "complete": True,
+        "rows": total_rows,
+        "partitions": partitions,
+        "wall_clock_sec": time.time() - t0,
+        "config": config_dict or {},
+        "skipped": False,
+    }
+    with open(manifest_path, "w") as fp:
+        json.dump(manifest, fp, indent=2)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# Reference-format serializers
+# ---------------------------------------------------------------------------
+
+def _term_nt(value, is_literal, lang, datatype):
+    if not is_literal:
+        if value.startswith("_:"):
+            return value
+        return "<%s>" % value
+    escaped = (value.replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+    if lang:
+        return '"%s"@%s' % (escaped, lang)
+    if datatype:
+        return '"%s"^^<%s>' % (escaped, datatype)
+    return '"%s"' % escaped
+
+
+def write_ntriples(graph, fileobj, sort: bool = True) -> int:
+    """Stream the graph to an N-Triples file (no driver materialization)."""
+    ds = sorted_graph(graph) if sort else graph
+    n = 0
+    for batch in ds.iter_batches(batch_format="pandas", batch_size=8192):
+        lines = []
+        for row in batch.itertuples(index=False):
+            subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
+            lines.append("%s <%s> %s .\n" % (
+                subj, row.pred,
+                _term_nt(row.obj, row.obj_is_literal, row.obj_lang, row.obj_datatype)))
+            n += 1
+        fileobj.write("".join(lines))
+    return n
+
+
+_PREFIXES = {
+    "http://www.w3.org/2004/02/skos/core#": "skos",
+    "http://purl.org/dc/terms/": "dcterms",
+    "http://www.w3.org/2002/07/owl#": "owl",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf",
+    "http://www.w3.org/2001/XMLSchema#": "xsd",
+    "http://data.ub.uio.no/webdewey-terms#": "wd",
+    "http://www.loc.gov/mads/rdf/v1#": "mads",
+}
+
+
+def _qname(uri: str) -> str:
+    for ns, pfx in _PREFIXES.items():
+        if uri.startswith(ns):
+            local = uri[len(ns):]
+            if re.match(r"^[\w\-]+$", local):
+                return "%s:%s" % (pfx, local)
+    return "<%s>" % uri
+
+
+def write_turtle(graph, fileobj, sort: bool = True) -> int:
+    """Ordered Turtle output (parity: OrderedTurtleSerializer usage,
+    mc2skos.py:332-346). Subject blocks come out in sort-key order because
+    the stream is globally sorted; suitable for small/medium graphs."""
+    for ns, pfx in sorted(_PREFIXES.items(), key=lambda kv: kv[1]):
+        fileobj.write("@prefix %s: <%s> .\n" % (pfx, ns))
+    fileobj.write("\n")
+    ds = sorted_graph(graph) if sort else graph
+    n = 0
+    current = None
+    lines = []
+    for batch in ds.iter_batches(batch_format="pandas", batch_size=8192):
+        for row in batch.itertuples(index=False):
+            if row.subj != current:
+                if current is not None:
+                    fileobj.write(" .\n\n")
+                subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
+                fileobj.write("%s" % subj)
+                current = row.subj
+                first = True
+            else:
+                fileobj.write(" ;")
+            pred = "a" if row.pred.endswith("22-rdf-syntax-ns#type") else _qname(row.pred)
+            if row.obj_is_literal:
+                if row.obj_datatype and row.obj_datatype.endswith("#boolean"):
+                    obj = row.obj
+                else:
+                    obj = _term_nt(row.obj, True, row.obj_lang, None)
+                    if row.obj_datatype:
+                        obj = '"%s"^^%s' % (row.obj.replace('"', '\\"'), _qname(row.obj_datatype))
+            else:
+                obj = row.obj if row.obj.startswith("_:") else _qname(row.obj)
+            fileobj.write("\n    %s %s" % (pred, obj))
+            n += 1
+    if current is not None:
+        fileobj.write(" .\n")
+    return n
+
+
+def _group_json(df: pd.DataFrame) -> pd.DataFrame:
+    """Assemble one JSON object per subject (JSKOS-style framing,
+    parity: mc2skos.py:348-358). Runs inside a hash bucket so per-subject
+    grouping is node-local."""
+    docs = []
+    for subj, g in df.groupby("subj", sort=True):
+        obj: dict = {"uri": subj, "@context": "https://gbv.github.io/jskos/context.json"}
+        for row in g.itertuples(index=False):
+            key = row.pred.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+            if row.obj_is_literal:
+                value = {"value": row.obj}
+                if row.obj_lang:
+                    value["lang"] = row.obj_lang
+            else:
+                value = {"uri": row.obj}
+            obj.setdefault(key, []).append(value)
+        docs.append({"subj": subj, "json": json.dumps(obj, sort_keys=True)})
+    return pd.DataFrame(docs, columns=["subj", "json"])
+
+
+def group_concepts_json(graph, num_buckets: int = 64):
+    """Dataset[graph] → Dataset[{subj, json}] — one NDJSON doc per concept."""
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(pd.util.hash_pandas_object(df["subj"], index=False)
+                                 % num_buckets).astype("int32"))
+
+    ds = graph.map_batches(add_bucket, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(
+        lambda df: _group_json(df.drop(columns=["bucket"])), batch_format="pandas")
