@@ -5,11 +5,11 @@ nothing here may call ``ray.init``/``ray.shutdown``.
 
 - ``entry()``    — flagship pipeline on /root/testdata/sf0.001.
 - ``queries()``  — one callable per implemented operator/pipeline
-  (SURVEY.md §2); each takes ``sf_dir`` and returns a Dataset /
-  DataFrame / Table.
-- ``oracle_sql()`` — equivalent DuckDB SQL over the same parquet
-  tables for the SQL-expressible subset; omitted keys get a weaker
-  rows-only check.
+  (SURVEY.md §2 + training-data ops); each takes ``sf_dir`` and returns
+  a Dataset / DataFrame / Table.
+- ``oracle_sql()`` — equivalent DuckDB SQL over the same parquet tables
+  for the SQL-expressible subset; omitted keys get a weaker rows-only
+  check (heuristic models, LSH approximations, hash fingerprints).
 """
 
 from __future__ import annotations
@@ -26,18 +26,61 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from kgx import dedup, events, multimodal, relational, simsearch, textops
     from kgx import queries as q
 
+    def kg_synthetic(sf_dir: str):
+        # richer classification corpus (153 hierarchy, notes, mappings,
+        # components, invalid records) — deterministic, rows-only check
+        from kgx.config import PipelineConfig
+        from kgx.pages import synthetic_pages
+        from kgx.pipeline import build_graph
+
+        n = {"0.001": 500, "0.01": 1000, "0.1": 5000}.get(
+            sf_dir.rstrip("/").rsplit("sf", 1)[-1], 1000)
+        cfg = PipelineConfig(include_altlabels=True, include_components=True,
+                             include_webdewey=True)
+        return build_graph(synthetic_pages(n), cfg)
+
     return {
+        # KG-construction pipeline (SURVEY §2)
         "kg_triples": q.kg_triples,
         "kg_pred_counts": q.kg_pred_counts,
         "kg_dedup": q.kg_dedup,
         "kg_expand": q.kg_expand,
         "kg_degree_histogram": q.kg_degree_histogram,
+        "kg_synthetic": kg_synthetic,
+        # text analysis
+        "token_counts": textops.token_counts,
+        "quality": textops.quality,
+        "lang_counts": textops.lang_counts,
+        "lang_id": textops.lang_id,
+        "fingerprint": textops.fingerprint,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_first3": dedup.dedup_first3,
+        "jaccard_pairs": dedup.jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "embedding_near_dup": dedup.embedding_near_dup,
+        # similarity search
+        "knn_bruteforce": simsearch.knn_bruteforce,
+        "knn_ivf": simsearch.knn_ivf,
+        # events / windows
+        "sessionize": events.sessionize,
+        "event_type_hourly": events.event_type_hourly,
+        # relational aggregates + joins
+        "lineitem_summary": relational.lineitem_summary,
+        "orders_by_customer_nation": relational.orders_by_customer_nation,
+        # multimodal plumbing
+        "payload_stats": multimodal.payload_stats,
+        "payload_features": multimodal.payload_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from kgx.queries import KG_ORACLES
+    from kgx.queries import DOC_ORACLES, KG_ORACLES
 
-    return dict(KG_ORACLES)
+    out = dict(KG_ORACLES)
+    out.update(DOC_ORACLES)
+    return out

@@ -120,6 +120,78 @@ triples AS (
 )
 """
 
+DOC_ORACLES = {
+    "token_counts": (
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+    ),
+    "quality": (
+        "SELECT doc_id, length(text) AS n_chars,"
+        " len(string_split(text, ' ')) AS n_tokens,"
+        " len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens"
+        " FROM documents"
+    ),
+    "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "dedup_first3": (
+        "SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY array_to_string(string_split(text, ' ')[1:3], ' ')"
+    ),
+    "jaccard_pairs": (
+        "WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,"
+        " string_split(text,' ')[1] AS blk FROM documents) "
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+        "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)"
+        " / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
+        " >= 0.8"
+    ),
+    "embedding_near_dup": (
+        "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
+        "FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ),
+    "knn_bruteforce": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings"
+        " WHERE vec_id % 50 = 0), "
+        "s AS (SELECT qid, vec_id AS nid,"
+        " list_cosine_similarity(qe, embedding) AS sim"
+        " FROM q, embeddings WHERE vec_id != qid), "
+        "r AS (SELECT qid, nid,"
+        " row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk"
+        " FROM s) "
+        "SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r"
+        " WHERE rk <= 5"
+    ),
+    "sessionize": (
+        "SELECT user_id, count(*) AS n_events,"
+        " CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_sessions FROM ("
+        "SELECT user_id, epoch(ts - lag(ts) OVER"
+        " (PARTITION BY user_id ORDER BY ts)) AS gap FROM events"
+        ") GROUP BY user_id"
+    ),
+    "event_type_hourly": (
+        "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n"
+        " FROM events GROUP BY 1, 2"
+    ),
+    "lineitem_summary": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n_rows,"
+        " CAST(sum(l_quantity) AS BIGINT) AS sum_qty,"
+        " strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,"
+        " strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship"
+        " FROM lineitem GROUP BY 1, 2"
+    ),
+    "orders_by_customer_nation": (
+        "SELECT n_name, count(*) AS n_orders FROM orders"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "payload_stats": (
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
+    ),
+}
+
 KG_ORACLES = {
     "kg_triples": TRIPLES_CTE + "SELECT subj, pred, obj, obj_lang FROM triples",
     "kg_pred_counts": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",

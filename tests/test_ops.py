@@ -1,0 +1,128 @@
+# encoding=utf-8
+"""Smoke + semantics tests for the training-data operators.
+
+(Exact oracle equivalence is checked by scripts/check_correctness.py /
+the driver; these tests pin operator semantics and determinism.)
+"""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTextOps:
+    def test_token_counts(self, ray_session):
+        from kgx.textops import token_counts
+
+        df = token_counts(SF).to_pandas()
+        assert len(df) == 500
+        assert (df["n_tokens"] > 0).all()
+
+    def test_fingerprint_deterministic(self, ray_session):
+        from kgx.textops import fingerprint
+
+        df1 = fingerprint(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        df2 = fingerprint(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert (df1["fp"] == df2["fp"]).all()
+        assert df1["fp"].nunique() == 500  # unique texts → unique fingerprints
+
+    def test_lang_id_runs(self, ray_session):
+        from kgx.textops import lang_id
+
+        df = lang_id(SF).to_pandas()
+        assert set(df["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+class TestDedup:
+    def test_exact_survivors(self, ray_session):
+        from kgx.dedup import dedup_exact
+
+        df = dedup_exact(SF).to_pandas()
+        assert len(df) == 500  # no exact dups in testdata → all survive
+
+    def test_first3_blocks(self, ray_session):
+        from kgx.dedup import dedup_first3
+
+        df = dedup_first3(SF).to_pandas()
+        assert 0 < len(df) <= 500
+
+    def test_minhash_agrees_with_true_jaccard(self, ray_session):
+        # every LSH pair with est >= 0.7 must be a true-Jaccard >= 0.5 pair
+        from kgx.dedup import minhash_lsh_pairs
+
+        import pyarrow.parquet as pq
+
+        pairs = minhash_lsh_pairs(SF, threshold=0.7).to_pandas()
+        t = pq.read_table("%s/documents.parquet" % SF, columns=["doc_id", "text"])
+        texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+        def true_jaccard(a, b):
+            def sh(x):
+                toks = x.split(" ")
+                return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            sa, sb = sh(texts[a]), sh(texts[b])
+            return len(sa & sb) / len(sa | sb)
+
+        for row in pairs.itertuples(index=False):
+            assert true_jaccard(row.doc_id_a, row.doc_id_b) >= 0.4, row
+
+    def test_simhash_close_docs_close_hashes(self, ray_session):
+        from kgx.dedup import simhash
+
+        df = simhash(SF).to_pandas()
+        assert len(df) == 500
+        assert df["simhash"].str.len().eq(16).all()
+
+
+class TestSimSearch:
+    def test_ivf_recall_vs_bruteforce(self, ray_session):
+        from kgx.simsearch import knn_bruteforce, knn_ivf
+
+        bf = knn_bruteforce(SF).to_pandas()
+        ivf = knn_ivf(SF).to_pandas()
+        bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+        ivf_sets = ivf.groupby("query_id")["neighbor_id"].apply(set)
+        recalls = [
+            len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q])
+            for q in bf_sets.index
+        ]
+        # approximate: probing own + Hamming-1 buckets should recover most
+        assert np.mean(recalls) >= 0.5, np.mean(recalls)
+
+    def test_bruteforce_rank_contract(self, ray_session):
+        from kgx.simsearch import knn_bruteforce
+
+        df = knn_bruteforce(SF).to_pandas()
+        per_q = df.groupby("query_id")["rank"].apply(list)
+        for ranks in per_q:
+            assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+class TestEvents:
+    def test_sessionize_bounds(self, ray_session):
+        from kgx.events import sessionize
+
+        df = sessionize(SF).to_pandas()
+        assert (df["n_sessions"] >= 1).all()
+        assert (df["n_sessions"] <= df["n_events"]).all()
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self):
+        from kgx.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
+
+    def test_payload_features(self, ray_session):
+        from kgx.multimodal import payload_features
+
+        df = payload_features(SF).to_pandas()
+        assert len(df) == 500
+        assert all(len(f) == 16 for f in df["feature"])
+        # deterministic "model": same payload → same features across runs
+        df2 = payload_features(SF).to_pandas()
+        m1 = dict(zip(df["doc_id"], [tuple(f) for f in df["feature"]]))
+        m2 = dict(zip(df2["doc_id"], [tuple(f) for f in df2["feature"]]))
+        assert m1 == m2
