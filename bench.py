@@ -1,0 +1,180 @@
+"""Benchmark harness.
+
+Normal mode: runs the headline KG pipeline (synthetic pages →
+extract → link → canonicalize → materialize) plus a battery of operator
+queries over $GRAFT_SF_DIR, then prints ONE JSON line.
+
+--scaling: runs the headline pipeline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on identical input and reports both
+throughputs plus scaling efficiency (evidence for the N→4N criterion;
+no multi-node cluster exists in this sandbox).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def ensure_corpus(num_pages: int) -> str:
+    """Generate the deterministic pages corpus to parquet ONCE; the
+    measured pipeline then reads it like production reads Common Crawl."""
+    from kgx.pages import synthetic_pages
+
+    path = "/tmp/kgx_corpus_v3_%d" % num_pages
+    marker = os.path.join(path, "_DONE")
+    if not os.path.isfile(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        # ~2500 pages per file so the read stage yields enough blocks to
+        # keep every core busy at any cluster size
+        blocks = max(64, num_pages // 2500)
+        synthetic_pages(num_pages, override_num_blocks=blocks).write_parquet(path)
+        with open(marker, "w") as fp:
+            fp.write("ok")
+    return path
+
+
+def run_headline(num_pages: int, out_dir: str, warmup: bool = True) -> dict:
+    """Headline: triples/sec end-to-end (read → extract → link →
+    canonicalize → materialize) over the pre-generated pages corpus."""
+    import ray.data
+
+    from kgx.config import PipelineConfig
+    from kgx.materialize import materialize
+    from kgx.pipeline import build_graph
+
+    corpus = ensure_corpus(num_pages)
+    cfg = PipelineConfig(include_altlabels=True, include_components=True,
+                         include_webdewey=True)
+
+    def once(tag: str) -> dict:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        pages = ray.data.read_parquet(corpus, columns=["url", "html"])
+        graph = build_graph(pages, cfg)
+        manifest = materialize(graph, out_dir,
+                               fingerprint="bench-%s-%d" % (tag, num_pages))
+        wall = time.time() - t0
+        return {"triples": manifest["rows"], "wall_sec": wall}
+
+    if warmup:
+        once("warmup")  # spawn worker processes / warm code paths
+    runs = [once("measured-1"), once("measured-2")]
+    r = min(runs, key=lambda x: x["wall_sec"])
+    return {
+        "pages": num_pages,
+        "triples": r["triples"],
+        "wall_sec": r["wall_sec"],
+        "triples_per_sec": r["triples"] / r["wall_sec"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from kgx import dedup, events, relational, simsearch, textops
+    from kgx import queries as q
+
+    def consume(ds):
+        # stream-consume without driver materialization
+        if hasattr(ds, "count"):
+            return ds.count()
+        return len(ds)
+
+    battery = {
+        "kg_triples": lambda: q.kg_triples(sf_dir),
+        "kg_expand": lambda: q.kg_expand(sf_dir),
+        "dedup_exact": lambda: dedup.dedup_exact(sf_dir),
+        "minhash_lsh": lambda: dedup.minhash_lsh_pairs(sf_dir),
+        "jaccard_pairs": lambda: dedup.jaccard_pairs(sf_dir),
+        "knn_bruteforce": lambda: simsearch.knn_bruteforce(sf_dir),
+        "token_counts": lambda: textops.token_counts(sf_dir),
+        "sessionize": lambda: events.sessionize(sf_dir),
+        "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
+    }
+    out = {}
+    for name, make in battery.items():
+        t0 = time.time()
+        consume(make())
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    parser.add_argument("--pages", type=int, default=int(os.environ.get(
+        "GRAFT_BENCH_PAGES", "400000")))
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--scaling-cpus", default="8,32",
+                        help="N,4N CPU pair for the scaling runs")
+    parser.add_argument("--headline-only", action="store_true")
+    parser.add_argument("--skip-queries", action="store_true")
+    args = parser.parse_args()
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        lo, hi = (int(x) for x in args.scaling_cpus.split(","))
+        results = {}
+        for cpus in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, __file__, "--headline-only",
+                 "--pages", str(args.pages)],
+                env=env, capture_output=True, text=True, cwd=os.path.dirname(
+                    os.path.abspath(__file__)))
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        r_lo = results[lo]["value"]
+        r_hi = results[hi]["value"]
+        efficiency = (r_hi / r_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency_%d_to_%d_cpus" % (lo, hi),
+            "value": round(efficiency, 4),
+            "unit": "fraction",
+            "throughput_%dcpu_triples_per_sec" % lo: round(r_lo, 1),
+            "throughput_%dcpu_triples_per_sec" % hi: round(r_hi, 1),
+            "pages": args.pages,
+        }))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    # per-operator CPU reservation halves effective parallelism for this
+    # short pipeline chain; the streaming executor still backpressures on
+    # object-store budget
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.op_resource_reservation_enabled = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    headline = run_headline(args.pages, "/tmp/kgx_bench/graph")
+    queries = {} if (args.headline_only or args.skip_queries) else run_queries(
+        args.sf_dir)
+
+    print(json.dumps({
+        "metric": "triples_per_sec_end_to_end",
+        "value": round(headline["triples_per_sec"], 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "headline": {k: (round(v, 2) if isinstance(v, float) else v)
+                     for k, v in headline.items()},
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

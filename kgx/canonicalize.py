@@ -109,9 +109,134 @@ def expand_inference(graph):
     return graph.union(inverses)
 
 
-def canonicalize(triples, expand: bool = False, num_buckets: Optional[int] = None):
-    """triples → deduplicated (optionally expanded) graph dataset."""
-    graph = exact_dedup(triples, num_buckets=num_buckets)
+def _add_tkey(df: pd.DataFrame, expand: bool = False) -> pd.DataFrame:
+    """Combiner + sort-key: local pre-dedup and the composite key string.
+
+    The key leads with the output sort key (materialize.sort_key of the
+    subject) so ONE range shuffle yields both the global output order and
+    exact dedup: range partitioning is a deterministic function of the
+    key, so identical triples can never straddle a partition boundary.
+
+    With ``expand``, the SKOS inference closure's inverse edges are
+    emitted here too (map-only, same pass — duplicate inverses collapse
+    in the shared dedup, no extra shuffle and no second pipeline).
+    """
+    from .materialize import sort_key_series
+
     if expand:
-        graph = exact_dedup(expand_inference(graph), num_buckets=num_buckets)
-    return graph
+        inv = _expand_batch(df)
+        if len(inv):
+            df = pd.concat([df, inv], ignore_index=True)
+    tkey = sort_key_series(df["subj"])
+    for col in _KEY_COLS:
+        tkey = tkey + "\x1f" + df[col].astype(str)
+    df = df.assign(tkey=tkey)
+    return df.drop_duplicates(subset=["tkey"])
+
+
+def _add_tkey_arrow(batch, expand: bool = False):
+    """Combiner + sort-key, vectorized end-to-end in polars.
+
+    The composite key leads with the output sort key (the reference's
+    3-sorter rule on the subject URI) and the subject, followed by a
+    128-bit hash of the full triple key — a short fixed-width tail
+    instead of shipping pred/obj text twice through the shuffle. Range
+    partitioning is a deterministic function of the key, so identical
+    triples can never straddle a partition boundary; within one subject,
+    output order is by triple hash (deterministic; the reference only
+    fixes subject-block order). Hash determinism relies on a homogeneous
+    polars version across the cluster (true for any one Ray runtime env).
+
+    With ``expand``, the SKOS inference closure's inverse edges are
+    emitted in the same pass — no extra shuffle; duplicates collapse in
+    the shared dedup.
+    """
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return batch.append_column("tkey", batch.column("subj"))
+    df = pl.from_arrow(batch).select(_KEY_COLS)
+    if expand:
+        inv = (df.filter(pl.col("pred").is_in(list(_INVERSES)) &
+                         ~pl.col("obj_is_literal"))
+               .with_columns(
+                   pl.col("obj").alias("subj_new"),
+                   pl.col("subj").alias("obj_new"),
+                   pl.col("pred").replace_strict(_INVERSES, default=None)
+                   .alias("pred_new"),
+               )
+               .drop(["subj", "obj", "pred"])
+               .rename({"subj_new": "subj", "obj_new": "obj",
+                        "pred_new": "pred"})
+               .select(df.columns))
+        if inv.height:
+            df = pl.concat([df, inv], how="vertical")
+
+    subj = pl.col("subj")
+    m1a = subj.str.extract(r"/([0-9A-Z\-]+)--([0-9.\-;:]+)/e", 1)
+    m1b = subj.str.extract(r"/([0-9A-Z\-]+)--([0-9.\-;:]+)/e", 2)
+    m2 = subj.str.extract(r"/([0-9.\-;:]+)/e", 1)
+    skey = (pl.when(m1a.is_not_null())
+            .then(pl.concat_str([pl.lit("C"), m1a, pl.lit("--"), m1b]))
+            .when(m2.is_not_null())
+            .then(pl.concat_str([pl.lit("B"), m2]))
+            .otherwise(pl.concat_str([pl.lit("A"), subj])))
+
+    fullkey = pl.concat_str(
+        [pl.col(c).cast(pl.Utf8).fill_null("\x00") for c in _KEY_COLS],
+        separator="\x1f",
+    )
+    h1 = fullkey.hash(seed=2654435761).cast(pl.Utf8).str.zfill(20)
+    h2 = fullkey.hash(seed=40503).cast(pl.Utf8).str.zfill(20)
+    out = df.with_columns(
+        pl.concat_str([skey, pl.lit("\x1f"), subj, pl.lit("\x1f"), h1, h2])
+        .alias("tkey")
+    ).unique(subset=["tkey"], keep="any")
+    return out.to_arrow()
+
+
+def _dedup_sorted_block(batch):
+    """Adjacent-dedup on a sorted Arrow block (all-C, no Python objects)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return batch.drop_columns(["tkey"])
+    col = batch.column("tkey").combine_chunks()
+    arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+    neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+    mask = pa.concat_arrays([pa.array([True]), neq])
+    return batch.filter(mask).drop_columns(["tkey"])
+
+
+def canonicalize(triples, expand: bool = False, num_buckets: Optional[int] = None,
+                 sort_partitions: Optional[int] = None):
+    """triples → deduplicated graph dataset in deterministic global order.
+
+    Exact dedup + the reference's global output sort (A1 + A5) fused into
+    a single range shuffle. ``expand`` unions the inference-closure edges
+    *before* the shuffle, so the closure costs no extra all-to-all
+    (duplicate inverse edges collapse in the same dedup).
+
+    ``sort_partitions`` bounds the sort's partition count: the range
+    exchange creates B_in × B_out intermediate objects, so coalescing
+    many small map blocks first cuts object-store traffic ~5×. Default is
+    ~1 partition per CPU; on a real multi-node run size it to ~512 MB of
+    triples per partition instead.
+    """
+    # large batches: one polars pass per ~64k rows, and local dedup sees
+    # enough rows to actually shrink the shuffle
+    keyed = triples.map_batches(
+        lambda b: _add_tkey_arrow(b.select(_KEY_COLS), expand),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
+    if sort_partitions is None:
+        import ray
+
+        sort_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    keyed = keyed.repartition(sort_partitions)
+    # batch_size=None → whole sorted blocks, so a duplicate run can never be
+    # split across batches of one block
+    return keyed.sort("tkey").map_batches(
+        _dedup_sorted_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)

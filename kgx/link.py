@@ -83,24 +83,54 @@ class LinkerActor:
         return pa.Table.from_pylist(out, schema=TRIPLES)
 
 
+# per-worker-process linker cache for the task-based path (the semantic
+# equivalent of actor-pool __init__-once state, without reserving CPUs)
+_LINKER_CACHE: dict = {}
+
+
+class _LinkTask:
+    """Picklable per-batch linker that rebuilds its state at most once per
+    worker process (module-level cache keyed by config identity)."""
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.key = repr(config)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        linker = _LINKER_CACHE.get(self.key)
+        if linker is None:
+            linker = LinkerActor(self.config)
+            _LINKER_CACHE.clear()
+            _LINKER_CACHE[self.key] = linker
+        return linker(batch)
+
+
 def link_records(records, config: Optional[PipelineConfig] = None,
                  concurrency=None, batch_size: Optional[int] = None):
-    """Dataset[records] → Dataset[triples] (actor pool)."""
+    """Dataset[records] → Dataset[triples].
+
+    Default: stateless Ray tasks with a per-worker-process registry cache.
+    The registry is small (KBs), so tasks scale elastically across the
+    whole cluster — an actor pool would RESERVE CPUs and cap the fused
+    upstream stages' parallelism. Pass ``concurrency`` (or set
+    ``config.link_concurrency``) to switch to an explicit actor pool for
+    heavy per-actor state (vocab tries, ML models).
+    """
     config = config or PipelineConfig()
     conc = concurrency or config.link_concurrency
+    bs = batch_size or config.link_batch_size
     if conc is None:
-        # autoscaling actor pool sized to the cluster; callable classes
-        # require an explicit concurrency in Ray Data
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        conc = (1, max(2, ncpu))
-    kwargs = {"concurrency": conc}
+        return records.map_batches(
+            _LinkTask(config),
+            batch_format="pyarrow",
+            batch_size=bs,
+            zero_copy_batch=True,
+        )
     return records.map_batches(
         LinkerActor,
         fn_constructor_kwargs={"config": config},
         batch_format="pyarrow",
-        batch_size=batch_size or config.link_batch_size,
+        batch_size=bs,
         zero_copy_batch=True,
-        **kwargs,
+        concurrency=conc,
     )

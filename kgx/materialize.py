@@ -41,8 +41,23 @@ def sort_key(uri: str) -> str:
     return uri
 
 
+def sort_key_series(subj: pd.Series) -> pd.Series:
+    """Vectorized sort_key over a subject column (same 3-sorter rule)."""
+    import numpy as np
+
+    m1 = subj.str.extract(r"/([0-9A-Z\-]+)--([0-9.\-;:]+)/e", expand=True)
+    m2 = subj.str.extract(r"/([0-9.\-;:]+)/e", expand=True)
+    k1 = "C" + m1[0].fillna("") + "--" + m1[1].fillna("")
+    k2 = "B" + m2[0].fillna("")
+    k3 = "A" + subj
+    return pd.Series(
+        np.where(m1[0].notna(), k1, np.where(m2[0].notna(), k2, k3)),
+        index=subj.index,
+    )
+
+
 def _add_sort_key(df: pd.DataFrame) -> pd.DataFrame:
-    return df.assign(sort_key=[sort_key(s) for s in df["subj"].tolist()])
+    return df.assign(sort_key=sort_key_series(df["subj"]))
 
 
 def sorted_graph(graph):
@@ -53,11 +68,14 @@ def sorted_graph(graph):
 
 
 def materialize(graph, path: str, fingerprint: Optional[str] = None,
-                sort: bool = True, config_dict: Optional[dict] = None) -> dict:
+                sort: bool = False, config_dict: Optional[dict] = None) -> dict:
     """Write the graph as partitioned Parquet + _MANIFEST.json.
 
-    Returns the manifest dict. If a complete manifest with the same
-    fingerprint already exists, the write is skipped (resume semantics).
+    ``canonicalize`` output is already globally ordered (dedup and the
+    output sort share one range shuffle), so ``sort`` defaults to False;
+    pass True for graphs from other sources. Returns the manifest dict.
+    If a complete manifest with the same fingerprint already exists, the
+    write is skipped (resume semantics).
     """
     manifest_path = os.path.join(path, "_MANIFEST.json")
     if fingerprint is not None and os.path.isfile(manifest_path):

@@ -116,7 +116,7 @@ def _cls_record_xml(i: int) -> str:
     top = i % 10
     mid = (i // 10) % 10
     leaf = (i // 100) % 10
-    notation = "%d%d%d.%d" % (top, mid, leaf, i % 100)
+    notation = "%d%d%d.%d" % (top, mid, leaf, i)
     parent = "%d%d%d" % (top, mid, leaf)
     caption = "%s %s %d" % (
         _CAPTION_WORDS[i % len(_CAPTION_WORDS)],
@@ -198,6 +198,10 @@ def _synthetic_batch(batch: pd.DataFrame) -> pd.DataFrame:
         records = [_cls_record_xml(i)]
         if i % 9 == 0:
             records.append(_auth_record_xml(i))
+        if i % 10 == 9 and i >= 9:
+            # deliberate exact duplicate of an earlier page's record —
+            # exercises cross-page dedup at a known ~10% rate
+            records.append(_cls_record_xml(i - 9))
         if i % 50 == 0:  # invalid: bibliographic leader → error channel
             records.append(
                 '<record xmlns="http://www.loc.gov/MARC21/slim">'
@@ -217,7 +221,13 @@ def _synthetic_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 def synthetic_pages(n: int, override_num_blocks=None):
     """Deterministic synthetic benchmark corpus of n pages."""
+    import ray
     import ray.data
 
+    if override_num_blocks is None:
+        # blocks proportional to the cluster so scheduling overhead stays
+        # flat across cluster sizes (default range() blocking is static)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        override_num_blocks = max(8, min(ncpu * 4, n // 250 or 1))
     ds = ray.data.range(n, override_num_blocks=override_num_blocks)
     return ds.map_batches(_synthetic_batch, batch_format="pandas")

@@ -17,9 +17,82 @@ from .link import link_records
 ERROR_PRED = "kgx:error"
 
 
-def build_triples(pages, config: Optional[PipelineConfig] = None):
+class _FusedExtractLink:
+    """Single physical stage: page html → parsed record → triples.
+
+    Skips materializing the nested RECORDS Arrow table between the
+    extract and link operators (the list<struct> columns are the most
+    expensive conversion in the pipeline). The logical stages stay
+    separately available (extract_records / link_records) for tests and
+    for pipelines that checkpoint the record boundary.
+    """
+
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.key = "fused:" + repr(config)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        import xml.etree.ElementTree as ET
+
+        from . import marc
+        from .convert import dispatch_record, emit_triples, is_public, resolve_scheme
+        from .link import _LINKER_CACHE, LinkerActor
+        from .marc import InvalidRecordError
+        from .schemas import TRIPLES
+
+        linker = _LINKER_CACHE.get(self.key)
+        if linker is None:
+            linker = LinkerActor(self.config)
+            _LINKER_CACHE[self.key] = linker
+        voc = linker.vocabularies
+        config = self.config
+
+        out = []
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        for url, html in zip(urls, htmls):
+            if html is None:
+                continue
+            try:
+                elements = list(marc.iter_records_from_xml(html))
+            except ET.ParseError as exc:
+                out.append({"url": url, "subj": url, "pred": ERROR_PRED,
+                            "obj": "xml parse error: %s" % exc,
+                            "obj_is_literal": True, "obj_lang": None,
+                            "obj_datatype": None})
+                continue
+            for elem in elements:
+                try:
+                    parsed = dispatch_record(marc.parse_record_element(elem), config)
+                    if parsed is None:
+                        continue
+                    scheme = resolve_scheme(parsed, voc)
+                    if not is_public(parsed):
+                        continue
+                    triples = emit_triples(parsed, scheme, voc, config)
+                except InvalidRecordError as exc:
+                    out.append({"url": url, "subj": url, "pred": ERROR_PRED,
+                                "obj": str(exc), "obj_is_literal": True,
+                                "obj_lang": None, "obj_datatype": None})
+                    continue
+                for t in triples:
+                    t["url"] = url
+                    out.append(t)
+        return pa.Table.from_pylist(out, schema=TRIPLES)
+
+
+def build_triples(pages, config: Optional[PipelineConfig] = None,
+                  fused: bool = True):
     """Dataset[pages] → Dataset[triples] (with lineage url, errors included)."""
     config = config or PipelineConfig()
+    if fused and config.link_concurrency is None:
+        return pages.map_batches(
+            _FusedExtractLink(config),
+            batch_format="pyarrow",
+            batch_size=config.extract_batch_size,
+            zero_copy_batch=True,
+        )
     records = extract_records(pages, config)
     return link_records(records, config)
 
