@@ -28,6 +28,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from kgx import dedup, events, multimodal, relational, simsearch, textops
     from kgx import queries as q
+    from kgx.components import sameas_components as _sameas_components
 
     def kg_synthetic(sf_dir: str):
         # richer classification corpus (153 hierarchy, notes, mappings,
@@ -66,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf": simsearch.knn_ivf,
+        # sameAs-chain resolution (iterative hash-partitioned union-find)
+        "sameas_components": _sameas_components,
         # events / windows
         "sessionize": events.sessionize,
         "event_type_hourly": events.event_type_hourly,

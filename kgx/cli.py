@@ -1,0 +1,175 @@
+"""Command-line driver (parity surface: the reference's ``mc2skos`` CLI,
+/root/reference/mc2skos/mc2skos.py:206-330).
+
+Inputs:  a MARCXML file (records split out to synthetic one-record pages),
+         or a directory of pages parquet.
+Outputs: .ttl (ordered Turtle), .nt (N-Triples), .ndjson (one JSON object
+         per concept), or a parquet graph directory with manifest.
+
+Owns its Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _pages_from_xml_file(path: str):
+    """Raw MARCXML ingest: one Dataset row per <record> element.
+
+    The file is read once on the driver (records split out as bytes);
+    the per-record XML parse happens distributed in the extract stage.
+    For multi-GB inputs, convert to a pages parquet first.
+    """
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from .schemas import PAGES
+
+    with open(path, "rb") as fp:
+        data = fp.read()
+    # split on record boundaries without parsing the whole document
+    chunks = re.findall(rb"<(?:\w+:)?record[\s>].*?</(?:\w+:)?record>", data,
+                        re.DOTALL)
+    # records inherit their namespace declarations from the collection
+    # wrapper; re-wrap each chunk with the MARC namespace bound to the
+    # default prefix and the two conventional ones
+    wrap = (b'<c xmlns="http://www.loc.gov/MARC21/slim"'
+            b' xmlns:mx="http://www.loc.gov/MARC21/slim"'
+            b' xmlns:marc="http://www.loc.gov/MARC21/slim">%s</c>')
+    rows = [
+        {"url": "file://%s#%d" % (os.path.abspath(path), i),
+         "warc_ts": None, "html": wrap % chunk, "text": None, "lang": None}
+        for i, chunk in enumerate(chunks)
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=PAGES))
+
+
+def _include_dataset(path: str):
+    """--include RDF preload: parse a small Turtle file into triple rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from .schemas import GRAPH
+    from .turtle import parse_turtle
+
+    with open(path, encoding="utf-8") as fp:
+        triples = parse_turtle(fp.read())
+    rows = [
+        {"subj": s, "pred": p, "obj": o, "obj_is_literal": lit,
+         "obj_lang": lang, "obj_datatype": dt}
+        for (s, p, o, lit, lang, dt) in triples
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=GRAPH))
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="kgx", description="MARC21 Classification/Authority → SKOS, Ray-Data-native")
+    parser.add_argument("infile", nargs="?", help="MARCXML file or pages parquet dir")
+    parser.add_argument("outfile", nargs="?", help="output (.ttl/.nt/.ndjson or dir)")
+    parser.add_argument("-o", "--outformat", choices=["turtle", "nt", "ndjson", "parquet"])
+    parser.add_argument("--include", action="append", default=[],
+                        help="Turtle file(s) to merge before dedup")
+    parser.add_argument("--uri", dest="base_uri", help="concept URI template override")
+    parser.add_argument("--scheme", dest="scheme", help="scheme URI or registry code")
+    parser.add_argument("--whitespace", dest="whitespace")
+    parser.add_argument("--vocabularies", dest="vocab_file",
+                        help="YAML vocabulary registry (reference format)")
+    parser.add_argument("--altlabels", "--indexterms", dest="altlabels", action="store_true")
+    parser.add_argument("--exclude_notes", action="store_true")
+    parser.add_argument("--components", action="store_true")
+    parser.add_argument("--webdewey", action="store_true")
+    parser.add_argument("--skip-classification", dest="skip_classification", action="store_true")
+    parser.add_argument("--skip-authority", dest="skip_authority", action="store_true")
+    parser.add_argument("--expand", action="store_true")
+    parser.add_argument("-l", "--list-schemes", dest="list_schemes", action="store_true")
+    args = parser.parse_args(argv)
+
+    from .config import PipelineConfig
+    from .vocab import Vocabularies, load_vocabularies_yaml
+
+    extra = {}
+    if args.vocab_file:
+        extra = load_vocabularies_yaml(args.vocab_file)
+
+    if args.list_schemes:
+        voc = Vocabularies()
+        voc.entries.update(Vocabularies(extra).entries if extra else {})
+        print("Schemes:")
+        for scheme in voc:
+            print("- %s" % scheme)
+        return 0
+
+    if args.infile is None:
+        parser.error("infile required")
+
+    config = PipelineConfig(
+        include_altlabels=args.altlabels,
+        exclude_notes=args.exclude_notes,
+        include_components=args.components,
+        include_webdewey=args.webdewey,
+        skip_classification=args.skip_classification,
+        skip_authority=args.skip_authority,
+        expand=args.expand,
+        default_uri=args.base_uri,
+        default_scheme=args.scheme,
+        default_whitespace=args.whitespace,
+        extra_vocabularies=extra,
+    )
+
+    outformat = args.outformat
+    if not outformat and args.outfile:
+        ext = args.outfile.rpartition(".")[-1]
+        outformat = {"ttl": "turtle", "nt": "nt", "ndjson": "ndjson"}.get(ext, "parquet")
+    outformat = outformat or "turtle"
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    import ray.data
+
+    from .materialize import group_concepts_json, materialize, write_ntriples, write_turtle
+    from .pipeline import build_graph
+
+    if os.path.isdir(args.infile):
+        pages = ray.data.read_parquet(args.infile)
+    else:
+        pages = _pages_from_xml_file(args.infile)
+
+    include = [_include_dataset(p) for p in args.include] or None
+    graph = build_graph(pages, config, include=include)
+
+    if args.outfile and args.outfile != "-":
+        if outformat == "parquet":
+            manifest = materialize(graph, args.outfile)
+            print("wrote %d triples to %s" % (manifest["rows"], args.outfile))
+            ray.shutdown()
+            return 0
+        out = open(args.outfile, "w", encoding="utf-8")
+    else:
+        out = sys.stdout
+
+    if outformat == "turtle":
+        write_turtle(graph, out, sort=False)
+    elif outformat == "nt":
+        write_ntriples(graph, out, sort=False)
+    elif outformat == "ndjson":
+        for batch in group_concepts_json(graph).iter_batches(batch_format="pandas"):
+            for doc in batch["json"]:
+                out.write(doc + "\n")
+
+    if out is not sys.stdout:
+        out.close()
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -190,6 +190,10 @@ DOC_ORACLES = {
     "payload_stats": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
     ),
+    "sameas_components": (
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY source) AS component"
+        " FROM documents"
+    ),
 }
 
 KG_ORACLES = {

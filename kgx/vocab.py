@@ -114,6 +114,28 @@ DEFAULT_VOCABULARIES: Dict[str, dict] = {
     "orcid": {"kind": AUTHORITY, "concept": "https://orcid.org/{control_number}"},
 }
 
+def load_vocabularies_yaml(path: str) -> Dict[str, dict]:
+    """Load a registry file in the reference's YAML layout
+    (``classification_schemes`` / ``subject_schemes`` maps; a bare string
+    value means ``base_uri``) into this module's options format."""
+    import yaml
+
+    with open(path) as fp:
+        data = yaml.safe_load(fp)
+    out: Dict[str, dict] = {}
+    kinds = {"classification_schemes": CLASSIFICATION, "subject_schemes": AUTHORITY}
+    for section, vocabs in (data or {}).items():
+        kind = kinds.get(section)
+        for code, options in (vocabs or {}).items():
+            if isinstance(options, str):
+                options = {"base_uri": options}
+            else:
+                options = dict(options)
+            options["kind"] = kind
+            out[code] = options
+    return out
+
+
 _ORG_PREFIX = re.compile(r"^\(.+\)(.+)$")
 _TEMPLATE_PARAM = re.compile(
     r"\{(?P<param>[a-z_]+)(?:\[(?P<start>\d+)?:(?P<end>\d+)?\])?(?P<formatter>[:!][^\}]+)?\}"

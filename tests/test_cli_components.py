@@ -1,0 +1,104 @@
+# encoding=utf-8
+"""Tests for the CLI surface, --include preload, YAML vocab loading, and
+the union-find components operator."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestComponents:
+    def test_sameas_components(self, ray_session):
+        from kgx.components import sameas_components
+
+        df = sameas_components("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 500
+        assert df["component"].nunique() == 20  # one component per source
+        # component id is the minimum doc_id of the group
+        assert (df.groupby("component")["doc_id"].min().values ==
+                sorted(df["component"].unique())).all()
+
+    def test_connected_components_basic(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from kgx.components import connected_components
+
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "a": [1, 2, 5, 7], "b": [2, 3, 6, 7]}))
+        df = connected_components(edges).to_pandas()
+        got = dict(zip(df["node"], df["component"]))
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+class TestVocabYaml:
+    def test_load_reference_format(self, tmp_path):
+        from kgx.vocab import Vocabularies, load_vocabularies_yaml
+
+        path = tmp_path / "vocab.yml"
+        path.write_text(
+            "classification_schemes:\n"
+            "  myclass: http://example.org/c/{object}\n"
+            "subject_schemes:\n"
+            "  mysubj:\n"
+            "    concept: http://example.org/s/{control_number}\n"
+            "    scheme: http://example.org/s/\n"
+        )
+        extra = load_vocabularies_yaml(str(path))
+        voc = Vocabularies({**extra})
+        assert voc.get("myclass").uri("concept", object="101") == \
+            "http://example.org/c/101"
+        assert voc.get("mysubj").uri("scheme") == "http://example.org/s/"
+
+
+class TestTurtleReader:
+    def test_include_roundtrip(self, tmp_path):
+        from kgx.turtle import parse_turtle
+
+        ttl = (
+            "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+            "<http://x/s> a skos:ConceptScheme ;\n"
+            '    skos:prefLabel "Scheme"@en .\n'
+        )
+        triples = parse_turtle(ttl)
+        assert ("http://x/s",
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "http://www.w3.org/2004/02/skos/core#ConceptScheme",
+                False, None, None) in triples
+
+
+@pytest.mark.slow
+class TestCli:
+    def test_cli_turtle_output(self, tmp_path):
+        out = tmp_path / "out.ttl"
+        proc = subprocess.run(
+            [sys.executable, "-m", "kgx.cli",
+             "/root/reference/examples/ddc23no-001.xml", str(out),
+             "--webdewey"],
+            cwd=REPO, capture_output=True, text=True, timeout=240)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        text = out.read_text()
+        assert "<http://dewey.info/class/001/e23/>" in text
+        assert 'skos:notation "001"' in text
+
+    def test_cli_include_and_ndjson(self, tmp_path):
+        inc = tmp_path / "scheme.ttl"
+        inc.write_text(
+            "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+            "<http://dewey.info/scheme/edition/e23/> a skos:ConceptScheme .\n")
+        out = tmp_path / "out.ndjson"
+        proc = subprocess.run(
+            [sys.executable, "-m", "kgx.cli",
+             "/root/reference/examples/ddc23no-001.xml", str(out),
+             "--include", str(inc)],
+            cwd=REPO, capture_output=True, text=True, timeout=240)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        docs = [json.loads(line) for line in out.read_text().splitlines()]
+        uris = {d["uri"] for d in docs}
+        assert "http://dewey.info/class/001/e23/" in uris
+        assert "http://dewey.info/scheme/edition/e23/" in uris  # from include
