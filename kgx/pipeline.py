@@ -140,3 +140,68 @@ def build_graph(pages, config: Optional[PipelineConfig] = None,
             real = real.union(inc.map_batches(widen, batch_format="pyarrow"))
     return canonicalize(real, expand=config.expand,
                         num_buckets=num_buckets or config.dedup_buckets)
+
+
+def run_pipeline(pages, out_dir: str, config: Optional[PipelineConfig] = None,
+                 include=None, fingerprint: Optional[str] = None,
+                 checkpoint_triples: bool = False) -> dict:
+    """End-to-end run with checkpointed output layout:
+
+    ``out_dir/graph/``  — canonical sorted triples (partitioned Parquet +
+                          ``_MANIFEST.json``; re-runs with the same
+                          fingerprint skip completed partitions)
+    ``out_dir/errors/`` — the data-error channel (url, message rows)
+    ``_RUN.json``       — run-level metrics/lineage summary
+
+    Returns the run summary dict. The graph and error channels are two
+    consumers of one lazy triple stream: by default the extract stage runs
+    once per consumer (errors are rare, the second pass is the price of
+    not pinning the stream); ``checkpoint_triples=True`` materializes the
+    triple stream once into the object store instead (spill-backed) so
+    both sinks read the same blocks.
+    """
+    import json
+    import os
+
+    from .materialize import materialize
+
+    config = config or PipelineConfig()
+    triples = build_triples(pages, config)
+    if checkpoint_triples:
+        triples = triples.materialize()
+    real, errors = split_errors(triples)
+    if include is not None:
+        # reuse build_graph's widening path by unioning before dedup
+        graph_ds = build_graph(pages, config, include=include)
+    else:
+        graph_ds = canonicalize(real, expand=config.expand,
+                                num_buckets=config.dedup_buckets)
+
+    manifest = materialize(graph_ds, os.path.join(out_dir, "graph"),
+                           fingerprint=fingerprint,
+                           config_dict=config.semantic_options())
+
+    errors_path = os.path.join(out_dir, "errors")
+    os.makedirs(errors_path, exist_ok=True)
+    err_ds = errors.select_columns(["url", "obj"])
+    err_count = 0
+    if not manifest.get("skipped"):
+        err_ds.write_parquet(errors_path)
+        import pyarrow.parquet as pq
+
+        for f in os.listdir(errors_path):
+            if f.endswith(".parquet"):
+                err_count += pq.read_metadata(
+                    os.path.join(errors_path, f)).num_rows
+
+    summary = {
+        "fingerprint": fingerprint,
+        "triples": manifest["rows"],
+        "errors": err_count,
+        "graph_partitions": len(manifest.get("partitions", [])),
+        "resumed_skip": bool(manifest.get("skipped")),
+        "config": config.semantic_options(),
+    }
+    with open(os.path.join(out_dir, "_RUN.json"), "w") as fp:
+        json.dump(summary, fp, indent=2)
+    return summary
