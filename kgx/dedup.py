@@ -155,13 +155,13 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     Returns (doc_id_a, doc_id_b, jaccard_est).
     """
     if num_partitions is None:
-        # join aggregator actors all need to be live at once — cap by CPUs
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(8, ncpu // 2))
+        num_partitions = max(4, ncpu)
+    nparts = num_partitions
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(sf_dir, num_perm)
+    sigs = minhash_signatures(sf_dir, num_perm).materialize()
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
         out_doc, out_bucket = [], []
@@ -172,12 +172,15 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                 key = zlib.crc32(("%d:%s" % (band, chunk)).encode())
                 out_doc.append(doc_id)
                 out_bucket.append(key)
-        return pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
-                             "bucket": pd.Series(out_bucket, dtype="int64")})
+        out = pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
+                            "bucket": pd.Series(out_bucket, dtype="int64")})
+        # coarse shuffle key: millions of LSH buckets co-group into nparts
+        # partitions; the true bucket grouping happens inside the partition
+        out["part"] = (out["bucket"] % nparts).astype("int32")
+        return out
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        # one bucket can span multiple band keys after groupby — regroup
         for _, g in df.groupby("bucket"):
             ids = sorted(set(g["doc_id"].tolist()))
             if len(ids) > 200:  # pathological bucket guard
@@ -185,40 +188,73 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
             for a_, b_ in itertools.combinations(ids, 2):
                 out_a.append(a_)
                 out_b.append(b_)
-        return pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype="int64"),
-                             "doc_id_b": pd.Series(out_b, dtype="int64")})
+        out = pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype="int64"),
+                            "doc_id_b": pd.Series(out_b, dtype="int64")})
+        return out.drop_duplicates()
 
     buckets = sigs.map_batches(to_buckets, batch_format="pandas")
-    candidates = buckets.groupby("bucket").map_groups(bucket_pairs,
-                                                      batch_format="pandas")
-    # dedup candidate pairs (same pair surfaces from several bands)
-    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        return df.assign(pk=df["doc_id_a"] * np.int64(1 << 32) + df["doc_id_b"])
+    candidates = buckets.groupby("part").map_groups(bucket_pairs,
+                                                    batch_format="pandas")
 
-    candidates = (candidates.map_batches(pair_key, batch_format="pandas")
-                  .groupby("pk").map_groups(
-                      lambda df: df.head(1)[["doc_id_a", "doc_id_b"]],
+    # global candidate-pair dedup (same pair from several bands landing in
+    # different partitions), coarse-bucketed again
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        pk = df["doc_id_a"] * np.int64(1 << 32) + df["doc_id_b"]
+        return df.assign(part=(pk % nparts).astype("int32"))
+
+    candidates = (candidates.map_batches(pair_part, batch_format="pandas")
+                  .groupby("part").map_groups(
+                      lambda df: df.drop_duplicates(
+                          subset=["doc_id_a", "doc_id_b"])[
+                          ["doc_id_a", "doc_id_b"]],
                       batch_format="pandas"))
 
-    # verify: join signatures to both sides (distributed hash join), then
-    # estimate Jaccard from signature agreement
-    joined = candidates.join(sigs, join_type="inner",
-                             num_partitions=num_partitions,
-                             on=("doc_id_a",), right_on=("doc_id",),
-                             right_suffix="_a")
-    joined = joined.join(sigs, join_type="inner",
-                         num_partitions=num_partitions,
-                         on=("doc_id_b",), right_on=("doc_id",),
-                         right_suffix="_b")
+    # verify: reduce-side join of signatures to both pair sides (build
+    # rows and probe rows co-grouped on a hash of the doc id)
+    def _attach(cands, cand_cols, key_col: str, out_col: str):
+        # fixed union schema: pair payload + join machinery columns
+        all_cols = list(cand_cols) + ["k", "sig", "is_build", "part"]
+
+        def placeholder(col):
+            return "" if col.startswith("sig") else np.int64(0)
+
+        def probe_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["k"] = out[key_col].astype("int64")
+            out["sig"] = ""
+            out["is_build"] = False
+            out["part"] = (out["k"] % nparts).astype("int32")
+            return out[all_cols]
+
+        def build_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"k": df["doc_id"].astype("int64"),
+                                "sig": df["sig"]})
+            out["is_build"] = True
+            out["part"] = (out["k"] % nparts).astype("int32")
+            for col in cand_cols:
+                out[col] = placeholder(col)
+            return out[all_cols]
+
+        probes = cands.map_batches(probe_rows, batch_format="pandas")
+        builds = sigs.map_batches(build_rows, batch_format="pandas")
+
+        def join_part(df: pd.DataFrame) -> pd.DataFrame:
+            build = df[df["is_build"]][["k", "sig"]].rename(
+                columns={"sig": out_col})
+            probe = df[~df["is_build"]][list(cand_cols) + ["k"]]
+            return probe.merge(build, on="k").drop(columns=["k"])
+
+        return probes.union(builds).groupby("part").map_groups(
+            join_part, batch_format="pandas")
+
+    joined = _attach(candidates, ["doc_id_a", "doc_id_b"], "doc_id_a", "sig_a")
+    joined = _attach(joined, ["doc_id_a", "doc_id_b", "sig_a"], "doc_id_b", "sig_b")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        cols = df.columns
-        sig_a = "sig" if "sig" in cols else "sig_a"
-        sig_b = "sig_b"
         est = [
             float((_sig_array(sa) == _sig_array(sb)).mean())
-            for sa, sb in zip(df[sig_a], df[sig_b])
+            for sa, sb in zip(df["sig_a"], df["sig_b"])
         ]
         out = pd.DataFrame({
             "doc_id_a": df["doc_id_a"].astype("int64"),
