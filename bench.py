@@ -130,6 +130,10 @@ def main() -> int:
                     os.path.abspath(__file__)))
             line = proc.stdout.strip().splitlines()[-1]
             results[cpus] = json.loads(line)
+            # let the previous Ray session's raylet/object store fully
+            # release before the next fresh-process measurement
+            subprocess.run(["ray", "stop", "--force"], capture_output=True)
+            time.sleep(5)
         r_lo = results[lo]["value"]
         r_hi = results[hi]["value"]
         efficiency = (r_hi / r_lo) / (hi / lo)
