@@ -119,6 +119,10 @@ def main() -> int:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
+        if args.pages == 400000 and "GRAFT_BENCH_PAGES" not in os.environ:
+            # scaling needs a compute-bound run; the BASELINE.md numbers
+            # use the 1.2M-page corpus
+            args.pages = 1200000
         lo, hi = (int(x) for x in args.scaling_cpus.split(","))
         results = {}
         for cpus in (lo, hi):

@@ -1,0 +1,121 @@
+# encoding=utf-8
+"""Property-based tests (hypothesis) for the order-sensitive parsers —
+SURVEY §7.4 hard parts #1/#2: the 153 state machine must isolate trailing
+junk, and the label/note builders must be deterministic pure functions of
+the subfield sequence.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kgx import marc
+from kgx.marc import Datafield, Subfield
+
+text_values = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    min_size=1, max_size=12)
+
+
+def df(subfields):
+    return Datafield(tag="153", ind1=" ", ind2=" ",
+                     subfields=[Subfield(code=c, value=v) for c, v in subfields])
+
+
+class TestParse153Properties:
+    @given(junk=st.lists(
+        st.tuples(st.sampled_from(["i", "x", "t", "9"]), text_values),
+        max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def test_trailing_junk_never_leaks(self, junk):
+        """Whatever follows $j, the notation/parent stay fixed
+        (non-notation codes flip the machine to 'other' mode)."""
+        base = [("a", "003.5"), ("e", "003"), ("j", "Caption")]
+        t0 = marc.parse_153(df(base))
+        t1 = marc.parse_153(df(base + junk))
+        assert t1[1] == t0[1] == "003.5"      # notation
+        assert t1[3] == t0[3] == "003"        # parent
+
+    @given(caption=text_values)
+    @settings(max_examples=50, deadline=None)
+    def test_caption_passthrough(self, caption):
+        _, notation, _, _, got = marc.parse_153(df([("a", "1"), ("j", caption)]))
+        assert got == caption
+        assert notation == "1"
+
+    @given(table=st.from_regex(r"[0-9A-Z]{1,3}", fullmatch=True),
+           a=st.from_regex(r"[0-9.]{1,8}", fullmatch=True))
+    @settings(max_examples=50, deadline=None)
+    def test_table_prefix(self, table, a):
+        _, notation, _, _, _ = marc.parse_153(df([("z", table), ("a", a)]))
+        assert notation == "%s--%s" % (table, a)
+
+
+class TestStringifyProperties:
+    @given(parts=st.lists(
+        st.tuples(st.sampled_from(["a", "i", "t", "x"]), text_values),
+        min_size=1, max_size=8))
+    @settings(max_examples=100, deadline=None)
+    def test_concat_structure(self, parts):
+        """The result contains every subfield value in order, and the only
+        inserted characters are single joining spaces."""
+        d = Datafield(tag="680", ind1=" ", ind2=" ",
+                      subfields=[Subfield(code=c, value=v) for c, v in parts])
+        out = marc.stringify(d)
+        pos = 0
+        for _, v in parts:
+            nxt = out.find(v, pos)
+            assert nxt != -1, (out, v)
+            pos = nxt + len(v)
+        stripped = out
+        for _, v in parts:
+            stripped = stripped.replace(v, "", 1)
+        assert set(stripped) <= {" "}
+
+    @given(value=text_values)
+    @settings(max_examples=50, deadline=None)
+    def test_c_is_span_end(self, value):
+        d = Datafield(tag="253", ind1=" ", ind2=" ",
+                      subfields=[Subfield(code="a", value="420"),
+                                 Subfield(code="c", value=value)])
+        assert marc.stringify(d) == "420-" + value
+
+
+class TestTermProperties:
+    @given(labels=st.lists(text_values, min_size=2, max_size=5),
+           caption_idx=st.integers(min_value=0, max_value=4))
+    @settings(max_examples=50, deadline=None)
+    def test_is_caption_always_first(self, labels, caption_idx):
+        caption_idx = caption_idx % len(labels)
+        fields = []
+        for i, label in enumerate(labels):
+            sfs = [Subfield(code="a", value=label)]
+            if i == caption_idx:
+                sfs.append(Subfield(code="9", value="ess=isCaption"))
+            fields.append(Datafield(tag="750", ind1=" ", ind2="7", subfields=sfs))
+        record = marc.MarcRecord(leader=None, controlfields={}, datafields=fields)
+        terms = marc.get_terms(record, "7")
+        assert terms[0].value == labels[caption_idx]
+        # non-caption terms keep document order
+        rest = [t.value for t in terms[1:]]
+        expected = [l for i, l in enumerate(labels) if i != caption_idx]
+        assert rest == expected
+
+
+class TestComponentProperties:
+    @given(n=st.integers(min_value=1, max_value=6))
+    @settings(max_examples=30, deadline=None)
+    def test_765_reverse_order_preserved(self, n):
+        """k 765 fields, each with a distinct base → components come out in
+        reverse document order, exactly one per field plus the base."""
+        fields = []
+        for i in range(n):
+            fields.append(Datafield(tag="765", ind1="0", ind2=" ", subfields=[
+                Subfield(code="b", value="B%d" % i),
+                Subfield(code="r", value=""),
+                Subfield(code="s", value="%d" % i),
+            ]))
+        record = marc.MarcRecord(leader=None, controlfields={}, datafields=fields)
+        comps = marc.parse_765_components(record, None)
+        # reversed: last field's base wins the single $b slot
+        assert comps[0] == "B%d" % (n - 1)
+        assert comps[1:] == ["%d" % i for i in reversed(range(n))]
