@@ -94,7 +94,7 @@ def _base_parse(record: MarcRecord) -> dict:
     value = record.control("005")
     if value is not None:
         try:
-            modified = datetime.strptime(value, "%Y%m%d%H%M%S.%f")
+            modified = marc.parse_long_timestamp(value)
         except ValueError:
             pass  # warn-and-ignore (record.py:154-155); counted by caller
 
@@ -259,7 +259,7 @@ def parse_authority(record: MarcRecord) -> dict:
     out["deprecated"] = len(leader) > 5 and leader[5] in ("d", "o", "s", "x")
 
     field_008 = record.control("008")
-    out["created"] = datetime.strptime(field_008[:6], "%y%m%d") if field_008 else None
+    out["created"] = marc.parse_yymmdd(field_008[:6]) if field_008 else None
 
     links: List[dict] = []
 

@@ -48,6 +48,29 @@ class InvalidRecordError(RuntimeError):
         self.control_number = control_number
 
 
+def parse_yymmdd(value: str) -> datetime:
+    """008[:6] '%y%m%d' without strptime (hot path; same 2-digit-year
+    pivot semantics: 00-68 → 2000s, 69-99 → 1900s)."""
+    if len(value) != 6 or not value.isdigit():
+        raise ValueError("invalid yymmdd: %r" % value)
+    yy = int(value[0:2])
+    year = 2000 + yy if yy <= 68 else 1900 + yy
+    return datetime(year, int(value[2:4]), int(value[4:6]))
+
+
+def parse_long_timestamp(value: str) -> datetime:
+    """005 '%Y%m%d%H%M%S.%f': fast path for the canonical 14-digit form,
+    strptime fallback for short forms (strptime backtracks on e.g.
+    '201709121656.1' — keep that reference quirk)."""
+    if len(value) >= 16 and value[14] == "." and value[:14].isdigit() \
+            and value[15:].isdigit():
+        micro = int(value[15:].ljust(6, "0")[:6])
+        return datetime(int(value[0:4]), int(value[4:6]), int(value[6:8]),
+                        int(value[8:10]), int(value[10:12]), int(value[12:14]),
+                        micro)
+    return datetime.strptime(value, "%Y%m%d%H%M%S.%f")
+
+
 @dataclass
 class Subfield:
     """One MARC subfield.
@@ -323,7 +346,7 @@ def parse_008_classification(value: Optional[str]):
     if value is None:
         return None, None, None, True, False, False
 
-    created = datetime.strptime(value[:6], "%y%m%d")
+    created = parse_yymmdd(value[:6])
 
     record_type = {
         "a": SCHEDULE_RECORD,

@@ -142,6 +142,29 @@ _TEMPLATE_PARAM = re.compile(
 )
 
 
+def _compile_template(template: str):
+    """Pre-split a URI template into literal strings and
+    (param, start, end, format) placeholder tuples — parsed once per
+    scheme instead of re.sub per minted URI."""
+    segments = []
+    pos = 0
+    for m in _TEMPLATE_PARAM.finditer(template):
+        if m.start() > pos:
+            segments.append(template[pos:m.start()])
+        start = int(m.group("start")) if m.group("start") else None
+        end = int(m.group("end")) if m.group("end") else None
+        fmt = ("{0" + m.group("formatter") + "}") if m.group("formatter") else None
+        segments.append((m.group("param"), start, end, fmt))
+        pos = m.end()
+    if pos < len(template):
+        segments.append(template[pos:])
+    return segments
+
+
+def fmt_apply(fmt: str, value) -> str:
+    return fmt.format(value)
+
+
 class ConceptScheme:
     """A vocabulary with URI templates (parity: vocabularies.py:87-160)."""
 
@@ -157,6 +180,7 @@ class ConceptScheme:
         self.scheme_template = options.get("scheme") or base
         # falsy override ('' included) means '-' (vocabularies.py:102)
         self.whitespace = options.get("whitespace") or "-"
+        self._compiled: dict = {}
 
     def with_edition(self, edition: str) -> "ConceptScheme":
         return ConceptScheme(self.kind, self.code, edition, self.options)
@@ -191,22 +215,31 @@ class ConceptScheme:
         if kwargs.get("control_number") is not None:
             kwargs["control_number"] = _ORG_PREFIX.sub(r"\1", kwargs["control_number"])
 
-        def expand(m: "re.Match") -> str:
-            start = int(m.group("start")) if m.group("start") else None
-            end = int(m.group("end")) if m.group("end") else None
-            value = kwargs[m.group("param")][start:end]
+        segments = self._compiled.get(uri_type)
+        if segments is None:
+            segments = _compile_template(template)
+            self._compiled[uri_type] = segments
+
+        parts = []
+        for seg in segments:
+            if isinstance(seg, str):
+                parts.append(seg)
+                continue
+            param, start, end, fmt = seg
+            value = kwargs[param][start:end]
             if len(value) == 0:
                 # empty string is legal for scheme URIs; never coerce it
-                fmt = "{0}"
-            else:
-                fmt = "{0" + m.group("formatter") + "}" if m.group("formatter") else "{0}"
-                if "d" in fmt:
-                    value = int(value)
-                elif "f" in fmt:
-                    value = float(value)
-            return fmt.format(value)
-
-        uri = _TEMPLATE_PARAM.sub(expand, template)
+                parts.append(value)
+                continue
+            if fmt is None:
+                parts.append(value)
+                continue
+            if "d" in fmt:
+                value = int(value)
+            elif "f" in fmt:
+                value = float(value)
+            parts.append(fmt_apply(fmt, value))
+        uri = "".join(parts)
         return uri.replace(" ", self.whitespace)
 
 
