@@ -71,7 +71,7 @@ def parse_long_timestamp(value: str) -> datetime:
     return datetime.strptime(value, "%Y%m%d%H%M%S.%f")
 
 
-@dataclass
+@dataclass(slots=True)
 class Subfield:
     """One MARC subfield.
 
@@ -86,7 +86,7 @@ class Subfield:
     has_text: bool = True
 
 
-@dataclass
+@dataclass(slots=True)
 class Datafield:
     tag: str
     ind1: str
@@ -117,7 +117,7 @@ class Datafield:
         ]
 
 
-@dataclass
+@dataclass(slots=True)
 class MarcRecord:
     leader: Optional[str]
     controlfields: dict
@@ -300,7 +300,7 @@ def build_term_label(df: Datafield) -> str:
     return value
 
 
-@dataclass
+@dataclass(slots=True)
 class Term:
     value: str
     node: Datafield

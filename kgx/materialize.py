@@ -206,22 +206,39 @@ def write_turtle(graph, fileobj, sort: bool = True) -> int:
     return n
 
 
+# JSKOS shapes (parity: the reference's jskos-context.json framing,
+# mc2skos.py:348-358): language-mapped label properties, uri-object sets
+# for relations, plain lists for notation/identifier
+_JSKOS_LANG_MAP = {"prefLabel"}          # {lang: value}
+_JSKOS_LANG_LIST = {"altLabel", "definition", "note", "editorialNote",
+                    "scopeNote", "historyNote", "changeNote", "example"}
+
+
 def _group_json(df: pd.DataFrame) -> pd.DataFrame:
-    """Assemble one JSON object per subject (JSKOS-style framing,
-    parity: mc2skos.py:348-358). Runs inside a hash bucket so per-subject
-    grouping is node-local."""
+    """Assemble one JSKOS-style JSON object per subject. Runs inside a
+    hash bucket so per-subject grouping is node-local."""
     docs = []
     for subj, g in df.groupby("subj", sort=True):
-        obj: dict = {"uri": subj, "@context": "https://gbv.github.io/jskos/context.json"}
+        obj: dict = {"uri": subj,
+                     "@context": "https://gbv.github.io/jskos/context.json"}
         for row in g.itertuples(index=False):
             key = row.pred.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
-            if row.obj_is_literal:
-                value = {"value": row.obj}
-                if row.obj_lang:
-                    value["lang"] = row.obj_lang
+            if key == "type":
+                obj.setdefault("type", []).append(row.obj)
+            elif row.obj_is_literal:
+                lang = row.obj_lang or "und"
+                if key in _JSKOS_LANG_MAP:
+                    obj.setdefault(key, {})[lang] = row.obj
+                elif key in _JSKOS_LANG_LIST:
+                    obj.setdefault(key, {}).setdefault(lang, []).append(row.obj)
+                else:
+                    obj.setdefault(key, []).append(row.obj)
             else:
-                value = {"uri": row.obj}
-            obj.setdefault(key, []).append(value)
+                obj.setdefault(key, []).append({"uri": row.obj})
+        # deterministic member order inside language lists
+        for key in _JSKOS_LANG_LIST:
+            if key in obj:
+                obj[key] = {k: sorted(v) for k, v in obj[key].items()}
         docs.append({"subj": subj, "json": json.dumps(obj, sort_keys=True)})
     return pd.DataFrame(docs, columns=["subj", "json"])
 
