@@ -144,6 +144,71 @@ def connected_components(edges, max_iters: int = 20,
         batch_format="pandas")
 
 
+def transitive_closure(edges, max_iters: int = 30,
+                       num_partitions: Optional[int] = None):
+    """Dataset[(a, b)] → Dataset[(a, b)] of all pairs with a path a→…→b.
+
+    Iterative frontier expansion to fixpoint (the reference's
+    ``--skosify`` transitive-hierarchy cleanup, SURVEY A4, as a
+    distributed iterate-until-fixpoint): each round joins the frontier's
+    heads against the base edges via the reduce-side kv join and dedups
+    against everything seen. Rounds = longest path length.
+    """
+    nparts = num_partitions or _nparts()
+    edges = edges.materialize()
+
+    def dedup_pairs(ds):
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop_duplicates(subset=["a", "b"])
+            pk = df["a"].astype("int64") * np.int64(1 << 32) + df["b"].astype("int64")
+            return df.assign(part=(pk % nparts).astype("int32"))
+
+        return (ds.map_batches(add_part, batch_format="pandas")
+                .groupby("part").map_groups(
+                    lambda df: df.drop_duplicates(subset=["a", "b"])[["a", "b"]],
+                    batch_format="pandas"))
+
+    paths = dedup_pairs(edges).repartition(nparts).materialize()
+    frontier = paths
+    total = paths.count()
+    for _ in range(max_iters):
+        # frontier (a, b) ⋈ edges (b, c) → (a, c)
+        step = _join_kv(_kv(frontier, "b", "a"), _kv(edges, "a", "b"), nparts)
+        step = step.map_batches(
+            lambda df: pd.DataFrame({"a": df["va"].astype("int64"),
+                                     "b": df["vb"].astype("int64")}),
+            batch_format="pandas")
+        paths = dedup_pairs(paths.union(step)).repartition(nparts).materialize()
+        new_total = paths.count()
+        if new_total == total:
+            break
+        frontier = step
+        total = new_total
+    return paths
+
+
+def broader_closure(sf_dir: str):
+    """All (doc_id, ancestor) pairs under the documents broader-chain
+    (parent = doc_id // 2), computed by distributed transitive closure.
+    SQL oracle: recursive CTE."""
+    import ray.data
+
+    docs = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                                 columns=["doc_id"])
+
+    def edges_batch(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] > 0]
+        return pd.DataFrame({"a": d["doc_id"].astype("int64"),
+                             "b": (d["doc_id"] // 2).astype("int64")})
+
+    closure = transitive_closure(
+        docs.map_batches(edges_batch, batch_format="pandas"))
+    return closure.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["a"].astype("int64"),
+                                 "ancestor": df["b"].astype("int64")}),
+        batch_format="pandas")
+
+
 def sameas_components(sf_dir: str):
     """Demo pipeline: documents of the same ``source`` are chained by
     consecutive doc_id (a deterministic sameAs-like edge set); the
