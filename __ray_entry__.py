@@ -28,6 +28,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from kgx import dedup, events, multimodal, relational, simsearch, textops
     from kgx import queries as q
+    from kgx.components import broader_closure as _broader_closure
     from kgx.components import sameas_components as _sameas_components
 
     def kg_synthetic(sf_dir: str):
@@ -50,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dedup": q.kg_dedup,
         "kg_expand": q.kg_expand,
         "kg_degree_histogram": q.kg_degree_histogram,
+        "kg_skosify": q.kg_skosify,
+        "kg_broader_closure": _broader_closure,
         "kg_synthetic": kg_synthetic,
         # text analysis
         "token_counts": textops.token_counts,

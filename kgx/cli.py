@@ -87,6 +87,9 @@ def main(argv=None) -> int:
     parser.add_argument("--skip-classification", dest="skip_classification", action="store_true")
     parser.add_argument("--skip-authority", dest="skip_authority", action="store_true")
     parser.add_argument("--expand", action="store_true")
+    parser.add_argument("--skosify", action="store_true",
+                        help="transitive broader-closure cleanup pass "
+                             "(reference: skosify with examples/skosify.cfg)")
     parser.add_argument("-l", "--list-schemes", dest="list_schemes", action="store_true")
     args = parser.parse_args(argv)
 
@@ -116,6 +119,7 @@ def main(argv=None) -> int:
         skip_classification=args.skip_classification,
         skip_authority=args.skip_authority,
         expand=args.expand,
+        skosify=args.skosify,
         default_uri=args.base_uri,
         default_scheme=args.scheme,
         default_whitespace=args.whitespace,

@@ -28,9 +28,9 @@ def _nparts():
 
 
 def _kv(ds, kcol: str, vcol: str):
+    # dtype-preserving: works for int64 node ids and for string URIs alike
     return ds.map_batches(
-        lambda df: pd.DataFrame({"k": df[kcol].astype("int64"),
-                                 "v": df[vcol].astype("int64")}),
+        lambda df: pd.DataFrame({"k": df[kcol], "v": df[vcol]}),
         batch_format="pandas")
 
 
@@ -54,9 +54,9 @@ def _join_kv(a, b, nparts: int):
         lhs = df[df["side"] == 0][["k", "v"]]
         rhs = df[df["side"] == 1][["k", "v"]]
         m = lhs.merge(rhs, on="k", suffixes=("_a", "_b"))
-        return pd.DataFrame({"k": m["k"].astype("int64"),
-                             "va": m["v_a"].astype("int64"),
-                             "vb": m["v_b"].astype("int64")})
+        return pd.DataFrame({"k": m["k"],
+                             "va": m["v_a"],
+                             "vb": m["v_b"]})
 
     return u.groupby("bucket").map_groups(merge, batch_format="pandas")
 
@@ -148,19 +148,20 @@ def transitive_closure(edges, max_iters: int = 30,
                        num_partitions: Optional[int] = None):
     """Dataset[(a, b)] → Dataset[(a, b)] of all pairs with a path a→…→b.
 
-    Iterative frontier expansion to fixpoint (the reference's
-    ``--skosify`` transitive-hierarchy cleanup, SURVEY A4, as a
-    distributed iterate-until-fixpoint): each round joins the frontier's
-    heads against the base edges via the reduce-side kv join and dedups
-    against everything seen. Rounds = longest path length.
+    Path-doubling iterate-until-fixpoint (the reference's ``--skosify``
+    transitive-hierarchy cleanup, SURVEY A4, distributed): each round
+    joins the current path set against ITSELF (a→b ⋈ b→c → a→c), so the
+    reachable path length doubles per round — ``ceil(log2(depth))``
+    rounds instead of ``depth``. All exchanges are reduce-side kv joins
+    (hash-bucket co-group, no Dataset.join); the per-round ``count()`` is
+    free because the path set is materialized.
     """
     nparts = num_partitions or _nparts()
-    edges = edges.materialize()
 
     def dedup_pairs(ds):
         def add_part(df: pd.DataFrame) -> pd.DataFrame:
             df = df.drop_duplicates(subset=["a", "b"])
-            pk = df["a"].astype("int64") * np.int64(1 << 32) + df["b"].astype("int64")
+            pk = pd.util.hash_pandas_object(df[["a", "b"]], index=False)
             return df.assign(part=(pk % nparts).astype("int32"))
 
         return (ds.map_batches(add_part, batch_format="pandas")
@@ -169,22 +170,70 @@ def transitive_closure(edges, max_iters: int = 30,
                     batch_format="pandas"))
 
     paths = dedup_pairs(edges).repartition(nparts).materialize()
-    frontier = paths
     total = paths.count()
     for _ in range(max_iters):
-        # frontier (a, b) ⋈ edges (b, c) → (a, c)
-        step = _join_kv(_kv(frontier, "b", "a"), _kv(edges, "a", "b"), nparts)
+        # paths (a, b) ⋈ paths (b, c) → (a, c): path length doubles
+        step = _join_kv(_kv(paths, "b", "a"), _kv(paths, "a", "b"), nparts)
         step = step.map_batches(
-            lambda df: pd.DataFrame({"a": df["va"].astype("int64"),
-                                     "b": df["vb"].astype("int64")}),
+            lambda df: pd.DataFrame({"a": df["va"], "b": df["vb"]}),
             batch_format="pandas")
         paths = dedup_pairs(paths.union(step)).repartition(nparts).materialize()
         new_total = paths.count()
         if new_total == total:
             break
-        frontier = step
         total = new_total
     return paths
+
+
+def skos_transitive_triples(triples, num_partitions: Optional[int] = None,
+                            narrower: bool = True):
+    """``--skosify`` cleanup pass (reference: mc2skos.py:198-201 with
+    examples/skosify.cfg ``transitive=True, narrower=True`` → skosify's
+    ``infer.skos_transitive``): the transitive closure of ``skos:broader``
+    emitted as ``skos:broaderTransitive`` (and, with ``narrower``, the
+    inverse ``skos:narrowerTransitive``) triples.
+
+    Input is a TRIPLES/GRAPH-schema Dataset; output is a TRIPLES-schema
+    Dataset of the new closure triples (url='' lineage), ready to union
+    into the stream before the canonicalize dedup+sort shuffle.
+    """
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    broader = SKOS + "broader"
+
+    def edges_batch(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["pred"] == broader]
+        return pd.DataFrame({"a": e["subj"].astype(str),
+                             "b": e["obj"].astype(str)})
+
+    closure = transitive_closure(
+        triples.map_batches(edges_batch, batch_format="pandas"),
+        num_partitions=num_partitions)
+
+    def to_triples(df: pd.DataFrame):
+        import pyarrow as pa
+
+        from .schemas import TRIPLES
+
+        subj = list(df["a"])
+        obj = list(df["b"])
+        pred = [SKOS + "broaderTransitive"] * len(df)
+        if narrower:
+            subj += list(df["b"])
+            obj += list(df["a"])
+            pred += [SKOS + "narrowerTransitive"] * len(df)
+        n = len(subj)
+        # Arrow output: the union downstream requires homogeneous block types
+        return pa.Table.from_pydict({
+            "url": pa.array([""] * n, pa.string()),
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "obj_is_literal": pa.array([False] * n, pa.bool_()),
+            "obj_lang": pa.nulls(n, pa.string()),
+            "obj_datatype": pa.nulls(n, pa.string()),
+        }, schema=TRIPLES)
+
+    return closure.map_batches(to_triples, batch_format="pandas")
 
 
 def broader_closure(sf_dir: str):

@@ -21,6 +21,10 @@ class PipelineConfig:
     skip_classification: bool = False
     skip_authority: bool = False
     expand: bool = False  # SKOS inference closure (mc2skos.py:192-196)
+    # --skosify full cleanup (mc2skos.py:198-201, examples/skosify.cfg):
+    # transitive broader closure → skos:broaderTransitive (+ inverse)
+    skosify: bool = False
+    skosify_narrower: bool = True
 
     # default-scheme override (mc2skos.py:261-265 / vocabularies.py:20-35)
     default_uri: Optional[str] = None       # --uri
@@ -44,4 +48,6 @@ class PipelineConfig:
             "include_webdewey": self.include_webdewey,
             "skip_classification": self.skip_classification,
             "skip_authority": self.skip_authority,
+            "expand": self.expand,
+            "skosify": self.skosify,
         }

@@ -495,9 +495,14 @@ def resolve_links(
     return out
 
 
-def _component_bnode(subj: str, index: int) -> str:
-    # deterministic blank-node label so exact dedup stays idempotent
-    h = hashlib.md5(subj.encode("utf-8")).hexdigest()[:16]
+def _component_bnode(subj: str, components, index: int) -> str:
+    # deterministic blank-node label so exact dedup stays idempotent;
+    # includes a digest of the component VALUES so two records minting the
+    # same subject with different 765 lists keep disjoint rdf:first/rest
+    # chains (the reference uses fresh BNodes per record)
+    h = hashlib.md5(
+        ("\x1f".join(components) + "\x1e" + subj).encode("utf-8")
+    ).hexdigest()[:16]
     return "_:cl{}_{}".format(h, index)
 
 
@@ -569,7 +574,7 @@ def emit_triples(parsed: dict, scheme: ConceptScheme, vocabularies: Vocabularies
         prev = None
         for i, component in enumerate(components):
             comp_uri = scheme.uri("concept", collection="class", object=component)
-            node = _component_bnode(uri, i)
+            node = _component_bnode(uri, components, i)
             if prev is None:
                 triples.append(_triple(uri, MADS + "componentList", node))
             else:

@@ -77,6 +77,15 @@ class LinkerActor:
                     "obj_lang": None, "obj_datatype": None,
                 })
                 continue
+            except Exception as exc:  # error-channel contract: a malformed
+                # record must not kill the job (see pipeline._FusedExtractLink)
+                out.append({
+                    "url": url, "subj": url or "", "pred": "kgx:error",
+                    "obj": "%s: %s" % (type(exc).__name__, exc),
+                    "obj_is_literal": True,
+                    "obj_lang": None, "obj_datatype": None,
+                })
+                continue
             for t in triples:
                 t["url"] = url
                 out.append(t)

@@ -512,7 +512,7 @@ ISO639_2B_TO_1 = {
     "ton": "to", "tsn": "tn", "tso": "ts", "tuk": "tk", "tur": "tr", "twi": "tw",
     "uig": "ug", "ukr": "uk", "urd": "ur", "uzb": "uz", "ven": "ve", "vie": "vi",
     "vol": "vo", "wel": "cy", "wln": "wa", "wol": "wo", "xho": "xh", "yid": "yi",
-    "yor": "yo", "zha": "za", "zul": "zu",
+    "yor": "yo", "zha": "za", "zul": "zu", "bih": "bh",
 }
 ISO639_1_TO_2B = {v: k for k, v in ISO639_2B_TO_1.items() if k != "nor"}
 
@@ -520,7 +520,12 @@ ISO639_1_TO_2B = {v: k for k, v in ISO639_2B_TO_1.items() if k != "nor"}
 def normalize_language(code_2b: Optional[str]) -> str:
     """040 ``$b`` ISO-639-2b (default ``eng``) → ISO-639-1.
 
-    parity: record.py:157-159.
+    parity: record.py:157-159. The table covers every ISO-639-2b code
+    that has a 639-1 equivalent (all 184 of them — the same set the
+    reference's ``iso639.languages.get(part2b=...)`` resolves); a code
+    without an equivalent raises there too (uncaught KeyError in the
+    reference — here it is an InvalidRecordError routed to the error
+    channel, strictly more tolerant).
     """
     code = code_2b or "eng"
     try:

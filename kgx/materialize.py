@@ -67,6 +67,26 @@ def sorted_graph(graph):
     )
 
 
+class _preserve_order:
+    """Context manager: force deterministic block order on the consuming
+    execution. Ray's streaming executor may otherwise deliver post-sort
+    blocks out of order to iter_batches (DataContext.execution_options
+    .preserve_order defaults to False), which would break the
+    OrderedTurtleSerializer-parity guarantee of the .ttl/.nt writers."""
+
+    def __enter__(self):
+        import ray.data
+
+        self.ctx = ray.data.DataContext.get_current()
+        self.prev = self.ctx.execution_options.preserve_order
+        self.ctx.execution_options.preserve_order = True
+        return self
+
+    def __exit__(self, *exc):
+        self.ctx.execution_options.preserve_order = self.prev
+        return False
+
+
 def materialize(graph, path: str, fingerprint: Optional[str] = None,
                 sort: bool = False, config_dict: Optional[dict] = None) -> dict:
     """Write the graph as partitioned Parquet + _MANIFEST.json.
@@ -84,6 +104,13 @@ def materialize(graph, path: str, fingerprint: Optional[str] = None,
         if existing.get("fingerprint") == fingerprint and existing.get("complete"):
             existing["skipped"] = True
             return existing
+
+    # not resuming: stale parquet from a prior (different-fingerprint) run
+    # would otherwise be swept into the manifest below
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.unlink(os.path.join(path, f))
 
     ds = sorted_graph(graph) if sort else graph
     t0 = time.time()
@@ -135,15 +162,16 @@ def write_ntriples(graph, fileobj, sort: bool = True) -> int:
     """Stream the graph to an N-Triples file (no driver materialization)."""
     ds = sorted_graph(graph) if sort else graph
     n = 0
-    for batch in ds.iter_batches(batch_format="pandas", batch_size=8192):
-        lines = []
-        for row in batch.itertuples(index=False):
-            subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
-            lines.append("%s <%s> %s .\n" % (
-                subj, row.pred,
-                _term_nt(row.obj, row.obj_is_literal, row.obj_lang, row.obj_datatype)))
-            n += 1
-        fileobj.write("".join(lines))
+    with _preserve_order():
+        for batch in ds.iter_batches(batch_format="pandas", batch_size=8192):
+            lines = []
+            for row in batch.itertuples(index=False):
+                subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
+                lines.append("%s <%s> %s .\n" % (
+                    subj, row.pred,
+                    _term_nt(row.obj, row.obj_is_literal, row.obj_lang, row.obj_datatype)))
+                n += 1
+            fileobj.write("".join(lines))
     return n
 
 
@@ -177,30 +205,34 @@ def write_turtle(graph, fileobj, sort: bool = True) -> int:
     ds = sorted_graph(graph) if sort else graph
     n = 0
     current = None
-    lines = []
-    for batch in ds.iter_batches(batch_format="pandas", batch_size=8192):
-        for row in batch.itertuples(index=False):
-            if row.subj != current:
-                if current is not None:
-                    fileobj.write(" .\n\n")
-                subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
-                fileobj.write("%s" % subj)
-                current = row.subj
-                first = True
+
+    def rows():
+        with _preserve_order():
+            for batch in ds.iter_batches(batch_format="pandas", batch_size=8192):
+                yield from batch.itertuples(index=False)
+
+    for row in rows():
+        if row.subj != current:
+            if current is not None:
+                fileobj.write(" .\n\n")
+            subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
+            fileobj.write("%s" % subj)
+            current = row.subj
+            first = True
+        else:
+            fileobj.write(" ;")
+        pred = "a" if row.pred.endswith("22-rdf-syntax-ns#type") else _qname(row.pred)
+        if row.obj_is_literal:
+            if row.obj_datatype and row.obj_datatype.endswith("#boolean"):
+                obj = row.obj
             else:
-                fileobj.write(" ;")
-            pred = "a" if row.pred.endswith("22-rdf-syntax-ns#type") else _qname(row.pred)
-            if row.obj_is_literal:
-                if row.obj_datatype and row.obj_datatype.endswith("#boolean"):
-                    obj = row.obj
-                else:
-                    obj = _term_nt(row.obj, True, row.obj_lang, None)
-                    if row.obj_datatype:
-                        obj = '"%s"^^%s' % (row.obj.replace('"', '\\"'), _qname(row.obj_datatype))
-            else:
-                obj = row.obj if row.obj.startswith("_:") else _qname(row.obj)
-            fileobj.write("\n    %s %s" % (pred, obj))
-            n += 1
+                obj = _term_nt(row.obj, True, row.obj_lang, None)
+                if row.obj_datatype:
+                    obj = '"%s"^^%s' % (row.obj.replace('"', '\\"'), _qname(row.obj_datatype))
+        else:
+            obj = row.obj if row.obj.startswith("_:") else _qname(row.obj)
+        fileobj.write("\n    %s %s" % (pred, obj))
+        n += 1
     if current is not None:
         fileobj.write(" .\n")
     return n

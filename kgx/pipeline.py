@@ -76,6 +76,14 @@ class _FusedExtractLink:
                                 "obj": str(exc), "obj_is_literal": True,
                                 "obj_lang": None, "obj_datatype": None})
                     continue
+                except Exception as exc:  # data-error contract: one malformed
+                    # record must never fail the Ray task (extract.py catches
+                    # broad Exception for the same reason)
+                    out.append({"url": url, "subj": url, "pred": ERROR_PRED,
+                                "obj": "%s: %s" % (type(exc).__name__, exc),
+                                "obj_is_literal": True,
+                                "obj_lang": None, "obj_datatype": None})
+                    continue
                 for t in triples:
                     t["url"] = url
                     out.append(t)
@@ -112,6 +120,28 @@ def split_errors(triples):
     return real, errors
 
 
+def _union_includes(real, include):
+    """Union extra graph Dataset(s) (the reference's ``--include`` RDF
+    preload, mc2skos.py:284-288) into the triple stream, widening them to
+    the TRIPLES schema."""
+    includes = include if isinstance(include, (list, tuple)) else [include]
+    import pyarrow as pa
+
+    from .schemas import TRIPLES
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cols = {f.name: (batch.column(f.name) if f.name in batch.column_names
+                         else pa.nulls(len(batch), f.type))
+                for f in TRIPLES}
+        if "url" not in batch.column_names:
+            cols["url"] = pa.array([""] * len(batch), pa.string())
+        return pa.Table.from_pydict(cols, schema=TRIPLES)
+
+    for inc in includes:
+        real = real.union(inc.map_batches(widen, batch_format="pyarrow"))
+    return real
+
+
 def build_graph(pages, config: Optional[PipelineConfig] = None,
                 include=None, num_buckets: Optional[int] = None):
     """Full pipeline: pages → canonical deduplicated graph dataset.
@@ -123,28 +153,30 @@ def build_graph(pages, config: Optional[PipelineConfig] = None,
     triples = build_triples(pages, config)
     real, _errors = split_errors(triples)
     if include is not None:
-        includes = include if isinstance(include, (list, tuple)) else [include]
-        import pyarrow as pa
-
-        from .schemas import TRIPLES
-
-        def widen(batch: pa.Table) -> pa.Table:
-            cols = {f.name: (batch.column(f.name) if f.name in batch.column_names
-                             else pa.nulls(len(batch), f.type))
-                    for f in TRIPLES}
-            if "url" not in batch.column_names:
-                cols["url"] = pa.array([""] * len(batch), pa.string())
-            return pa.Table.from_pydict(cols, schema=TRIPLES)
-
-        for inc in includes:
-            real = real.union(inc.map_batches(widen, batch_format="pyarrow"))
+        real = _union_includes(real, include)
+    real = _apply_skosify(real, config)
     return canonicalize(real, expand=config.expand,
                         num_buckets=num_buckets or config.dedup_buckets)
 
 
+def _apply_skosify(real, config: PipelineConfig):
+    """--skosify cleanup (mc2skos.py:198-201): union the transitive
+    broader-closure triples into the stream before the canonicalize
+    shuffle, so the closure's dedup+sort rides the same range exchange.
+    The stream is pinned once (spill-backed) because the iterative closure
+    re-reads the broader edges each round."""
+    if not config.skosify:
+        return real
+    from .components import skos_transitive_triples
+
+    real = real.materialize()
+    closure = skos_transitive_triples(real, narrower=config.skosify_narrower)
+    return real.union(closure)
+
+
 def run_pipeline(pages, out_dir: str, config: Optional[PipelineConfig] = None,
                  include=None, fingerprint: Optional[str] = None,
-                 checkpoint_triples: bool = False) -> dict:
+                 checkpoint_triples: bool = True) -> dict:
     """End-to-end run with checkpointed output layout:
 
     ``out_dir/graph/``  — canonical sorted triples (partitioned Parquet +
@@ -154,11 +186,11 @@ def run_pipeline(pages, out_dir: str, config: Optional[PipelineConfig] = None,
     ``_RUN.json``       — run-level metrics/lineage summary
 
     Returns the run summary dict. The graph and error channels are two
-    consumers of one lazy triple stream: by default the extract stage runs
-    once per consumer (errors are rare, the second pass is the price of
-    not pinning the stream); ``checkpoint_triples=True`` materializes the
-    triple stream once into the object store instead (spill-backed) so
-    both sinks read the same blocks.
+    consumers of one triple stream: by default (``checkpoint_triples=
+    True``) the stream is materialized ONCE into the object store
+    (spill-backed) so the extract stage executes a single time and both
+    sinks read the same blocks; pass False to trade a second extract pass
+    for zero pinned blocks when the extract stage is cheap.
     """
     import json
     import os
@@ -171,11 +203,10 @@ def run_pipeline(pages, out_dir: str, config: Optional[PipelineConfig] = None,
         triples = triples.materialize()
     real, errors = split_errors(triples)
     if include is not None:
-        # reuse build_graph's widening path by unioning before dedup
-        graph_ds = build_graph(pages, config, include=include)
-    else:
-        graph_ds = canonicalize(real, expand=config.expand,
-                                num_buckets=config.dedup_buckets)
+        real = _union_includes(real, include)
+    real = _apply_skosify(real, config)
+    graph_ds = canonicalize(real, expand=config.expand,
+                            num_buckets=config.dedup_buckets)
 
     manifest = materialize(graph_ds, os.path.join(out_dir, "graph"),
                            fingerprint=fingerprint,
@@ -186,6 +217,9 @@ def run_pipeline(pages, out_dir: str, config: Optional[PipelineConfig] = None,
     err_ds = errors.select_columns(["url", "obj"])
     err_count = 0
     if not manifest.get("skipped"):
+        for f in os.listdir(errors_path):  # clear stale files from prior runs
+            if f.endswith(".parquet"):
+                os.unlink(os.path.join(errors_path, f))
         err_ds.write_parquet(errors_path)
         import pyarrow.parquet as pq
 

@@ -65,6 +65,18 @@ def kg_expand(sf_dir: str):
         .select_columns(["subj", "pred", "obj"])
 
 
+def kg_skosify(sf_dir: str):
+    """--skosify cleanup pass (mc2skos.py:198-201 with examples/skosify.cfg):
+    the skos:broaderTransitive / narrowerTransitive closure triples."""
+    graph = doc_graph(sf_dir, skosify=True)
+    keep = {SKOS + "broaderTransitive", SKOS + "narrowerTransitive"}
+
+    def closure_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["pred"].isin(keep)][["subj", "pred", "obj"]]
+
+    return graph.map_batches(closure_only, batch_format="pandas")
+
+
 def kg_degree_histogram(sf_dir: str):
     """Distribution of per-subject triple counts (degree histogram) —
     exercises the two-level aggregation path."""
@@ -196,7 +208,31 @@ DOC_ORACLES = {
     ),
 }
 
+# recursive-CTE ancestor closure over the documents broader chain
+# (parent = doc_id // 2); base edges included = skosify.infer.skos_transitive
+_ANC_CTE = """
+WITH RECURSIVE anc AS (
+  SELECT doc_id AS d, doc_id // 2 AS a FROM documents WHERE doc_id > 0
+  UNION
+  SELECT anc.d, documents.doc_id // 2
+  FROM anc JOIN documents ON anc.a = documents.doc_id
+  WHERE documents.doc_id > 0
+)
+"""
+
 KG_ORACLES = {
+    "kg_skosify": _ANC_CTE + (
+        "SELECT 'http://example.org/doc/' || d AS subj,"
+        " 'http://www.w3.org/2004/02/skos/core#broaderTransitive' AS pred,"
+        " 'http://example.org/doc/' || a AS obj FROM anc"
+        " UNION ALL "
+        "SELECT 'http://example.org/doc/' || a,"
+        " 'http://www.w3.org/2004/02/skos/core#narrowerTransitive',"
+        " 'http://example.org/doc/' || d FROM anc"
+    ),
+    "kg_broader_closure": _ANC_CTE + (
+        "SELECT d AS doc_id, a AS ancestor FROM anc"
+    ),
     "kg_triples": TRIPLES_CTE + "SELECT subj, pred, obj, obj_lang FROM triples",
     "kg_pred_counts": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
     "kg_dedup": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",

@@ -226,7 +226,14 @@ class ConceptScheme:
                 parts.append(seg)
                 continue
             param, start, end, fmt = seg
-            value = kwargs[param][start:end]
+            raw = kwargs.get(param)
+            if raw is None:
+                # a malformed record (e.g. 024 with $2 but no $a) must land
+                # in the data-error channel, not kill the Ray task
+                raise InvalidRecordError(
+                    'Missing value for URI template parameter "%s" in vocabulary "%s"'
+                    % (param, self.code))
+            value = raw[start:end]
             if len(value) == 0:
                 # empty string is legal for scheme URIs; never coerce it
                 parts.append(value)
@@ -234,11 +241,16 @@ class ConceptScheme:
             if fmt is None:
                 parts.append(value)
                 continue
-            if "d" in fmt:
-                value = int(value)
-            elif "f" in fmt:
-                value = float(value)
-            parts.append(fmt_apply(fmt, value))
+            try:
+                if "d" in fmt:
+                    value = int(value)
+                elif "f" in fmt:
+                    value = float(value)
+                parts.append(fmt_apply(fmt, value))
+            except (ValueError, TypeError) as exc:
+                raise InvalidRecordError(
+                    'Cannot coerce "%s" for URI template of vocabulary "%s": %s'
+                    % (value, self.code, exc))
         uri = "".join(parts)
         return uri.replace(" ", self.whitespace)
 

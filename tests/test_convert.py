@@ -340,3 +340,24 @@ class TestProcessRecord:
         alts = [t['obj'] for t in ts if t['pred'] == SKOS + 'altLabel']
         assert pref == ['CorelDRAW, …']
         assert alts == ['Tegneprogrammer']
+
+
+class TestComponentBnodeLabels:
+    """Two records minting the SAME subject with DIFFERENT 765 component
+    lists must get disjoint rdf:first/rest chains (ADVICE r01; the
+    reference uses fresh BNodes per record), while identical lists still
+    dedup to identical labels."""
+
+    def test_differing_lists_stay_disjoint(self):
+        from kgx.convert import _component_bnode
+
+        uri = "http://test/x"
+        a0 = _component_bnode(uri, ["306.6", "280.4"], 0)
+        b0 = _component_bnode(uri, ["299", "5--931"], 0)
+        assert a0 != b0
+
+    def test_identical_lists_dedup(self):
+        from kgx.convert import _component_bnode
+
+        uri = "http://test/x"
+        assert _component_bnode(uri, ["306.6"], 0) == _component_bnode(uri, ["306.6"], 0)

@@ -141,8 +141,15 @@ class TestMaterialize:
         lines = buf.getvalue().strip().split("\n")
         assert len(lines) == n
         assert all(line.endswith(" .") for line in lines)
-        # sorted deterministically
-        assert lines == sorted(lines) or True  # global sort is by sort_key
+        # deterministic global order: the subject-derived sort key must be
+        # non-decreasing down the file (the real OrderedTurtleSerializer
+        # property — catches preserve_order regressions)
+        from kgx.materialize import sort_key
+
+        subjects = [line.split(">", 1)[0].lstrip("<") for line in lines
+                    if line.startswith("<")]
+        keys = [sort_key(s) for s in subjects]
+        assert keys == sorted(keys)
 
     def test_concept_json_grouping(self, ray_session, doc_cfg):
         from kgx.materialize import group_concepts_json
@@ -154,3 +161,25 @@ class TestMaterialize:
         assert d["uri"] == "http://example.org/doc/7"
         assert d["broader"] == [{"uri": "http://example.org/doc/3"}]
         assert "prefLabel" in d
+
+
+class TestSkosify:
+    def test_skosify_broader_transitive(self, ray_session, doc_cfg):
+        """--skosify cleanup (mc2skos.py:198-201 + examples/skosify.cfg):
+        the canonical graph gains the broaderTransitive closure and its
+        narrowerTransitive inverse."""
+        from dataclasses import replace
+
+        cfg = replace(doc_cfg, skosify=True)
+        df = build_graph(pages_from_documents(SF), cfg).to_pandas()
+        bt = df[df["pred"] == SKOS + "broaderTransitive"]
+        nt = df[df["pred"] == SKOS + "narrowerTransitive"]
+        assert len(bt) == len(nt) > 0
+        pairs = set(zip(bt["subj"], bt["obj"]))
+        # direct edge and the two-step path both present: 7 → 3 → 1
+        d = "http://example.org/doc/%d"
+        assert (d % 7, d % 3) in pairs
+        assert (d % 7, d % 1) in pairs
+        # closure length: every doc>0 contributes its full ancestor chain
+        n_expected = sum(len(bin(i)) - 3 + 1 for i in range(1, 500))
+        assert len(pairs) == n_expected

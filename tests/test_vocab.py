@@ -93,3 +93,48 @@ class TestRegistry:
     def test_default_scheme_by_code(self, vocab):
         vocab.set_default_scheme(scheme='gnd')
         assert vocab.default_scheme is vocab.entries['gnd']
+
+
+class TestUriErrorChannel:
+    """A malformed record must raise InvalidRecordError (routed to the
+    error channel), never a bare KeyError/TypeError that kills the Ray
+    task (ADVICE r01: 024 with known $2 but no $a)."""
+
+    def test_missing_param_raises_invalid_record(self, vocab):
+        from kgx.marc import InvalidRecordError
+
+        scheme = vocab.get('gnd')
+        with pytest.raises(InvalidRecordError):
+            scheme.uri('concept')  # no control_number at all
+
+    def test_none_param_raises_invalid_record(self, vocab):
+        from kgx.marc import InvalidRecordError
+
+        scheme = vocab.get('gnd')
+        with pytest.raises(InvalidRecordError):
+            scheme.uri('concept', control_number=None)
+
+    def test_uncoercible_param_raises_invalid_record(self, vocab):
+        from kgx.marc import InvalidRecordError
+
+        scheme = vocab.get('noubojur')  # {control_number[4:]:06d}
+        with pytest.raises(InvalidRecordError):
+            scheme.uri('concept', control_number='abcdNOTANUMBER')
+
+
+class TestLanguageTable:
+    def test_full_iso639_coverage(self):
+        from kgx.marc import ISO639_2B_TO_1, normalize_language
+
+        # complete 2b→1 registry (184 codes), not a curated subset
+        assert len(ISO639_2B_TO_1) == 184
+        assert normalize_language('ita') == 'it'
+        assert normalize_language('jpn') == 'ja'
+        assert normalize_language('bih') == 'bh'
+        assert normalize_language(None) == 'en'  # default eng
+
+    def test_unknown_code_goes_to_error_channel(self):
+        from kgx.marc import InvalidRecordError, normalize_language
+
+        with pytest.raises(InvalidRecordError):
+            normalize_language('zxx')  # no 639-1 equivalent
