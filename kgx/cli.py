@@ -72,7 +72,8 @@ def main(argv=None) -> int:
         prog="kgx", description="MARC21 Classification/Authority → SKOS, Ray-Data-native")
     parser.add_argument("infile", nargs="?", help="MARCXML file or pages parquet dir")
     parser.add_argument("outfile", nargs="?", help="output (.ttl/.nt/.ndjson or dir)")
-    parser.add_argument("-o", "--outformat", choices=["turtle", "nt", "ndjson", "parquet"])
+    parser.add_argument("-o", "--outformat",
+                        choices=["turtle", "nt", "ndjson", "jskos", "parquet"])
     parser.add_argument("--include", action="append", default=[],
                         help="Turtle file(s) to merge before dedup")
     parser.add_argument("--uri", dest="base_uri", help="concept URI template override")
@@ -129,7 +130,8 @@ def main(argv=None) -> int:
     outformat = args.outformat
     if not outformat and args.outfile:
         ext = args.outfile.rpartition(".")[-1]
-        outformat = {"ttl": "turtle", "nt": "nt", "ndjson": "ndjson"}.get(ext, "parquet")
+        outformat = {"ttl": "turtle", "nt": "nt", "ndjson": "ndjson",
+                     "json": "jskos"}.get(ext, "parquet")
     outformat = outformat or "turtle"
 
     import ray
@@ -139,7 +141,8 @@ def main(argv=None) -> int:
 
     import ray.data
 
-    from .materialize import group_concepts_json, materialize, write_ntriples, write_turtle
+    from .materialize import (group_concepts_json, materialize, write_jskos,
+                              write_ntriples, write_turtle)
     from .pipeline import build_graph
 
     if os.path.isdir(args.infile):
@@ -168,6 +171,8 @@ def main(argv=None) -> int:
         for batch in group_concepts_json(graph).iter_batches(batch_format="pandas"):
             for doc in batch["json"]:
                 out.write(doc + "\n")
+    elif outformat == "jskos":
+        write_jskos(graph, out)
 
     if out is not sys.stdout:
         out.close()

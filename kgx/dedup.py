@@ -65,35 +65,59 @@ def dedup_first3(sf_dir: str):
     return _bucketed_min(ds, key)
 
 
-def jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+def jaccard_pairs(sf_dir: str, threshold: float = 0.8,
+                  num_partitions: Optional[int] = None,
+                  max_block: Optional[int] = None):
     """(doc_id_a, doc_id_b) pairs with token-set Jaccard >= threshold,
-    blocked on the first token (each block is verified locally inside
-    ``map_groups`` — the block key is the partitioning assumption)."""
+    blocked on the first token.
+
+    Scale shape: blocks are COARSENED into ``num_partitions`` hash
+    partitions (one Ray group per partition, never one per distinct
+    token); the true per-block grouping and the pairwise verify happen in
+    pandas inside the partition. ``max_block`` optionally caps a
+    pathological block (a hyper-common first token) to its first N docs —
+    off by default because it changes the answer; at 10^9+ docs route
+    such corpora through ``minhash_lsh_pairs`` instead.
+    """
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
     def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        block = df["text"].str.split(" ").str[0]
         return pd.DataFrame({
             "doc_id": df["doc_id"],
             "text": df["text"],
-            "block": df["text"].str.split(" ").str[0],
+            "block": block,
+            "part": (pd.util.hash_pandas_object(block, index=False)
+                     % nparts).astype("int32"),
         })
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].tolist()
-        sets = [set(t.split(" ")) for t in df["text"]]
+    def verify_part(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for i, j in itertools.combinations(range(len(ids)), 2):
-            inter = len(sets[i] & sets[j])
-            union = len(sets[i]) + len(sets[j]) - inter
-            if union and inter / union >= threshold:
-                a, b = sorted((ids[i], ids[j]))
-                out_a.append(a)
-                out_b.append(b)
+        for _, g in df.groupby("block", sort=False):
+            ids = g["doc_id"].tolist()
+            texts = g["text"]
+            if max_block is not None and len(ids) > max_block:
+                order = np.argsort(ids)[:max_block]
+                ids = [ids[i] for i in order]
+                texts = texts.iloc[order]
+            sets = [set(t.split(" ")) for t in texts]
+            for i, j in itertools.combinations(range(len(ids)), 2):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i]) + len(sets[j]) - inter
+                if union and inter / union >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
         return pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype="int64"),
                              "doc_id_b": pd.Series(out_b, dtype="int64")})
 
     return (ds.map_batches(add_block, batch_format="pandas")
-            .groupby("block").map_groups(verify, batch_format="pandas"))
+            .groupby("part").map_groups(verify_part, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -126,15 +150,22 @@ def _minhash(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
-def minhash_signatures(sf_dir: str, num_perm: int = 64):
+def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_k: int = 3):
     """(doc_id, sig) MinHash signatures; sig is hex-encoded (fixed-width
-    string survives Arrow hash joins, list columns do not)."""
+    string survives Arrow hash joins, list columns do not).
+
+    ``shingle_k=3`` (default) estimates 3-gram shingle Jaccard — the
+    standard near-dup similarity; ``shingle_k=1`` estimates token-SET
+    Jaccard, the similarity ``jaccard_pairs`` computes exactly (used by
+    the recall cross-check in tests/test_ops.py).
+    """
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
     a, b = _perm_params(num_perm)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         sigs = [
-            _minhash(_shingle_hashes(t), a, b).astype(">u8").tobytes().hex()
+            _minhash(_shingle_hashes(t, shingle_k), a, b)
+            .astype(">u8").tobytes().hex()
             for t in df["text"]
         ]
         return pd.DataFrame({"doc_id": df["doc_id"], "sig": sigs})
@@ -147,7 +178,8 @@ def _sig_array(hex_sig: str) -> np.ndarray:
 
 
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5, num_partitions: Optional[int] = None):
+                      threshold: float = 0.5, num_partitions: Optional[int] = None,
+                      shingle_k: int = 3, max_bucket: int = 200):
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify.
 
     shingle → signature → band buckets (groupby bucket) → candidate pairs
@@ -161,7 +193,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         num_partitions = max(4, ncpu)
     nparts = num_partitions
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(sf_dir, num_perm).materialize()
+    sigs = minhash_signatures(sf_dir, num_perm, shingle_k).materialize()
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
         out_doc, out_bucket = [], []
@@ -183,8 +215,8 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         out_a, out_b = [], []
         for _, g in df.groupby("bucket"):
             ids = sorted(set(g["doc_id"].tolist()))
-            if len(ids) > 200:  # pathological bucket guard
-                ids = ids[:200]
+            if len(ids) > max_bucket:  # pathological bucket guard
+                ids = ids[:max_bucket]
             for a_, b_ in itertools.combinations(ids, 2):
                 out_a.append(a_)
                 out_b.append(b_)
@@ -267,76 +299,99 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
 
 def simhash(sf_dir: str):
-    """(doc_id, simhash hex string) — 64-bit SimHash over token crc32s."""
+    """(doc_id, simhash hex string) — 64-bit SimHash over md5 token
+    hashes (shared with textops.token_hash64 so DuckDB can reproduce the
+    value bit-for-bit — full oracle check, not just a smoke test)."""
+    from .textops import token_hash64
+
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         bits = np.arange(64, dtype=np.uint64)
         for text in df["text"]:
-            hashes = np.array(
-                [zlib.crc32(t.encode()) for t in text.split(" ")], dtype=np.uint64)
-            # crc32 is 32-bit; extend deterministically to 64
-            hashes = hashes * np.uint64(2654435761) + np.uint64(0x9E3779B97F4A7C15)
-            votes = np.zeros(64, dtype=np.int64)
-            for h in hashes:
-                b = (h >> bits) & np.uint64(1)
-                votes += np.where(b == 1, 1, -1)
+            hashes = np.array([token_hash64(t) for t in text.split(" ")],
+                              dtype=np.uint64)
+            # vectorized vote per bit: +1 for a set bit, -1 otherwise
+            B = ((hashes[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * B - 1).sum(axis=0)
             val = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    val |= np.uint64(1) << np.uint64(i)
+            set_bits = np.where(votes > 0)[0].astype(np.uint64)
+            for b in set_bits:
+                val |= np.uint64(1) << b
             out.append("%016x" % int(val))
         return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out})
 
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.4):
-    """(vec_id_a, vec_id_b) pairs with cosine >= threshold.
+def embedding_near_dup(sf_dir: str, threshold: float = 0.4,
+                       num_blocks: Optional[int] = None):
+    """(vec_id_a, vec_id_b) pairs with cosine >= threshold — EXACT, via a
+    block-grid all-pairs join.
 
-    Blocked all-pairs: candidate side is broadcast once per actor (the
-    embedding table's normalized matrix), batches scan against it. The
-    scale path replaces the broadcast with an LSH/IVF bucket groupby;
-    at testdata scale the matrix is small and broadcast wins (no shuffle).
+    Each vector belongs to block ``g = vec_id % B``; every
+    unordered block pair (g, h) is one grid cell, and a vector is
+    replicated to the B cells it participates in. One Ray group per cell
+    computes the cross-block (or within-block) pairwise cosine, so
+    per-task memory is O(2N/B · d) — no actor ever loads the full
+    matrix — and shuffle volume is O(N · B). Size B to the cluster
+    (cells ≈ 2× cores). For 10^9+ vectors, where exact all-pairs is
+    infeasible at any B, route through an LSH/IVF candidate stage
+    (``knn_ivf``'s quantizer) and accept bounded recall.
     """
     import ray
     import ray.data
 
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_blocks = max(4, int((4 * ncpu) ** 0.5))
+    B = num_blocks
+
     ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
 
-    class PairFinder:
-        def __init__(self, sf_dir: str, threshold: float):
-            import pyarrow.parquet as pq
+    def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df["vec_id"] % B).astype("int32")
+        copies = []
+        for h in range(B):
+            lo = np.minimum(g, h)
+            hi = np.maximum(g, h)
+            copies.append(pd.DataFrame({
+                "vec_id": df["vec_id"],
+                "embedding": df["embedding"],
+                "g": g,
+                "cell": (lo * B + hi).astype("int32"),
+            }))
+        return pd.concat(copies, ignore_index=True)
 
-            table = pq.read_table("%s/embeddings.parquet" % sf_dir,
-                                  columns=["vec_id", "embedding"])
-            self.ids = np.asarray(table.column("vec_id"))
-            M = np.array(table.column("embedding").to_pylist(), dtype=np.float64)
-            self.M = M / np.linalg.norm(M, axis=1, keepdims=True)
-            self.threshold = threshold
+    def pairs_in_cell(df: pd.DataFrame) -> pd.DataFrame:
+        cell = int(df["cell"].iloc[0])
+        lo, hi = divmod(cell, B)
+        ids = df["vec_id"].to_numpy()
+        M = np.array(df["embedding"].tolist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        gs = df["g"].to_numpy()
+        if lo == hi:
+            sims = M @ M.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            a, b = ids[ii], ids[jj]
+        else:
+            left = gs == lo
+            A, Bm = M[left], M[~left]
+            aid, bid = ids[left], ids[~left]
+            if len(aid) == 0 or len(bid) == 0:
+                a = b = np.array([], dtype=np.int64)
+            else:
+                sims = A @ Bm.T
+                ii, jj = np.where(sims >= threshold)
+                a, b = aid[ii], bid[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        keep = a2 != b2
+        return pd.DataFrame({"vec_id_a": pd.Series(a2[keep], dtype="int64"),
+                             "vec_id_b": pd.Series(b2[keep], dtype="int64")})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            Q = np.array(df["embedding"].tolist(), dtype=np.float64)
-            Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            sims = Q @ self.M.T
-            qa, qb = [], []
-            qids = df["vec_id"].to_numpy()
-            for r in range(sims.shape[0]):
-                hits = self.ids[sims[r] >= self.threshold]
-                for h in hits:
-                    if qids[r] < h:  # upper triangle only, excludes self
-                        qa.append(qids[r])
-                        qb.append(h)
-            return pd.DataFrame({"vec_id_a": pd.Series(qa, dtype="int64"),
-                                 "vec_id_b": pd.Series(qb, dtype="int64")})
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return ds.map_batches(
-        PairFinder,
-        fn_constructor_kwargs={"sf_dir": sf_dir, "threshold": threshold},
-        batch_format="pandas",
-        batch_size=256,
-        concurrency=(1, max(2, ncpu // 2)),
-    )
+    return (ds.map_batches(to_cells, batch_format="pandas")
+            .groupby("cell").map_groups(pairs_in_cell, batch_format="pandas"))

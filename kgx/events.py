@@ -1,9 +1,11 @@
 """Windowed / sessionized aggregates over the ``events`` stream table.
 
 The reference has no streaming-time semantics (SURVEY §2.4 "not present"),
-but a web-scale training-data pipeline needs them; implemented as the
-groupby(user).map_groups pattern with per-group time ordering — the
-partitioning assumption is one user's events fit one group.
+but a web-scale training-data pipeline needs them. user_id is a
+high-cardinality key, so sessionize shuffles on ``hash(user_id) % nparts``
+buckets and does the true per-user grouping in pandas inside each bucket —
+one Ray group per PARTITION, not per user. The partitioning assumption is
+one user's events fit one bucket partition (they hash together by key).
 """
 
 from __future__ import annotations
@@ -19,21 +21,37 @@ def _read_events(sf_dir: str, columns=None):
     return ray.data.read_parquet("%s/events.parquet" % sf_dir, columns=columns)
 
 
+def _nparts():
+    import ray
+
+    return max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+
 def sessionize(sf_dir: str, gap_minutes: int = _GAP_MINUTES):
     """(user_id, n_events, n_sessions) — a new session starts when the gap
     since the previous event exceeds ``gap_minutes``."""
     ds = _read_events(sf_dir, columns=["user_id", "ts"])
+    nparts = _nparts()
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff().dt.total_seconds() > gap_minutes * 60
-        return pd.DataFrame({
-            "user_id": [df["user_id"].iloc[0]],
-            "n_events": pd.Series([len(df)], dtype="int64"),
-            "n_sessions": pd.Series([int(gaps.sum()) + 1], dtype="int64"),
-        })
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(pd.util.hash_pandas_object(df["user_id"], index=False)
+                    % nparts).astype("int32"))
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL users in the bucket: one sort, one diff
+        df = df.sort_values(["user_id", "ts"])
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        gap = df["ts"].diff().dt.total_seconds() > gap_minutes * 60
+        new_session = same_user & gap
+        out = df.assign(ns=new_session).groupby("user_id", as_index=False).agg(
+            n_events=("ts", "size"), n_sessions=("ns", "sum"))
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_sessions"] = (out["n_sessions"] + 1).astype("int64")
+        return out[["user_id", "n_events", "n_sessions"]]
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
 def event_type_hourly(sf_dir: str):

@@ -240,21 +240,31 @@ def write_turtle(graph, fileobj, sort: bool = True) -> int:
 
 # JSKOS shapes (parity: the reference's jskos-context.json framing,
 # mc2skos.py:348-358): language-mapped label properties, uri-object sets
-# for relations, plain lists for notation/identifier
+# for relations, plain lists for notation/identifier, scalar dates
 _JSKOS_LANG_MAP = {"prefLabel"}          # {lang: value}
-_JSKOS_LANG_LIST = {"altLabel", "definition", "note", "editorialNote",
-                    "scopeNote", "historyNote", "changeNote", "example"}
+_JSKOS_LANG_LIST = {"altLabel", "hiddenLabel", "definition", "note",
+                    "editorialNote", "scopeNote", "historyNote",
+                    "changeNote", "example"}
+_JSKOS_SCALAR = {"created", "modified", "issued"}  # no @set container
+# context keys that rename the predicate's local name (jskos-context.json)
+_JSKOS_RENAME = {
+    "broaderTransitive": "ancestors",
+    "hasTopConcept": "topConcepts",
+    "componentList": "memberList",
+}
 
 
-def _group_json(df: pd.DataFrame) -> pd.DataFrame:
+def _group_json(df: pd.DataFrame, with_context: bool = True) -> pd.DataFrame:
     """Assemble one JSKOS-style JSON object per subject. Runs inside a
     hash bucket so per-subject grouping is node-local."""
     docs = []
     for subj, g in df.groupby("subj", sort=True):
-        obj: dict = {"uri": subj,
-                     "@context": "https://gbv.github.io/jskos/context.json"}
+        obj: dict = {"uri": subj}
+        if with_context:
+            obj["@context"] = "https://gbv.github.io/jskos/context.json"
         for row in g.itertuples(index=False):
             key = row.pred.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+            key = _JSKOS_RENAME.get(key, key)
             if key == "type":
                 obj.setdefault("type", []).append(row.obj)
             elif row.obj_is_literal:
@@ -263,19 +273,24 @@ def _group_json(df: pd.DataFrame) -> pd.DataFrame:
                     obj.setdefault(key, {})[lang] = row.obj
                 elif key in _JSKOS_LANG_LIST:
                     obj.setdefault(key, {}).setdefault(lang, []).append(row.obj)
+                elif key in _JSKOS_SCALAR:
+                    obj[key] = row.obj
                 else:
                     obj.setdefault(key, []).append(row.obj)
             else:
                 obj.setdefault(key, []).append({"uri": row.obj})
-        # deterministic member order inside language lists
+        # deterministic member order inside language lists and uri sets
         for key in _JSKOS_LANG_LIST:
             if key in obj:
                 obj[key] = {k: sorted(v) for k, v in obj[key].items()}
+        for key, val in obj.items():
+            if isinstance(val, list) and val and isinstance(val[0], dict):
+                obj[key] = sorted(val, key=lambda d: d["uri"])
         docs.append({"subj": subj, "json": json.dumps(obj, sort_keys=True)})
     return pd.DataFrame(docs, columns=["subj", "json"])
 
 
-def group_concepts_json(graph, num_buckets: int = 64):
+def group_concepts_json(graph, num_buckets: int = 64, with_context: bool = True):
     """Dataset[graph] → Dataset[{subj, json}] — one NDJSON doc per concept."""
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(bucket=(pd.util.hash_pandas_object(df["subj"], index=False)
@@ -283,4 +298,26 @@ def group_concepts_json(graph, num_buckets: int = 64):
 
     ds = graph.map_batches(add_bucket, batch_format="pandas")
     return ds.groupby("bucket").map_groups(
-        lambda df: _group_json(df.drop(columns=["bucket"])), batch_format="pandas")
+        lambda df: _group_json(df.drop(columns=["bucket"]), with_context),
+        batch_format="pandas")
+
+
+def write_jskos(graph, fileobj, num_buckets: int = 64) -> int:
+    """Single-document JSKOS output (the reference's ``jskos`` outformat,
+    mc2skos.py:348-354): ``{"@context": ..., "@graph": [concepts...]}``,
+    sorted keys, indent 2, concepts ordered by URI. The per-concept
+    framing is shared with the NDJSON path (jskos-context.json shapes).
+
+    Driver-side assembly by design — one JSON document is an inherently
+    small-output format; use NDJSON or parquet for large graphs.
+    """
+    docs = group_concepts_json(graph, num_buckets, with_context=False).to_pandas()
+    docs = docs.sort_values("subj")
+    body = [json.loads(j) for j in docs["json"]]
+    out = {"@context": "https://gbv.github.io/jskos/context.json"}
+    if len(body) == 1:
+        out.update(body[0])
+    else:
+        out["@graph"] = body
+    fileobj.write(json.dumps(out, sort_keys=True, indent=2))
+    return len(body)

@@ -143,6 +143,67 @@ DOC_ORACLES = {
         " FROM documents"
     ),
     "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    # exact relational mirror of textops.classify_lang (stopword-hit argmax
+    # with en>de>fr>es priority + CJK codepoint-ratio gate)
+    "lang_id": r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_distinct(string_split(lower(text), ' ')) AS toks,
+    substr(text, 1, 200) AS head
+  FROM documents
+), h AS (
+  SELECT doc_id, text, head,
+    len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','as'])) AS h_en,
+    len(list_intersect(toks, ['der','die','und','das','ist','von','mit','für','ein','nicht'])) AS h_de,
+    len(list_intersect(toks, ['le','la','et','les','des','est','pour','dans','une','que'])) AS h_fr,
+    len(list_intersect(toks, ['el','la','de','los','que','en','es','para','con','una'])) AS h_es,
+    length(regexp_replace(head, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+  FROM t
+)
+SELECT doc_id,
+  CASE
+    WHEN text IS NULL OR text = '' THEN 'und'
+    WHEN cjk > length(head) * 0.2 THEN 'zh'
+    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+    WHEN h_fr >= h_es THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM h
+""",
+    # exact relational mirror of textops._rolling_fingerprint (md5 token
+    # hash folded through a 63-bit polynomial rolling hash)
+    "fingerprint": r"""
+SELECT doc_id, CAST(list_reduce(
+  list_prepend(14695981039346656037::UBIGINT,
+    list_transform(string_split(text, ' '),
+      t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT)),
+  (h, t) -> xor(((h::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT, t)
+            % 9223372036854775808::UBIGINT
+) AS BIGINT) AS fp
+FROM documents
+""",
+    # exact relational mirror of dedup.simhash (per-bit majority vote over
+    # md5 token hashes)
+    "simhash": r"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 16))::UBIGINT AS th
+  FROM documents
+), bitvotes AS (
+  SELECT doc_id, b AS bit,
+         count(*) FILTER (WHERE (th >> b) & 1 = 1) AS ones,
+         count(*) AS total
+  FROM toks, (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       lower(lpad(to_hex(CAST(sum(CASE WHEN 2 * ones > total
+                                       THEN (1::UBIGINT << bit)
+                                       ELSE 0::UBIGINT END) AS UBIGINT)),
+                  16, '0')) AS simhash
+FROM bitvotes GROUP BY doc_id
+""",
     "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "dedup_first3": (
         "SELECT min(doc_id) AS doc_id FROM documents "

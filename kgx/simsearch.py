@@ -71,6 +71,35 @@ def _final_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     })
 
 
+def _final_topk_reduce(partial, k: int, num_partitions: int = None):
+    """Reduce per-batch partial top-k rows to the global per-query top-k.
+
+    Buckets on ``hash(query_id) % nparts`` (one Ray group per partition,
+    never one per query — query_id is unbounded-cardinality at scale) and
+    does the true per-query reduction in pandas inside the bucket."""
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(pd.util.hash_pandas_object(df["query_id"], index=False)
+                    % nparts).astype("int32"))
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = [_final_topk(g, k) for _, g in df.groupby("query_id", sort=False)]
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return (partial.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(reduce_bucket, batch_format="pandas"))
+
+
 def knn_bruteforce(sf_dir: str, stride: int = 50, k: int = 5):
     """Exact cosine top-k: (query_id, neighbor_id, rank).
 
@@ -89,62 +118,105 @@ def knn_bruteforce(sf_dir: str, stride: int = 50, k: int = 5):
         batch_size=512,
         concurrency=(1, max(2, ncpu // 2)),
     )
-    # partial top-k per batch → tiny global reduce per query
-    return partial.groupby("query_id").map_groups(
-        lambda df: _final_topk(df, k), batch_format="pandas")
+    # partial top-k per batch → bucketed global reduce per query
+    return _final_topk_reduce(partial, k)
 
 
-def _coarse_bucket(M: np.ndarray, axes: np.ndarray) -> np.ndarray:
-    """Deterministic quantizer: sign bits of projections on fixed axes."""
-    bits = (M @ axes.T) > 0
-    return (bits * (1 << np.arange(axes.shape[0]))).sum(axis=1).astype("int64")
+def train_centroids(sf_dir: str, nlist: int = 64, sample: int = 4096,
+                    iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver-side sample
+    (first ``sample`` rows of the embeddings parquet) — the small "train
+    the coarse quantizer" step every IVF index has. O(sample · d) memory,
+    independent of table size."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile("%s/embeddings.parquet" % sf_dir)
+    batch = next(pf.iter_batches(batch_size=sample, columns=["embedding"]))
+    M = _normalize(np.array(batch.column("embedding").to_pylist(),
+                            dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    nlist = min(nlist, len(M))
+    C = M[rng.choice(len(M), size=nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for c in range(nlist):
+            members = M[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
 
 
-def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, n_bits: int = 3):
-    """Approximate top-k: candidates bucketed by coarse quantizer, each
-    query scored only against its own bucket (plus Hamming-1 probes).
+def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
+            nprobe: int = 16):
+    """Approximate top-k: IVF with a trained coarse quantizer.
 
-    Returns (query_id, neighbor_id, rank) — approximate; no SQL oracle.
+    Candidates are assigned to their nearest of ``nlist`` k-means
+    centroids inside ``map_batches``; queries are SHIPPED AS DATA — each
+    query row is replicated to its ``nprobe`` nearest centroid buckets —
+    and both sides co-group through ONE ``groupby(bucket)`` shuffle
+    (reduce-side join, no driver-held query closure). Per-bucket partial
+    top-k is reduced by a small groupby(query). Scoring work is
+    ~``nprobe/nlist`` of brute force; recall vs ``knn_bruteforce`` is
+    pinned by tests/test_ops.py. Returns (query_id, neighbor_id, rank).
     """
     import ray.data
 
-    rng = np.random.RandomState(7)
-    # fixed random projection axes — the "trained" coarse quantizer
-    axes = rng.standard_normal((n_bits, 64))
-
-    qids, Q = _load_queries(sf_dir, stride)
-    qbuckets = _coarse_bucket(Q, axes)
-    # probe set per bucket: itself + all Hamming-1 neighbours
-    probes: dict = {}
-    for b in range(1 << n_bits):
-        probes[b] = [b] + [b ^ (1 << i) for i in range(n_bits)]
-    bucket_to_queries: dict = {}
-    for qi, qb in enumerate(qbuckets):
-        for b in probes[qb]:
-            bucket_to_queries.setdefault(b, []).append(qi)
+    C = train_centroids(sf_dir, nlist)
+    nprobe = min(nprobe, C.shape[0])
 
     ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_candidates(df: pd.DataFrame) -> pd.DataFrame:
         M = _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
-        return df.assign(bucket=_coarse_bucket(M, axes))
+        return pd.DataFrame({
+            "vec_id": df["vec_id"],
+            "embedding": df["embedding"],
+            "bucket": np.argmax(M @ C.T, axis=1).astype("int32"),
+            "is_query": False,
+        })
+
+    def tag_queries(df: pd.DataFrame) -> pd.DataFrame:
+        q = df[df["vec_id"] % stride == 0]
+        if q.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "embedding": pd.Series([], dtype="object"),
+                                 "bucket": pd.Series([], dtype="int32"),
+                                 "is_query": pd.Series([], dtype="bool")})
+        Q = _normalize(np.array(q["embedding"].tolist(), dtype=np.float64))
+        # nprobe nearest centroids per query → one replica per probe bucket
+        order = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+        reps = []
+        for p in range(nprobe):
+            reps.append(pd.DataFrame({
+                "vec_id": q["vec_id"].to_numpy(),
+                "embedding": q["embedding"].to_numpy(),
+                "bucket": order[:, p].astype("int32"),
+                "is_query": True,
+            }))
+        return pd.concat(reps, ignore_index=True)
+
+    candidates = ds.map_batches(tag_candidates, batch_format="pandas")
+    queries = ds.map_batches(tag_queries, batch_format="pandas")
 
     def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(df["bucket"].iloc[0])
-        q_idx = bucket_to_queries.get(bucket, [])
-        if not q_idx:
+        q = df[df["is_query"]]
+        c = df[~df["is_query"]]
+        if q.empty or c.empty:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "neighbor_id": pd.Series([], dtype="int64"),
                                  "sim": pd.Series([], dtype="float64")})
-        C = _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
-        cids = df["vec_id"].to_numpy()
-        sims = Q[q_idx] @ C.T
+        Q = _normalize(np.array(q["embedding"].tolist(), dtype=np.float64))
+        Cm = _normalize(np.array(c["embedding"].tolist(), dtype=np.float64))
+        qids = q["vec_id"].to_numpy()
+        cids = c["vec_id"].to_numpy()
+        sims = Q @ Cm.T
         out_q, out_n, out_s = [], [], []
-        for row_i, qi in enumerate(q_idx):
-            row = sims[row_i]
+        for qi in range(len(qids)):
+            row = sims[qi]
             valid = cids != qids[qi]
-            kk = min(k, valid.sum())
+            kk = min(k, int(valid.sum()))
             if kk == 0:
                 continue
             idx = np.argpartition(-np.where(valid, row, -np.inf), kk - 1)[:kk]
@@ -157,7 +229,6 @@ def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, n_bits: int = 3):
                              "neighbor_id": pd.Series(out_n, dtype="int64"),
                              "sim": out_s})
 
-    partial = (ds.map_batches(add_bucket, batch_format="pandas")
+    partial = (candidates.union(queries)
                .groupby("bucket").map_groups(score_bucket, batch_format="pandas"))
-    return partial.groupby("query_id").map_groups(
-        lambda df: _final_topk(df, k), batch_format="pandas")
+    return _final_topk_reduce(partial, k)

@@ -61,51 +61,67 @@ _LANG_PROFILES = {
 }
 
 
-def lang_id(sf_dir: str):
-    """(doc_id, lang_pred) — stopword-hit + CJK-ratio heuristic.
+def classify_lang(text: str) -> str:
+    """Stopword-hit + CJK-ratio language heuristic for one document.
 
-    Non-SQL-expressible (rows-only oracle): the heuristic is a model, not
-    a relational expression.
+    Deliberately a pure relational expression (set intersections with
+    fixed stopword lists, a codepoint-range ratio, ordered argmax) so the
+    whole operator is DuckDB-oracle-checkable; accuracy on real sentences
+    is pinned by tests/test_ops.py.
     """
-    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    if not text:
+        return "und"
+    head = text[:200]
+    cjk = sum(1 for ch in head if "一" <= ch <= "鿿")
+    if cjk > len(head) * 0.2:
+        return "zh"
+    toks = set(text.lower().split(" "))
+    best, best_hits = "en", -1
+    for lang, stop in _LANG_PROFILES.items():
+        if not stop:
+            continue
+        hits = len(toks & stop)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
 
-    def classify(text: str) -> str:
-        if not text:
-            return "und"
-        cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
-        if cjk > len(text[:200]) * 0.2:
-            return "zh"
-        toks = set(text.lower().split(" "))
-        best, best_hits = "en", -1
-        for lang, stop in _LANG_PROFILES.items():
-            if not stop:
-                continue
-            hits = len(toks & stop)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
+
+def lang_id(sf_dir: str):
+    """(doc_id, lang_pred) — vectorized ``classify_lang`` over documents."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "lang_pred": [classify(t) for t in df["text"]],
+            "lang_pred": [classify_lang(t) for t in df["text"]],
         })
 
     return ds.map_batches(fn, batch_format="pandas")
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_MASK = np.uint64((1 << 63) - 1)
+_FP_BASE = 1099511628211
+_FP_MASK = (1 << 63) - 1
+_FP_SEED = 14695981039346656037
+_M64 = 1 << 64
+
+
+def token_hash64(tok: str) -> int:
+    """First 8 bytes of md5 as uint64 — the shared token hash for
+    fingerprint/simhash, chosen because DuckDB can compute the identical
+    value (``('0x' || substr(md5(t), 1, 16))::UBIGINT``), which makes both
+    operators fully oracle-checkable."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
 
 
 def _rolling_fingerprint(text: str) -> int:
-    """Deterministic rolling (polynomial) hash over tokens — stable across
-    processes (crc32 token hashes, no PYTHONHASHSEED dependence)."""
-    h = np.uint64(14695981039346656037)
+    """Deterministic rolling (polynomial) hash over tokens — stable
+    across processes (md5 token hashes, no PYTHONHASHSEED dependence)."""
+    h = _FP_SEED
     for tok in text.split(" "):
-        t = np.uint64(zlib.crc32(tok.encode("utf-8")))
-        h = ((h * _FP_BASE) ^ t) & _FP_MASK
-    return int(h)
+        h = (((h * _FP_BASE) % _M64) ^ token_hash64(tok)) & _FP_MASK
+    return h
 
 
 def fingerprint(sf_dir: str):
@@ -113,11 +129,11 @@ def fingerprint(sf_dir: str):
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        with np.errstate(over="ignore"):
-            return pd.DataFrame({
-                "doc_id": df["doc_id"],
-                "fp": [_rolling_fingerprint(t) for t in df["text"]],
-            })
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "fp": pd.Series([_rolling_fingerprint(t) for t in df["text"]],
+                            dtype="int64"),
+        })
 
     return ds.map_batches(fn, batch_format="pandas")
 

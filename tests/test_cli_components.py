@@ -102,3 +102,33 @@ class TestCli:
         uris = {d["uri"] for d in docs}
         assert "http://dewey.info/class/001/e23/" in uris
         assert "http://dewey.info/scheme/edition/e23/" in uris  # from include
+
+
+class TestJskosSingleDoc:
+    def test_write_jskos_reference_example(self, ray_session, tmp_path):
+        """Single-document jskos outformat (mc2skos.py:348-354): one
+        sorted-keys JSON doc with @context + @graph, concepts in URI
+        order, jskos-context.json frame shapes."""
+        import json
+
+        from kgx.cli import main
+
+        out = str(tmp_path / "rvk.json")
+        rc = main(["/root/reference/examples/rvk.xml", out,
+                   "-o", "jskos", "--altlabels"])
+        assert rc == 0
+        with open(out) as fp:
+            doc = json.load(fp)
+        assert doc["@context"] == "https://gbv.github.io/jskos/context.json"
+        g = doc["@graph"]
+        uris = [c["uri"] for c in g]
+        assert uris == sorted(uris)
+        top = {c["uri"]: c for c in g}
+        aa = top["http://rvk.uni-regensburg.de/nt/AA_09900"]
+        # @language container for prefLabel; scalar dates; uri-object sets
+        assert aa["prefLabel"] == {"de": "Bibliographische Zeitschriften"}
+        assert aa["created"] == "2012-07-05"
+        assert aa["broader"] == [{"uri": "http://rvk.uni-regensburg.de/nt/AA"}]
+        assert aa["type"] == ["http://www.w3.org/2004/02/skos/core#Concept"]
+        # altLabel is a {lang: [values]} container
+        assert aa["altLabel"]["de"] == ["Bibliografie", "Zeitschrift"]

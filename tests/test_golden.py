@@ -115,12 +115,38 @@ def test_authority_examples(path):
     check(path, config)
 
 
+# The only corpus-wide precision divergence: 4 triples from rvk.xml that
+# the CURRENT reference code emits but its stale rvk.ttl snapshot lacks.
+# The reference's own assertion is subset-CONTAINMENT of the .ttl
+# (test_process_examples.py:45-46), so a .ttl generated before a feature
+# landed never gets regenerated. Specifically: ClassificationRecord.parse
+# appends every get_terms('7') heading to altLabel (record.py:389-394 —
+# tag 750 is in the X50 family, record.py:84-85) and get_mappings yields
+# the 750 $0/$2=gnd closeMatch candidates (record.py:196-238), so with
+# include_altlabels=True the reference today emits exactly these triples.
+_KNOWN_EXTRA = {
+    ("http://rvk.uni-regensburg.de/nt/AA_09900",
+     "http://www.w3.org/2004/02/skos/core#altLabel",
+     "Bibliografie", True, "de", None),
+    ("http://rvk.uni-regensburg.de/nt/AA_09900",
+     "http://www.w3.org/2004/02/skos/core#altLabel",
+     "Zeitschrift", True, "de", None),
+    ("http://rvk.uni-regensburg.de/nt/AA_09900",
+     "http://www.w3.org/2004/02/skos/core#closeMatch",
+     "http://d-nb.info/gnd/4006432-3", False, None, None),
+    ("http://rvk.uni-regensburg.de/nt/AA_09900",
+     "http://www.w3.org/2004/02/skos/core#closeMatch",
+     "http://d-nb.info/gnd/4067488-5", False, None, None),
+}
+
+
 def test_corpus_precision_recall():
     """Aggregate P/R across the whole golden corpus (target >= 0.95)."""
     total_want = 0
     total_hit = 0
     total_got = 0
     matched_got = 0
+    all_extra = set()
     for path in _examples(r".*"):
         name = os.path.basename(path)
         ttl = re.sub(r"xml$", "ttl", path)
@@ -137,9 +163,14 @@ def test_corpus_precision_recall():
         total_hit += len(want & got)
         total_got += len(got)
         matched_got += len(got & want)
+        all_extra |= got - want
     recall = total_hit / total_want if total_want else 1.0
     precision = matched_got / total_got if total_got else 1.0
     print("golden corpus: precision=%.4f recall=%.4f (want=%d got=%d)"
           % (precision, recall, total_want, total_got))
     assert recall >= 0.95
     assert precision >= 0.95
+    # every emitted-but-not-expected triple is one of the 4 documented
+    # stale-snapshot cases — effective precision vs the CURRENT reference
+    # behavior is 1.0
+    assert all_extra == _KNOWN_EXTRA, all_extra - _KNOWN_EXTRA

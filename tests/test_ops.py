@@ -87,8 +87,9 @@ class TestSimSearch:
             len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q])
             for q in bf_sets.index
         ]
-        # approximate: probing own + Hamming-1 buckets should recover most
-        assert np.mean(recalls) >= 0.5, np.mean(recalls)
+        # trained 64-centroid IVF probing nprobe=16/64 buckets (~25% of
+        # the data) — measured 0.78 at sf0.001, 0.88 at sf0.01
+        assert np.mean(recalls) >= 0.7, np.mean(recalls)
 
     def test_bruteforce_rank_contract(self, ray_session):
         from kgx.simsearch import knn_bruteforce
@@ -126,3 +127,46 @@ class TestMultimodal:
         m1 = dict(zip(df["doc_id"], [tuple(f) for f in df["feature"]]))
         m2 = dict(zip(df2["doc_id"], [tuple(f) for f in df2["feature"]]))
         assert m1 == m2
+
+
+class TestNoOracleCrossChecks:
+    """Quantitative self-checks for the operators whose semantics a SQL
+    oracle cannot express (VERDICT r01 item 1): LSH recall against exact
+    ground truth, IVF recall against brute force."""
+
+    def test_minhash_lsh_recall_vs_exact_jaccard(self, ray_session):
+        # with shingle_k=1 the LSH estimates token-SET Jaccard — the exact
+        # similarity jaccard_pairs computes — so recall is well-defined
+        from kgx.dedup import jaccard_pairs, minhash_lsh_pairs
+
+        gt = jaccard_pairs(SF).to_pandas()
+        gt_set = set(zip(gt["doc_id_a"], gt["doc_id_b"]))
+        lsh = minhash_lsh_pairs(SF, threshold=0.7, shingle_k=1,
+                                max_bucket=2000).to_pandas()
+        lsh_set = set(zip(lsh["doc_id_a"], lsh["doc_id_b"]))
+        recall = len(gt_set & lsh_set) / len(gt_set)
+        assert recall >= 0.95, recall  # measured 0.995 at sf0.001
+
+    def test_simhash_deterministic_across_runs(self, ray_session):
+        from kgx.dedup import simhash
+
+        d1 = simhash(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        d2 = simhash(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert (d1["simhash"] == d2["simhash"]).all()
+
+    def test_lang_id_accuracy_on_real_sentences(self):
+        # the documents.lang column is uncorrelated with the synthetic
+        # word-salad text, so accuracy is pinned on real sentences instead
+        # (the operator itself is DuckDB-oracle-checked for exactness)
+        from kgx.textops import classify_lang
+
+        cases = {
+            "the cat and the dog went to the market of the town": "en",
+            "der Hund ist nicht mit der Katze und das ist gut": "de",
+            "le chat est dans la maison et les oiseaux dans une cage": "fr",
+            "el perro es para los gatos con una casa en que vivir": "es",
+            "这是一个中文文本这是一个中文文本这是一个中文文本": "zh",
+            "": "und",
+        }
+        for text, want in cases.items():
+            assert classify_lang(text) == want, text
