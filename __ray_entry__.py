@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_synthetic": kg_synthetic,
         # text analysis
         "token_counts": textops.token_counts,
+        "token_counts_bpe": textops.token_counts_bpe,
+        "top_terms": textops.top_terms,
         "quality": textops.quality,
         "lang_counts": textops.lang_counts,
         "lang_id": textops.lang_id,

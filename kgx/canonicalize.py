@@ -219,22 +219,25 @@ def canonicalize(triples, expand: bool = False, num_buckets: Optional[int] = Non
     *before* the shuffle, so the closure costs no extra all-to-all
     (duplicate inverse edges collapse in the same dedup).
 
-    ``sort_partitions`` bounds the sort's partition count: the range
-    exchange creates B_in × B_out intermediate objects, so coalescing
-    many small map blocks first cuts object-store traffic ~5×. Default is
-    ~1 partition per CPU; on a real multi-node run size it to ~512 MB of
-    triples per partition instead.
+    ``sort_partitions`` (default None = no repartition) optionally
+    coalesces the keyed stream before the sort — only worth its extra
+    pass when the upstream read yields pathologically many tiny blocks;
+    size the READ's override_num_blocks to ~2 blocks per CPU (bench.py)
+    or ~512 MB per block on a real multi-node run instead.
     """
-    # large batches: one polars pass per ~64k rows, and local dedup sees
-    # enough rows to actually shrink the shuffle
+    # batch_size=None → one polars pass per upstream block, which keeps
+    # this map fused with the extract stage into a single physical pass
+    # (an explicit batch_size forces a rebatch boundary — measured 5× on
+    # the 1.2M-page headline together with the repartition below)
     keyed = triples.map_batches(
         lambda b: _add_tkey_arrow(b.select(_KEY_COLS), expand),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=65536)
-    if sort_partitions is None:
-        import ray
-
-        sort_partitions = max(16, int(ray.cluster_resources().get("CPU", 8)))
-    keyed = keyed.repartition(sort_partitions)
+        batch_format="pyarrow", zero_copy_batch=True)
+    # no repartition by default: it is a full extra pass over the triple
+    # stream. Pass sort_partitions only when the upstream read yields
+    # pathologically many tiny blocks (the sort exchange creates
+    # B_in × B_out intermediate objects).
+    if sort_partitions is not None:
+        keyed = keyed.repartition(sort_partitions)
     # batch_size=None → whole sorted blocks, so a duplicate run can never be
     # split across batches of one block
     return keyed.sort("tkey").map_batches(

@@ -196,22 +196,28 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     sigs = minhash_signatures(sf_dir, num_perm, shingle_k).materialize()
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_bucket = [], []
+        # vectorized banding: one pandas string-slice + hash per band
+        # (bands is small and fixed; docs is the big axis)
         chars_per_band = 16 * rows_per_band  # 16 hex chars per u64
-        for doc_id, sig in zip(df["doc_id"], df["sig"]):
-            for band in range(bands):
-                chunk = sig[band * chars_per_band:(band + 1) * chars_per_band]
-                key = zlib.crc32(("%d:%s" % (band, chunk)).encode())
-                out_doc.append(doc_id)
-                out_bucket.append(key)
-        out = pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
-                            "bucket": pd.Series(out_bucket, dtype="int64")})
+        sig = df["sig"]
+        doc_ids = df["doc_id"].astype("int64")
+        frames = []
+        for band in range(bands):
+            chunk = sig.str.slice(band * chars_per_band,
+                                  (band + 1) * chars_per_band)
+            key = pd.util.hash_pandas_object(
+                str(band) + ":" + chunk, index=False).astype("int64").abs()
+            frames.append(pd.DataFrame({"doc_id": doc_ids, "bucket": key}))
+        out = pd.concat(frames, ignore_index=True)
         # coarse shuffle key: millions of LSH buckets co-group into nparts
         # partitions; the true bucket grouping happens inside the partition
         out["part"] = (out["bucket"] % nparts).astype("int32")
         return out
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets (the vast majority) can't produce pairs —
+        # drop them vectorized before the per-bucket loop
+        df = df[df.duplicated("bucket", keep=False)]
         out_a, out_b = [], []
         for _, g in df.groupby("bucket"):
             ids = sorted(set(g["doc_id"].tolist()))

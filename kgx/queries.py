@@ -143,6 +143,17 @@ DOC_ORACLES = {
         " FROM documents"
     ),
     "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    # identical RE2 pattern to textops._BPE_PATTERN
+    "token_counts_bpe": (
+        r"SELECT doc_id, len(regexp_extract_all(text,"
+        r" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens"
+        r" FROM documents"
+    ),
+    "top_terms": (
+        "SELECT tok, count(*) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
+        ") GROUP BY tok ORDER BY n DESC, tok LIMIT 100"
+    ),
     # exact relational mirror of textops.classify_lang (stopword-hit argmax
     # with en>de>fr>es priority + CJK codepoint-ratio gate)
     "lang_id": r"""

@@ -46,26 +46,67 @@ def lineitem_summary(sf_dir: str):
     return partials.groupby(keys).map_groups(merge, batch_format="pandas")
 
 
-def orders_by_customer_nation(sf_dir: str):
-    """orders ⋈ customer ⋈ nation → orders per nation. The small side is
-    the join output of two dimension tables; the fact join is a hash join
-    (Dataset.join)."""
+def orders_by_customer_nation(sf_dir: str, num_partitions=None):
+    """orders ⋈ customer ⋈ nation → orders per nation.
+
+    Scale shape (no ``Dataset.join`` — see CLAUDE.md on its fragility):
+    orders are pre-aggregated to per-custkey counts inside ``map_batches``
+    (combiner — shuffle volume is distinct customers, not order rows);
+    the customer side ships (custkey, nationkey) rows; both sides
+    co-group through ONE hash-bucket shuffle (reduce-side join, the same
+    robust pattern as components._join_kv). nation (25 rows, config-sized)
+    is broadcast via closure capture and mapped inside the reduce task.
+    """
+    import ray
     import ray.data
+    import pyarrow.parquet as pq
+
+    if num_partitions is None:
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+
+    nt = pq.read_table("%s/nation.parquet" % sf_dir,
+                       columns=["n_nationkey", "n_name"])
+    nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
+                          nt.column("n_name").to_pylist()))
 
     orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
-                                   columns=["o_orderkey", "o_custkey"])
+                                   columns=["o_custkey"])
     customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
                                      columns=["c_custkey", "c_nationkey"])
-    nation = ray.data.read_parquet("%s/nation.parquet" % sf_dir,
-                                   columns=["n_nationkey", "n_name"])
 
-    import ray
+    def order_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame({
+            "k": g["o_custkey"].astype("int64"),
+            "n": g["size"].astype("int64"),
+            "nk": pd.Series(-1, index=g.index, dtype="int64"),
+            "part": (g["o_custkey"] % nparts).astype("int32"),
+        })
 
-    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2))
-    joined = orders.join(customer, join_type="inner", num_partitions=nparts,
-                         on=("o_custkey",), right_on=("c_custkey",))
-    joined = joined.join(nation, join_type="inner", num_partitions=nparts,
-                         on=("c_nationkey",), right_on=("n_nationkey",))
-    out = joined.groupby("n_name").count()
-    return out.map_batches(lambda df: df.rename(columns={"count()": "n_orders"}),
-                           batch_format="pandas")
+    def customer_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df["c_custkey"].astype("int64"),
+            "n": pd.Series(0, index=df.index, dtype="int64"),
+            "nk": df["c_nationkey"].astype("int64"),
+            "part": (df["c_custkey"] % nparts).astype("int32"),
+        })
+
+    def join_count(df: pd.DataFrame) -> pd.DataFrame:
+        cust = df[df["nk"] >= 0]
+        ords = df[df["nk"] < 0]
+        merged = ords.merge(cust[["k", "nk"]], on="k", how="inner")
+        g = merged.groupby("nk_y", as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "n_name": g["nk_y"].map(nation_map),
+            "n": g["n"].astype("int64"),
+        })
+
+    both = (orders.map_batches(order_partials, batch_format="pandas")
+            .union(customer.map_batches(customer_rows, batch_format="pandas")))
+    partials = both.groupby("part").map_groups(join_count, batch_format="pandas")
+    out = partials.groupby("n_name").sum("n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(n)": "n_orders"}).astype(
+            {"n_orders": "int64"}),
+        batch_format="pandas")

@@ -138,6 +138,51 @@ def fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+# GPT-2-style pre-tokenizer classes, simplified to what Python re and
+# DuckDB RE2 evaluate identically: letter runs, digit runs, punctuation
+# runs (whitespace separates, never emits)
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_counts_bpe(sf_dir: str):
+    """(doc_id, n_bpe_tokens) — BPE-ish pre-tokenizer counts: the token
+    count an LLM data pipeline budgets with (letter/digit/punctuation
+    runs), vs ``token_counts``'s whitespace split. Vectorized regex count
+    per batch; the identical RE2 pattern runs in the DuckDB oracle."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_bpe_tokens": df["text"].str.count(_BPE_PATTERN).astype("int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def top_terms(sf_dir: str, k: int = 100):
+    """(tok, n) — the k most frequent whitespace tokens corpus-wide.
+
+    Scale shape: per-batch ``value_counts`` is the combiner (shuffle
+    volume is per-block vocabulary, not per-token occurrences), then one
+    ``groupby(tok).sum`` — a high-cardinality key is fine for a hash/sort
+    AGGREGATE (unlike per-key ``map_groups``) — and a small sort+limit on
+    the aggregated vocabulary. Ties broken by token so top-k is
+    deterministic."""
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    counts = (ds.map_batches(local_counts, batch_format="pandas")
+              .groupby("tok").sum("n"))
+    counts = counts.map_batches(
+        lambda df: df.rename(columns={"sum(n)": "n"}), batch_format="pandas")
+    return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
+
+
 def lang_counts(sf_dir: str):
     """(lang, n) — corpus language distribution (groupby aggregate)."""
     ds = _read_documents(sf_dir, columns=["doc_id", "lang"])

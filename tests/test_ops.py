@@ -33,6 +33,37 @@ class TestTextOps:
         df = lang_id(SF).to_pandas()
         assert set(df["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "und"}
 
+    def test_token_counts_bpe_matches_re(self, ray_session):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import _BPE_PATTERN, token_counts_bpe
+
+        df = token_counts_bpe(SF).to_pandas().set_index("doc_id")
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        pat = re.compile(_BPE_PATTERN)
+        for doc_id, text in zip(t.column("doc_id").to_pylist()[:50],
+                                t.column("text").to_pylist()[:50]):
+            assert df.loc[doc_id, "n_bpe_tokens"] == len(pat.findall(text))
+
+    def test_top_terms_matches_local_count(self, ray_session):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import top_terms
+
+        df = top_terms(SF, k=20).to_pandas()
+        t = pq.read_table("%s/documents.parquet" % SF, columns=["text"])
+        counts = Counter()
+        for text in t.column("text").to_pylist():
+            counts.update(text.split(" "))
+        expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = list(zip(df["tok"], df["n"]))
+        assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expected
+
 
 class TestDedup:
     def test_exact_survivors(self, ray_session):
