@@ -77,12 +77,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / windows
         "sessionize": events.sessionize,
         "event_type_hourly": events.event_type_hourly,
+        "events_asof": events.events_asof,
+        "sliding_window_counts": events.sliding_window_counts,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "payload_features": multimodal.payload_features,
+        "payload_resize": multimodal.payload_resize,
+        "frame_sample": multimodal.frame_sample,
     }
 
 

@@ -126,6 +126,12 @@ def main() -> int:
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--scaling-cpus", default="8,32",
                         help="N,4N CPU pair for the scaling runs")
+    parser.add_argument("--scaling-reps", type=int, default=2,
+                        help="interleaved repetitions per CPU level; best "
+                             "throughput per level is reported (this host's "
+                             "wall clock drifts ~2x within a session — "
+                             "alternating the levels exposes both to the "
+                             "same drift)")
     parser.add_argument("--headline-only", action="store_true")
     parser.add_argument("--skip-queries", action="store_true")
     args = parser.parse_args()
@@ -138,29 +144,35 @@ def main() -> int:
             # use the 1.2M-page corpus
             args.pages = 1200000
         lo, hi = (int(x) for x in args.scaling_cpus.split(","))
-        results = {}
-        for cpus in (lo, hi):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-            proc = subprocess.run(
-                [sys.executable, __file__, "--headline-only",
-                 "--pages", str(args.pages)],
-                env=env, capture_output=True, text=True, cwd=os.path.dirname(
-                    os.path.abspath(__file__)))
-            line = proc.stdout.strip().splitlines()[-1]
-            results[cpus] = json.loads(line)
-            # let the previous Ray session's raylet/object store fully
-            # release, and flush dirty pages: writeback from the previous
-            # run's parquet output otherwise throttles the next run ~2x
-            subprocess.run(["ray", "stop", "--force"], capture_output=True)
-            subprocess.run(["sync"], capture_output=True)
-            try:
-                with open("/proc/sys/vm/drop_caches", "w") as fp:
-                    fp.write("3")
-            except OSError:
-                pass
-            time.sleep(5)
-        r_lo = results[lo]["value"]
-        r_hi = results[hi]["value"]
+        best = {lo: 0.0, hi: 0.0}
+        for rep in range(max(1, args.scaling_reps)):
+            for cpus in (lo, hi):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--headline-only",
+                     "--pages", str(args.pages)],
+                    env=env, capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                line = proc.stdout.strip().splitlines()[-1]
+                val = json.loads(line)["value"]
+                best[cpus] = max(best[cpus], val)
+                print(json.dumps({"rep": rep, "cpus": cpus,
+                                  "triples_per_sec": round(val, 1)}),
+                      file=sys.stderr)
+                # let the previous Ray session's raylet/object store fully
+                # release, and flush dirty pages: writeback from the
+                # previous run's parquet output otherwise throttles the
+                # next run ~2x
+                subprocess.run(["ray", "stop", "--force"], capture_output=True)
+                subprocess.run(["sync"], capture_output=True)
+                try:
+                    with open("/proc/sys/vm/drop_caches", "w") as fp:
+                        fp.write("3")
+                except OSError:
+                    pass
+                time.sleep(5)
+        r_lo = best[lo]
+        r_hi = best[hi]
         efficiency = (r_hi / r_lo) / (hi / lo)
         print(json.dumps({
             "metric": "scaling_efficiency_%d_to_%d_cpus" % (lo, hi),

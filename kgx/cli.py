@@ -136,7 +136,10 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # the CLI owns a Ray session ONLY if none exists — an in-process
+    # caller's (test's) session must survive this invocation
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", include_dashboard=False)
 
     import ray.data
@@ -157,7 +160,8 @@ def main(argv=None) -> int:
         if outformat == "parquet":
             manifest = materialize(graph, args.outfile)
             print("wrote %d triples to %s" % (manifest["rows"], args.outfile))
-            ray.shutdown()
+            if owns_ray:
+                ray.shutdown()
             return 0
         out = open(args.outfile, "w", encoding="utf-8")
     else:
@@ -176,7 +180,8 @@ def main(argv=None) -> int:
 
     if out is not sys.stdout:
         out.close()
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 

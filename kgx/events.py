@@ -54,6 +54,91 @@ def sessionize(sf_dir: str, gap_minutes: int = _GAP_MINUTES):
             .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
+def events_asof(sf_dir: str, left_type: str = "purchase",
+                right_type: str = "view", num_partitions=None):
+    """As-of join within the event stream: for each ``left_type`` event,
+    the latest strictly-earlier ``right_type`` event by the same user.
+    Returns (event_id, asof_event_id, gap_us).
+
+    Ray Data has no as-of join; this is the documented composition
+    (SURVEY "custom operators"): both sides co-partition through ONE
+    hash-bucket shuffle on user_id, then a vectorized ``merge_asof``
+    (sorted by ts, by=user_id) runs per partition. Partitioning
+    assumption: one user's events hash to one partition.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                       "event_type"])
+    nparts = num_partitions or _nparts()
+    keep = (left_type, right_type)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(keep)]
+        return df.assign(
+            bucket=(pd.util.hash_pandas_object(df["user_id"], index=False)
+                    % nparts).astype("int32"))
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == left_type].sort_values("ts")
+        right = (df[df["event_type"] == right_type].sort_values("ts")
+                 [["ts", "user_id", "event_id"]]
+                 .rename(columns={"event_id": "asof_event_id",
+                                  "ts": "asof_ts"}))
+        if left.empty or right.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "asof_event_id": pd.Series([], dtype="int64"),
+                                 "gap_us": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(left, right, left_on="ts", right_on="asof_ts",
+                          by="user_id", direction="backward",
+                          allow_exact_matches=False)
+        m = m.dropna(subset=["asof_event_id"])
+        # unit-safe µs difference (parquet timestamps may surface as
+        # datetime64[us] or [ns] depending on the pandas/arrow bridge)
+        gap = (m["ts"] - m["asof_ts"]) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame({"event_id": m["event_id"].astype("int64"),
+                             "asof_event_id": m["asof_event_id"].astype("int64"),
+                             "gap_us": gap.astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(asof_bucket, batch_format="pandas"))
+
+
+def sliding_window_counts(sf_dir: str, window_sec: int = 3600,
+                          slide_sec: int = 900):
+    """(event_type, window_start, n) — sliding-window counts: windows of
+    ``window_sec`` starting every ``slide_sec``; an event at time t counts
+    in the window_sec/slide_sec windows covering t. ``window_start`` is
+    epoch seconds (grid-aligned), so the value is engine-portable.
+
+    Map-only expansion (each event → window_sec/slide_sec rows) with a
+    per-batch combiner BEFORE the groupby shuffle — the shuffle carries
+    (type, window) partial counts, not event rows."""
+    ds = _read_events(sf_dir, columns=["event_type", "ts"])
+    k = window_sec // slide_sec
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        base = (sec // slide_sec) * slide_sec
+        frames = []
+        for i in range(k):
+            frames.append(pd.DataFrame({
+                "event_type": df["event_type"],
+                "window_start": base - i * slide_sec,
+            }))
+        out = pd.concat(frames, ignore_index=True)
+        g = out.groupby(["event_type", "window_start"], as_index=False).size()
+        return g.rename(columns={"size": "partial_n"})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "window_start"], as_index=False)
+             ["partial_n"].sum().rename(columns={"partial_n": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["event_type", "window_start"]).map_groups(
+        merge, batch_format="pandas")
+
+
 def event_type_hourly(sf_dir: str):
     """(event_type, hour, n) — time-bucketed aggregate (tumbling window by
     event time), pre-aggregated inside map_batches before the groupby."""

@@ -78,6 +78,92 @@ def payload_features(sf_dir: str, batch_size: int = 64):
     )
 
 
+class Resizer:
+    """Actor-pool resize stage. A real build would decode + PIL-resize;
+    this container has no codecs, so the deterministic stand-in
+    stride-samples the payload bytes down to ``out_w × out_h`` "pixels"
+    — same signature, batch sizing and output layout as the real op."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        target = self.out_w * self.out_h
+        resized = []
+        for payload in df["payload"]:
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            if len(buf) == 0:
+                resized.append(b"")
+                continue
+            idx = np.linspace(0, len(buf) - 1, num=min(target, len(buf)),
+                              dtype=np.int64)
+            resized.append(buf[idx].tobytes())
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "payload": resized,
+            "out_w": pd.Series(self.out_w, index=df.index, dtype="int64"),
+            "out_h": pd.Series(self.out_h, index=df.index, dtype="int64"),
+        })
+
+
+def payload_resize(sf_dir: str, out_w: int = 8, out_h: int = 8,
+                   batch_size: int = 64):
+    """(doc_id, payload, out_w, out_h) — actor-pool resize over binary
+    payloads (documents.text bytes stand in). Deterministic stub decode;
+    real plumbing (schema, actor signature, small batches)."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["doc_id", "text"])
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "payload": [t.encode("utf-8") for t in df["text"]],
+        })
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(to_payload, batch_format="pandas").map_batches(
+        Resizer, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, max(2, ncpu // 2)))
+
+
+def frame_sample(sf_dir: str, frame_bytes: int = 16, every_n: int = 4):
+    """(doc_id, frame_idx, n_bytes) — video-style frame sampling: the
+    payload is treated as consecutive ``frame_bytes``-sized frames and
+    every ``every_n``-th frame is emitted as its own row (flat_map: one
+    document → many frames). Fully vectorized via a repeat/offset
+    expansion; the frame geometry is exactly reproducible in SQL, so this
+    op carries a real DuckDB oracle unlike the codec-bound stages."""
+    import ray.data
+
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["doc_id", "text"])
+
+    def frames(df: pd.DataFrame) -> pd.DataFrame:
+        lens = df["text"].str.encode("utf-8").str.len().to_numpy(np.int64)
+        n_frames = -(-lens // frame_bytes)  # ceil
+        n_sampled = -(-n_frames // every_n)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), n_sampled)
+        # frame_idx = 0, every_n, 2*every_n, ... per document
+        within = (np.arange(int(n_sampled.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(n_sampled) - n_sampled, n_sampled))
+        frame_idx = within * every_n
+        frame_len = np.minimum(
+            frame_bytes,
+            np.repeat(lens, n_sampled) - frame_idx * frame_bytes)
+        return pd.DataFrame({
+            "doc_id": doc_ids,
+            "frame_idx": frame_idx,
+            "n_bytes": frame_len.astype("int64"),
+        })
+
+    return ds.map_batches(frames, batch_format="pandas")
+
+
 def payload_stats(sf_dir: str):
     """(doc_id, n_bytes) — SQL-verifiable subset of the payload pipeline."""
     feats = payload_features(sf_dir)

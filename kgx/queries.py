@@ -259,6 +259,27 @@ FROM bitvotes GROUP BY doc_id
         "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n"
         " FROM events GROUP BY 1, 2"
     ),
+    # as-of join: latest strictly-earlier view per purchase, same user
+    "events_asof": """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'view')
+SELECT p.event_id,
+       max_by(v.event_id, v.ts) AS asof_event_id,
+       date_diff('microsecond', max(v.ts), p.ts) AS gap_us
+FROM p JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+GROUP BY p.event_id, p.ts
+""",
+    # 1h windows sliding every 15min; window_start = epoch seconds
+    "sliding_window_counts": """
+SELECT event_type, window_start, count(*) AS n FROM (
+  SELECT event_type,
+         (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) - 900 * off
+           AS window_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off)
+) GROUP BY 1, 2
+""",
     "lineitem_summary": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n_rows,"
         " CAST(sum(l_quantity) AS BIGINT) AS sum_qty,"
@@ -274,6 +295,21 @@ FROM bitvotes GROUP BY doc_id
     "payload_stats": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
     ),
+    # exact mirror of multimodal.frame_sample geometry (16-byte frames,
+    # every 4th sampled)
+    "frame_sample": """
+SELECT doc_id, frame_idx,
+       least(16, len - frame_idx * 16) AS n_bytes
+FROM (
+  SELECT doc_id, len,
+         unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+  FROM (
+    SELECT doc_id, octet_length(encode(text)) AS len,
+           CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames
+    FROM documents
+  )
+)
+""",
     "sameas_components": (
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY source) AS component"
         " FROM documents"

@@ -140,12 +140,77 @@ class TestEvents:
         assert (df["n_sessions"] <= df["n_events"]).all()
 
 
+class TestEventsExtra:
+    def test_events_asof_matches_local(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.events import events_asof
+
+        got = events_asof(SF).to_pandas().sort_values("event_id") \
+            .reset_index(drop=True)
+        ev = pq.read_table("%s/events.parquet" % SF).to_pandas()
+        p = ev[ev["event_type"] == "purchase"]
+        v = ev[ev["event_type"] == "view"]
+        rows = []
+        for r in p.itertuples(index=False):
+            prior = v[(v["user_id"] == r.user_id) & (v["ts"] < r.ts)]
+            if prior.empty:
+                continue
+            best = prior.loc[prior["ts"].idxmax()]
+            rows.append((r.event_id, best["event_id"],
+                         (r.ts - best["ts"]) // pd.Timedelta(microseconds=1)))
+        expect = pd.DataFrame(rows, columns=["event_id", "asof_event_id",
+                                             "gap_us"]) \
+            .sort_values("event_id").reset_index(drop=True)
+        assert got.astype("int64").equals(expect.astype("int64"))
+
+    def test_sliding_window_counts_cover_events(self, ray_session):
+        from kgx.events import sliding_window_counts
+
+        df = sliding_window_counts(SF).to_pandas()
+        # every event is in exactly 4 windows → total = 4 × 1000 events
+        assert df["n"].sum() == 4 * 1000
+        assert (df["window_start"] % 900 == 0).all()
+
+
 class TestMultimodal:
     def test_decode_stub_raises(self):
         from kgx.multimodal import decode_image
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+    def test_payload_resize_deterministic(self, ray_session):
+        from kgx.multimodal import payload_resize
+
+        df = payload_resize(SF, out_w=4, out_h=4).to_pandas()
+        assert len(df) == 500
+        assert (df["out_w"] == 4).all()
+        # stride-sampled stub: payload shrinks to at most out_w*out_h bytes
+        assert df["payload"].map(len).max() <= 16
+        df2 = payload_resize(SF, out_w=4, out_h=4).to_pandas()
+        a = df.sort_values("doc_id")["payload"].tolist()
+        b = df2.sort_values("doc_id")["payload"].tolist()
+        assert a == b
+
+    def test_frame_sample_geometry(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.multimodal import frame_sample
+
+        df = frame_sample(SF, frame_bytes=16, every_n=4).to_pandas()
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        for doc_id, text in zip(t.column("doc_id").to_pylist()[:30],
+                                t.column("text").to_pylist()[:30]):
+            n = len(text.encode("utf-8"))
+            n_frames = -(-n // 16)
+            expect_idx = list(range(0, n_frames, 4))
+            got = df[df["doc_id"] == doc_id].sort_values("frame_idx")
+            assert got["frame_idx"].tolist() == expect_idx
+            assert (got["n_bytes"] == [min(16, n - i * 16)
+                                       for i in expect_idx]).all()
 
     def test_payload_features(self, ray_session):
         from kgx.multimodal import payload_features
