@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": textops.token_counts_bpe,
         "top_terms": textops.top_terms,
         "quality": textops.quality,
+        "quality_ratios": textops.quality_ratios,
         "lang_counts": textops.lang_counts,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,

@@ -106,7 +106,9 @@ def run_queries(sf_dir: str) -> dict:
         "jaccard_pairs": lambda: dedup.jaccard_pairs(sf_dir),
         "knn_bruteforce": lambda: simsearch.knn_bruteforce(sf_dir),
         "token_counts": lambda: textops.token_counts(sf_dir),
+        "top_terms": lambda: textops.top_terms(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
+        "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
     }
     out = {}

@@ -143,6 +143,18 @@ DOC_ORACLES = {
         " FROM documents"
     ),
     "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    # punctuation / stopword load (integer counts; list_filter keeps
+    # duplicates, matching the per-token Python count)
+    "quality_ratios": r"""
+SELECT doc_id,
+       length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+         AS n_punct,
+       len(list_filter(string_split(lower(text), ' '),
+           t -> list_contains(['the','and','of','to','in','is','that','for',
+                               'with','as'], t))) AS n_stopwords,
+       len(string_split(text, ' ')) AS n_tokens
+FROM documents
+""",
     # identical RE2 pattern to textops._BPE_PATTERN
     "token_counts_bpe": (
         r"SELECT doc_id, len(regexp_extract_all(text,"

@@ -138,6 +138,27 @@ def fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def quality_ratios(sf_dir: str):
+    """(doc_id, n_punct, n_stopwords, n_tokens) — punctuation/stopword
+    load per document (integer counts; the ratios divide out exactly, and
+    integers hash portably across engines). Vectorized: one regex count
+    and one set-intersection pass per batch."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    stop = _LANG_PROFILES["en"]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_punct": df["text"].str.count(r"[^A-Za-z0-9\s]").astype("int64"),
+            "n_stopwords": toks.map(
+                lambda t: sum(1 for x in t if x in stop)).astype("int64"),
+            "n_tokens": toks.str.len().astype("int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 # GPT-2-style pre-tokenizer classes, simplified to what Python re and
 # DuckDB RE2 evaluate identically: letter runs, digit runs, punctuation
 # runs (whitespace separates, never emits)

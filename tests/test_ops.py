@@ -33,6 +33,24 @@ class TestTextOps:
         df = lang_id(SF).to_pandas()
         assert set(df["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "und"}
 
+    def test_quality_ratios_matches_local(self, ray_session):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import _LANG_PROFILES, quality_ratios
+
+        df = quality_ratios(SF).to_pandas().set_index("doc_id")
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        stop = _LANG_PROFILES["en"]
+        for doc_id, text in zip(t.column("doc_id").to_pylist()[:40],
+                                t.column("text").to_pylist()[:40]):
+            assert df.loc[doc_id, "n_punct"] == len(
+                re.findall(r"[^A-Za-z0-9\s]", text))
+            assert df.loc[doc_id, "n_stopwords"] == sum(
+                1 for x in text.lower().split(" ") if x in stop)
+
     def test_token_counts_bpe_matches_re(self, ray_session):
         import re
 
