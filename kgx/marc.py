@@ -168,10 +168,18 @@ def _make_parser() -> ET.XMLParser:
     return ET.XMLParser(target=ET.TreeBuilder(insert_pis=True))
 
 
+_LOCALNAME_CACHE: dict = {}
+
+
 def _localname(tag) -> str:
-    if isinstance(tag, str):
-        return tag.rsplit("}", 1)[-1]
-    return ""  # ProcessingInstruction / Comment function "tags"
+    # called for every element of every record — memoize per distinct tag
+    # (the MARCXML tag set is tiny; the bound guards junk-tag payloads)
+    v = _LOCALNAME_CACHE.get(tag)
+    if v is None:
+        v = tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+        if len(_LOCALNAME_CACHE) < 4096:
+            _LOCALNAME_CACHE[tag] = v
+    return v
 
 
 def parse_record_element(elem: ET.Element) -> MarcRecord:
