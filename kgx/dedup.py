@@ -234,23 +234,14 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     candidates = buckets.groupby("part").map_groups(bucket_pairs,
                                                     batch_format="pandas")
 
-    # global candidate-pair dedup (same pair from several bands landing in
-    # different partitions), coarse-bucketed again
-    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
-        pk = df["doc_id_a"] * np.int64(1 << 32) + df["doc_id_b"]
-        return df.assign(part=(pk % nparts).astype("int32"))
-
-    candidates = (candidates.map_batches(pair_part, batch_format="pandas")
-                  .groupby("part").map_groups(
-                      lambda df: df.drop_duplicates(
-                          subset=["doc_id_a", "doc_id_b"])[
-                          ["doc_id_a", "doc_id_b"]],
-                      batch_format="pandas"))
-
     # verify: reduce-side join of signatures to both pair sides (build
-    # rows and probe rows co-grouped on a hash of the doc id)
-    def _attach(cands, cand_cols, key_col: str, out_col: str):
+    # rows and probe rows co-grouped on a hash of the doc id).
+    # ``dedup``: the global candidate-pair dedup (same pair surfacing from
+    # several bands in different partitions) rides the FIRST attach
+    # shuffle for free — its key is doc_id_a, so every duplicate of an
+    # (a, b) pair lands in the same partition; no separate dedup exchange.
+    def _attach(cands, cand_cols, key_col: str, out_col: str,
+                dedup: bool = False):
         # fixed union schema: pair payload + join machinery columns
         all_cols = list(cand_cols) + ["k", "sig", "is_build", "part"]
 
@@ -281,12 +272,15 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
             build = df[df["is_build"]][["k", "sig"]].rename(
                 columns={"sig": out_col})
             probe = df[~df["is_build"]][list(cand_cols) + ["k"]]
+            if dedup:
+                probe = probe.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
             return probe.merge(build, on="k").drop(columns=["k"])
 
         return probes.union(builds).groupby("part").map_groups(
             join_part, batch_format="pandas")
 
-    joined = _attach(candidates, ["doc_id_a", "doc_id_b"], "doc_id_a", "sig_a")
+    joined = _attach(candidates, ["doc_id_a", "doc_id_b"], "doc_id_a", "sig_a",
+                     dedup=True)
     joined = _attach(joined, ["doc_id_a", "doc_id_b", "sig_a"], "doc_id_b", "sig_b")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
