@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_first3": dedup.dedup_first3,
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "near_dup_dedup": dedup.near_dup_dedup,
         "simhash": dedup.simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
         # similarity search

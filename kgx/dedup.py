@@ -298,6 +298,68 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def near_dup_dedup(sf_dir: str, threshold: float = 0.8,
+                   num_partitions: Optional[int] = None):
+    """Survivor doc_ids after near-duplicate REMOVAL — the corpus-level
+    dedup a training-data pipeline actually runs: similar pairs
+    (token-set Jaccard >= threshold, ``jaccard_pairs`` semantics) are
+    clustered into connected components, and only the minimum doc_id of
+    each cluster survives.
+
+    Scale shape: pairs come from the blocked pairwise stage, clustering
+    is the distributed hash-to-min union-find (components.py — one
+    co-grouped shuffle per round, O(log n) rounds), and the final
+    anti-join of the removal set against the corpus is a bucketed
+    co-group (never a driver-side set, never Dataset.join). Swap the
+    pair stage for ``minhash_lsh_pairs`` at 10^9+ docs; the clustering
+    and anti-join are unchanged.
+    """
+    from .components import connected_components
+
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas")
+    comp = connected_components(edges, num_partitions=nparts)
+    # removed = every clustered doc that is not its cluster's minimum
+    removed = comp.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df.loc[df["node"] != df["component"],
+                              "node"].astype("int64")}),
+        batch_format="pandas")
+
+    docs = _read_documents(sf_dir, columns=["doc_id"])
+
+    def tag(flag: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["doc_id"].astype("int64")
+            return pd.DataFrame({
+                "doc_id": d,
+                "is_removed": np.int8(flag),
+                "bucket": (pd.util.hash_pandas_object(d, index=False)
+                           % nparts).astype("int32"),
+            })
+        return fn
+
+    u = docs.map_batches(tag(0), batch_format="pandas").union(
+        removed.map_batches(tag(1), batch_format="pandas"))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        gone = set(df.loc[df["is_removed"] == 1, "doc_id"].tolist())
+        left = df.loc[df["is_removed"] == 0, "doc_id"]
+        return pd.DataFrame({"doc_id": left[~left.isin(gone)]
+                             .astype("int64")})
+
+    return u.groupby("bucket").map_groups(keep, batch_format="pandas")
+
+
 def simhash(sf_dir: str):
     """(doc_id, simhash hex string) — 64-bit SimHash over md5 token
     hashes (shared with textops.token_hash64 so DuckDB can reproduce the

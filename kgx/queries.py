@@ -241,6 +241,29 @@ FROM bitvotes GROUP BY doc_id
         " / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
         " >= 0.8"
     ),
+    # connected components in SQL: a doc is removed iff it can reach a
+    # smaller doc_id through the (undirected) near-dup pair graph
+    "near_dup_dedup": r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), e AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach AS (
+  SELECT a AS node, b AS r FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT node FROM reach GROUP BY node HAVING min(r) < node)
+""",
     "embedding_near_dup": (
         "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
         "FROM embeddings a, embeddings b "

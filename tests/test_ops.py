@@ -96,6 +96,23 @@ class TestDedup:
         df = dedup_first3(SF).to_pandas()
         assert 0 < len(df) <= 500
 
+    def test_near_dup_dedup_matches_duckdb_components(self, ray_session):
+        # survivors == DuckDB's recursive-CTE connected-components answer
+        import duckdb
+
+        from kgx.dedup import near_dup_dedup
+        from kgx.queries import DOC_ORACLES
+
+        surv = set(near_dup_dedup(SF).to_pandas()["doc_id"])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('%s/documents.parquet')" % SF)
+        expected = set(con.execute(DOC_ORACLES["near_dup_dedup"]).df()["doc_id"])
+        con.close()
+        assert surv == expected
+        assert 0 < len(surv) <= 500
+
     def test_minhash_agrees_with_true_jaccard(self, ray_session):
         # every LSH pair with est >= 0.7 must be a true-Jaccard >= 0.5 pair
         from kgx.dedup import minhash_lsh_pairs
