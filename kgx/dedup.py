@@ -322,11 +322,15 @@ def near_dup_dedup(sf_dir: str, threshold: float = 0.8,
         num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
     nparts = num_partitions
 
+    docs = _read_documents(sf_dir, columns=["doc_id"])
+
     pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
     edges = pairs.map_batches(
         lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
                                  "b": df["doc_id_b"].astype("int64")}),
-        batch_format="pandas")
+        batch_format="pandas").materialize()
+    if edges.count() == 0:  # no near-dups anywhere → everything survives
+        return docs
     comp = connected_components(edges, num_partitions=nparts)
     # removed = every clustered doc that is not its cluster's minimum
     removed = comp.map_batches(
@@ -334,8 +338,6 @@ def near_dup_dedup(sf_dir: str, threshold: float = 0.8,
             {"doc_id": df.loc[df["node"] != df["component"],
                               "node"].astype("int64")}),
         batch_format="pandas")
-
-    docs = _read_documents(sf_dir, columns=["doc_id"])
 
     def tag(flag: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:

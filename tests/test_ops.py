@@ -113,6 +113,13 @@ class TestDedup:
         assert surv == expected
         assert 0 < len(surv) <= 500
 
+    def test_near_dup_dedup_no_pairs_everything_survives(self, ray_session):
+        from kgx.dedup import near_dup_dedup
+
+        # threshold above 1.0 → provably zero pairs → empty-edge path
+        df = near_dup_dedup(SF, threshold=1.01).to_pandas()
+        assert len(df) == 500
+
     def test_minhash_agrees_with_true_jaccard(self, ray_session):
         # every LSH pair with est >= 0.7 must be a true-Jaccard >= 0.5 pair
         from kgx.dedup import minhash_lsh_pairs
