@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_dedup": dedup.near_dup_dedup,
         "simhash": dedup.simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
+        "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf": simsearch.knn_ivf,

@@ -298,6 +298,100 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
+                           num_planes: int = 4, num_bands: int = 24,
+                           num_partitions: Optional[int] = None,
+                           max_bucket: int = 4000, seed: int = 7):
+    """(vec_id_a, vec_id_b) cosine >= threshold pairs via random-hyperplane
+    LSH — the scale path for 10^9+ vectors where the exact block-grid
+    (``embedding_near_dup``) is infeasible.
+
+    Shape: each vector gets ``num_bands`` bucket keys (sign-bit signature
+    of ``num_planes`` hyperplanes per band, planes re-derived from the
+    seed inside every task — nothing is shipped); buckets are coarsened
+    into hash partitions (one Ray group per partition, never per bucket);
+    candidate pairs are verified with EXACT cosine inside the partition,
+    so precision is 1.0 and only recall is approximate; the cross-band
+    pair dedup is a bucketed drop-duplicates keyed on the pair itself.
+
+    Parameter regime: per-pair recall is 1-(1-p^b)^L with p =
+    1-acos(cos)/pi. The defaults (b=4, L=24) target this corpus's low
+    similarity band (cos 0.4 → recall ≈ 0.98). Production near-dup at
+    cos >= 0.85 wants b=16, L=8: fewer replicas, sharper buckets, and
+    bucket occupancy ~N/2^16 per band instead of N/2^4.
+    """
+    import ray
+    import ray.data
+
+    if num_partitions is None:
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+    b, L = num_planes, num_bands
+
+    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+                               columns=["vec_id", "embedding"])
+
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.array(df["embedding"].tolist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        planes = np.random.RandomState(seed).randn(M.shape[1], b * L)
+        bits = (M @ planes) > 0  # (n, b*L)
+        weights = (1 << np.arange(b)).astype(np.int64)
+        frames = []
+        for band in range(L):
+            key = bits[:, band * b:(band + 1) * b] @ weights  # (n,)
+            bucket = (np.int64(band) << np.int64(32)) | key.astype(np.int64)
+            frames.append(pd.DataFrame({
+                "vec_id": df["vec_id"].astype("int64"),
+                "embedding": df["embedding"],
+                "bucket": bucket,
+            }))
+        out = pd.concat(frames, ignore_index=True)
+        out["part"] = (out["bucket"] % nparts).astype("int32")
+        return out
+
+    def verify_part(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            if len(g) > max_bucket:  # pathological bucket guard
+                g = g.nsmallest(max_bucket, "vec_id")
+            ids = g["vec_id"].to_numpy()
+            M = np.array(g["embedding"].tolist(), dtype=np.float64)
+            M = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ M.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            a, bb = ids[ii], ids[jj]
+            swap = a > bb
+            out_a.append(np.where(swap, bb, a))
+            out_b.append(np.where(swap, a, bb))
+        if out_a:
+            a = np.concatenate(out_a)
+            bb = np.concatenate(out_b)
+        else:
+            a = bb = np.array([], dtype=np.int64)
+        out = pd.DataFrame({"vec_id_a": pd.Series(a, dtype="int64"),
+                            "vec_id_b": pd.Series(bb, dtype="int64")})
+        return out.drop_duplicates()
+
+    cands = (ds.map_batches(to_buckets, batch_format="pandas")
+             .groupby("part").map_groups(verify_part, batch_format="pandas"))
+
+    # cross-band global dedup: co-locate duplicates of a pair by hashing
+    # the pair itself, drop inside the partition
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        pk = pd.util.hash_pandas_object(df[["vec_id_a", "vec_id_b"]],
+                                        index=False)
+        return df.assign(part=(pk % nparts).astype("int32"))
+
+    return (cands.map_batches(pair_part, batch_format="pandas")
+            .groupby("part").map_groups(
+                lambda df: df.drop_duplicates()[["vec_id_a", "vec_id_b"]],
+                batch_format="pandas"))
+
+
 def near_dup_dedup(sf_dir: str, threshold: float = 0.8,
                    num_partitions: Optional[int] = None):
     """Survivor doc_ids after near-duplicate REMOVAL — the corpus-level

@@ -120,6 +120,19 @@ class TestDedup:
         df = near_dup_dedup(SF, threshold=1.01).to_pandas()
         assert len(df) == 500
 
+    def test_embedding_lsh_recall_vs_exact(self, ray_session):
+        # the LSH scale path: precision must be 1.0 (exact within-bucket
+        # verify), recall bounded below vs the exact block-grid answer
+        from kgx.dedup import embedding_near_dup, embedding_near_dup_lsh
+
+        exact = embedding_near_dup(SF).to_pandas()
+        approx = embedding_near_dup_lsh(SF).to_pandas()
+        truth = set(zip(exact.vec_id_a, exact.vec_id_b))
+        got = set(zip(approx.vec_id_a, approx.vec_id_b))
+        assert got <= truth  # precision 1.0
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.85, recall
+
     def test_minhash_agrees_with_true_jaccard(self, ray_session):
         # every LSH pair with est >= 0.7 must be a true-Jaccard >= 0.5 pair
         from kgx.dedup import minhash_lsh_pairs
