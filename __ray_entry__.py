@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dup_dedup": dedup.near_dup_dedup,
+        "near_dup_dedup_lsh": lambda sf: dedup.near_dup_dedup(sf, use_lsh=True),
         "simhash": dedup.simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,

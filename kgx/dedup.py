@@ -393,7 +393,8 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
 
 
 def near_dup_dedup(sf_dir: str, threshold: float = 0.8,
-                   num_partitions: Optional[int] = None):
+                   num_partitions: Optional[int] = None,
+                   use_lsh: bool = False):
     """Survivor doc_ids after near-duplicate REMOVAL — the corpus-level
     dedup a training-data pipeline actually runs: similar pairs
     (token-set Jaccard >= threshold, ``jaccard_pairs`` semantics) are
@@ -404,9 +405,10 @@ def near_dup_dedup(sf_dir: str, threshold: float = 0.8,
     is the distributed hash-to-min union-find (components.py — one
     co-grouped shuffle per round, O(log n) rounds), and the final
     anti-join of the removal set against the corpus is a bucketed
-    co-group (never a driver-side set, never Dataset.join). Swap the
-    pair stage for ``minhash_lsh_pairs`` at 10^9+ docs; the clustering
-    and anti-join are unchanged.
+    co-group (never a driver-side set, never Dataset.join).
+    ``use_lsh=True`` swaps the quadratic-within-block exact pair stage
+    for ``minhash_lsh_pairs`` (token-set signatures, estimated Jaccard)
+    — the 10^9+-doc path; clustering and anti-join are unchanged.
     """
     from .components import connected_components
 
@@ -418,7 +420,13 @@ def near_dup_dedup(sf_dir: str, threshold: float = 0.8,
 
     docs = _read_documents(sf_dir, columns=["doc_id"])
 
-    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    if use_lsh:
+        # the 10^9-doc path: sub-quadratic candidate generation; estimated
+        # Jaccard >= threshold stands in for the exact verify
+        pairs = minhash_lsh_pairs(sf_dir, threshold=threshold,
+                                  num_partitions=nparts, shingle_k=1)
+    else:
+        pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
     edges = pairs.map_batches(
         lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
                                  "b": df["doc_id_b"].astype("int64")}),

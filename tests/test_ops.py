@@ -120,6 +120,19 @@ class TestDedup:
         df = near_dup_dedup(SF, threshold=1.01).to_pandas()
         assert len(df) == 500
 
+    def test_near_dup_dedup_lsh_merges_at_least_the_blocked_pairs(
+            self, ray_session):
+        # the LSH pair stage sees EVERY high-Jaccard pair (no first-token
+        # blocking), so it merges strictly more than the blocked exact
+        # stage: its survivor set must be (almost) a subset — the slack
+        # is the LSH recall miss rate (~0.5% of edges at this scale)
+        from kgx.dedup import near_dup_dedup
+
+        exact = set(near_dup_dedup(SF).to_pandas()["doc_id"])
+        approx = set(near_dup_dedup(SF, use_lsh=True).to_pandas()["doc_id"])
+        assert len(approx) <= len(exact)
+        assert len(approx - exact) <= max(2, int(len(exact) * 0.02))
+
     def test_embedding_lsh_recall_vs_exact(self, ray_session):
         # the LSH scale path: precision must be 1.0 (exact within-bucket
         # verify), recall bounded below vs the exact block-grid answer
