@@ -10,6 +10,7 @@ inherent.
 from __future__ import annotations
 
 import zlib
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -105,11 +106,14 @@ _FP_SEED = 14695981039346656037
 _M64 = 1 << 64
 
 
+@lru_cache(maxsize=1 << 18)
 def token_hash64(tok: str) -> int:
     """First 8 bytes of md5 as uint64 — the shared token hash for
     fingerprint/simhash, chosen because DuckDB can compute the identical
     value (``('0x' || substr(md5(t), 1, 16))::UBIGINT``), which makes both
-    operators fully oracle-checkable."""
+    operators fully oracle-checkable. Cached per worker process: corpus
+    vocabulary is tiny next to token instances, so the md5 cost amortizes
+    to near zero on real text."""
     import hashlib
 
     return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
