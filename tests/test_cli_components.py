@@ -23,6 +23,22 @@ class TestComponents:
         assert (df.groupby("component")["doc_id"].min().values ==
                 sorted(df["component"].unique())).all()
 
+    def test_components_fast_and_distributed_paths_agree(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from kgx.components import connected_components
+
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "a": [1, 2, 5, 9, 9, 20],
+            "b": [2, 3, 6, 10, 11, 21],
+        }))
+        fast = connected_components(edges).to_pandas()
+        dist = connected_components(edges, small_graph_threshold=0).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["node", "component"]].values))
+        assert key(fast) == key(dist)
+        assert len(fast) == 10
+
     def test_connected_components_basic(self, ray_session):
         import pandas as pd
         import ray.data
