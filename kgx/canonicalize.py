@@ -109,31 +109,6 @@ def expand_inference(graph):
     return graph.union(inverses)
 
 
-def _add_tkey(df: pd.DataFrame, expand: bool = False) -> pd.DataFrame:
-    """Combiner + sort-key: local pre-dedup and the composite key string.
-
-    The key leads with the output sort key (materialize.sort_key of the
-    subject) so ONE range shuffle yields both the global output order and
-    exact dedup: range partitioning is a deterministic function of the
-    key, so identical triples can never straddle a partition boundary.
-
-    With ``expand``, the SKOS inference closure's inverse edges are
-    emitted here too (map-only, same pass — duplicate inverses collapse
-    in the shared dedup, no extra shuffle and no second pipeline).
-    """
-    from .materialize import sort_key_series
-
-    if expand:
-        inv = _expand_batch(df)
-        if len(inv):
-            df = pd.concat([df, inv], ignore_index=True)
-    tkey = sort_key_series(df["subj"])
-    for col in _KEY_COLS:
-        tkey = tkey + "\x1f" + df[col].astype(str)
-    df = df.assign(tkey=tkey)
-    return df.drop_duplicates(subset=["tkey"])
-
-
 def _add_tkey_arrow(batch, expand: bool = False):
     """Combiner + sort-key, vectorized end-to-end in polars.
 
@@ -157,6 +132,11 @@ def _add_tkey_arrow(batch, expand: bool = False):
         return batch.drop_columns(["subj"]).append_column(
             "tkey", pa.array([], pa.string()))
     df = pl.from_arrow(batch).select(_KEY_COLS)
+    # "\x1f" is the tkey field separator and subj rides inside tkey
+    # (reconstructed by split after the sort) — a subject containing the
+    # separator would silently shift the fields, so strip it here.
+    # Junk/adversarial input only; legal URIs never contain C0 controls.
+    df = df.with_columns(pl.col("subj").str.replace_all("\x1f", "", literal=True))
     if expand:
         inv = (df.filter(pl.col("pred").is_in(list(_INVERSES)) &
                          ~pl.col("obj_is_literal"))

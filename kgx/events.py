@@ -79,8 +79,14 @@ def events_asof(sf_dir: str, left_type: str = "purchase",
 
     def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["event_type"] == left_type].sort_values("ts")
-        right = (df[df["event_type"] == right_type].sort_values("ts")
+        # deterministic tie rule: among right-side events with identical
+        # (user, ts), keep the max event_id — merge_asof would otherwise
+        # pick whichever tie sorts last, disagreeing with the oracle's
+        # max_by on tie-containing data (same dedup mirrored in the SQL)
+        right = (df[df["event_type"] == right_type]
                  [["ts", "user_id", "event_id"]]
+                 .groupby(["user_id", "ts"], as_index=False)["event_id"].max()
+                 .sort_values("ts")
                  .rename(columns={"event_id": "asof_event_id",
                                   "ts": "asof_ts"}))
         if left.empty or right.empty:

@@ -147,19 +147,20 @@ DOC_ORACLES = {
     # duplicates, matching the per-token Python count)
     "quality_ratios": r"""
 SELECT doc_id,
-       length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
-         AS n_punct,
+       length(text) - length(regexp_replace(text,
+           '[^A-Za-z0-9 \t\n\r\f\v]', '', 'g')) AS n_punct,
        len(list_filter(string_split(lower(text), ' '),
            t -> list_contains(['the','and','of','to','in','is','that','for',
                                'with','as'], t))) AS n_stopwords,
        len(string_split(text, ' ')) AS n_tokens
 FROM documents
 """,
-    # identical RE2 pattern to textops._BPE_PATTERN
+    # identical RE2 pattern to textops._BPE_PATTERN (explicit ASCII
+    # whitespace class — RE2 \s is ASCII-only, Python's is Unicode)
     "token_counts_bpe": (
-        r"SELECT doc_id, len(regexp_extract_all(text,"
-        r" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens"
-        r" FROM documents"
+        "SELECT doc_id, len(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]+')) AS n_bpe_tokens"
+        " FROM documents"
     ),
     "top_terms": (
         "SELECT tok, count(*) AS n FROM ("
@@ -298,8 +299,10 @@ WHERE doc_id NOT IN (
     "events_asof": """
 WITH p AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),
-     v AS (SELECT event_id, user_id, ts FROM events
-           WHERE event_type = 'view')
+     -- tie rule mirrored from events.asof_bucket: one view per
+     -- (user, ts), the max event_id among ties
+     v AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id, ts)
 SELECT p.event_id,
        max_by(v.event_id, v.ts) AS asof_event_id,
        date_diff('microsecond', max(v.ts), p.ts) AS gap_us

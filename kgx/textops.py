@@ -154,7 +154,8 @@ def quality_ratios(sf_dir: str):
         toks = df["text"].str.lower().str.split(" ")
         return pd.DataFrame({
             "doc_id": df["doc_id"],
-            "n_punct": df["text"].str.count(r"[^A-Za-z0-9\s]").astype("int64"),
+            "n_punct": df["text"].str.count(
+                r"[^A-Za-z0-9 \t\n\r\f\v]").astype("int64"),
             "n_stopwords": toks.map(
                 lambda t: sum(1 for x in t if x in stop)).astype("int64"),
             "n_tokens": toks.str.len().astype("int64"),
@@ -165,8 +166,10 @@ def quality_ratios(sf_dir: str):
 
 # GPT-2-style pre-tokenizer classes, simplified to what Python re and
 # DuckDB RE2 evaluate identically: letter runs, digit runs, punctuation
-# runs (whitespace separates, never emits)
-_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# runs (whitespace separates, never emits). The whitespace class is an
+# EXPLICIT ASCII set — Python re's \s is Unicode-aware while RE2's \s is
+# ASCII-only, so \s here would diverge on e.g. U+00A0 (ADVICE r2)
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]+"
 
 
 def token_counts_bpe(sf_dir: str):

@@ -130,8 +130,12 @@ class TestDedup:
 
         exact = set(near_dup_dedup(SF).to_pandas()["doc_id"])
         approx = set(near_dup_dedup(SF, use_lsh=True).to_pandas()["doc_id"])
-        assert len(approx) <= len(exact)
-        assert len(approx - exact) <= max(2, int(len(exact) * 0.02))
+        # one-directional with the same tolerance as the set-difference
+        # check: MinHash verify (64 perms) may miss a blocked pair that no
+        # cross-block merge compensates, yielding a few MORE LSH survivors
+        slack = max(2, int(len(exact) * 0.02))
+        assert len(approx) <= len(exact) + slack
+        assert len(approx - exact) <= slack
 
     def test_embedding_lsh_recall_vs_exact(self, ray_session):
         # the LSH scale path: precision must be 1.0 (exact within-bucket
