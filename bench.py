@@ -39,12 +39,20 @@ def ensure_corpus(num_pages: int) -> str:
     return path
 
 
-def run_headline(num_pages: int, out_dir: str, warmup: bool = True) -> dict:
+def run_headline(num_pages: int, out_dir: str, warmup: bool = True,
+                 engine: str = "exchange") -> dict:
     """Headline: triples/sec end-to-end (read → extract → link →
-    canonicalize → materialize) over the pre-generated pages corpus."""
+    canonicalize → materialize) over the pre-generated pages corpus.
+
+    ``engine`` — "exchange" (raw-task two-pass sort with write-in-reduce,
+    kgx/exchange.py: the triple stream crosses plasma once) or "dataset"
+    (the Dataset-API path, pipeline.build_graph → materialize). Both
+    produce the identical canonical graph (tests/test_exchange.py).
+    """
     import ray.data
 
     from kgx.config import PipelineConfig
+    from kgx.exchange import write_canonical_graph
     from kgx.materialize import materialize
     from kgx.pipeline import build_graph
 
@@ -65,14 +73,20 @@ def run_headline(num_pages: int, out_dir: str, warmup: bool = True) -> dict:
         t0 = time.time()
         import ray
 
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # ~2 blocks per CPU: hundreds of small blocks put the driver-side
-        # streaming executor on the critical path (93s → 25s at 32 CPUs)
-        pages = ray.data.read_parquet(corpus, columns=["url", "html"],
-                                      override_num_blocks=2 * ncpu)
-        graph = build_graph(pages, cfg)
-        manifest = materialize(graph, out_dir,
-                               fingerprint="bench-%s-%d" % (tag, num_pages))
+        if engine == "exchange":
+            manifest = write_canonical_graph(
+                corpus, out_dir, cfg,
+                fingerprint="bench-%s-%d" % (tag, num_pages))
+        else:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            # ~2 blocks per CPU: hundreds of small blocks put the
+            # driver-side streaming executor on the critical path
+            # (93s → 25s at 32 CPUs)
+            pages = ray.data.read_parquet(corpus, columns=["url", "html"],
+                                          override_num_blocks=2 * ncpu)
+            graph = build_graph(pages, cfg)
+            manifest = materialize(graph, out_dir,
+                                   fingerprint="bench-%s-%d" % (tag, num_pages))
         wall = time.time() - t0
         return {"triples": manifest["rows"], "wall_sec": wall}
 
@@ -137,6 +151,10 @@ def main() -> int:
                              "same drift)")
     parser.add_argument("--headline-only", action="store_true")
     parser.add_argument("--skip-queries", action="store_true")
+    parser.add_argument("--engine", default="exchange",
+                        choices=["exchange", "dataset"],
+                        help="headline execution path (both produce the "
+                             "identical graph; tests/test_exchange.py)")
     args = parser.parse_args()
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -153,7 +171,7 @@ def main() -> int:
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
                 proc = subprocess.run(
                     [sys.executable, __file__, "--headline-only",
-                     "--pages", str(args.pages)],
+                     "--engine", args.engine, "--pages", str(args.pages)],
                     env=env, capture_output=True, text=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)))
                 line = proc.stdout.strip().splitlines()[-1]
@@ -184,6 +202,7 @@ def main() -> int:
             "throughput_%dcpu_triples_per_sec" % lo: round(r_lo, 1),
             "throughput_%dcpu_triples_per_sec" % hi: round(r_hi, 1),
             "pages": args.pages,
+            "engine": args.engine,
         }))
         return 0
 
@@ -202,7 +221,8 @@ def main() -> int:
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    headline = run_headline(args.pages, "/tmp/kgx_bench/graph")
+    headline = run_headline(args.pages, "/tmp/kgx_bench/graph",
+                            engine=args.engine)
     queries = {} if (args.headline_only or args.skip_queries) else run_queries(
         args.sf_dir)
 
@@ -213,6 +233,7 @@ def main() -> int:
         "queries": queries,
         "sf": sf,
         "num_cpus": num_cpus,
+        "engine": args.engine,
         "headline": {k: (round(v, 2) if isinstance(v, float) else v)
                      for k, v in headline.items()},
     }))

@@ -1,0 +1,310 @@
+"""Two-pass sort exchange with write-in-reduce (the flagship scale path).
+
+``Dataset.sort`` cannot run the output write inside its reduce stage: the
+sorted stream crosses the object store once more between the sort's merge
+tasks and the downstream dedup+write tasks, and the sort's own map/merge
+exchange adds further full-stream plasma traversals. On one shared-memory
+node those traversals contend for the same memory bandwidth — the measured
+cause of the 8→32 CPU scaling shortfall (BASELINE.md round 2).
+
+This module is the documented raw-task escape hatch (SURVEY "custom
+operators", rule c): it fuses the whole flagship pipeline
+
+    read parquet → extract → link → tkey → range-partition   (M map tasks)
+    fetch → sort → adjacent-dedup → write part file          (P reduce tasks)
+
+so the triple stream crosses plasma exactly ONCE (map out / reduce in)
+and the output write happens inside the reduce task. Semantics are
+byte-identical to the Dataset path (``pipeline.build_graph`` →
+``materialize``): same tkey construction (canonicalize._add_tkey_arrow),
+same adjacent dedup (canonicalize._dedup_sorted_block), same global order
+(part files are range partitions, sorted within; concatenation in part
+order IS the global tkey order) — pinned by tests/test_exchange.py.
+
+Partitioning assumptions (per the brief, stated explicitly):
+- Range boundaries come from a pilot sample over a few corpus fragments.
+  Sample error skews partition SIZES, never correctness: identical tkeys
+  always co-locate (searchsorted is deterministic in the key).
+- M×P intermediate objects: fine up to ~10^3 maps × ~10^3 partitions per
+  exchange; at 100 TB coarsen map groups (more files per map) or chain
+  two exchange rounds rather than inflating M×P.
+- Resume/lineage: every finished partition appends a line to
+  ``_partials.jsonl``; a re-run with the same fingerprint skips completed
+  partitions' sort+write (the map stage re-streams — lineage recompute,
+  the standard Spark/Ray trade: cheap map work is repeated, expensive
+  sorted output is not).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from .canonicalize import _add_tkey_arrow, _dedup_sorted_block
+from .config import PipelineConfig
+from .pipeline import ERROR_PRED, _FusedExtractLink
+
+_PAGE_COLUMNS = ["url", "html"]
+_SAMPLE_PAGES = 3072  # pilot size: ~30k sampled keys at ~10 triples/page
+
+
+def _list_fragments(corpus) -> list:
+    if isinstance(corpus, (list, tuple)):
+        return sorted(corpus)
+    return sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+
+
+def _keyed_tables(files: Sequence[str], config: PipelineConfig,
+                  max_pages: Optional[int] = None):
+    """Yield keyed triple tables (tkey + payload cols) for a fragment set.
+
+    One fused pass: parquet batch → extract+link → drop error channel →
+    tkey (canonicalize combiner, with the --expand closure folded in when
+    configured). Batched reads bound the heap regardless of file size.
+    """
+    fused = _FusedExtractLink(config)
+    seen = 0
+    for path in files:
+        pf = pq.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=1024, columns=_PAGE_COLUMNS):
+            tbl = pa.Table.from_batches([rb])
+            if max_pages is not None and seen + tbl.num_rows > max_pages:
+                tbl = tbl.slice(0, max_pages - seen)
+            seen += tbl.num_rows
+            triples = fused(tbl)
+            real = triples.filter(
+                pc.not_equal(triples.column("pred"), ERROR_PRED))
+            errors = triples.filter(
+                pc.equal(triples.column("pred"), ERROR_PRED))
+            keyed = _add_tkey_arrow(
+                real.select(["subj", "pred", "obj", "obj_is_literal",
+                             "obj_lang", "obj_datatype"]),
+                expand=config.expand)
+            yield keyed, errors.select(["url", "obj"])
+            if max_pages is not None and seen >= max_pages:
+                return
+        if max_pages is not None and seen >= max_pages:
+            return
+
+
+@ray.remote
+def _sample_task(files: list, config: PipelineConfig, num_parts: int) -> list:
+    """Pilot: extract a few thousand pages, return P-1 tkey quantiles."""
+    keys: list = []
+    for keyed, _err in _keyed_tables(files, config, max_pages=_SAMPLE_PAGES):
+        keys.append(keyed.column("tkey").to_numpy(zero_copy_only=False))
+    if not keys:
+        return []
+    arr = np.sort(np.concatenate(keys))
+    return [arr[(len(arr) * i) // num_parts] for i in range(1, num_parts)]
+
+
+@ray.remote
+def _map_task(files: list, config: PipelineConfig, num_parts: int,
+              boundaries_wrap: list):
+    """Extract+link+key a fragment group, then range-partition it.
+
+    Returns num_parts keyed slices + one error table. ``boundaries_wrap``
+    is ``[ObjectRef]`` so the task starts extracting immediately and only
+    blocks on the pilot sample when partitioning — the sample's latency
+    fully overlaps the first map wave.
+    """
+    keyed_parts, err_parts = [], []
+    for keyed, err in _keyed_tables(files, config):
+        keyed_parts.append(keyed)
+        if err.num_rows:
+            err_parts.append(err)
+    if not keyed_parts:
+        empty = _add_tkey_arrow(
+            pa.table({"subj": pa.array([], pa.string()),
+                      "pred": pa.array([], pa.string()),
+                      "obj": pa.array([], pa.string()),
+                      "obj_is_literal": pa.array([], pa.bool_()),
+                      "obj_lang": pa.array([], pa.string()),
+                      "obj_datatype": pa.array([], pa.string())}))
+        slices = [empty] * num_parts
+    else:
+        tbl = pa.concat_tables(keyed_parts).combine_chunks()
+        boundaries = ray.get(boundaries_wrap[0])
+        keys = tbl.column("tkey").to_numpy(zero_copy_only=False)
+        part = (np.searchsorted(np.asarray(boundaries, dtype=object), keys,
+                                side="right")
+                if boundaries else np.zeros(len(keys), dtype=np.int64))
+        order = np.argsort(part, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        counts = np.bincount(part, minlength=num_parts)
+        slices, off = [], 0
+        for c in counts[:num_parts]:
+            slices.append(tbl.slice(off, int(c)))
+            off += int(c)
+    errors = (pa.concat_tables(err_parts) if err_parts
+              else pa.table({"url": pa.array([], pa.string()),
+                             "obj": pa.array([], pa.string())}))
+    return (*slices, errors)
+
+
+@ray.remote
+def _reduce_task(part_idx: int, out_dir: str, fmt: str, *slices) -> dict:
+    """Sort + adjacent-dedup one range partition and write its shard.
+
+    The write happens HERE, inside the reduce — the sorted stream never
+    re-enters the object store. Shards are written atomically
+    (tmp + rename) so a killed run leaves no torn partition behind.
+    """
+    tables = [s for s in slices if s is not None and s.num_rows]
+    if tables:
+        tbl = pa.concat_tables(tables).combine_chunks()
+        tbl = tbl.take(pc.sort_indices(tbl.column("tkey")))
+        out = _dedup_sorted_block(tbl)
+    else:
+        out = _dedup_sorted_block(
+            pa.table({"pred": pa.array([], pa.string()),
+                      "obj": pa.array([], pa.string()),
+                      "obj_is_literal": pa.array([], pa.bool_()),
+                      "obj_lang": pa.array([], pa.string()),
+                      "obj_datatype": pa.array([], pa.string()),
+                      "tkey": pa.array([], pa.string())}))
+    ext = "parquet" if fmt == "parquet" else "nt"
+    fname = "part-%05d.%s" % (part_idx, ext)
+    tmp = os.path.join(out_dir, "." + fname + ".tmp")
+    if fmt == "parquet":
+        pq.write_table(out, tmp)
+    else:
+        from .materialize import nt_lines
+
+        with open(tmp, "w") as fp:
+            fp.write("".join(nt_lines(out.to_pandas())))
+    os.replace(tmp, os.path.join(out_dir, fname))
+    return {"part": part_idx, "file": fname, "rows": out.num_rows}
+
+
+def _load_partials(path: str, fingerprint) -> dict:
+    """Completed-partition registry from a prior interrupted run."""
+    done = {}
+    if fingerprint is None or not os.path.isfile(path):
+        return done
+    with open(path) as fp:
+        for line in fp:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue  # torn final line from a killed run
+            if rec.get("fingerprint") == fingerprint:
+                done[rec["part"]] = rec
+    return done
+
+
+def write_canonical_graph(corpus, out_dir: str,
+                          config: Optional[PipelineConfig] = None,
+                          num_parts: Optional[int] = None,
+                          map_tasks: Optional[int] = None,
+                          fingerprint: Optional[str] = None,
+                          fmt: str = "parquet") -> dict:
+    """pages parquet → canonical sorted graph shards, in two passes.
+
+    ``corpus`` — a directory of page parquet fragments (or a file list).
+    ``fmt`` — "parquet" or "ntriples" (shards concatenate byte-identically
+    to materialize.write_ntriples(graph, sort=False)).
+
+    Returns the manifest dict (same shape as materialize.materialize, plus
+    per-partition lineage). Resume: with the same ``fingerprint``, a
+    complete manifest skips the whole run; otherwise partitions recorded
+    in ``_partials.jsonl`` skip their sort+write.
+    """
+    config = config or PipelineConfig()
+    if config.skosify:
+        # the iterative transitive closure needs the materialized edge
+        # stream (pipeline._apply_skosify); that path stays on the Dataset
+        # engine — the exchange covers the expand/plain flagship shapes.
+        raise NotImplementedError(
+            "--skosify runs on the Dataset engine (pipeline.run_pipeline)")
+    files = _list_fragments(corpus)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    if fingerprint is not None and os.path.isfile(manifest_path):
+        with open(manifest_path) as fp:
+            existing = json.load(fp)
+        if existing.get("fingerprint") == fingerprint and existing.get("complete"):
+            existing["skipped"] = True
+            return existing
+
+    partials_path = os.path.join(out_dir, "_partials.jsonl")
+    done = _load_partials(partials_path, fingerprint)
+    ext = ".parquet" if fmt == "parquet" else ".nt"
+    done = {p: rec for p, rec in done.items()
+            if os.path.isfile(os.path.join(out_dir, rec["file"]))}
+    # stale shards from a prior different-fingerprint run must not be
+    # swept into this manifest
+    keep = {rec["file"] for rec in done.values()}
+    for f in os.listdir(out_dir):
+        if f.endswith(ext) and f not in keep:
+            os.unlink(os.path.join(out_dir, f))
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    P = num_parts or max(16, 2 * ncpu)
+    M = max(1, min(map_tasks or max(8, 2 * ncpu), len(files)))
+    groups = [files[i::M] for i in range(M)]
+
+    # pilot over a few evenly-spaced fragments (first-fragment-only would
+    # inherit any generation-order bias in the corpus layout)
+    stride = max(1, len(files) // 4)
+    boundaries_ref = _sample_task.remote(files[::stride][:4], config, P)
+
+    slice_refs: list = [[] for _ in range(P)]
+    err_refs = []
+    for g in groups:
+        rets = _map_task.options(num_returns=P + 1).remote(
+            g, config, P, [boundaries_ref])
+        for p in range(P):
+            slice_refs[p].append(rets[p])
+        err_refs.append(rets[P])
+
+    pending = {}
+    for p in range(P):
+        if p in done:
+            continue
+        pending[_reduce_task.remote(p, out_dir, fmt, *slice_refs[p])] = p
+    parts = dict(done)
+    with open(partials_path, "a") as plog:
+        refs = list(pending)
+        while refs:
+            ready, refs = ray.wait(refs, num_returns=1)
+            rec = ray.get(ready[0])
+            rec["fingerprint"] = fingerprint
+            plog.write(json.dumps(rec) + "\n")
+            plog.flush()
+            parts[rec["part"]] = rec
+
+    err_tables = [t for t in ray.get(err_refs) if t.num_rows]
+    n_errors = 0
+    if err_tables:
+        err = pa.concat_tables(err_tables)
+        n_errors = err.num_rows
+        pq.write_table(err, os.path.join(out_dir, "_errors.parquet"))
+
+    ordered = [parts[p] for p in sorted(parts)]
+    manifest = {
+        "fingerprint": fingerprint,
+        "complete": True,
+        "rows": sum(r["rows"] for r in ordered),
+        "partitions": [{"file": r["file"], "rows": r["rows"]}
+                       for r in ordered],
+        "errors": n_errors,
+        "resumed_parts": len(done),
+        "config": config.semantic_options(),
+        "engine": "exchange",
+        "skipped": False,
+    }
+    with open(manifest_path, "w") as fp:
+        json.dump(manifest, fp, indent=2)
+    return manifest

@@ -158,19 +158,26 @@ def _term_nt(value, is_literal, lang, datatype):
     return '"%s"' % escaped
 
 
+def nt_lines(batch: pd.DataFrame) -> list:
+    """One N-Triples line per row of a graph batch (shared by the
+    driver-streaming writer below and the exchange reduce-side writer)."""
+    lines = []
+    for row in batch.itertuples(index=False):
+        subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
+        lines.append("%s <%s> %s .\n" % (
+            subj, row.pred,
+            _term_nt(row.obj, row.obj_is_literal, row.obj_lang, row.obj_datatype)))
+    return lines
+
+
 def write_ntriples(graph, fileobj, sort: bool = True) -> int:
     """Stream the graph to an N-Triples file (no driver materialization)."""
     ds = sorted_graph(graph) if sort else graph
     n = 0
     with _preserve_order():
         for batch in ds.iter_batches(batch_format="pandas", batch_size=8192):
-            lines = []
-            for row in batch.itertuples(index=False):
-                subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
-                lines.append("%s <%s> %s .\n" % (
-                    subj, row.pred,
-                    _term_nt(row.obj, row.obj_is_literal, row.obj_lang, row.obj_datatype)))
-                n += 1
+            lines = nt_lines(batch)
+            n += len(lines)
             fileobj.write("".join(lines))
     return n
 

@@ -1,0 +1,151 @@
+"""Tests for the two-pass sort exchange (kgx/exchange.py).
+
+Pins the module's contract: byte/set parity with the Dataset engine
+(pipeline.build_graph → materialize), global output order across shards,
+resume-from-partials lineage, and the error channel.
+"""
+
+import io
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kgx.config import PipelineConfig
+from kgx.exchange import write_canonical_graph
+
+CORPUS_PAGES = 900
+KEY_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_lang", "obj_datatype"]
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    from kgx.pages import synthetic_pages
+
+    path = str(tmp_path_factory.mktemp("exchange_corpus"))
+    synthetic_pages(CORPUS_PAGES, override_num_blocks=6).write_parquet(path)
+    return path
+
+
+def _read_shards(out_dir):
+    with open(os.path.join(out_dir, "_MANIFEST.json")) as fp:
+        manifest = json.load(fp)
+    tables = [pq.read_table(os.path.join(out_dir, p["file"]))
+              for p in manifest["partitions"]]
+    return manifest, pa.concat_tables(tables)
+
+
+def _dataset_graph(corpus, cfg):
+    import ray.data
+
+    from kgx.pipeline import build_graph
+
+    pages = ray.data.read_parquet(corpus, columns=["url", "html"])
+    return build_graph(pages, cfg)
+
+
+@pytest.mark.parametrize("expand", [False, True])
+def test_exchange_matches_dataset_engine(ray_session, corpus, tmp_path, expand):
+    cfg = PipelineConfig(include_altlabels=True, include_components=True,
+                         include_webdewey=True, expand=expand)
+    out = str(tmp_path / "graph")
+    manifest = write_canonical_graph(corpus, out, cfg, num_parts=5, map_tasks=3)
+    _, got = _read_shards(out)
+    got_df = got.to_pandas()
+    want = _dataset_graph(corpus, cfg).to_pandas()
+    assert manifest["rows"] == len(got_df) == len(want)
+    a = got_df[KEY_COLS].sort_values(KEY_COLS).reset_index(drop=True)
+    b = want[KEY_COLS].sort_values(KEY_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_exchange_output_globally_ordered(ray_session, corpus, tmp_path):
+    """Concatenating the shards in part order IS the global serializer
+    order: the subject sort key is non-decreasing across the whole run
+    and every subject's triples are contiguous."""
+    from kgx.materialize import sort_key
+
+    cfg = PipelineConfig(include_altlabels=True)
+    out = str(tmp_path / "graph")
+    write_canonical_graph(corpus, out, cfg, num_parts=7, map_tasks=2)
+    _, got = _read_shards(out)
+    subj = got.column("subj").to_pylist()
+    skeys = [sort_key(s) for s in subj]
+    assert all(a <= b for a, b in zip(skeys, skeys[1:]))
+    seen, current = set(), None
+    for s in subj:
+        if s != current:
+            assert s not in seen, "subject block split across shards"
+            seen.add(s)
+            current = s
+
+
+def test_exchange_ntriples_byte_parity(ray_session, corpus, tmp_path):
+    """Shard concatenation in part order == the driver-streamed
+    write_ntriples over the Dataset engine's canonical graph."""
+    from kgx.materialize import write_ntriples
+
+    cfg = PipelineConfig(include_altlabels=True)
+    out = str(tmp_path / "nt")
+    write_canonical_graph(corpus, out, cfg, num_parts=4, map_tasks=2,
+                          fmt="ntriples")
+    with open(os.path.join(out, "_MANIFEST.json")) as fp:
+        manifest = json.load(fp)
+    blob = "".join(
+        open(os.path.join(out, p["file"]), encoding="utf-8").read()
+        for p in manifest["partitions"])
+    buf = io.StringIO()
+    write_ntriples(_dataset_graph(corpus, cfg), buf, sort=False)
+    assert blob == buf.getvalue()
+
+
+def test_exchange_resume_skips_completed_partitions(ray_session, corpus, tmp_path):
+    cfg = PipelineConfig()
+    out = str(tmp_path / "graph")
+    m1 = write_canonical_graph(corpus, out, cfg, num_parts=4, map_tasks=2,
+                               fingerprint="fp1")
+    assert m1["resumed_parts"] == 0 and not m1["skipped"]
+
+    # complete manifest + same fingerprint → the whole run is skipped
+    m2 = write_canonical_graph(corpus, out, cfg, num_parts=4, map_tasks=2,
+                               fingerprint="fp1")
+    assert m2["skipped"]
+
+    # simulate a crash: manifest lost, one shard torn away
+    os.unlink(os.path.join(out, "_MANIFEST.json"))
+    os.unlink(os.path.join(out, m1["partitions"][2]["file"]))
+    m3 = write_canonical_graph(corpus, out, cfg, num_parts=4, map_tasks=2,
+                               fingerprint="fp1")
+    assert m3["resumed_parts"] == 3
+    assert m3["rows"] == m1["rows"]
+    assert [p["rows"] for p in m3["partitions"]] == \
+        [p["rows"] for p in m1["partitions"]]
+
+    # different fingerprint → stale partials ignored, full rerun
+    m4 = write_canonical_graph(corpus, out, cfg, num_parts=4, map_tasks=2,
+                               fingerprint="fp2")
+    assert m4["resumed_parts"] == 0 and m4["rows"] == m1["rows"]
+
+
+def test_exchange_error_channel(ray_session, corpus, tmp_path):
+    import ray.data
+
+    from kgx.pipeline import build_triples, split_errors
+
+    cfg = PipelineConfig()
+    out = str(tmp_path / "graph")
+    write_canonical_graph(corpus, out, cfg, num_parts=3, map_tasks=2)
+    err = pq.read_table(os.path.join(out, "_errors.parquet"))
+    pages = ray.data.read_parquet(corpus, columns=["url", "html"])
+    _real, errors = split_errors(build_triples(pages, cfg))
+    assert err.num_rows == errors.count()
+    assert err.num_rows > 0  # the synthetic corpus plants invalid records
+
+
+def test_exchange_rejects_skosify(corpus, tmp_path):
+    with pytest.raises(NotImplementedError):
+        write_canonical_graph(corpus, str(tmp_path / "x"),
+                              PipelineConfig(skosify=True))
