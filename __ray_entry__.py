@@ -31,19 +31,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import broader_closure as _broader_closure
     from kgx.components import sameas_components as _sameas_components
 
-    def kg_synthetic(sf_dir: str):
-        # richer classification corpus (153 hierarchy, notes, mappings,
-        # components, invalid records) — deterministic, rows-only check
-        from kgx.config import PipelineConfig
-        from kgx.pages import synthetic_pages
-        from kgx.pipeline import build_graph
-
-        n = {"0.001": 500, "0.01": 1000, "0.1": 5000}.get(
-            sf_dir.rstrip("/").rsplit("sf", 1)[-1], 1000)
-        cfg = PipelineConfig(include_altlabels=True, include_components=True,
-                             include_webdewey=True)
-        return build_graph(synthetic_pages(n), cfg)
-
     return {
         # KG-construction pipeline (SURVEY §2)
         "kg_triples": q.kg_triples,
@@ -53,7 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_histogram": q.kg_degree_histogram,
         "kg_skosify": q.kg_skosify,
         "kg_broader_closure": _broader_closure,
-        "kg_synthetic": kg_synthetic,
+        "kg_synthetic": q.kg_synthetic,
         # text analysis
         "token_counts": textops.token_counts,
         "token_counts_bpe": textops.token_counts_bpe,

@@ -65,19 +65,73 @@ def dedup_first3(sf_dir: str):
     return _bucketed_min(ds, key)
 
 
+def _block_pairs_exact(ids, sets, threshold: float) -> list:
+    """All-pairs exact token-set Jaccard inside one block: O(n²)."""
+    out = []
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i]) + len(sets[j]) - inter
+        if union and inter / union >= threshold:
+            out.append(tuple(sorted((ids[i], ids[j]))))
+    return out
+
+
+def _block_pairs_escalated(ids, sets, threshold: float, num_perm: int = 64,
+                           bands: int = 16, max_bucket: int = 200) -> list:
+    """Oversized-block path: MinHash-LSH candidate generation + EXACT
+    Jaccard verify, O(n·num_perm + candidates) instead of O(n²).
+
+    Precision is exact (every emitted pair passes the same exact-Jaccard
+    test as the small-block path); recall is the LSH catch probability —
+    1-(1-t^(num_perm/bands))^bands ≈ 0.9998 at t = 0.8 with the default
+    16 bands of 4 rows, rising toward 1 above the threshold. So the
+    answer is preserved except for a ~2·10⁻⁴ tail of pairs sitting
+    exactly at the threshold.
+    """
+    a, b = _perm_params(num_perm)
+    rpb = num_perm // bands
+    sigs = np.vstack([
+        _minhash(np.array([zlib.crc32(t.encode("utf-8")) for t in s],
+                          dtype=np.uint64), a, b)
+        for s in sets
+    ])
+    cand = set()
+    for band in range(bands):
+        chunk = sigs[:, band * rpb:(band + 1) * rpb]
+        buckets: dict = {}
+        for i in range(len(ids)):
+            buckets.setdefault(chunk[i].tobytes(), []).append(i)
+        for members in buckets.values():
+            if len(members) > max_bucket:  # pathological bucket guard
+                members = members[:max_bucket]
+            cand.update(itertools.combinations(members, 2))
+    out = []
+    for i, j in cand:
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i]) + len(sets[j]) - inter
+        if union and inter / union >= threshold:
+            out.append(tuple(sorted((ids[i], ids[j]))))
+    return sorted(out)  # set-iteration order must not leak into the output
+
+
 def jaccard_pairs(sf_dir: str, threshold: float = 0.8,
                   num_partitions: Optional[int] = None,
-                  max_block: Optional[int] = None):
+                  max_block: Optional[int] = None,
+                  block_cap: Optional[int] = 4096):
     """(doc_id_a, doc_id_b) pairs with token-set Jaccard >= threshold,
     blocked on the first token.
 
     Scale shape: blocks are COARSENED into ``num_partitions`` hash
     partitions (one Ray group per partition, never one per distinct
     token); the true per-block grouping and the pairwise verify happen in
-    pandas inside the partition. ``max_block`` optionally caps a
-    pathological block (a hyper-common first token) to its first N docs —
-    off by default because it changes the answer; at 10^9+ docs route
-    such corpora through ``minhash_lsh_pairs`` instead.
+    pandas inside the partition. Blocks larger than ``block_cap`` (a
+    hyper-common first token — the one skew case a blocked all-pairs
+    cannot absorb) automatically escalate to LSH candidate generation
+    with the SAME exact-Jaccard verify (``_block_pairs_escalated``), so
+    no task ever runs an unbounded O(n²): compute is O(n·perm +
+    candidates) for those blocks, with exact precision and ≥0.999 recall
+    at the threshold. ``max_block`` is the older truncate-the-block guard
+    — off by default because it changes the answer.
     """
     if num_partitions is None:
         import ray
@@ -106,13 +160,13 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.8,
                 ids = [ids[i] for i in order]
                 texts = texts.iloc[order]
             sets = [set(t.split(" ")) for t in texts]
-            for i, j in itertools.combinations(range(len(ids)), 2):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i]) + len(sets[j]) - inter
-                if union and inter / union >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
+            if block_cap is not None and len(ids) > block_cap:
+                pairs = _block_pairs_escalated(ids, sets, threshold)
+            else:
+                pairs = _block_pairs_exact(ids, sets, threshold)
+            for a, b in pairs:
+                out_a.append(a)
+                out_b.append(b)
         return pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype="int64"),
                              "doc_id_b": pd.Series(out_b, dtype="int64")})
 
@@ -177,13 +231,34 @@ def _sig_array(hex_sig: str) -> np.ndarray:
     return np.frombuffer(bytes.fromhex(hex_sig), dtype=">u8")
 
 
-def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
+def lsh_bands_for_threshold(threshold: float, num_perm: int = 64) -> int:
+    """Pick the band count whose LSH S-curve knee (1/L)^(1/r) sits just
+    below ``threshold`` — the sharpest bucket regime that still catches
+    at-threshold pairs. Low thresholds get many short bands (wide
+    search); dedup thresholds (~0.8) get few long bands (L=8, r=8 at 64
+    perms), cutting bucket occupancy from N/2^(64·4/64) collisions per
+    band to far sparser 128-bit keys and starving the candidate flood."""
+    best = None
+    for L in (32, 16, 8, 4):
+        if num_perm % L:
+            continue
+        r = num_perm // L
+        knee = (1.0 / L) ** (1.0 / r)
+        if knee <= threshold and (best is None or knee > best[1]):
+            best = (L, knee)
+    return best[0] if best else 32
+
+
+def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64,
+                      bands: Optional[int] = None,
                       threshold: float = 0.5, num_partitions: Optional[int] = None,
                       shingle_k: int = 3, max_bucket: int = 200):
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify.
 
     shingle → signature → band buckets (groupby bucket) → candidate pairs
     → hash-join signatures back on both sides → estimated-Jaccard filter.
+    ``bands=None`` derives the regime from the threshold
+    (``lsh_bands_for_threshold``: 16×4 at 0.5, 8×8 at 0.8).
     Returns (doc_id_a, doc_id_b, jaccard_est).
     """
     if num_partitions is None:
@@ -192,6 +267,8 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(4, ncpu)
     nparts = num_partitions
+    if bands is None:
+        bands = lsh_bands_for_threshold(threshold, num_perm)
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(sf_dir, num_perm, shingle_k).materialize()
 

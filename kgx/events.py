@@ -134,15 +134,13 @@ def sliding_window_counts(sf_dir: str, window_sec: int = 3600,
         g = out.groupby(["event_type", "window_start"], as_index=False).size()
         return g.rename(columns={"size": "partial_n"})
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["event_type", "window_start"], as_index=False)
-             ["partial_n"].sum().rename(columns={"partial_n": "n"}))
-        g["n"] = g["n"].astype("int64")
-        return g
-
+    # hash AGGREGATE, not per-key map_groups: no UDF dispatch per
+    # distinct (type, window) key
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(["event_type", "window_start"]).map_groups(
-        merge, batch_format="pandas")
+    out = partials.groupby(["event_type", "window_start"]).sum("partial_n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(partial_n)": "n"}).astype({"n": "int64"}),
+        batch_format="pandas")
 
 
 def event_type_hourly(sf_dir: str):
@@ -156,11 +154,10 @@ def event_type_hourly(sf_dir: str):
                .rename(columns={"size": "partial_n"}))
         return out
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["event_type", "hour"], as_index=False)["partial_n"]
-                .sum().rename(columns={"partial_n": "n"}))
-
-    # combiner (per block) then a small shuffle on the compound key
+    # combiner (per block) then one hash aggregate on the compound key
+    # (no per-distinct-key UDF dispatch)
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(["event_type", "hour"]).map_groups(
-        merge, batch_format="pandas")
+    out = partials.groupby(["event_type", "hour"]).sum("partial_n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(partial_n)": "n"}).astype({"n": "int64"}),
+        batch_format="pandas")

@@ -250,6 +250,9 @@ def write_canonical_graph(corpus, out_dir: str,
         if f.endswith(ext) and f not in keep:
             os.unlink(os.path.join(out_dir, f))
 
+    import time
+
+    t0 = time.time()
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     P = num_parts or max(16, 2 * ncpu)
     M = max(1, min(map_tasks or max(8, 2 * ncpu), len(files)))
@@ -274,6 +277,13 @@ def write_canonical_graph(corpus, out_dir: str,
         if p in done:
             continue
         pending[_reduce_task.remote(p, out_dir, fmt, *slice_refs[p])] = p
+
+    # phase observability (manifest only): the error tables return with
+    # the map tasks, so waiting on them timestamps the map wave without
+    # delaying the already-submitted reduces
+    err_tables = [t for t in ray.get(err_refs) if t.num_rows]
+    t_maps_done = time.time()
+
     parts = dict(done)
     with open(partials_path, "a") as plog:
         refs = list(pending)
@@ -285,7 +295,7 @@ def write_canonical_graph(corpus, out_dir: str,
             plog.flush()
             parts[rec["part"]] = rec
 
-    err_tables = [t for t in ray.get(err_refs) if t.num_rows]
+    t_reduce_done = time.time()
     n_errors = 0
     if err_tables:
         err = pa.concat_tables(err_tables)
@@ -301,6 +311,8 @@ def write_canonical_graph(corpus, out_dir: str,
                        for r in ordered],
         "errors": n_errors,
         "resumed_parts": len(done),
+        "phase_sec": {"map_wave": round(t_maps_done - t0, 3),
+                      "reduce_tail": round(t_reduce_done - t_maps_done, 3)},
         "config": config.semantic_options(),
         "engine": "exchange",
         "skipped": False,

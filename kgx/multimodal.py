@@ -12,39 +12,68 @@ import numpy as np
 import pandas as pd
 
 
-def decode_image(payload: bytes):
-    """Decode an image payload. Real decode needs PIL, which is not baked
-    into this container — callers use the deterministic fake features
-    below instead."""
+def _pil_available() -> bool:
     try:
-        from PIL import Image  # noqa: F401
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an (h, w, 3) uint8 RGB array via PIL.
+
+    PIL is not baked into this container, so here this raises
+    ``NotImplementedError`` and the stages below fall back to
+    deterministic byte-level features; on a host with codecs the same
+    stages pick this decoder up automatically (``decoder="auto"``)."""
+    try:
+        import io
+
+        from PIL import Image
     except ImportError:
         raise NotImplementedError(
-            "image decode requires PIL; use FeatureExtractor's deterministic "
-            "byte-level features in this environment"
+            "image decode requires PIL; FeatureExtractor/Resizer fall back "
+            "to deterministic byte-level features in this environment"
         )
-    raise NotImplementedError("real decode path not wired in this build")
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _resolve_decoder(decoder):
+    """``"auto"`` → the PIL decode when codecs exist, else the byte-level
+    fallback (None); an explicit callable (e.g. a test fake or a video
+    frame grabber) is used as-is."""
+    if decoder == "auto":
+        return decode_image if _pil_available() else None
+    return decoder
 
 
 class FeatureExtractor:
     """Actor-pool stage: 'model' built once per actor, batched inference.
 
-    The fake model is a fixed random projection (seeded) over the payload
-    byte histogram — deterministic across actors and runs, with the same
-    call signature a real embedding model would have.
+    With a decoder (PIL present, or injected), features are the fixed
+    random projection of the decoded image's pixel histogram; without
+    codecs the same projection runs over the payload byte histogram —
+    deterministic across actors and runs, same call signature either way.
     """
 
-    def __init__(self, dim: int = 16, seed: int = 42):
+    def __init__(self, dim: int = 16, seed: int = 42, decoder="auto"):
         rng = np.random.RandomState(seed)
         self.W = rng.standard_normal((256, dim))  # "model load", once per actor
+        self.decoder = _resolve_decoder(decoder)  # resolved once per actor
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         feats = []
         n_bytes = []
         for payload in df["payload"]:
-            buf = np.frombuffer(payload, dtype=np.uint8)
+            if self.decoder is not None:
+                buf = self.decoder(payload).ravel()
+            else:
+                buf = np.frombuffer(payload, dtype=np.uint8)
             hist = np.bincount(buf, minlength=256).astype(np.float64)
-            n_bytes.append(len(buf))
+            n_bytes.append(len(payload))
             feats.append((hist @ self.W).tolist())
         return pd.DataFrame({
             "doc_id": df["doc_id"],
@@ -79,19 +108,29 @@ def payload_features(sf_dir: str, batch_size: int = 64):
 
 
 class Resizer:
-    """Actor-pool resize stage. A real build would decode + PIL-resize;
-    this container has no codecs, so the deterministic stand-in
-    stride-samples the payload bytes down to ``out_w × out_h`` "pixels"
-    — same signature, batch sizing and output layout as the real op."""
+    """Actor-pool resize stage. With a decoder (PIL present, or injected)
+    the payload decodes to (h, w, 3) pixels and nearest-neighbour grid
+    sampling produces exactly ``out_h × out_w × 3`` RGB bytes; without
+    codecs the deterministic stand-in stride-samples the raw payload
+    bytes — same signature, batch sizing and output layout either way."""
 
-    def __init__(self, out_w: int = 8, out_h: int = 8):
+    def __init__(self, out_w: int = 8, out_h: int = 8, decoder="auto"):
         self.out_w = out_w
         self.out_h = out_h
+        self.decoder = _resolve_decoder(decoder)  # resolved once per actor
+
+    def _resize_pixels(self, arr: np.ndarray) -> bytes:
+        iy = np.linspace(0, arr.shape[0] - 1, num=self.out_h, dtype=np.int64)
+        ix = np.linspace(0, arr.shape[1] - 1, num=self.out_w, dtype=np.int64)
+        return arr[iy][:, ix].astype(np.uint8).tobytes()
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         target = self.out_w * self.out_h
         resized = []
         for payload in df["payload"]:
+            if self.decoder is not None:
+                resized.append(self._resize_pixels(self.decoder(payload)))
+                continue
             buf = np.frombuffer(payload, dtype=np.uint8)
             if len(buf) == 0:
                 resized.append(b"")

@@ -77,6 +77,22 @@ def kg_skosify(sf_dir: str):
     return graph.map_batches(closure_only, batch_format="pandas")
 
 
+def kg_synthetic(sf_dir: str):
+    """Richer classification+authority corpus (153 hierarchy, notes,
+    mappings, 765 component lists, WebDewey extras, deliberate duplicate
+    records, invalid records) through the full pipeline. ``n`` pages =
+    2 × the documents row count, so the DuckDB oracle can derive the
+    same corpus size from the registered views."""
+    import pyarrow.parquet as pq
+
+    from .pages import synthetic_pages
+
+    n = 2 * pq.read_metadata("%s/documents.parquet" % sf_dir).num_rows
+    cfg = PipelineConfig(include_altlabels=True, include_components=True,
+                         include_webdewey=True)
+    return build_graph(synthetic_pages(n), cfg)
+
+
 def kg_degree_histogram(sf_dir: str):
     """Distribution of per-subject triple counts (degree histogram) —
     exercises the two-level aggregation path."""
@@ -366,7 +382,139 @@ WITH RECURSIVE anc AS (
 )
 """
 
+# Exact SQL reconstruction of the synthetic benchmark corpus's canonical
+# graph (kgx.pages._cls_record_xml / _auth_record_xml through the full
+# extract→link→canonicalize pipeline). Every branch of the generator is
+# mirrored: notation/parent digits, caption word table, 008-driven
+# deprecation (i%17), scopeNote+classHere (i%3), LCSH closeMatch (i%4),
+# dropped-vocabulary index terms that still yield altLabels (i%5), 765
+# component lists with md5-digest blank-node chains (i%7), gnd authority
+# records (i%9), plus set-semantics dedup of the deliberate duplicate
+# records (i%10==9) via the final DISTINCT. n = 2 × count(documents),
+# matching queries.kg_synthetic.
+_SYNTH_CTE = """
+WITH seq AS (
+  SELECT unnest(generate_series(0, 2 * (SELECT count(*) FROM documents) - 1)) AS i
+), wt AS (
+  SELECT ['Systems','Theory','Knowledge','Languages','History','Analysis',
+          'Methods','Physics','Chemistry','Biology','Computing','Society',
+          'Religion','Arts','Literature','Geography','Statistics','Music'] AS W
+), cls AS (
+  SELECT i,
+    parent,
+    parent || '.' || i AS notation,
+    'http://dewey.info/class/' || parent || '.' || i || '/e23/' AS u,
+    'http://dewey.info/class/' || parent || '/e23/' AS parent_uri,
+    W[(i % 18) + 1] || ' ' || W[((i * 7 + 3) % 18) + 1] || ' ' || i AS caption,
+    strftime(DATE '2020-01-01' + CAST(i % 365 AS INTEGER), '%Y-%m-%d') AS created,
+    CAST(i % 10 AS VARCHAR) || lpad(CAST(i % 100 AS VARCHAR), 2, '0') AS comp2
+  FROM (
+    SELECT i,
+      CAST(i % 10 AS VARCHAR) || CAST((i // 10) % 10 AS VARCHAR)
+        || CAST((i // 100) % 10 AS VARCHAR) AS parent
+    FROM seq
+  ), wt
+), comp AS (
+  SELECT i, u, parent_uri,
+    'http://dewey.info/class/' || comp2 || '/e23/' AS comp2_uri,
+    '_:cl' || substr(md5(parent || chr(31) || comp2 || chr(30) || u), 1, 16)
+      AS bn
+  FROM cls WHERE i % 7 = 0
+), auth AS (
+  SELECT i,
+    'http://d-nb.info/gnd/' || (1000000 + i) AS a,
+    'http://d-nb.info/gnd/' || (1000000 + i // 2) AS pa,
+    strftime(DATE '2020-01-01' + CAST(i % 365 AS INTEGER), '%Y-%m-%d') AS created
+  FROM seq WHERE i % 9 = 0
+), raw AS (
+  SELECT u AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://www.w3.org/2004/02/skos/core#Concept' AS obj,
+         FALSE AS obj_is_literal, NULL AS obj_lang, NULL AS obj_datatype FROM cls
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2004/02/skos/core#inScheme',
+         'http://dewey.info/scheme/edition/e23/', FALSE, NULL, NULL FROM cls
+  UNION ALL
+  SELECT u, 'http://purl.org/dc/terms/created', created, TRUE, NULL,
+         'http://www.w3.org/2001/XMLSchema#date' FROM cls
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2004/02/skos/core#notation', notation,
+         TRUE, NULL, NULL FROM cls
+  UNION ALL
+  SELECT u, 'http://purl.org/dc/terms/identifier',
+         'ocd' || lpad(CAST(i AS VARCHAR), 8, '0'), TRUE, NULL, NULL FROM cls
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2004/02/skos/core#prefLabel', caption,
+         TRUE, 'en', NULL FROM cls
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2004/02/skos/core#broader', parent_uri,
+         FALSE, NULL, NULL FROM cls
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2004/02/skos/core#altLabel', 'Heading ' || i,
+         TRUE, 'en', NULL FROM cls WHERE i % 4 = 0
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2004/02/skos/core#altLabel', 'Term ' || i,
+         TRUE, 'en', NULL FROM cls WHERE i % 5 = 0
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2004/02/skos/core#closeMatch',
+         'http://id.loc.gov/authorities/subjects/sh'
+           || lpad(CAST(i AS VARCHAR), 8, '0'),
+         FALSE, NULL, NULL FROM cls WHERE i % 4 = 0
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2004/02/skos/core#scopeNote', 'Her: tema ' || i,
+         TRUE, 'en', NULL FROM cls WHERE i % 3 = 0
+  UNION ALL
+  SELECT u, 'http://data.ub.uio.no/webdewey-terms#classHere', 'Tema ' || i,
+         TRUE, 'en', NULL FROM cls WHERE i % 3 = 0
+  UNION ALL
+  SELECT u, 'http://www.w3.org/2002/07/owl#deprecated', 'true', TRUE, NULL,
+         'http://www.w3.org/2001/XMLSchema#boolean' FROM cls WHERE i % 17 = 0
+  UNION ALL
+  SELECT u, 'http://www.loc.gov/mads/rdf/v1#componentList', bn || '_0',
+         FALSE, NULL, NULL FROM comp
+  UNION ALL
+  SELECT bn || '_0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+         parent_uri, FALSE, NULL, NULL FROM comp
+  UNION ALL
+  SELECT bn || '_0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+         bn || '_1', FALSE, NULL, NULL FROM comp
+  UNION ALL
+  SELECT bn || '_1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+         comp2_uri, FALSE, NULL, NULL FROM comp
+  UNION ALL
+  SELECT bn || '_1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil',
+         FALSE, NULL, NULL FROM comp
+  UNION ALL
+  SELECT a, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://www.w3.org/2004/02/skos/core#Concept',
+         FALSE, NULL, NULL FROM auth
+  UNION ALL
+  SELECT a, 'http://www.w3.org/2004/02/skos/core#inScheme',
+         'http://d-nb.info/gnd/', FALSE, NULL, NULL FROM auth
+  UNION ALL
+  SELECT a, 'http://purl.org/dc/terms/created', created, TRUE, NULL,
+         'http://www.w3.org/2001/XMLSchema#date' FROM auth
+  UNION ALL
+  SELECT a, 'http://purl.org/dc/terms/identifier',
+         CAST(1000000 + i AS VARCHAR), TRUE, NULL, NULL FROM auth
+  UNION ALL
+  SELECT a, 'http://www.w3.org/2004/02/skos/core#prefLabel', 'Begriff ' || i,
+         TRUE, 'de', NULL FROM auth
+  UNION ALL
+  SELECT a, 'http://www.w3.org/2004/02/skos/core#broader', pa,
+         FALSE, NULL, NULL FROM auth
+  UNION ALL
+  SELECT a, 'http://www.w3.org/2004/02/skos/core#exactMatch',
+         'http://www.wikidata.org/entity/Q' || i, FALSE, NULL, NULL FROM auth
+)
+"""
+
 KG_ORACLES = {
+    "kg_synthetic": _SYNTH_CTE + (
+        "SELECT DISTINCT subj, pred, obj, obj_is_literal,"
+        " CAST(obj_lang AS VARCHAR) AS obj_lang,"
+        " CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM raw"
+    ),
     "kg_skosify": _ANC_CTE + (
         "SELECT 'http://example.org/doc/' || d AS subj,"
         " 'http://www.w3.org/2004/02/skos/core#broaderTransitive' AS pred,"

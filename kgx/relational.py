@@ -31,19 +31,25 @@ def lineitem_summary(sf_dir: str):
         g["n_rows"] = g["n_rows"].astype("int64")
         return g
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, as_index=False).agg(
-            n_rows=("n_rows", "sum"),
-            sum_qty=("sum_qty", "sum"),
-            min_ship=("min_ship", "min"),
-            max_ship=("max_ship", "max"),
-        )
-        g["min_ship"] = g["min_ship"].dt.strftime("%Y-%m-%d")
-        g["max_ship"] = g["max_ship"].dt.strftime("%Y-%m-%d")
-        return g
+    # hash AGGREGATE over the partials (no per-distinct-key UDF dispatch)
+    from ray.data.aggregate import Max, Min, Sum
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+    out = partials.groupby(keys).aggregate(
+        Sum("n_rows"), Sum("sum_qty"), Min("min_ship"), Max("max_ship"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n_rows)": "n_rows",
+                                "sum(sum_qty)": "sum_qty",
+                                "min(min_ship)": "min_ship",
+                                "max(max_ship)": "max_ship"})
+        df["n_rows"] = df["n_rows"].astype("int64")
+        df["sum_qty"] = df["sum_qty"].astype("int64")
+        df["min_ship"] = df["min_ship"].dt.strftime("%Y-%m-%d")
+        df["max_ship"] = df["max_ship"].dt.strftime("%Y-%m-%d")
+        return df[keys + ["n_rows", "sum_qty", "min_ship", "max_ship"]]
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def orders_by_customer_nation(sf_dir: str, num_partitions=None):

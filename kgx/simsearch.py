@@ -148,17 +148,27 @@ def train_centroids(sf_dir: str, nlist: int = 64, sample: int = 4096,
 
 
 def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
-            nprobe: int = 16):
+            nprobe: int = 16, shards_per_bucket: int = None,
+            target_shard_rows: int = 65536):
     """Approximate top-k: IVF with a trained coarse quantizer.
 
     Candidates are assigned to their nearest of ``nlist`` k-means
     centroids inside ``map_batches``; queries are SHIPPED AS DATA — each
     query row is replicated to its ``nprobe`` nearest centroid buckets —
-    and both sides co-group through ONE ``groupby(bucket)`` shuffle
-    (reduce-side join, no driver-held query closure). Per-bucket partial
-    top-k is reduced by a small groupby(query). Scoring work is
-    ~``nprobe/nlist`` of brute force; recall vs ``knn_bruteforce`` is
-    pinned by tests/test_ops.py. Returns (query_id, neighbor_id, rank).
+    and both sides co-group through ONE shuffle (reduce-side join, no
+    driver-held query closure). Per-bucket partial top-k is reduced by a
+    small groupby(query). Scoring work is ~``nprobe/nlist`` of brute
+    force; recall vs ``knn_bruteforce`` is pinned by tests/test_ops.py.
+
+    Buckets are SUB-SHARDED: the group key is ``bucket * S + vec_id % S``
+    with ``S = ceil(rows / (nlist · target_shard_rows))`` (overridable),
+    so no single reduce task ever materializes a whole IVF bucket —
+    at 10^9 vectors a bucket is ~10^7 rows, but each shard stays at
+    ~``target_shard_rows``. Queries replicate to all S shards of each
+    probed bucket (queries are the small side); candidates land in
+    exactly one shard, so no (query, neighbor) pair duplicates and the
+    existing per-query reduce merges shard partials unchanged.
+    Returns (query_id, neighbor_id, rank).
     """
     import ray.data
 
@@ -167,13 +177,20 @@ def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
 
     ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
+    if shards_per_bucket is None:
+        # parquet-metadata count: cheap, no data scan
+        nrows = ds.count()
+        shards_per_bucket = max(1, -(-nrows // (C.shape[0] * target_shard_rows)))
+    S = shards_per_bucket
 
     def tag_candidates(df: pd.DataFrame) -> pd.DataFrame:
         M = _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
+        bucket = np.argmax(M @ C.T, axis=1).astype("int64")
+        shard = df["vec_id"].to_numpy() % S
         return pd.DataFrame({
             "vec_id": df["vec_id"],
             "embedding": df["embedding"],
-            "bucket": np.argmax(M @ C.T, axis=1).astype("int32"),
+            "gkey": (bucket * S + shard).astype("int64"),
             "is_query": False,
         })
 
@@ -182,19 +199,21 @@ def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
         if q.empty:
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "embedding": pd.Series([], dtype="object"),
-                                 "bucket": pd.Series([], dtype="int32"),
+                                 "gkey": pd.Series([], dtype="int64"),
                                  "is_query": pd.Series([], dtype="bool")})
         Q = _normalize(np.array(q["embedding"].tolist(), dtype=np.float64))
-        # nprobe nearest centroids per query → one replica per probe bucket
+        # nprobe nearest centroids per query → one replica per probe
+        # bucket × shard
         order = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
         reps = []
         for p in range(nprobe):
-            reps.append(pd.DataFrame({
-                "vec_id": q["vec_id"].to_numpy(),
-                "embedding": q["embedding"].to_numpy(),
-                "bucket": order[:, p].astype("int32"),
-                "is_query": True,
-            }))
+            for s in range(S):
+                reps.append(pd.DataFrame({
+                    "vec_id": q["vec_id"].to_numpy(),
+                    "embedding": q["embedding"].to_numpy(),
+                    "gkey": (order[:, p].astype("int64") * S + s),
+                    "is_query": True,
+                }))
         return pd.concat(reps, ignore_index=True)
 
     candidates = ds.map_batches(tag_candidates, batch_format="pandas")
@@ -230,5 +249,5 @@ def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
                              "sim": out_s})
 
     partial = (candidates.union(queries)
-               .groupby("bucket").map_groups(score_bucket, batch_format="pandas"))
+               .groupby("gkey").map_groups(score_bucket, batch_format="pandas"))
     return _final_topk_reduce(partial, k)

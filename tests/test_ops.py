@@ -137,6 +137,58 @@ class TestDedup:
         assert len(approx) <= len(exact) + slack
         assert len(approx - exact) <= slack
 
+    def test_jaccard_escalated_block_matches_exact(self):
+        # unit: the LSH-candidate + exact-verify path returns the same
+        # pairs as brute force on a block with clear cluster structure
+        from kgx.dedup import _block_pairs_escalated, _block_pairs_exact
+
+        ids, sets = [], []
+        for c in range(40):  # 40 clusters of 3 near-identical docs
+            vocab = {"c%d_w%d" % (c, w) for w in range(30)}
+            for m in range(3):
+                ids.append(c * 3 + m)
+                sets.append(vocab | {"c%d_extra%d" % (c, m)})
+        exact = _block_pairs_exact(ids, sets, 0.8)
+        esc = _block_pairs_escalated(ids, sets, 0.8)
+        assert sorted(exact) == esc
+        assert len(esc) == 40 * 3  # 3 pairs per cluster
+
+    def test_jaccard_pairs_block_cap_preserves_answer(self, ray_session,
+                                                      tmp_path):
+        # a hyper-common first token puts every doc in ONE block; with
+        # block_cap far below the block size the escalated path must
+        # still produce the exact answer on well-separated clusters
+        import pandas as pd
+
+        from kgx.dedup import jaccard_pairs
+
+        rows = []
+        for c in range(60):
+            body = " ".join("c%d_w%d" % (c, w) for w in range(25))
+            for m in range(2):
+                rows.append({"doc_id": c * 2 + m,
+                             "text": "zz %s extra%d" % (body, m)})
+        corpus = tmp_path / "skew"
+        corpus.mkdir()
+        pd.DataFrame(rows).to_parquet(corpus / "documents.parquet")
+
+        capped = jaccard_pairs(str(corpus), block_cap=16).to_pandas()
+        exact = jaccard_pairs(str(corpus), block_cap=None).to_pandas()
+        key = ["doc_id_a", "doc_id_b"]
+        a = capped.sort_values(key).reset_index(drop=True)
+        b = exact.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 60  # one pair per cluster
+
+    def test_lsh_band_regime_derivation(self):
+        from kgx.dedup import lsh_bands_for_threshold
+
+        assert lsh_bands_for_threshold(0.5) == 16   # knee 0.50
+        assert lsh_bands_for_threshold(0.8) == 8    # knee 0.77
+        assert lsh_bands_for_threshold(0.95) == 4   # knee 0.917
+        assert lsh_bands_for_threshold(0.2) == 32   # knee 0.177
+        assert lsh_bands_for_threshold(0.1) == 32   # floor
+
     def test_embedding_lsh_recall_vs_exact(self, ray_session):
         # the LSH scale path: precision must be 1.0 (exact within-bucket
         # verify), recall bounded below vs the exact block-grid answer
@@ -193,6 +245,20 @@ class TestSimSearch:
         # trained 64-centroid IVF probing nprobe=16/64 buckets (~25% of
         # the data) — measured 0.78 at sf0.001, 0.88 at sf0.01
         assert np.mean(recalls) >= 0.7, np.mean(recalls)
+
+    def test_ivf_sharded_buckets_same_answer(self, ray_session):
+        # bucket sub-sharding is a pure partitioning of candidates: the
+        # per-query reduce merges shard partials to the identical top-k
+        import pandas as pd
+
+        from kgx.simsearch import knn_ivf
+
+        base = knn_ivf(SF).to_pandas()
+        sharded = knn_ivf(SF, shards_per_bucket=4).to_pandas()
+        cols = ["query_id", "neighbor_id", "rank"]
+        a = base[cols].sort_values(cols).reset_index(drop=True)
+        b = sharded[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
 
     def test_bruteforce_rank_contract(self, ray_session):
         from kgx.simsearch import knn_bruteforce
@@ -283,6 +349,39 @@ class TestMultimodal:
             assert got["frame_idx"].tolist() == expect_idx
             assert (got["n_bytes"] == [min(16, n - i * 16)
                                        for i in expect_idx]).all()
+
+    def test_decoder_injection_both_ways(self):
+        # the decode branch is real plumbing: with an injected decoder
+        # (standing in for PIL) both stages consume (h, w, 3) pixel
+        # arrays; without one they fall back to byte-level features
+        import pandas as pd
+
+        from kgx.multimodal import FeatureExtractor, Resizer
+
+        def fake_decode(payload):
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            reps = -(-6 * 8 * 3 // max(1, len(buf)))
+            return np.tile(buf, reps)[:6 * 8 * 3].reshape(6, 8, 3)
+
+        batch = pd.DataFrame({"doc_id": [1, 2],
+                              "payload": [b"hello world", b"abcdef" * 40]})
+
+        feats_dec = FeatureExtractor(decoder=fake_decode)(batch)
+        feats_raw = FeatureExtractor(decoder=None)(batch)
+        assert all(len(f) == 16 for f in feats_dec["feature"])
+        # n_bytes is the PAYLOAD size on both paths (oracle semantics)
+        assert feats_dec["n_bytes"].tolist() == [11, 240]
+        assert feats_dec["n_bytes"].tolist() == feats_raw["n_bytes"].tolist()
+
+        rs_dec = Resizer(out_w=4, out_h=4, decoder=fake_decode)(batch)
+        rs_raw = Resizer(out_w=4, out_h=4, decoder=None)(batch)
+        # decoded path: exactly out_h*out_w*3 RGB bytes per payload
+        assert rs_dec["payload"].map(len).tolist() == [48, 48]
+        # fallback path: at most out_h*out_w stride-sampled bytes
+        assert rs_raw["payload"].map(len).max() <= 16
+        # both deterministic
+        assert rs_dec["payload"].tolist() == \
+            Resizer(out_w=4, out_h=4, decoder=fake_decode)(batch)["payload"].tolist()
 
     def test_payload_features(self, ray_session):
         from kgx.multimodal import payload_features
