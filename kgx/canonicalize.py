@@ -153,6 +153,18 @@ def _add_tkey_arrow(batch, expand: bool = False):
         if inv.height:
             df = pl.concat([df, inv], how="vertical")
 
+    # identity = a 128-bit struct hash of the full triple key (two
+    # independent 64-bit passes; deterministic across processes for one
+    # polars version). Hashing the struct directly — and deduping on the
+    # two u64 columns BEFORE any string building — replaces the old
+    # concat-the-whole-triple + unique-on-40-char-string combiner
+    # (measured ~35% of the keying pass).
+    key_struct = pl.struct(_KEY_COLS)
+    df = df.with_columns(
+        key_struct.hash(seed=2654435761).alias("_h1"),
+        key_struct.hash(seed=40503).alias("_h2"),
+    ).unique(subset=["_h1", "_h2"], keep="any")
+
     subj = pl.col("subj")
     m1a = subj.str.extract(r"/([0-9A-Z\-]+)--([0-9.\-;:]+)/e", 1)
     m1b = subj.str.extract(r"/([0-9A-Z\-]+)--([0-9.\-;:]+)/e", 2)
@@ -163,20 +175,16 @@ def _add_tkey_arrow(batch, expand: bool = False):
             .then(pl.concat_str([pl.lit("B"), m2]))
             .otherwise(pl.concat_str([pl.lit("A"), subj])))
 
-    fullkey = pl.concat_str(
-        [pl.col(c).cast(pl.Utf8).fill_null("\x00") for c in _KEY_COLS],
-        separator="\x1f",
-    )
-    h1 = fullkey.hash(seed=2654435761).cast(pl.Utf8).str.zfill(20)
-    h2 = fullkey.hash(seed=40503).cast(pl.Utf8).str.zfill(20)
+    h1 = pl.col("_h1").cast(pl.Utf8).str.zfill(20)
+    h2 = pl.col("_h2").cast(pl.Utf8).str.zfill(20)
     out = df.with_columns(
         pl.concat_str([skey, pl.lit("\x1f"), subj, pl.lit("\x1f"), h1, h2])
         .alias("tkey")
-    ).unique(subset=["tkey"], keep="any")
+    )
     # subj is embedded in tkey (field 1) — do not ship it through the
     # shuffle twice; _dedup_sorted_block reconstructs it after the sort.
     # ~17% fewer shuffle bytes per row.
-    return out.drop("subj").to_arrow()
+    return out.drop(["subj", "_h1", "_h2"]).to_arrow()
 
 
 def _dedup_sorted_block(batch):
