@@ -26,7 +26,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from kgx import dedup, events, multimodal, relational, simsearch, textops
+    from kgx import (dedup, events, multimodal, relational, simsearch,
+                     textops, traindata)
     from kgx import queries as q
     from kgx.components import broader_closure as _broader_closure
     from kgx.components import sameas_components as _sameas_components
@@ -73,6 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
+        # training-data assembly
+        "decontaminate": traindata.decontaminate,
+        "seeded_sample": traindata.seeded_sample,
+        "stratified_sample": traindata.stratified_sample,
+        "pack_sequences": traindata.pack_sequences,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "payload_features": multimodal.payload_features,

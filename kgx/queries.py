@@ -368,6 +368,58 @@ FROM (
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY source) AS component"
         " FROM documents"
     ),
+    # exact mirror of traindata.decontaminate (5-gram shingles, bench set
+    # = doc_id % 50 == 7, distinct contaminated shingles per train doc)
+    "decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+  FROM toks WHERE len(t) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM pos
+), b AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 7
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM sh s JOIN b USING (shingle)
+WHERE s.doc_id % 50 <> 7
+GROUP BY s.doc_id
+""",
+    # traindata.seeded_sample(frac=0.25, seed=42): md5-u64 < 2^62
+    "seeded_sample": (
+        "SELECT doc_id FROM documents"
+        " WHERE ('0x' || substr(md5(doc_id || ':42'), 1, 16))::UBIGINT"
+        " < 4611686018427387904::UBIGINT"
+    ),
+    # traindata.stratified_sample(n_per_group=50, seed=42)
+    "stratified_sample": (
+        "SELECT doc_id, lang FROM ("
+        " SELECT doc_id, lang, row_number() OVER ("
+        "  PARTITION BY lang"
+        "  ORDER BY ('0x' || substr(md5(doc_id || ':42'), 1, 16))::UBIGINT"
+        " ) AS rk FROM documents) WHERE rk <= 50"
+    ),
+    # traindata.pack_sequences(capacity=256, num_shards=16): the greedy
+    # reset-cumsum replayed per (lang, shard) by a recursive CTE
+    "pack_sequences": r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, doc_id % 16 AS shard,
+         len(string_split(text, ' ')) AS n,
+         row_number() OVER (PARTITION BY lang, doc_id % 16
+                            ORDER BY doc_id) AS rn
+  FROM documents
+), p AS (
+  SELECT lang, shard, rn, doc_id, n, n AS acc, 1 AS seq FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.shard, d.rn, d.doc_id, d.n,
+         CASE WHEN p.acc + d.n > 256 THEN d.n ELSE p.acc + d.n END,
+         CASE WHEN p.acc + d.n > 256 THEN p.seq + 1 ELSE p.seq END
+  FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+       CAST(seq AS BIGINT) AS seq_id FROM p
+""",
 }
 
 # recursive-CTE ancestor closure over the documents broader chain

@@ -1,0 +1,205 @@
+"""Training-data assembly operators over the ``documents`` table.
+
+The three steps between "deduplicated corpus" and "pretraining batches"
+that the dedup/quality families don't cover:
+
+- ``decontaminate`` — n-gram overlap against a held-out benchmark set
+  (the GPT-3-style 13-gram decontamination check, here 5-grams): which
+  training documents share shingles with eval data, and how many.
+- ``seeded_sample`` / ``stratified_sample`` — deterministic sampling for
+  data mixing: a seeded hash threshold (uniform) and a per-group top-n
+  by seeded hash (stratified), both reproducible in SQL bit-for-bit.
+- ``pack_sequences`` — greedy token-budget packing of documents into
+  training sequences, shard-local so it parallelizes.
+
+Everything is deterministic (md5-based hashing, no PYTHONHASHSEED
+dependence) and mirrored exactly by the DuckDB oracles in
+``kgx/queries.py`` (TRAINDATA_ORACLES).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def _read_documents(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet("%s/documents.parquet" % sf_dir, columns=columns)
+
+
+def _nparts():
+    import ray
+
+    return max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _md5_u64(s: str) -> int:
+    """First 16 hex chars of md5 as u64 — reproduced in SQL as
+    ('0x' || substr(md5(s), 1, 16))::UBIGINT (same trick as
+    textops.token_hash64)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(sf_dir: str, shingle_k: int = 5, bench_mod: int = 50,
+                  bench_rem: int = 7, num_partitions: Optional[int] = None):
+    """(doc_id, n_shared_shingles) for every TRAINING document that
+    shares at least one ``shingle_k``-gram with the benchmark holdout
+    (docs with ``doc_id % bench_mod == bench_rem`` stand in for an eval
+    set). ``n_shared_shingles`` counts the doc's DISTINCT contaminated
+    shingles. Documents shorter than ``shingle_k`` tokens emit no
+    shingles.
+
+    Scale shape: both sides explode to (shingle, doc_id, is_bench) rows
+    with a per-batch (doc, shingle) dedup as the combiner; ONE hash
+    shuffle on the shingle co-groups train and bench rows (a given
+    shingle lives in exactly one partition, so the per-partition distinct
+    count is globally correct); per-doc partials then sum in a hash
+    aggregate. The shingle is shipped as text here for oracle-exact
+    semantics — at 10^9 docs ship ``token_hash64(shingle)`` instead
+    (same shape, 8 bytes/row, ~1e-9 collision odds per corpus).
+    """
+    nparts = num_partitions or _nparts()
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, shingles = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            if len(toks) < shingle_k:
+                continue
+            seen = {" ".join(toks[i:i + shingle_k])
+                    for i in range(len(toks) - shingle_k + 1)}
+            doc_ids.extend([doc_id] * len(seen))
+            shingles.extend(seen)
+        out = pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "shingle": pd.Series(shingles, dtype="object"),
+        })
+        out["is_bench"] = (out["doc_id"] % bench_mod == bench_rem)
+        out["part"] = (pd.util.hash_pandas_object(out["shingle"], index=False)
+                       % nparts).astype("int32")
+        return out
+
+    def match_part(df: pd.DataFrame) -> pd.DataFrame:
+        bench = set(df.loc[df["is_bench"], "shingle"])
+        if not bench:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "partial_n": pd.Series([], dtype="int64")})
+        train = df[~df["is_bench"]]
+        hit = train[train["shingle"].isin(bench)]
+        g = hit.groupby("doc_id", as_index=False).size()
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "partial_n": g["size"].astype("int64")})
+
+    partials = (ds.map_batches(shingle_rows, batch_format="pandas")
+                .groupby("part").map_groups(match_part, batch_format="pandas"))
+    out = partials.groupby("doc_id").sum("partial_n")
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(partial_n)": "n_shared_shingles"})
+        .astype({"n_shared_shingles": "int64"}),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+def seeded_sample(sf_dir: str, frac: float = 0.25, seed: int = 42):
+    """(doc_id) — uniform deterministic sample: keep a doc iff the u64
+    md5 hash of ``"{doc_id}:{seed}"`` falls below ``frac`` of the hash
+    space. Map-only (no shuffle); re-runs and the SQL oracle select the
+    identical set."""
+    ds = _read_documents(sf_dir, columns=["doc_id"])
+    threshold = int(frac * 2 ** 64)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(lambda d: _md5_u64("%d:%d" % (d, seed)))
+        return pd.DataFrame({"doc_id": df.loc[[x < threshold for x in h],
+                                              "doc_id"].astype("int64")})
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_sample(sf_dir: str, n_per_group: int = 50, seed: int = 42):
+    """(doc_id, lang) — per-language stratified sample: the ``n`` docs
+    with the smallest seeded hash in each language (ties impossible —
+    the hash input includes the unique doc_id). The balanced-mixture
+    primitive for data mixing.
+
+    Scale shape: per-batch top-n per group is the combiner, then one
+    groupby over the LOW-cardinality group key reduces candidates —
+    never more than n_per_group × n_batches rows reach the shuffle."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(h=[_md5_u64("%d:%d" % (d, seed)) for d in df["doc_id"]])
+        # nsmallest per lang within the batch (combiner)
+        return (df.sort_values(["lang", "h"])
+                .groupby("lang", sort=False).head(n_per_group))
+
+    def final_topn(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values("h").head(n_per_group)
+               .sort_values("doc_id"))
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "lang": out["lang"]})
+
+    cands = ds.map_batches(local_topn, batch_format="pandas")
+    return cands.groupby("lang").map_groups(final_topn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(sf_dir: str, capacity: int = 256, num_shards: int = 16):
+    """(doc_id, lang, shard, seq_id) — greedy token-budget packing:
+    within each (lang, shard) group, walk docs in doc_id order and start
+    a new sequence whenever adding the doc would exceed ``capacity``
+    whitespace tokens (a doc longer than capacity gets a sequence of its
+    own). ``shard = doc_id % num_shards``.
+
+    Packing is inherently sequential, so the op is defined SHARD-LOCAL —
+    the standard trick that makes it embarrassingly parallel: one Ray
+    group per (lang, shard) cell (bounded cardinality: langs ×
+    num_shards), a vectorized token count in the map stage, and an O(n)
+    walk over two numpy arrays inside the cell. The same (lang, shard)
+    definition is mirrored in the oracle's recursive CTE.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"],
+            "shard": (df["doc_id"] % num_shards).astype("int64"),
+            "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+        })
+
+    def pack_cell(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        n = df["n_tokens"].to_numpy()
+        seq = np.empty(len(n), dtype=np.int64)
+        acc, cur = 0, 1
+        for i, tokens in enumerate(n):
+            if acc + tokens > capacity and acc > 0:
+                cur += 1
+                acc = 0
+            acc += tokens
+            seq[i] = cur
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "lang": df["lang"],
+                             "shard": df["shard"].astype("int64"),
+                             "seq_id": seq})
+
+    keyed = ds.map_batches(add_keys, batch_format="pandas")
+    return keyed.groupby(["lang", "shard"]).map_groups(
+        pack_cell, batch_format="pandas")

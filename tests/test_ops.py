@@ -312,6 +312,71 @@ class TestEventsExtra:
         assert (df["window_start"] % 900 == 0).all()
 
 
+class TestTrainData:
+    def test_decontaminate_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from kgx.queries import DOC_ORACLES
+        from kgx.traindata import decontaminate
+
+        got = decontaminate(SF).to_pandas().sort_values("doc_id")
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('%s/documents.parquet')" % SF)
+        want = con.execute(DOC_ORACLES["decontaminate"]).df() \
+            .sort_values("doc_id")
+        con.close()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["n_shared_shingles"].tolist() == \
+            want["n_shared_shingles"].tolist()
+        # a benchmark doc must never appear on the training side
+        assert (got["doc_id"] % 50 != 7).all()
+
+    def test_seeded_sample_deterministic_and_bounded(self, ray_session):
+        from kgx.traindata import seeded_sample
+
+        a = sorted(seeded_sample(SF).to_pandas()["doc_id"])
+        b = sorted(seeded_sample(SF).to_pandas()["doc_id"])
+        assert a == b
+        assert 0.15 <= len(a) / 500 <= 0.35  # frac=0.25 ± sampling noise
+        assert sorted(seeded_sample(SF, seed=7).to_pandas()["doc_id"]) != a
+
+    def test_stratified_sample_per_group_quota(self, ray_session):
+        from kgx.traindata import stratified_sample
+
+        df = stratified_sample(SF, n_per_group=30).to_pandas()
+        counts = df.groupby("lang").size()
+        assert (counts <= 30).all() and counts.sum() == len(df)
+        again = stratified_sample(SF, n_per_group=30).to_pandas()
+        assert sorted(df["doc_id"]) == sorted(again["doc_id"])
+
+    def test_pack_sequences_greedy_invariants(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import pack_sequences
+
+        cap = 256
+        df = pack_sequences(SF, capacity=cap).to_pandas()
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"]).to_pandas()
+        ntok = dict(zip(t["doc_id"], t["text"].str.count(" ") + 1))
+        assert len(df) == len(t)  # every doc lands in exactly one seq
+        for (_lang, _shard), g in df.groupby(["lang", "shard"]):
+            g = g.sort_values("doc_id")
+            seqs = g.groupby("seq_id")["doc_id"].apply(list)
+            assert sorted(seqs.index) == list(range(1, len(seqs) + 1))
+            for seq_id, members in seqs.items():
+                total = sum(ntok[d] for d in members)
+                # a multi-doc sequence respects the capacity...
+                if len(members) > 1:
+                    assert total <= cap
+                # ...and was closed greedily: the next sequence's first
+                # doc would not have fit
+                if seq_id + 1 in seqs:
+                    nxt = ntok[seqs[seq_id + 1][0]]
+                    assert total + nxt > cap
+
+
 class TestMultimodal:
     def test_decode_stub_raises(self):
         from kgx.multimodal import decode_image
