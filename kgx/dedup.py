@@ -16,7 +16,6 @@ PYTHONHASHSEED dependence).
 from __future__ import annotations
 
 import itertools
-import zlib
 from typing import Optional
 
 import numpy as np
@@ -88,11 +87,13 @@ def _block_pairs_escalated(ids, sets, threshold: float, num_perm: int = 64,
     answer is preserved except for a ~2·10⁻⁴ tail of pairs sitting
     exactly at the threshold.
     """
+    from .textops import token_hash64
+
     a, b = _perm_params(num_perm)
     rpb = num_perm // bands
     sigs = np.vstack([
-        _minhash(np.array([zlib.crc32(t.encode("utf-8")) for t in s],
-                          dtype=np.uint64), a, b)
+        _minhash(np.array([token_hash64(t) for t in s], dtype=np.uint64),
+                 a, b)
         for s in sets
     ])
     cand = set()
@@ -189,12 +190,18 @@ def _perm_params(num_perm: int, seed: int = 42):
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """md5-u64 shingle hashes (textops.token_hash64 — per-worker cached);
+    md5 rather than crc32 so DuckDB reproduces every hash bit-for-bit
+    and the whole MinHash+LSH pipeline carries a real SQL oracle
+    (queries.minhash_oracle)."""
+    from .textops import token_hash64
+
     toks = text.split(" ")
     if len(toks) < k:
         grams = [" ".join(toks)]
     else:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.array([zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.uint64)
+    return np.array([token_hash64(g) for g in grams], dtype=np.uint64)
 
 
 def _minhash(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -148,6 +148,178 @@ triples AS (
 )
 """
 
+def _minhash_pairs_sql(threshold: float, shingle_k: int,
+                       num_perm: int = 64) -> str:
+    """Exact SQL mirror of dedup.minhash_lsh_pairs up to the ``pairs``
+    CTE: md5-u64 shingle hashes (token_hash64 semantics), the same
+    (a·h + b) mod 2^64 mod M61 universal hashing with the seeded
+    permutation constants EMBEDDED AS LITERALS, banding by the
+    threshold-derived regime, candidate self-join on equal band
+    signatures, estimated Jaccard = matching-row fraction. The one
+    intentional divergence: the engine coarsens band keys through a
+    64-bit pandas hash (collisions ~2^-64 can only ADD candidates, which
+    the est-threshold filter then kills), and caps pathological buckets
+    at 200 (never reached on the oracle corpus — asserted in tests)."""
+    from .dedup import _MERSENNE, _perm_params, lsh_bands_for_threshold
+
+    a, b = _perm_params(num_perm)
+    bands = lsh_bands_for_threshold(threshold, num_perm)
+    r = num_perm // bands
+    values = ",\n    ".join(
+        "(%d, %d::UBIGINT, %d::UBIGINT)" % (p, int(a[p]), int(b[p]))
+        for p in range(num_perm))
+    if shingle_k == 1:
+        grams_cte = ("SELECT doc_id, unnest(string_split(text, ' ')) AS g"
+                     " FROM documents")
+    else:
+        grams_cte = f"""
+  SELECT doc_id,
+         CASE WHEN len(t) < {shingle_k} THEN array_to_string(t, ' ')
+              ELSE array_to_string(t[i:i+{shingle_k - 1}], ' ') END AS g
+  FROM (SELECT doc_id, t,
+          unnest(generate_series(1, greatest(len(t) - {shingle_k - 1}, 1))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+    return f"""
+WITH RECURSIVE params(p, a, b) AS (VALUES
+    {values}),
+grams AS ({grams_cte}),
+gh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h FROM grams),
+sigs AS (
+  SELECT doc_id, p,
+    min((((a::HUGEINT * h) % 18446744073709551616 + b)
+         % 18446744073709551616)::UBIGINT % {int(_MERSENNE)}::UBIGINT) AS s
+  FROM gh CROSS JOIN params GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, p // {r} AS band,
+         string_agg(s::VARCHAR, ',' ORDER BY p) AS bkey
+  FROM sigs GROUP BY doc_id, p // {r}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT c.a AS doc_id_a, c.b AS doc_id_b,
+         (count(*) FILTER (WHERE sa.s = sb.s)) / {num_perm}.0 AS jaccard_est
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.a
+  JOIN sigs sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+)
+"""
+
+
+
+def _embedding_lsh_sql(threshold: float = 0.4, num_planes: int = 4,
+                       num_bands: int = 24, seed: int = 7,
+                       dim: int = 64) -> str:
+    """Exact SQL mirror of dedup.embedding_near_dup_lsh: the seeded
+    hyperplane matrix is EMBEDDED AS LITERALS (dim × planes·bands
+    doubles, repr round-trip = bit-exact), sign bits come from the same
+    dot products (normalization cannot change a sign), band keys group
+    candidates, and the exact-cosine verify reuses the same
+    list_cosine_similarity expression the exact-path oracle already
+    hash-matches with. The engine's partition coarsening groups by the
+    true (band, key) value, so the candidate sets are identical."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(dim, num_planes * num_bands)
+    values = ",".join(
+        "(%d,%d,%r)" % (j, i, planes[i, j])
+        for j in range(num_planes * num_bands) for i in range(dim))
+    return f"""
+WITH planes(j, i, w) AS (VALUES {values}),
+e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+bits AS (
+  SELECT e.vec_id, p.j, sum(CAST(e.x AS DOUBLE) * p.w) > 0 AS bit
+  FROM e JOIN planes p ON p.i = e.i - 1
+  GROUP BY e.vec_id, p.j
+),
+keys AS (
+  SELECT vec_id, j // {num_planes} AS band,
+         sum(CASE WHEN bit THEN (1 << (j % {num_planes})) ELSE 0 END) AS bkey
+  FROM bits GROUP BY vec_id, j // {num_planes}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM keys x JOIN keys y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+)
+SELECT c.a AS vec_id_a, c.b AS vec_id_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
+"""
+
+
+def _ivf_sql(sf_dir: str = "/root/testdata/sf0.01", stride: int = 50,
+             k: int = 5, nlist: int = 64, nprobe: int = 16) -> str:
+    """Exact SQL mirror of simsearch.knn_ivf GIVEN the trained coarse
+    quantizer: ``train_centroids`` is pure numpy over the parquet file
+    (no Ray), so the oracle embeds the resulting centroid matrix as
+    literals and replays assignment (argmax of v·c — scaling-invariant,
+    so no normalization needed), nprobe probe selection, bucket-candidate
+    scoring and the (sim DESC, neighbor ASC) top-k rule. The quantizer is
+    a model artifact of the sf0.01 table — the scale the driver's
+    correctness gate runs at — so this oracle is sf0.01-specific; at
+    other scales the Ray path trains a different quantizer and the
+    recall-vs-bruteforce pin (tests/test_ops.py) is the check."""
+    from .simsearch import train_centroids
+
+    C = train_centroids(sf_dir, nlist)
+    values = ",".join(
+        "(%d,%d,%r)" % (c, i, C[c, i])
+        for c in range(C.shape[0]) for i in range(C.shape[1]))
+    return f"""
+WITH cents(c, i, w) AS (VALUES {values}),
+e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+sims AS (
+  SELECT e.vec_id, cents.c, sum(CAST(e.x AS DOUBLE) * cents.w) AS s
+  FROM e JOIN cents ON cents.i = e.i - 1
+  GROUP BY e.vec_id, cents.c
+),
+assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
+    FROM sims) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
+    FROM sims WHERE vec_id % {stride} = 0) WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT p.vec_id AS qid, a.vec_id AS nid
+  FROM probes p JOIN assign a ON a.c = p.c AND a.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT qid, nid,
+         list_cosine_similarity(eq.embedding, en.embedding) AS sim
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = qid
+  JOIN embeddings en ON en.vec_id = nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS rank
+FROM (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+      FROM scored)
+WHERE rk <= {k}
+"""
+
+
 DOC_ORACLES = {
     "token_counts": (
         "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
@@ -368,6 +540,34 @@ FROM (
         "SELECT doc_id, min(doc_id) OVER (PARTITION BY source) AS component"
         " FROM documents"
     ),
+    # hyperplane-LSH embedding near-dup (plane matrix embedded as
+    # literals; exact-cosine verify)
+    "embedding_near_dup_lsh": _embedding_lsh_sql(),
+    # IVF ANN with the sf0.01-trained quantizer embedded as literals
+    "knn_ivf": _ivf_sql(),
+    # full MinHash+LSH mirror (perm constants embedded as literals):
+    # driver defaults threshold=0.5, shingle_k=3
+    "minhash_lsh_pairs": _minhash_pairs_sql(0.5, 3) + (
+        "SELECT doc_id_a, doc_id_b, jaccard_est FROM pairs"
+        " WHERE jaccard_est >= 0.5"
+    ),
+    # LSH-based near-dup REMOVAL: estimated-Jaccard pair graph
+    # (threshold=0.8, token-set signatures) → undirected reachability →
+    # min-survivor, like near_dup_dedup but over the LSH pair stage
+    "near_dup_dedup_lsh": _minhash_pairs_sql(0.8, 1) + """
+, e AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs WHERE jaccard_est >= 0.8
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs WHERE jaccard_est >= 0.8
+), reach AS (
+  SELECT a AS node, b AS r FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT node FROM reach GROUP BY node HAVING min(r) < node)
+""",
     # exact mirror of traindata.decontaminate (5-gram shingles, bench set
     # = doc_id % 50 == 7, distinct contaminated shingles per train doc)
     "decontaminate": r"""
