@@ -103,7 +103,7 @@ def run_headline(num_pages: int, out_dir: str, warmup: bool = True,
 
 
 def run_queries(sf_dir: str) -> dict:
-    from kgx import dedup, events, relational, simsearch, textops
+    from kgx import dedup, events, relational, simsearch, textops, traindata
     from kgx import queries as q
 
     def consume(ds):
@@ -122,10 +122,23 @@ def run_queries(sf_dir: str) -> dict:
         "knn_bruteforce": lambda: simsearch.knn_bruteforce(sf_dir),
         "token_counts": lambda: textops.token_counts(sf_dir),
         "top_terms": lambda: textops.top_terms(sf_dir),
+        "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
+        "knn_ivf": lambda: simsearch.knn_ivf(sf_dir),
+        "decontaminate": lambda: traindata.decontaminate(sf_dir),
+        "pack_sequences": lambda: traindata.pack_sequences(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
     }
+    # the exchange headline never spins up Ray Data's streaming executor,
+    # so without this the FIRST battery query would be charged the whole
+    # framework warmup (worker imports across every core — measured 20+ s
+    # on kg_triples)
+    import ray.data
+
+    ray.data.range(10000, override_num_blocks=64).map_batches(
+        lambda df: df, batch_format="pandas").count()
+
     out = {}
     for name, make in battery.items():
         t0 = time.time()

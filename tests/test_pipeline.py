@@ -60,6 +60,32 @@ class TestDocumentsPipeline:
         s2 = set(map(tuple, df2[key].fillna("").values.tolist()))
         assert s1 == s2
 
+    def test_tkey_combiner_null_vs_empty_and_duplicates(self):
+        # unit: the struct-hash combiner must keep triples apart that
+        # differ only in NULL vs "" fields, and collapse exact repeats
+        import pyarrow as pa
+
+        from kgx.canonicalize import _add_tkey_arrow, _dedup_sorted_block
+
+        rows = {
+            "subj": ["http://x/a"] * 4,
+            "pred": ["http://p"] * 4,
+            "obj": ["v"] * 4,
+            "obj_is_literal": [True] * 4,
+            # row 0: null lang; row 1: empty-string lang; rows 2+3: dup
+            "obj_lang": [None, "", "en", "en"],
+            "obj_datatype": [None, None, None, None],
+        }
+        keyed = _add_tkey_arrow(pa.table(rows))
+        assert keyed.num_rows == 3  # exact dup collapsed, null≠"" kept
+        keyed = keyed.take(
+            pa.compute.sort_indices(keyed.column("tkey")))
+        out = _dedup_sorted_block(keyed).to_pandas()
+        assert len(out) == 3
+        langs = [("NULL" if v is None else v) for v in out["obj_lang"]]
+        assert sorted(langs) == ["", "NULL", "en"]
+        assert (out["subj"] == "http://x/a").all()
+
     def test_byte_identical_text_invariant(self, ray_session, doc_cfg):
         # extracted prefLabel must equal the pages.text column, per url
         from kgx.extract import extract_records
