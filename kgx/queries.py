@@ -543,8 +543,6 @@ FROM (
     # hyperplane-LSH embedding near-dup (plane matrix embedded as
     # literals; exact-cosine verify)
     "embedding_near_dup_lsh": _embedding_lsh_sql(),
-    # IVF ANN with the sf0.01-trained quantizer embedded as literals
-    "knn_ivf": _ivf_sql(),
     # full MinHash+LSH mirror (perm constants embedded as literals):
     # driver defaults threshold=0.5, shingle_k=3
     "minhash_lsh_pairs": _minhash_pairs_sql(0.5, 3) + (
@@ -621,6 +619,15 @@ SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
        CAST(seq AS BIGINT) AS seq_id FROM p
 """,
 }
+
+# The IVF oracle embeds the TRAINED quantizer, which is derived from the
+# sf0.01 embeddings file at import time; when that table is absent (repo
+# used outside the driver sandbox) knn_ivf simply falls back to the
+# rows-only check instead of breaking the import.
+try:
+    DOC_ORACLES["knn_ivf"] = _ivf_sql()
+except OSError:
+    pass
 
 # recursive-CTE ancestor closure over the documents broader chain
 # (parent = doc_id // 2); base edges included = skosify.infer.skos_transitive
