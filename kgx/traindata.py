@@ -160,6 +160,22 @@ def stratified_sample(sf_dir: str, n_per_group: int = 50, seed: int = 42):
 # Sequence packing
 # ---------------------------------------------------------------------------
 
+def greedy_pack(n_tokens: np.ndarray, capacity: int) -> np.ndarray:
+    """The greedy reset-cumsum: 1-based sequence id per document, new
+    sequence when adding the doc would exceed ``capacity`` (an oversized
+    doc occupies a sequence alone). Kept as a module-level kernel so the
+    property tests and the recursive-CTE oracle pin the identical walk."""
+    seq = np.empty(len(n_tokens), dtype=np.int64)
+    acc, cur = 0, 1
+    for i, tokens in enumerate(n_tokens):
+        if acc + tokens > capacity and acc > 0:
+            cur += 1
+            acc = 0
+        acc += tokens
+        seq[i] = cur
+    return seq
+
+
 def pack_sequences(sf_dir: str, capacity: int = 256, num_shards: int = 16):
     """(doc_id, lang, shard, seq_id) — greedy token-budget packing:
     within each (lang, shard) group, walk docs in doc_id order and start
@@ -186,15 +202,7 @@ def pack_sequences(sf_dir: str, capacity: int = 256, num_shards: int = 16):
 
     def pack_cell(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id")
-        n = df["n_tokens"].to_numpy()
-        seq = np.empty(len(n), dtype=np.int64)
-        acc, cur = 0, 1
-        for i, tokens in enumerate(n):
-            if acc + tokens > capacity and acc > 0:
-                cur += 1
-                acc = 0
-            acc += tokens
-            seq[i] = cur
+        seq = greedy_pack(df["n_tokens"].to_numpy(), capacity)
         return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
                              "lang": df["lang"],
                              "shard": df["shard"].astype("int64"),

@@ -119,3 +119,57 @@ class TestComponentProperties:
         # reversed: last field's base wins the single $b slot
         assert comps[0] == "B%d" % (n - 1)
         assert comps[1:] == ["%d" % i for i in reversed(range(n))]
+
+
+class TestGreedyPackProperties:
+    @given(tokens=st.lists(st.integers(min_value=1, max_value=400),
+                           min_size=1, max_size=200),
+           capacity=st.integers(min_value=1, max_value=300))
+    @settings(max_examples=200, deadline=None)
+    def test_greedy_pack_invariants(self, tokens, capacity):
+        import numpy as np
+
+        from kgx.traindata import greedy_pack
+
+        n = np.array(tokens, dtype=np.int64)
+        seq = greedy_pack(n, capacity)
+        # sequence ids are contiguous, non-decreasing, start at 1
+        assert seq[0] == 1
+        assert ((np.diff(seq) == 0) | (np.diff(seq) == 1)).all()
+        for s in range(1, seq.max() + 1):
+            members = n[seq == s]
+            # a multi-doc sequence fits the budget
+            if len(members) > 1:
+                assert members.sum() <= capacity
+            # greedy: the next sequence's first doc would not have fit
+            nxt = n[seq == s + 1]
+            if len(nxt):
+                assert members.sum() + nxt[0] > capacity
+
+
+class TestJaccardEscalationProperties:
+    @given(n_clusters=st.integers(min_value=1, max_value=25),
+           cluster_size=st.integers(min_value=1, max_value=4),
+           vocab_size=st.integers(min_value=25, max_value=60),
+           seed=st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=50, deadline=None)
+    def test_escalated_equals_exact_on_separated_clusters(
+            self, n_clusters, cluster_size, vocab_size, seed):
+        """Clusters with within-J ≥ vocab/(vocab+2) ≈ 0.93 (LSH catch
+        probability ≈ 1-1e-13 per pair — deterministically caught) and
+        zero cross-cluster overlap: the escalated path must reproduce
+        the exact answer."""
+        from kgx.dedup import _block_pairs_escalated, _block_pairs_exact
+
+        ids, sets = [], []
+        doc = 0
+        for c in range(n_clusters):
+            vocab = {"s%d_c%d_w%d" % (seed, c, w) for w in range(vocab_size)}
+            for m in range(cluster_size):
+                ids.append(doc)
+                sets.append(vocab | {"s%d_c%d_x%d" % (seed, c, m)})
+                doc += 1
+        threshold = 0.8
+        exact = _block_pairs_exact(ids, sets, threshold)
+        esc = _block_pairs_escalated(ids, sets, threshold)
+        assert sorted(exact) == esc
