@@ -126,6 +126,7 @@ def run_queries(sf_dir: str) -> dict:
         "knn_ivf": lambda: simsearch.knn_ivf(sf_dir),
         "decontaminate": lambda: traindata.decontaminate(sf_dir),
         "pack_sequences": lambda: traindata.pack_sequences(sf_dir),
+        "curate_corpus": lambda: traindata.curate_corpus(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),

@@ -598,6 +598,64 @@ GROUP BY s.doc_id
         "  ORDER BY ('0x' || substr(md5(doc_id || ':42'), 1, 16))::UBIGINT"
         " ) AS rk FROM documents) WHERE rk <= 50"
     ),
+    # the full composed curation pipeline (traindata.curate_corpus):
+    # near-dup removal -> decontamination -> quality filter -> packing,
+    # replayed in one WITH RECURSIVE query from the stage oracles
+    "curate_corpus": r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         string_split(text, ' ')[1] AS blk FROM documents
+), pr AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), e AS (
+  SELECT a, b FROM pr UNION SELECT b, a FROM pr
+), reach AS (
+  SELECT a AS node, b AS r FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+), survivors AS (
+  SELECT doc_id FROM documents WHERE doc_id NOT IN (
+    SELECT node FROM reach GROUP BY node HAVING min(r) < node)
+), tok2 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+  FROM tok2 WHERE len(t) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM pos
+), bset AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 7
+), contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bset USING (shingle)
+  WHERE s.doc_id % 50 <> 7
+), kept AS (
+  SELECT dd.doc_id, dd.lang, dd.doc_id % 16 AS shard,
+         len(string_split(dd.text, ' ')) AS n
+  FROM documents dd
+  JOIN survivors USING (doc_id)
+  WHERE dd.doc_id % 50 <> 7
+    AND dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND len(string_split(dd.text, ' ')) >= 20
+), k2 AS (
+  SELECT doc_id, lang, shard, n,
+         row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+  FROM kept
+), pk AS (
+  SELECT lang, shard, rn, doc_id, n, n AS acc, 1 AS seq FROM k2 WHERE rn = 1
+  UNION ALL
+  SELECT k2.lang, k2.shard, k2.rn, k2.doc_id, k2.n,
+         CASE WHEN pk.acc + k2.n > 256 THEN k2.n ELSE pk.acc + k2.n END,
+         CASE WHEN pk.acc + k2.n > 256 THEN pk.seq + 1 ELSE pk.seq END
+  FROM pk JOIN k2 ON k2.lang = pk.lang AND k2.shard = pk.shard
+                 AND k2.rn = pk.rn + 1
+)
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+       CAST(seq AS BIGINT) AS seq_id FROM pk
+""",
     # traindata.pack_sequences(capacity=256, num_shards=16): the greedy
     # reset-cumsum replayed per (lang, shard) by a recursive CTE
     "pack_sequences": r"""

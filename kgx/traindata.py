@@ -160,6 +160,90 @@ def stratified_sample(sf_dir: str, n_per_group: int = 50, seed: int = 42):
 # Sequence packing
 # ---------------------------------------------------------------------------
 
+def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
+                  capacity: int = 256, num_shards: int = 16,
+                  num_partitions: Optional[int] = None):
+    """The end-to-end corpus-curation pipeline a pretraining run feeds
+    on, composed from the individually-oracled stages:
+
+    1. near-duplicate REMOVAL (token-set Jaccard ≥ ``threshold`` pair
+       graph → connected components → min-survivor, ``near_dup_dedup``),
+    2. benchmark DECONTAMINATION (drop the holdout docs and every
+       training doc sharing a 5-gram with them, ``decontaminate``),
+    3. quality filter (≥ ``min_tokens`` whitespace tokens),
+    4. greedy sequence PACKING over the survivors (``pack_sequences``
+       semantics, shard-local per (lang, doc_id % num_shards)).
+
+    Returns (doc_id, lang, shard, seq_id). One bucketed co-group merges
+    the three doc-id verdict streams (survivor / contaminated / payload)
+    — never a driver-side set — and the packing groupby is the only
+    other shuffle. The DuckDB oracle replays the whole composition in a
+    single WITH RECURSIVE query.
+    """
+    from .dedup import near_dup_dedup
+
+    nparts = num_partitions or _nparts()
+
+    surv = near_dup_dedup(sf_dir, threshold=threshold,
+                          num_partitions=nparts)
+    cont = decontaminate(sf_dir, num_partitions=nparts)
+    docs = _read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "kind": np.int8(0),
+            "lang": df["lang"],
+            "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+        })
+
+    def verdict_rows(kind: int, col: str = "doc_id"):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df[col].astype("int64"),
+                "kind": np.int8(kind),
+                "lang": "",
+                "n_tokens": np.int64(0),
+            })
+        return fn
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(pd.util.hash_pandas_object(df["doc_id"], index=False)
+                    % nparts).astype("int32"))
+
+    u = (docs.map_batches(doc_rows, batch_format="pandas")
+         .union(surv.map_batches(verdict_rows(1), batch_format="pandas"))
+         .union(cont.map_batches(verdict_rows(2), batch_format="pandas"))
+         .map_batches(add_bucket, batch_format="pandas"))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        alive = set(df.loc[df["kind"] == 1, "doc_id"])
+        dirty = set(df.loc[df["kind"] == 2, "doc_id"])
+        d = df[df["kind"] == 0]
+        d = d[d["doc_id"].isin(alive) & ~d["doc_id"].isin(dirty)
+              & (d["doc_id"] % 50 != 7) & (d["n_tokens"] >= min_tokens)]
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].astype("int64"),
+            "lang": d["lang"],
+            "shard": (d["doc_id"] % num_shards).astype("int64"),
+            "n_tokens": d["n_tokens"].astype("int64"),
+        })
+
+    kept = u.groupby("bucket").map_groups(keep, batch_format="pandas")
+
+    def pack_cell(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        seq = greedy_pack(df["n_tokens"].to_numpy(), capacity)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "lang": df["lang"],
+                             "shard": df["shard"].astype("int64"),
+                             "seq_id": seq})
+
+    return kept.groupby(["lang", "shard"]).map_groups(
+        pack_cell, batch_format="pandas")
+
+
 def greedy_pack(n_tokens: np.ndarray, capacity: int) -> np.ndarray:
     """The greedy reset-cumsum: 1-based sequence id per document, new
     sequence when adding the doc would exceed ``capacity`` (an oversized

@@ -332,6 +332,36 @@ class TestTrainData:
         # a benchmark doc must never appear on the training side
         assert (got["doc_id"] % 50 != 7).all()
 
+    def test_curate_corpus_composition(self, ray_session):
+        # the composed pipeline == the composed recursive-CTE oracle,
+        # and every stage's contract holds on the output
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import near_dup_dedup
+        from kgx.queries import DOC_ORACLES
+        from kgx.traindata import curate_corpus, decontaminate
+
+        got = curate_corpus(SF).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('%s/documents.parquet')" % SF)
+        want = con.execute(DOC_ORACLES["curate_corpus"]).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con.close()
+        assert got[["doc_id", "lang", "shard", "seq_id"]].equals(
+            want[["doc_id", "lang", "shard", "seq_id"]])
+
+        ids = set(got["doc_id"])
+        assert ids <= set(near_dup_dedup(SF).to_pandas()["doc_id"])
+        assert not ids & set(decontaminate(SF).to_pandas()["doc_id"])
+        assert all(d % 50 != 7 for d in ids)
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"]).to_pandas()
+        ntok = dict(zip(t["doc_id"], t["text"].str.count(" ") + 1))
+        assert all(ntok[d] >= 20 for d in ids)
+
     def test_seeded_sample_deterministic_and_bounded(self, ray_session):
         from kgx.traindata import seeded_sample
 
