@@ -21,6 +21,7 @@ import re
 import time
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -160,14 +161,38 @@ def _term_nt(value, is_literal, lang, datatype):
 
 def nt_lines(batch: pd.DataFrame) -> list:
     """One N-Triples line per row of a graph batch (shared by the
-    driver-streaming writer below and the exchange reduce-side writer)."""
-    lines = []
-    for row in batch.itertuples(index=False):
-        subj = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
-        lines.append("%s <%s> %s .\n" % (
-            subj, row.pred,
-            _term_nt(row.obj, row.obj_is_literal, row.obj_lang, row.obj_datatype)))
-    return lines
+    driver-streaming writer below and the exchange reduce-side writer).
+    Vectorized (pandas str kernels, no Python row loop) — byte-identical
+    to the per-row ``_term_nt`` formatting, pinned by
+    tests/test_pipeline.py::test_nt_lines_vectorized_parity."""
+    if batch.empty:
+        return []
+    subj = batch["subj"].astype(str)
+    subj = np.where(subj.str.startswith("_:"), subj, "<" + subj + ">")
+
+    obj = batch["obj"].astype(str)
+    lang = batch["obj_lang"]
+    dt = batch["obj_datatype"]
+    is_lit = batch["obj_is_literal"].astype(bool)
+
+    escaped = (obj.str.replace("\\", "\\\\", regex=False)
+               .str.replace('"', '\\"', regex=False)
+               .str.replace("\n", "\\n", regex=False)
+               .str.replace("\r", "\\r", regex=False)
+               .str.replace("\t", "\\t", regex=False))
+    has_lang = is_lit & lang.notna() & (lang != "")
+    has_dt = is_lit & ~has_lang & dt.notna() & (dt != "")
+    lit_plain = '"' + escaped + '"'
+    term = np.where(
+        ~is_lit,
+        np.where(obj.str.startswith("_:"), obj, "<" + obj + ">"),
+        np.where(has_lang, lit_plain + "@" + lang.fillna("").astype(str),
+                 np.where(has_dt,
+                          lit_plain + "^^<" + dt.fillna("").astype(str) + ">",
+                          lit_plain)),
+    )
+    out = subj + " <" + batch["pred"].astype(str) + "> " + term + " .\n"
+    return list(out)
 
 
 def write_ntriples(graph, fileobj, sort: bool = True) -> int:

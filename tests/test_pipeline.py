@@ -60,6 +60,34 @@ class TestDocumentsPipeline:
         s2 = set(map(tuple, df2[key].fillna("").values.tolist()))
         assert s1 == s2
 
+    def test_nt_lines_vectorized_parity(self):
+        # byte parity: vectorized nt_lines == the per-row _term_nt path
+        # on every tricky shape (bnodes, escapes, lang, datatype, nulls)
+        import pandas as pd
+
+        from kgx.materialize import _term_nt, nt_lines
+
+        df = pd.DataFrame({
+            "subj": ["http://x/a", "_:b1", "http://x/c", "http://x/d",
+                     "http://x/e", "http://x/f"],
+            "pred": ["http://p"] * 6,
+            "obj": ['va"l\\ue\nwith\ttabs\r', "_:b2", "http://x/o",
+                    "plain", "fr-label", "2020-01-01"],
+            "obj_is_literal": [True, False, False, True, True, True],
+            "obj_lang": [None, None, None, "", "fr", None],
+            "obj_datatype": [None, None, None, None, None,
+                             "http://www.w3.org/2001/XMLSchema#date"],
+        })
+        want = []
+        for row in df.itertuples(index=False):
+            s = row.subj if row.subj.startswith("_:") else "<%s>" % row.subj
+            want.append("%s <%s> %s .\n" % (
+                s, row.pred,
+                _term_nt(row.obj, row.obj_is_literal, row.obj_lang,
+                         row.obj_datatype)))
+        assert nt_lines(df) == want
+        assert nt_lines(df.iloc[0:0]) == []
+
     def test_tkey_combiner_null_vs_empty_and_duplicates(self):
         # unit: the struct-hash combiner must keep triples apart that
         # differ only in NULL vs "" fields, and collapse exact repeats
