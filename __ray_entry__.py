@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "payload_features": multimodal.payload_features,
+        "payload_features_vals": multimodal.payload_features_vals,
         "payload_resize": multimodal.payload_resize,
         "frame_sample": multimodal.frame_sample,
     }

@@ -61,7 +61,12 @@ class FeatureExtractor:
 
     def __init__(self, dim: int = 16, seed: int = 42, decoder="auto"):
         rng = np.random.RandomState(seed)
-        self.W = rng.standard_normal((256, dim))  # "model load", once per actor
+        # weights quantized to dyadic rationals (k/256): every partial sum
+        # of hist·W is an integer multiple of 2^-8 well inside float64's
+        # mantissa, so the projection is EXACT regardless of summation
+        # order — which is what lets payload_features_vals carry a real
+        # DuckDB oracle (queries.py) instead of a rows-only check
+        self.W = np.round(rng.standard_normal((256, dim)) * 256) / 256
         self.decoder = _resolve_decoder(decoder)  # resolved once per actor
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -201,6 +206,27 @@ def frame_sample(sf_dir: str, frame_bytes: int = 16, every_n: int = 4):
         })
 
     return ds.map_batches(frames, batch_format="pandas")
+
+
+def payload_features_vals(sf_dir: str, dim: int = 16, seed: int = 42):
+    """(doc_id, j, val) — the feature vectors of ``payload_features``
+    exploded to long format, the SQL-verifiable view of the model stage:
+    with the dyadic-quantized projection every value is exact, so DuckDB
+    reproduces it bit-for-bit from a per-byte histogram (the corpus is
+    ASCII, so SQL codepoints == payload bytes; the oracle asserts that
+    precondition implicitly by matching)."""
+    feats = payload_features(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        vals = np.array(df["feature"].tolist(), dtype=np.float64)
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), dim),
+            "j": np.tile(np.arange(dim, dtype=np.int64), n),
+            "val": vals.ravel(),
+        })
+
+    return feats.map_batches(explode, batch_format="pandas")
 
 
 def payload_stats(sf_dir: str):

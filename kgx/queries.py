@@ -678,6 +678,32 @@ SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
 """,
 }
 
+def _payload_features_sql(dim: int = 16, seed: int = 42) -> str:
+    """Exact mirror of multimodal.payload_features_vals: the seeded
+    dyadic-quantized projection embedded as literals; per-byte histogram
+    via codepoints (corpus is ASCII — octet==char); all sums are exact
+    multiples of 2^-8 so float equality is bit-for-bit."""
+    import numpy as np
+
+    W = np.round(np.random.RandomState(seed).standard_normal((256, dim))
+                 * 256) / 256
+    values = ",".join("(%d,%d,%r)" % (v, j, W[v, j])
+                      for v in range(256) for j in range(dim))
+    return f"""
+WITH w(v, j, wt) AS (VALUES {values}),
+chars AS (
+  SELECT doc_id, ascii(substr(text, i, 1)) AS v
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents)
+),
+hist AS (SELECT doc_id, v, count(*) AS c FROM chars GROUP BY doc_id, v)
+SELECT h.doc_id, CAST(w.j AS BIGINT) AS j, sum(h.c * w.wt) AS val
+FROM hist h JOIN w ON w.v = h.v
+GROUP BY h.doc_id, w.j
+"""
+
+
 # The IVF oracle embeds the TRAINED quantizer, which is derived from the
 # sf0.01 embeddings file at import time; when that table is absent (repo
 # used outside the driver sandbox) knn_ivf simply falls back to the
@@ -686,6 +712,9 @@ try:
     DOC_ORACLES["knn_ivf"] = _ivf_sql()
 except OSError:
     pass
+
+# exact long-format mirror of the payload feature model (dyadic weights)
+DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 
 # recursive-CTE ancestor closure over the documents broader chain
 # (parent = doc_id // 2); base edges included = skosify.infer.skos_transitive
