@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_features": multimodal.payload_features,
         "payload_features_vals": multimodal.payload_features_vals,
         "payload_resize": multimodal.payload_resize,
+        "payload_resize_vals": multimodal.payload_resize_vals,
         "frame_sample": multimodal.frame_sample,
     }
 

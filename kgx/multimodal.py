@@ -140,8 +140,14 @@ class Resizer:
             if len(buf) == 0:
                 resized.append(b"")
                 continue
-            idx = np.linspace(0, len(buf) - 1, num=min(target, len(buf)),
-                              dtype=np.int64)
+            num = min(target, len(buf))
+            # exact integer grid (i·(n−1)) // (num−1): reproducible in
+            # SQL bit-for-bit, unlike np.linspace's float internals
+            if num == 1:
+                idx = np.zeros(1, dtype=np.int64)
+            else:
+                idx = (np.arange(num, dtype=np.int64) * (len(buf) - 1)
+                       ) // (num - 1)
             resized.append(buf[idx].tobytes())
         return pd.DataFrame({
             "doc_id": df["doc_id"],
@@ -227,6 +233,32 @@ def payload_features_vals(sf_dir: str, dim: int = 16, seed: int = 42):
         })
 
     return feats.map_batches(explode, batch_format="pandas")
+
+
+def payload_resize_vals(sf_dir: str, out_w: int = 8, out_h: int = 8,
+                        batch_size: int = 64):
+    """(doc_id, i, byte) — the resized payloads of ``payload_resize``
+    exploded to one row per output byte: the SQL-verifiable view of the
+    resize stage (the integer sampling grid and the ASCII corpus make
+    every byte reproducible relationally)."""
+    rs = payload_resize(sf_dir, out_w, out_h, batch_size)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, vals = [], [], []
+        for doc_id, payload in zip(df["doc_id"], df["payload"]):
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            doc_ids.append(np.full(len(buf), doc_id, dtype=np.int64))
+            idxs.append(np.arange(len(buf), dtype=np.int64))
+            vals.append(buf.astype(np.int64))
+        if not doc_ids:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "i": pd.Series([], dtype="int64"),
+                                 "byte": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": np.concatenate(doc_ids),
+                             "i": np.concatenate(idxs),
+                             "byte": np.concatenate(vals)})
+
+    return rs.map_batches(explode, batch_format="pandas")
 
 
 def payload_stats(sf_dir: str):

@@ -716,6 +716,23 @@ except OSError:
 # exact long-format mirror of the payload feature model (dyadic weights)
 DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 
+# exact long-format mirror of the resize stage's integer sampling grid
+# (target 8x8=64 bytes; ASCII corpus => codepoint == payload byte)
+DOC_ORACLES["payload_resize_vals"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+g AS (
+  SELECT doc_id, text, n, least(64, n) AS num,
+         unnest(generate_series(0, least(64, n) - 1)) AS i
+  FROM d WHERE n > 0
+)
+SELECT doc_id, i,
+       CAST(ascii(substr(text,
+            CAST(CASE WHEN num = 1 THEN 0
+                 ELSE (i * (n - 1)) // (num - 1) END AS INTEGER) + 1, 1))
+            AS BIGINT) AS byte
+FROM g
+"""
+
 # recursive-CTE ancestor closure over the documents broader chain
 # (parent = doc_id // 2); base edges included = skosify.infer.skos_transitive
 _ANC_CTE = """
