@@ -145,6 +145,23 @@ def test_exchange_error_channel(ray_session, corpus, tmp_path):
     assert err.num_rows > 0  # the synthetic corpus plants invalid records
 
 
+def test_exchange_tiny_corpus_empty_partitions(ray_session, tmp_path):
+    """More partitions than data: most reduces receive zero rows and
+    must still emit well-formed (possibly empty) shards whose
+    concatenation is the full graph."""
+    from kgx.pages import synthetic_pages
+
+    corpus = str(tmp_path / "tiny")
+    synthetic_pages(30, override_num_blocks=2).write_parquet(corpus)
+    out = str(tmp_path / "graph")
+    manifest = write_canonical_graph(corpus, out, PipelineConfig(),
+                                     num_parts=16, map_tasks=4)
+    assert len(manifest["partitions"]) == 16
+    _, got = _read_shards(out)
+    want = _dataset_graph(corpus, PipelineConfig()).to_pandas()
+    assert got.num_rows == manifest["rows"] == len(want)
+
+
 def test_exchange_rejects_skosify(corpus, tmp_path):
     with pytest.raises(NotImplementedError):
         write_canonical_graph(corpus, str(tmp_path / "x"),
