@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -112,15 +113,18 @@ def expand_inference(graph):
 def _add_tkey_arrow(batch, expand: bool = False):
     """Combiner + sort-key, vectorized end-to-end in polars.
 
-    The composite key leads with the output sort key (the reference's
-    3-sorter rule on the subject URI) and the subject, followed by a
-    128-bit hash of the full triple key — a short fixed-width tail
-    instead of shipping pred/obj text twice through the shuffle. Range
-    partitioning is a deterministic function of the key, so identical
-    triples can never straddle a partition boundary; within one subject,
-    output order is by triple hash (deterministic; the reference only
-    fixes subject-block order). Hash determinism relies on a homogeneous
-    polars version across the cluster (true for any one Ray runtime env).
+    The composite key is a BINARY column: ``skey ␟ subj ␟ h1·h2`` where
+    the tail is the 128-bit triple hash as 16 big-endian bytes (bytewise
+    binary order == numeric hash order, so the output order is identical
+    to the former decimal-zfill encoding at 24 fewer bytes/row — tkey was
+    the measured 49% of shuffle traffic). It leads with the output sort
+    key (the reference's 3-sorter rule on the subject URI) and the
+    subject, so range partitioning is a deterministic function of the
+    key and identical triples can never straddle a partition boundary;
+    within one subject, output order is by triple hash (deterministic;
+    the reference only fixes subject-block order). Hash determinism
+    relies on a homogeneous polars version across the cluster (true for
+    any one Ray runtime env).
 
     With ``expand``, the SKOS inference closure's inverse edges are
     emitted in the same pass — no extra shuffle; duplicates collapse in
@@ -130,7 +134,7 @@ def _add_tkey_arrow(batch, expand: bool = False):
 
     if batch.num_rows == 0:
         return batch.drop_columns(["subj"]).append_column(
-            "tkey", pa.array([], pa.string()))
+            "tkey", pa.array([], pa.binary()))
     df = pl.from_arrow(batch).select(_KEY_COLS)
     # "\x1f" is the tkey field separator and subj rides inside tkey
     # (reconstructed by split after the sort) — a subject containing the
@@ -175,16 +179,27 @@ def _add_tkey_arrow(batch, expand: bool = False):
             .then(pl.concat_str([pl.lit("B"), m2]))
             .otherwise(pl.concat_str([pl.lit("A"), subj])))
 
-    h1 = pl.col("_h1").cast(pl.Utf8).str.zfill(20)
-    h2 = pl.col("_h2").cast(pl.Utf8).str.zfill(20)
     out = df.with_columns(
-        pl.concat_str([skey, pl.lit("\x1f"), subj, pl.lit("\x1f"), h1, h2])
-        .alias("tkey")
-    )
+        pl.concat_str([skey, pl.lit("\x1f"), subj, pl.lit("\x1f")])
+        .alias("_pfx"))
     # subj is embedded in tkey (field 1) — do not ship it through the
     # shuffle twice; _dedup_sorted_block reconstructs it after the sort.
-    # ~17% fewer shuffle bytes per row.
-    return out.drop(["subj", "_h1", "_h2"]).to_arrow()
+    tbl = out.drop(["subj"]).to_arrow().combine_chunks()
+    n = tbl.num_rows
+    hb = np.empty((n, 16), dtype=np.uint8)
+    hb[:, :8] = (tbl.column("_h1").to_numpy().astype(">u8")
+                 .view(np.uint8).reshape(-1, 8))
+    hb[:, 8:] = (tbl.column("_h2").to_numpy().astype(">u8")
+                 .view(np.uint8).reshape(-1, 8))
+    tail = pa.Array.from_buffers(
+        pa.binary(16), n, [None, pa.py_buffer(hb.tobytes())])
+    import pyarrow.compute as pc
+
+    tkey = pc.binary_join_element_wise(
+        pc.cast(tbl.column("_pfx").chunk(0), pa.binary()),
+        tail.cast(pa.binary()), b"")
+    return tbl.drop_columns(["_pfx", "_h1", "_h2"]).append_column(
+        "tkey", tkey)
 
 
 def _dedup_sorted_block(batch):
@@ -203,8 +218,10 @@ def _dedup_sorted_block(batch):
     neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
     mask = pa.concat_arrays([pa.array([True]), neq])
     out = batch.filter(mask)
+    # max_splits=2: the 16-byte hash tail is raw binary and may itself
+    # contain 0x1f — only the first two separators delimit fields
     subj = pc.list_element(
-        pc.split_pattern(out.column("tkey"), "\x1f"), 1)
+        pc.split_pattern(out.column("tkey"), pattern=b"\x1f", max_splits=2), 1)
     return out.drop_columns(["tkey"]).append_column(
         "subj", pc.cast(subj, pa.string()))
 
