@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": textops.lang_counts,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
+        "repetition_stats": textops.repetition_stats,
+        "pii_scrub": textops.pii_scrub,
+        "unigram_lm_score": textops.unigram_lm_score,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,

@@ -122,6 +122,8 @@ def run_queries(sf_dir: str) -> dict:
         "knn_bruteforce": lambda: simsearch.knn_bruteforce(sf_dir),
         "token_counts": lambda: textops.token_counts(sf_dir),
         "top_terms": lambda: textops.top_terms(sf_dir),
+        "repetition_stats": lambda: textops.repetition_stats(sf_dir),
+        "unigram_lm_score": lambda: textops.unigram_lm_score(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
         "knn_ivf": lambda: simsearch.knn_ivf(sf_dir),
         "decontaminate": lambda: traindata.decontaminate(sf_dir),

@@ -355,6 +355,63 @@ FROM documents
         "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
         ") GROUP BY tok ORDER BY n DESC, tok LIMIT 100"
     ),
+    # Gopher-style bigram repetition signals (textops.repetition_stats);
+    # zipped unnests give token ordinals, lead() forms the bigrams
+    "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS t,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM toks),
+per AS (
+  SELECT doc_id, g, count(*) AS c FROM grams
+  WHERE g IS NOT NULL GROUP BY doc_id, g),
+st AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         CAST(count(*) AS BIGINT) AS n_uniq_2grams,
+         CAST(max(c) AS BIGINT) AS top_2gram_n
+  FROM per GROUP BY doc_id)
+SELECT d.doc_id, coalesce(st.n_2grams, 0) AS n_2grams,
+       coalesce(st.n_uniq_2grams, 0) AS n_uniq_2grams,
+       coalesce(st.top_2gram_n, 0) AS top_2gram_n
+FROM documents d LEFT JOIN st USING (doc_id)
+""",
+    # email scan+redact over the deterministically PII-injected corpus
+    # (textops.inject_pii mirrors the CASE expressions exactly; the
+    # pattern is ASCII-only so Python re and RE2 agree)
+    "pii_scrub": """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' mail admin@test.org' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+'))
+            AS BIGINT) AS n_emails,
+       regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g')
+         AS scrubbed
+FROM aug
+""",
+    # dyadic-quantized unigram LM score (textops.unigram_lm_score):
+    # integer floor division makes the float-free score bit-exact
+    "unigram_lm_score": """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM cnt),
+w AS (SELECT t, CAST((c * 1048576) // s AS BIGINT) AS q FROM cnt, tot)
+SELECT doc_id, CAST(sum(q) AS BIGINT) AS lm_q20,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM tk JOIN w USING (t) GROUP BY doc_id
+""",
     # exact relational mirror of textops.classify_lang (stopword-hit argmax
     # with en>de>fr>es priority + CJK codepoint-ratio gate)
     "lang_id": r"""

@@ -211,6 +211,127 @@ def top_terms(sf_dir: str, k: int = 100):
     return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
 
 
+def repetition_stats(sf_dir: str):
+    """(doc_id, n_2grams, n_uniq_2grams, top_2gram_n) — Gopher-style
+    repetition signals: bigram total/distinct counts and the most-repeated
+    bigram's count per document (the dup-2gram and top-2gram fractions
+    divide out exactly from these integers, which hash portably).
+
+    Map-only: tokens explode, bigrams form by a within-doc shift, and the
+    per-(doc, gram) counting is a polars hash aggregate inside the batch —
+    the shuffle never sees token occurrences."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t")
+              .with_columns(pl.col("t").shift(-1).over("doc_id").alias("t2")))
+        per = (ex.drop_nulls("t2")
+               .with_columns((pl.col("t") + " " + pl.col("t2")).alias("g"))
+               .group_by(["doc_id", "g"]).agg(pl.len().alias("c")))
+        st = per.group_by("doc_id").agg(
+            pl.col("c").sum().cast(pl.Int64).alias("n_2grams"),
+            pl.len().cast(pl.Int64).alias("n_uniq_2grams"),
+            pl.col("c").max().cast(pl.Int64).alias("top_2gram_n"))
+        # single-token docs have no bigrams: join back so every doc_id
+        # appears (zeros), mirroring the oracle's LEFT JOIN
+        out = (d.select("doc_id").join(st, on="doc_id", how="left")
+               .fill_null(0))
+        return out.to_pandas()
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ASCII-only email shape: Python re and DuckDB RE2 evaluate it
+# identically (no \s/\w class divergence, no alternation ambiguity)
+_EMAIL_PATTERN = r"[a-z0-9._]+@[a-z0-9.]+"
+
+
+def inject_pii(sf_dir: str):
+    """documents with deterministic synthetic PII appended — the test
+    corpus carries none, so the scrub operator needs a non-trivial,
+    reproducible input. doc_id % 5 gains a per-doc email, % 7 a fixed
+    one (% 35 both); the DuckDB oracle applies the identical CASE."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        tail5 = np.where(
+            ids % 5 == 0,
+            " contact user" + ids.astype(str) + "@example.com now", "")
+        tail7 = np.where(ids % 7 == 0, " mail admin@test.org", "")
+        return pd.DataFrame({"doc_id": ids,
+                             "text": df["text"] + tail5 + tail7})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def pii_scrub(sf_dir: str):
+    """(doc_id, n_emails, scrubbed) — count and redact email-shaped spans
+    (vectorized regex count + sub per batch). Runs over the PII-injected
+    corpus so the redaction path is actually exercised."""
+    ds = inject_pii(sf_dir)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_emails": df["text"].str.count(_EMAIL_PATTERN).astype("int64"),
+            "scrubbed": df["text"].str.replace(
+                _EMAIL_PATTERN, "<EMAIL>", regex=True),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_LM_Q = 1 << 20  # dyadic quantizer: floor(freq · 2^20) is integer-exact
+
+
+def unigram_lm_score(sf_dir: str):
+    """(doc_id, lm_q20, n_tokens) — unigram language-model score per
+    document: sum over tokens of the corpus-wide token probability,
+    quantized to integers (floor(count·2^20 / total)) so Ray and SQL agree
+    bit-for-bit.
+
+    The canonical broadcast-aggregate shape: pass 1 computes global term
+    frequencies with a per-batch combiner (shuffle carries vocabulary,
+    not occurrences), the tiny aggregate comes back to the driver and the
+    weight table broadcasts into the pass-2 map via closure capture —
+    at 100 TB the vocabulary table is MBs while the corpus is TBs, so
+    this costs one small collect instead of a second all-to-all."""
+    import ray.data
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    vocab = (ds.map_batches(local_counts, batch_format="pandas")
+             .groupby("tok").sum("n").to_pandas())
+    total = int(vocab["sum(n)"].sum())
+    weights = {t: (int(n) * _LM_Q) // total
+               for t, n in zip(vocab["tok"], vocab["sum(n)"])}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t")
+              .with_columns(pl.col("t").replace_strict(
+                  weights, default=0, return_dtype=pl.Int64).alias("q")))
+        out = ex.group_by("doc_id").agg(
+            pl.col("q").sum().cast(pl.Int64).alias("lm_q20"),
+            pl.len().cast(pl.Int64).alias("n_tokens"))
+        return out.to_pandas()
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def lang_counts(sf_dir: str):
     """(lang, n) — corpus language distribution (groupby aggregate)."""
     ds = _read_documents(sf_dir, columns=["doc_id", "lang"])

@@ -82,6 +82,59 @@ class TestTextOps:
         got = list(zip(df["tok"], df["n"]))
         assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expected
 
+    def test_repetition_stats_matches_local(self, ray_session):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import repetition_stats
+
+        df = repetition_stats(SF).to_pandas().set_index("doc_id")
+        assert len(df) == 500
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        for doc_id, text in zip(t.column("doc_id").to_pylist()[:30],
+                                t.column("text").to_pylist()[:30]):
+            toks = text.split(" ")
+            grams = Counter(zip(toks, toks[1:]))
+            assert df.loc[doc_id, "n_2grams"] == sum(grams.values())
+            assert df.loc[doc_id, "n_uniq_2grams"] == len(grams)
+            assert df.loc[doc_id, "top_2gram_n"] == max(grams.values())
+
+    def test_pii_scrub_redacts_injected_emails(self, ray_session):
+        from kgx.textops import pii_scrub
+
+        df = pii_scrub(SF).to_pandas().set_index("doc_id")
+        assert len(df) == 500
+        for doc_id, row in df.iterrows():
+            want = (1 if doc_id % 5 == 0 else 0) + (1 if doc_id % 7 == 0 else 0)
+            assert row["n_emails"] == want, doc_id
+            assert "@" not in row["scrubbed"]
+            assert row["scrubbed"].count("<EMAIL>") == want
+
+    def test_unigram_lm_score_matches_local(self, ray_session):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import _LM_Q, unigram_lm_score
+
+        df = unigram_lm_score(SF).to_pandas().set_index("doc_id")
+        assert len(df) == 500
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        texts = dict(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+        counts = Counter()
+        for text in texts.values():
+            counts.update(text.split(" "))
+        total = sum(counts.values())
+        for doc_id in list(texts)[:30]:
+            toks = texts[doc_id].split(" ")
+            want = sum((counts[x] * _LM_Q) // total for x in toks)
+            assert df.loc[doc_id, "lm_q20"] == want
+            assert df.loc[doc_id, "n_tokens"] == len(toks)
+
 
 class TestDedup:
     def test_exact_survivors(self, ray_session):
