@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      textops, traindata)
     from kgx import queries as q
     from kgx.components import broader_closure as _broader_closure
+    from kgx.components import pagerank as _pagerank
     from kgx.components import sameas_components as _sameas_components
 
     return {
@@ -69,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": simsearch.knn_ivf,
         # sameAs-chain resolution (iterative hash-partitioned union-find)
         "sameas_components": _sameas_components,
+        # iterative graph analytics (integer-quantized, bit-exact oracle)
+        "pagerank": _pagerank,
         # events / windows
         "sessionize": events.sessionize,
         "event_type_hourly": events.event_type_hourly,

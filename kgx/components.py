@@ -326,3 +326,162 @@ def sameas_components(sf_dir: str):
         lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
                                  "component": df["component"].astype("int64")}),
         batch_format="pandas")
+
+
+_PR_Q = 1 << 40  # rank mass quantum: ranks are int64 multiples of Q/N
+
+
+def pagerank_ranks(edges, num_nodes: int, iters: int = 8,
+                   num_partitions: Optional[int] = None):
+    """Dataset[(src:int64, dst:int64)] → Dataset[(node, rank_q)] —
+    integer-quantized PageRank, damping 85/100, over nodes 0..num_nodes-1.
+
+    All arithmetic is int64 floor division on non-negative values
+    (contribution = rank // out-degree; new rank = base + 85·Σ // 100),
+    so per-node sums are order-independent and the fixed-iteration
+    DuckDB oracle reproduces every rank bit-for-bit — no float
+    summation-order divergence. Every node needs ≥1 out-edge (no
+    dangling mass; asserted per batch).
+
+    Scale shape: out-degrees fold into the edge table via one bucketed
+    count (combiner first), then the degree-annotated edge table is
+    bucketed by hash(src) ONCE and materialized — each of the ``iters``
+    rounds re-ships only the rank vector (2 int64s per node) through
+    (1) a src-bucket co-group producing per-batch pre-summed (dst,
+    contrib) rows and (2) a dst-hash aggregate. The edge list — the
+    big side at web scale — never re-shuffles.
+    """
+    import ray.data
+
+    nparts = num_partitions or _nparts()
+
+    def e_norm(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": df["src"].astype("int64"),
+                            "dst": df["dst"].astype("int64")})
+        out["bucket"] = (pd.util.hash_pandas_object(out["src"], index=False)
+                         % nparts).astype("int32")
+        return out
+
+    # out-degree: per-batch combiner → bucketed sum (reuses the edge
+    # buckets so the degree join below is a local merge per bucket)
+    def local_deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["bucket", "src"], as_index=False).size()
+        return g.rename(columns={"size": "deg"})
+
+    eb = edges.map_batches(e_norm, batch_format="pandas")
+    deg = (eb.map_batches(local_deg, batch_format="pandas")
+           .groupby("bucket").map_groups(
+               lambda df: df.groupby(["bucket", "src"], as_index=False)
+               ["deg"].sum(), batch_format="pandas"))
+
+    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["side"] == 0][["src", "dst", "bucket"]]
+        rhs = df[df["side"] == 1][["src", "deg"]]
+        m = lhs.merge(rhs, on="src")
+        return m[["src", "dst", "deg", "bucket"]]
+
+    def tag(side):
+        # union() needs byte-identical schemas: fix column order + dtypes
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "src": df["src"].astype("int64"),
+                "dst": (df["dst"] if "dst" in df else 0 * df["src"])
+                .astype("int64"),
+                "deg": (df["deg"] if "deg" in df else 0 * df["src"])
+                .astype("int64"),
+                "bucket": df["bucket"].astype("int32"),
+                "side": np.int8(side),
+            })
+        return fn
+
+    tagged_e = eb.map_batches(tag(0), batch_format="pandas")
+    tagged_d = deg.map_batches(tag(1), batch_format="pandas")
+    edge_tbl = (tagged_e.union(tagged_d).groupby("bucket")
+                .map_groups(attach_deg, batch_format="pandas")
+                .materialize())
+
+    base = (15 * (_PR_Q // num_nodes)) // 100
+    ranks = ray.data.range(num_nodes).map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["id"].astype("int64"),
+            "r": np.int64(_PR_Q // num_nodes)}),
+        batch_format="pandas")
+    zeros = ray.data.range(num_nodes).map_batches(
+        lambda df: pd.DataFrame({"dst": df["id"].astype("int64"),
+                                 "c": np.int64(0)}),
+        batch_format="pandas").materialize()
+
+    def rank_tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": df["node"].astype("int64"),
+                            "dst": np.int64(0),
+                            "deg": df["r"].astype("int64")})  # r rides in deg
+        out["bucket"] = (pd.util.hash_pandas_object(out["src"], index=False)
+                         % nparts).astype("int32")
+        return out.assign(side=np.int8(2))
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] != 2]
+        r = df[df["side"] == 2][["src", "deg"]].rename(columns={"deg": "r"})
+        m = e.merge(r, on="src")
+        assert len(m) == len(e), "pagerank: node without a rank row"
+        out = pd.DataFrame({"dst": m["dst"],
+                            "c": m["r"] // m["deg"]})
+        # combiner: pre-sum per dst before the dst-hash shuffle
+        return out.groupby("dst", as_index=False)["c"].sum()
+
+    def dst_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(pd.util.hash_pandas_object(df["dst"], index=False)
+                    % nparts).astype("int32"))
+
+    def new_rank(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst", as_index=False)["c"].sum()
+        return pd.DataFrame({
+            "node": g["dst"].astype("int64"),
+            "r": (base + (85 * g["c"]) // 100).astype("int64")})
+
+    edge_sided = edge_tbl.map_batches(
+        lambda df: df.assign(side=np.int8(0)), batch_format="pandas")
+    for _ in range(iters):
+        msgs = (edge_sided.union(
+                    ranks.map_batches(rank_tag, batch_format="pandas"))
+                .groupby("bucket")
+                .map_groups(contribs, batch_format="pandas"))
+        ranks = (msgs.union(zeros)
+                 .map_batches(dst_bucket, batch_format="pandas")
+                 .groupby("bucket")
+                 .map_groups(new_rank, batch_format="pandas"))
+        # pin lineage flat: chained co-group rounds otherwise compound
+        # block counts and re-execute the whole prefix per round
+        ranks = ranks.repartition(nparts).materialize()
+
+    return ranks.map_batches(
+        lambda df: df.rename(columns={"r": "rank_q"}), batch_format="pandas")
+
+
+def pagerank(sf_dir: str, iters: int = 8):
+    """(doc_id, rank_q) — PageRank over a deterministic two-rule edge set
+    on documents: doc_id → doc_id // 2 (the broader chain) and
+    doc_id → (doc_id² + 1) mod N (a scattering rule, so in-degrees vary).
+    Every doc's edges derive from its own row, so the per-batch
+    drop_duplicates is globally exact. SQL oracle: the same fixed-point
+    arithmetic unrolled as one chain of CTEs (queries._pagerank_sql)."""
+    import ray.data
+
+    docs = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edge_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        tree = pd.DataFrame({"src": ids[ids > 0],
+                             "dst": (ids[ids > 0] // 2)})
+        scatter = pd.DataFrame({"src": ids, "dst": (ids * ids + 1) % n})
+        return pd.concat([tree, scatter]).drop_duplicates()
+
+    edges = docs.map_batches(edge_batch, batch_format="pandas")
+    out = pagerank_ranks(edges, num_nodes=n, iters=iters)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
+                                 "rank_q": df["rank_q"].astype("int64")}),
+        batch_format="pandas")

@@ -961,3 +961,38 @@ KG_ORACLES = {
         ") GROUP BY degree"
     ),
 }
+
+
+def _pagerank_sql(iters: int = 8) -> str:
+    """Exact mirror of components.pagerank: integer-quantized PageRank
+    unrolled as one CTE chain per iteration (floor division throughout,
+    so every rank is bit-identical to the engine's int64 arithmetic)."""
+    q = 1 << 40
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+c{k} AS (
+  SELECT e.dst AS doc_id, sum(r.r // e.deg) AS s
+  FROM edges e JOIN r{k} r ON r.doc_id = e.src GROUP BY e.dst),
+r{k + 1} AS (
+  SELECT n.doc_id,
+         CAST((15 * ({q} // p.n)) // 100
+              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n CROSS JOIN params p
+  LEFT JOIN c{k} c ON c.doc_id = n.doc_id)""")
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+eraw AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id > 0
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 1) % p.n FROM documents, params p),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eraw GROUP BY src),
+edges AS (SELECT e.src, e.dst, d.deg FROM eraw e JOIN deg d USING (src)),
+r0 AS (SELECT doc_id, CAST({q} // p.n AS BIGINT) AS r
+       FROM nodes, params p),{",".join(steps)}
+SELECT doc_id, r AS rank_q FROM r{iters}
+"""
+
+
+DOC_ORACLES["pagerank"] = _pagerank_sql()

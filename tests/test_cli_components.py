@@ -23,6 +23,33 @@ class TestComponents:
         assert (df.groupby("component")["doc_id"].min().values ==
                 sorted(df["component"].unique())).all()
 
+    def test_pagerank_matches_local_integer_reference(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.components import _PR_Q, pagerank
+
+        sf = "/root/testdata/sf0.001"
+        df = pagerank(sf).to_pandas().set_index("doc_id")["rank_q"]
+        n = pq.read_metadata("%s/documents.parquet" % sf).num_rows
+        assert len(df) == n
+        # local reference with plain Python ints (same floor arithmetic)
+        edges: dict[int, list[int]] = {}
+        for v in range(n):
+            dsts = {(v * v + 1) % n} | ({v // 2} if v > 0 else set())
+            edges[v] = sorted(dsts)
+        base = (15 * (_PR_Q // n)) // 100
+        r = {v: _PR_Q // n for v in range(n)}
+        for _ in range(8):
+            acc = {v: 0 for v in range(n)}
+            for v, dsts in edges.items():
+                c = r[v] // len(dsts)
+                for d in dsts:
+                    acc[d] += c
+            r = {v: base + (85 * acc[v]) // 100 for v in range(n)}
+        assert {v: int(df.loc[v]) for v in range(n)} == r
+        # ranks stay positive and total mass stays below the quantum
+        assert min(r.values()) > 0 and sum(r.values()) <= _PR_Q
+
     def test_components_fast_and_distributed_paths_agree(self, ray_session):
         import pandas as pd
         import ray.data
