@@ -105,6 +105,7 @@ def run_headline(num_pages: int, out_dir: str, warmup: bool = True,
 def run_queries(sf_dir: str) -> dict:
     from kgx import dedup, events, relational, simsearch, textops, traindata
     from kgx import queries as q
+    from kgx.components import pagerank as _pagerank
 
     def consume(ds):
         # stream-consume without driver materialization
@@ -129,6 +130,7 @@ def run_queries(sf_dir: str) -> dict:
         "decontaminate": lambda: traindata.decontaminate(sf_dir),
         "pack_sequences": lambda: traindata.pack_sequences(sf_dir),
         "curate_corpus": lambda: traindata.curate_corpus(sf_dir),
+        "pagerank": lambda: _pagerank(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
