@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
         "repetition_stats": textops.repetition_stats,
+        "dup_ngram_stats": textops.dup_ngram_stats,
         "pii_scrub": textops.pii_scrub,
         "unigram_lm_score": textops.unigram_lm_score,
         # dedup family

@@ -331,8 +331,33 @@ def sameas_components(sf_dir: str):
 _PR_Q = 1 << 40  # rank mass quantum: ranks are int64 multiples of Q/N
 
 
+def _local_pagerank(edges, num_nodes: int, iters: int):
+    """Single-task vectorized PageRank — the small-graph fast path.
+    Bit-identical to the distributed loop (same int64 floor arithmetic;
+    np.add.at sums are exact integers, so order is irrelevant)."""
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy(dtype=np.int64)
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        deg = np.zeros(num_nodes, dtype=np.int64)
+        np.add.at(deg, src, 1)
+        assert deg.min() > 0, "pagerank: dangling node (no out-edges)"
+        base = (15 * (_PR_Q // num_nodes)) // 100
+        r = np.full(num_nodes, _PR_Q // num_nodes, dtype=np.int64)
+        for _ in range(iters):
+            acc = np.zeros(num_nodes, dtype=np.int64)
+            np.add.at(acc, dst, r[src] // deg[src])
+            r = base + (85 * acc) // 100
+        return pd.DataFrame({"node": np.arange(num_nodes, dtype=np.int64),
+                             "rank_q": r})
+
+    return edges.repartition(1).map_batches(run, batch_format="pandas",
+                                            batch_size=None)
+
+
 def pagerank_ranks(edges, num_nodes: int, iters: int = 8,
-                   num_partitions: Optional[int] = None):
+                   num_partitions: Optional[int] = None,
+                   small_graph_threshold: int = 2_000_000):
     """Dataset[(src:int64, dst:int64)] → Dataset[(node, rank_q)] —
     integer-quantized PageRank, damping 85/100, over nodes 0..num_nodes-1.
 
@@ -343,15 +368,25 @@ def pagerank_ranks(edges, num_nodes: int, iters: int = 8,
     summation-order divergence. Every node needs ≥1 out-edge (no
     dangling mass; asserted per batch).
 
-    Scale shape: out-degrees fold into the edge table via one bucketed
-    count (combiner first), then the degree-annotated edge table is
-    bucketed by hash(src) ONCE and materialized — each of the ``iters``
-    rounds re-ships only the rank vector (2 int64s per node) through
-    (1) a src-bucket co-group producing per-batch pre-summed (dst,
-    contrib) rows and (2) a dst-hash aggregate. The edge list — the
-    big side at web scale — never re-shuffles.
+    Edge lists at or below ``small_graph_threshold`` take a single-task
+    vectorized fast path (pass 0 to force the distributed loop): the
+    distributed rounds cost ~2 co-grouped shuffles each, pure
+    orchestration below millions of edges — the same gate
+    ``connected_components`` uses.
+
+    Scale shape (distributed path): out-degrees fold into the edge table
+    via one bucketed count (combiner first), then the degree-annotated
+    edge table is bucketed by hash(src) ONCE and materialized — each of
+    the ``iters`` rounds re-ships only the rank vector (2 int64s per
+    node) through (1) a src-bucket co-group producing per-batch
+    pre-summed (dst, contrib) rows and (2) a dst-hash aggregate. The
+    edge list — the big side at web scale — never re-shuffles.
     """
     import ray.data
+
+    edges = edges.materialize()
+    if edges.count() <= small_graph_threshold:
+        return _local_pagerank(edges, num_nodes, iters)
 
     nparts = num_partitions or _nparts()
 

@@ -355,6 +355,24 @@ FROM documents
         "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
         ") GROUP BY tok ORDER BY n DESC, tok LIMIT 100"
     ),
+    # exact-substring duplication signal (textops.dup_ngram_stats, l=8):
+    # positions whose 8-token window text occurs >=2 times corpus-wide
+    "dup_ngram_stats": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS w
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS occ FROM w GROUP BY w),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN c.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup
+  FROM w JOIN cnt c USING (w) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.n_dup, 0) AS n_dup_positions
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
     # Gopher-style bigram repetition signals (textops.repetition_stats);
     # zipped unnests give token ordinals, lead() forms the bigrams
     "repetition_stats": """

@@ -286,6 +286,75 @@ def pii_scrub(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def dup_ngram_stats(sf_dir: str, l: int = 8):
+    """(doc_id, n_windows, n_dup_positions) — exact-substring duplication
+    signal (Lee et al. 2022 style): for every length-``l`` token window,
+    count positions whose window text occurs ≥2 times CORPUS-WIDE
+    (including within the same document). Per-doc integer counts — the
+    duplicated fraction divides out exactly — instead of emitting doc
+    pairs, which explode quadratically on templated corpora.
+
+    Scale shape: per-batch polars groupby collapses windows to
+    (doc_id, window, c) before the window-hash shuffle (the combiner);
+    one co-group per window bucket computes global occurrence counts AND
+    the per-doc duplicated-position partials in place (every row of one
+    window lands in one bucket); one doc-hash aggregate finishes. The
+    window vocabulary is too large to broadcast — this is the join-side
+    twin of unigram_lm_score's broadcast shape."""
+    import ray
+    import ray.data
+
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t"))
+        cols = [pl.col("t").shift(-k).over("doc_id") for k in range(1, l)]
+        w = (ex.with_columns(
+                pl.concat_str([pl.col("t")] + cols, separator=" ",
+                              ignore_nulls=False).alias("w"))
+             .drop_nulls("w")
+             .group_by(["doc_id", "w"]).agg(pl.len().cast(pl.Int64)
+                                            .alias("c")))
+        out = w.to_pandas()
+        out["bucket"] = (pd.util.hash_pandas_object(out["w"], index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def bucket_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        occ = df.groupby("w")["c"].transform("sum")
+        dup = df[occ >= 2]
+        part = dup.groupby("doc_id", as_index=False)["c"].sum()
+        tot = df.groupby("doc_id", as_index=False)["c"].sum()
+        m = tot.merge(part, on="doc_id", how="left", suffixes=("_all", "_dup"))
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype("int64"),
+            "n_windows": m["c_all"].astype("int64"),
+            "n_dup_positions": m["c_dup"].fillna(0).astype("int64")})
+
+    partials = (ds.map_batches(windows, batch_format="pandas")
+                .groupby("bucket").map_groups(bucket_reduce,
+                                              batch_format="pandas"))
+    # docs shorter than l tokens have zero windows: union zero rows so
+    # every doc_id appears (mirrors the oracle's LEFT JOIN)
+    zeros = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_windows": np.int64(0), "n_dup_positions": np.int64(0)}),
+        batch_format="pandas")
+    out = partials.union(zeros).groupby("doc_id").sum(
+        ["n_windows", "n_dup_positions"])
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(n_windows)": "n_windows",
+                                      "sum(n_dup_positions)":
+                                      "n_dup_positions"}),
+        batch_format="pandas")
+
+
 _LM_Q = 1 << 20  # dyadic quantizer: floor(freq · 2^20) is integer-exact
 
 

@@ -50,6 +50,24 @@ class TestComponents:
         # ranks stay positive and total mass stays below the quantum
         assert min(r.values()) > 0 and sum(r.values()) <= _PR_Q
 
+    def test_pagerank_fast_and_distributed_paths_agree(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from kgx.components import pagerank_ranks
+
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "src": [0, 1, 2, 3, 4, 4, 5],
+            "dst": [1, 2, 0, 0, 1, 2, 5],
+        }))
+        fast = (pagerank_ranks(edges, num_nodes=6, iters=4).to_pandas()
+                .sort_values("node").reset_index(drop=True))
+        dist = (pagerank_ranks(edges, num_nodes=6, iters=4,
+                               small_graph_threshold=0).to_pandas()
+                .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            fast.astype("int64"), dist.astype("int64"))
+
     def test_components_fast_and_distributed_paths_agree(self, ray_session):
         import pandas as pd
         import ray.data

@@ -166,3 +166,44 @@ def test_exchange_rejects_skosify(corpus, tmp_path):
     with pytest.raises(NotImplementedError):
         write_canonical_graph(corpus, str(tmp_path / "x"),
                               PipelineConfig(skosify=True))
+
+
+def test_reduce_unifies_disjoint_map_dictionaries(ray_session):
+    """Two map slices whose dictionary-encoded pred/lang/datatype carry
+    DISJOINT dictionaries must unify in the reduce and decode back to
+    plain strings — guards the int8-dictionary shuffle encoding."""
+    import pyarrow as pa
+
+    from kgx.canonicalize import _add_tkey_arrow
+    from kgx.exchange import _dict_encode, _reduce_task
+
+    def keyed(pred, lang):
+        return _dict_encode(_add_tkey_arrow(pa.table({
+            "subj": ["http://x/%s" % pred],
+            "pred": ["http://p/%s" % pred],
+            "obj": ["v"],
+            "obj_is_literal": [True],
+            "obj_lang": [lang],
+            "obj_datatype": [None],
+        }).cast(pa.schema([
+            ("subj", pa.string()), ("pred", pa.string()),
+            ("obj", pa.string()), ("obj_is_literal", pa.bool_()),
+            ("obj_lang", pa.string()), ("obj_datatype", pa.string()),
+        ]))))
+
+    import tempfile
+
+    import ray
+
+    with tempfile.TemporaryDirectory() as out:
+        rec = ray.get(_reduce_task.remote(
+            0, out, "parquet", keyed("a", "en"), keyed("b", "de")))
+        assert rec["rows"] == 2
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(out, rec["file"]))
+        assert set(t.column("pred").to_pylist()) == {"http://p/a",
+                                                     "http://p/b"}
+        assert set(t.column("obj_lang").to_pylist()) == {"en", "de"}
+        for c in ("pred", "obj_lang", "obj_datatype"):
+            assert t.schema.field(c).type == pa.string()

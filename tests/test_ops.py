@@ -112,6 +112,33 @@ class TestTextOps:
             assert "@" not in row["scrubbed"]
             assert row["scrubbed"].count("<EMAIL>") == want
 
+    def test_dup_ngram_stats_matches_local(self, ray_session):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import dup_ngram_stats
+
+        L = 8
+        df = dup_ngram_stats(SF, l=L).to_pandas().set_index("doc_id")
+        assert len(df) == 500
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        texts = dict(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+        occ: Counter = Counter()
+        wins = {}
+        for doc_id, text in texts.items():
+            toks = text.split(" ")
+            ws = [" ".join(toks[i:i + L]) for i in range(len(toks) - L + 1)]
+            wins[doc_id] = ws
+            occ.update(ws)
+        assert occ and max(occ.values()) >= 2  # signal is non-trivial
+        for doc_id, ws in wins.items():
+            assert df.loc[doc_id, "n_windows"] == len(ws)
+            assert df.loc[doc_id, "n_dup_positions"] == sum(
+                1 for w in ws if occ[w] >= 2)
+
     def test_unigram_lm_score_matches_local(self, ray_session):
         from collections import Counter
 
