@@ -1014,3 +1014,40 @@ SELECT doc_id, r AS rank_q FROM r{iters}
 
 
 DOC_ORACLES["pagerank"] = _pagerank_sql()
+
+
+def _kmeans_sql(sf_dir: str = "/root/testdata/sf0.01",
+                nlist: int = 64) -> str:
+    """Exact SQL mirror of simsearch.kmeans_clusters GIVEN the trained
+    quantizer (embedded as literals, same caveats as _ivf_sql: the
+    artifact is sf0.01-specific; other scales rely on the determinism
+    and local-recompute tests)."""
+    from .simsearch import train_centroids
+
+    C = train_centroids(sf_dir, nlist)
+    values = ",".join(
+        "(%d,%d,%r)" % (c, i, C[c, i])
+        for c in range(C.shape[0]) for i in range(C.shape[1]))
+    return f"""
+WITH cents(c, i, w) AS (VALUES {values}),
+e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+sims AS (
+  SELECT e.vec_id, cents.c, sum(CAST(e.x AS DOUBLE) * cents.w) AS s
+  FROM e JOIN cents ON cents.i = e.i - 1
+  GROUP BY e.vec_id, cents.c
+)
+SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
+  FROM sims) WHERE rk = 1
+"""
+
+
+try:
+    DOC_ORACLES["kmeans_clusters"] = _kmeans_sql()
+except OSError:
+    pass

@@ -251,3 +251,31 @@ def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
     partial = (candidates.union(queries)
                .groupby("gkey").map_groups(score_bucket, batch_format="pandas"))
     return _final_topk_reduce(partial, k)
+
+
+def kmeans_clusters(sf_dir: str, nlist: int = 64):
+    """(vec_id, cluster) — assign every embedding to its nearest of
+    ``nlist`` trained spherical-k-means centroids (argmax of v·c, ties to
+    the lowest centroid id — np.argmax and the oracle's (s DESC, c) rank
+    agree by construction).
+
+    Map-only: the quantizer trains once on a bounded driver-side sample
+    (train_centroids — O(sample·d), independent of table size) and the
+    centroid matrix broadcasts into the assign map via closure capture
+    (64×d floats; ship via ray.put for thousands of centroids). The
+    embeddings table streams through one vectorized matmul pass —
+    the canonical "cluster a corpus by embedding" topic-bucketing stage.
+    """
+    import ray.data
+
+    C = train_centroids(sf_dir, nlist)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.array(df["embedding"].to_list(), dtype=np.float64)
+        a = np.argmax(M @ C.T, axis=1)
+        return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
+                             "cluster": a.astype("int64")})
+
+    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(assign, batch_format="pandas")

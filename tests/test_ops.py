@@ -349,6 +349,24 @@ class TestSimSearch:
             assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+class TestKmeans:
+    def test_kmeans_clusters_matches_local_argmax(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.simsearch import kmeans_clusters, train_centroids
+
+        df = kmeans_clusters(SF).to_pandas().set_index("vec_id")["cluster"]
+        t = pq.read_table("%s/embeddings.parquet" % SF,
+                          columns=["vec_id", "embedding"])
+        M = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        C = train_centroids(SF)
+        want = np.argmax(M @ C.T, axis=1)
+        ids = t.column("vec_id").to_pylist()
+        assert [int(df.loc[v]) for v in ids] == want.tolist()
+        assert df.nunique() > 1  # the quantizer actually separates
+
+
 class TestEvents:
     def test_sessionize_bounds(self, ray_session):
         from kgx.events import sessionize
