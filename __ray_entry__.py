@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": textops.dup_ngram_stats,
         "pii_scrub": textops.pii_scrub,
         "unigram_lm_score": textops.unigram_lm_score,
+        "tfidf_keywords": textops.tfidf_keywords,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,

@@ -126,6 +126,7 @@ def run_queries(sf_dir: str) -> dict:
         "repetition_stats": lambda: textops.repetition_stats(sf_dir),
         "dup_ngram_stats": lambda: textops.dup_ngram_stats(sf_dir),
         "unigram_lm_score": lambda: textops.unigram_lm_score(sf_dir),
+        "tfidf_keywords": lambda: textops.tfidf_keywords(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
         "knn_ivf": lambda: simsearch.knn_ivf(sf_dir),
         "kmeans_clusters": lambda: simsearch.kmeans_clusters(sf_dir),

@@ -418,6 +418,27 @@ SELECT doc_id,
          AS scrubbed
 FROM aug
 """,
+    # integer-quantized tf·idf top-3 keywords per doc
+    # (textops.tfidf_keywords); ties broken by token text on both sides
+    "tfidf_keywords": """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tk GROUP BY doc_id, tok),
+dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tk GROUP BY tok),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.tok,
+              tf.tf * ((nn.n * 1048576) // dfq.df) AS score_q
+       FROM tf JOIN dfq USING (tok) CROSS JOIN nn)
+SELECT doc_id, tok, CAST(score_q AS BIGINT) AS score_q,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT doc_id, tok, score_q,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, tok) AS rk
+      FROM sc)
+WHERE rk <= 3
+""",
     # dyadic-quantized unigram LM score (textops.unigram_lm_score):
     # integer floor division makes the float-free score bit-exact
     "unigram_lm_score": """

@@ -401,6 +401,63 @@ def unigram_lm_score(sf_dir: str):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def tfidf_keywords(sf_dir: str, k: int = 3):
+    """(doc_id, tok, score_q, rk) — each document's top-``k`` keywords by
+    integer-quantized tf·idf: score = tf · ((N_docs·2^20) // df), ties
+    broken by token text so the ranking is total and the oracle's
+    row_number mirrors it exactly.
+
+    Two-pass broadcast shape like unigram_lm_score: document frequencies
+    aggregate through a per-batch distinct combiner (shuffle carries
+    vocabulary), the small idf table broadcasts into the pass-2 map,
+    which does the per-doc counting + ranking in one polars pass."""
+    import ray.data
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def local_df(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        vc = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t").unique(subset=["doc_id", "t"])
+              .group_by("t").agg(pl.len().cast(pl.Int64).alias("n")))
+        return vc.rename({"t": "tok"}).to_pandas()
+
+    dfreq = (ds.map_batches(local_df, batch_format="pandas")
+             .groupby("tok").sum("n").to_pandas())
+    n_docs = int(pq_row_count("%s/documents.parquet" % sf_dir))
+    idf = {t: (n_docs * _LM_Q) // int(c)
+           for t, c in zip(dfreq["tok"], dfreq["sum(n)"])}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        tf = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t")
+              .group_by(["doc_id", "t"]).agg(pl.len().cast(pl.Int64)
+                                             .alias("tf")))
+        sc = tf.with_columns(
+            (pl.col("tf") * pl.col("t").replace_strict(
+                idf, default=0, return_dtype=pl.Int64)).alias("score_q"))
+        sc = sc.sort(["doc_id", "score_q", "t"],
+                     descending=[False, True, False])
+        sc = sc.with_columns(
+            (pl.int_range(pl.len()).over("doc_id") + 1).cast(pl.Int64)
+            .alias("rk")).filter(pl.col("rk") <= k)
+        return (sc.rename({"t": "tok"})
+                .select(["doc_id", "tok", "score_q", "rk"]).to_pandas())
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def pq_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
 def lang_counts(sf_dir: str):
     """(lang, n) — corpus language distribution (groupby aggregate)."""
     ds = _read_documents(sf_dir, columns=["doc_id", "lang"])

@@ -112,6 +112,33 @@ class TestTextOps:
             assert "@" not in row["scrubbed"]
             assert row["scrubbed"].count("<EMAIL>") == want
 
+    def test_tfidf_keywords_matches_local(self, ray_session):
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import _LM_Q, tfidf_keywords
+
+        out = tfidf_keywords(SF, k=3).to_pandas()
+        assert set(out["rk"]) == {1, 2, 3}
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        texts = dict(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+        dfreq: Counter = Counter()
+        for text in texts.values():
+            dfreq.update(set(text.split(" ")))
+        n = len(texts)
+        got = {d: list(zip(g.sort_values("rk")["tok"],
+                           g.sort_values("rk")["score_q"]))
+               for d, g in out.groupby("doc_id")}
+        for doc_id in list(texts)[:40]:
+            tf = Counter(texts[doc_id].split(" "))
+            want = sorted(((c * ((n * _LM_Q) // dfreq[w]), w)
+                           for w, c in tf.items()),
+                          key=lambda sw: (-sw[0], sw[1]))[:3]
+            assert got[doc_id] == [(w, s) for s, w in want], doc_id
+
     def test_dup_ngram_stats_matches_local(self, ray_session):
         from collections import Counter
 
