@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
+        "semantic_dedup": dedup.semantic_dedup,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf": simsearch.knn_ivf,

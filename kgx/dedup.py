@@ -645,3 +645,53 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4,
 
     return (ds.map_batches(to_cells, batch_format="pandas")
             .groupby("cell").map_groups(pairs_in_cell, batch_format="pandas"))
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.4, nlist: int = 64):
+    """(vec_id, cluster) survivors of SemDeDup-style semantic dedup
+    (Abbas et al. 2023, arXiv:2303.09540): cluster every embedding with
+    the trained spherical-k-means quantizer (same assignment rule as
+    ``simsearch.kmeans_clusters`` — raw dot product argmax, ties to the
+    lowest centroid id), then WITHIN each cluster drop every vector that
+    has an earlier (lower vec_id) cluster-mate with cosine similarity
+    >= ``threshold``. "Earlier-mate" is the deterministic, SQL-mirrorable
+    form of the paper's keep-one-per-duplicate-group rule.
+
+    Scale shape: the quantizer trains once on a bounded driver-side
+    sample (O(sample·d), independent of table size) and broadcasts via
+    closure; assignment is one vectorized map pass; the only shuffle is
+    ``groupby(cluster)``. Per-cluster work is O(n_c²·d) — the published
+    algorithm's own contract is that ``nlist`` scales with N (SemDeDup
+    uses ~10^5 clusters for billions of vectors) so n_c ≈ N/nlist stays
+    bounded; size nlist to ~N/50k at corpus scale.
+    """
+    import ray.data
+
+    from .simsearch import train_centroids
+
+    C = train_centroids(sf_dir, nlist)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        M = np.array(df["embedding"].to_list(), dtype=np.float64)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "embedding": df["embedding"],
+            "cluster": np.argmax(M @ C.T, axis=1).astype("int64"),
+        })
+
+    def prune_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        M = np.array(df["embedding"].to_list(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ M.T
+        # dup[j] iff any earlier row i<j has sims[i, j] >= threshold
+        dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        keep = df.loc[~dup]
+        return pd.DataFrame({"vec_id": keep["vec_id"].astype("int64"),
+                             "cluster": keep["cluster"].astype("int64")})
+
+    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+                               columns=["vec_id", "embedding"])
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby("cluster").map_groups(prune_cluster,
+                                           batch_format="pandas"))

@@ -1037,12 +1037,9 @@ SELECT doc_id, r AS rank_q FROM r{iters}
 DOC_ORACLES["pagerank"] = _pagerank_sql()
 
 
-def _kmeans_sql(sf_dir: str = "/root/testdata/sf0.01",
-                nlist: int = 64) -> str:
-    """Exact SQL mirror of simsearch.kmeans_clusters GIVEN the trained
-    quantizer (embedded as literals, same caveats as _ivf_sql: the
-    artifact is sf0.01-specific; other scales rely on the determinism
-    and local-recompute tests)."""
+def _kmeans_assign_ctes(sf_dir: str, nlist: int) -> str:
+    """The shared assignment CTE chain: trained centroids embedded as
+    literals → per-vector dot products → argmax cluster in ``asgn``."""
     from .simsearch import train_centroids
 
     C = train_centroids(sf_dir, nlist)
@@ -1060,15 +1057,44 @@ sims AS (
   SELECT e.vec_id, cents.c, sum(CAST(e.x AS DOUBLE) * cents.w) AS s
   FROM e JOIN cents ON cents.i = e.i - 1
   GROUP BY e.vec_id, cents.c
-)
-SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
-  SELECT vec_id, c,
-         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
-  FROM sims) WHERE rk = 1
+),
+asgn AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
+    FROM sims) WHERE rk = 1
+)"""
+
+
+def _kmeans_sql(sf_dir: str = "/root/testdata/sf0.01",
+                nlist: int = 64) -> str:
+    """Exact SQL mirror of simsearch.kmeans_clusters GIVEN the trained
+    quantizer (embedded as literals, same caveats as _ivf_sql: the
+    artifact is sf0.01-specific; other scales rely on the determinism
+    and local-recompute tests)."""
+    return _kmeans_assign_ctes(sf_dir, nlist) + """
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asgn
+"""
+
+
+def _semantic_dedup_sql(sf_dir: str = "/root/testdata/sf0.01",
+                        threshold: float = 0.4, nlist: int = 64) -> str:
+    """Exact SQL mirror of dedup.semantic_dedup: the shared quantizer
+    assignment, then drop every vector with an earlier (lower vec_id)
+    cluster-mate at cosine >= threshold (list_cosine_similarity, the
+    same kernel the embedding_near_dup oracle hash-matches with)."""
+    return _kmeans_assign_ctes(sf_dir, nlist) + f"""
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+FROM asgn a JOIN embeddings ea ON ea.vec_id = a.vec_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM asgn b JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold})
 """
 
 
 try:
     DOC_ORACLES["kmeans_clusters"] = _kmeans_sql()
+    DOC_ORACLES["semantic_dedup"] = _semantic_dedup_sql()
 except OSError:
     pass

@@ -2,7 +2,8 @@
 and its oracle_sql() on the same sf dir, compare row count, column names and
 an order-insensitive value hash.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
+(with query names given, only those queries run)
 """
 
 import hashlib
@@ -45,6 +46,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit("unknown queries: %s" % sorted(unknown))
+        qs = {k: v for k, v in qs.items() if k in only}
 
     con = duckdb.connect()
     for table in ["region", "nation", "customer", "supplier", "part", "orders",

@@ -393,6 +393,38 @@ class TestKmeans:
         assert [int(df.loc[v]) for v in ids] == want.tolist()
         assert df.nunique() > 1  # the quantizer actually separates
 
+    def test_semantic_dedup_prunes_and_matches_local(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import semantic_dedup
+        from kgx.simsearch import train_centroids
+
+        threshold = 0.4
+        out = semantic_dedup(SF, threshold=threshold).to_pandas()
+        t = pq.read_table("%s/embeddings.parquet" % SF,
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id"))
+        M = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        C = train_centroids(SF)
+        cluster = np.argmax(M @ C.T, axis=1)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        # local replay of the earlier-mate rule
+        order = np.argsort(ids)
+        keep = []
+        for j in order:
+            dup = False
+            for i in order:
+                if ids[i] >= ids[j]:
+                    break
+                if cluster[i] == cluster[j] and Mn[i] @ Mn[j] >= threshold:
+                    dup = True
+                    break
+            if not dup:
+                keep.append(int(ids[j]))
+        assert sorted(out["vec_id"]) == sorted(keep)
+        assert 0 < len(out) < len(ids)  # non-vacuous: some pruned, some kept
+
 
 class TestEvents:
     def test_sessionize_bounds(self, ray_session):
