@@ -259,14 +259,31 @@ def lsh_bands_for_threshold(threshold: float, num_perm: int = 64) -> int:
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64,
                       bands: Optional[int] = None,
                       threshold: float = 0.5, num_partitions: Optional[int] = None,
-                      shingle_k: int = 3, max_bucket: int = 200):
-    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify.
+                      shingle_k: int = 3, max_bucket: int = 200,
+                      verify: str = "carry"):
+    """Near-duplicate pairs via MinHash+LSH with estimated-Jaccard verify.
+    Returns (doc_id_a, doc_id_b, jaccard_est); ``bands=None`` derives the
+    band regime from the threshold (``lsh_bands_for_threshold``: 16×4 at
+    0.5, 8×8 at 0.8). Two verify plans, identical answers:
 
-    shingle → signature → band buckets (groupby bucket) → candidate pairs
-    → hash-join signatures back on both sides → estimated-Jaccard filter.
-    ``bands=None`` derives the regime from the threshold
-    (``lsh_bands_for_threshold``: 16×4 at 0.5, 8×8 at 0.8).
-    Returns (doc_id_a, doc_id_b, jaccard_est).
+    - ``verify="carry"`` (default): each band row carries the doc's
+      binary signature into the bucket shuffle; the estimated-Jaccard
+      compare runs INSIDE the bucket partition and only verified pairs
+      take one more (tiny) pair-keyed dedup exchange. 2 all-to-all
+      rounds total. Shuffle bytes: bands × 8·num_perm B per doc
+      (8 bands × 512 B at the 0.8-threshold regime).
+    - ``verify="join"``: band rows carry only doc_ids; candidate pairs
+      hash-join the signature table back onto both sides (reduce-side
+      union+co-group). 4 all-to-all rounds, but each doc's signature
+      ships ~twice regardless of band count — the cheaper plan when
+      bands is large (low thresholds) or rows are huge; the exchange
+      engine's lesson (BASELINE.md) is that shuffle BYTES, not rounds,
+      bound 8→32 scaling at corpus scale, so the crossover is real.
+
+    Both run every bucket group inside coarse hash partitions (one Ray
+    group per partition, never per bucket) and cap pathological buckets
+    at ``max_bucket`` after a doc_id sort, so skewed buckets degrade
+    deterministically instead of OOMing a worker.
     """
     if num_partitions is None:
         import ray
@@ -277,6 +294,9 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64,
     if bands is None:
         bands = lsh_bands_for_threshold(threshold, num_perm)
     rows_per_band = num_perm // bands
+    if verify == "carry":
+        return _lsh_pairs_carry(sf_dir, num_perm, bands, rows_per_band,
+                                threshold, nparts, shingle_k, max_bucket)
     sigs = minhash_signatures(sf_dir, num_perm, shingle_k).materialize()
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
@@ -380,6 +400,82 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64,
         return out[out["jaccard_est"] >= threshold]
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+def _lsh_pairs_carry(sf_dir: str, num_perm: int, bands: int,
+                     rows_per_band: int, threshold: float, nparts: int,
+                     shingle_k: int, max_bucket: int):
+    """The ``verify="carry"`` plan of ``minhash_lsh_pairs``: band rows
+    ship the binary signature, the estimate runs inside the bucket
+    partition, and only verified pairs take the final pair-keyed dedup
+    exchange. Band keys are hashed from the hex form so the two plans
+    produce bit-identical buckets (pinned in tests/test_ops.py)."""
+    a, b = _perm_params(num_perm)
+    chars_per_band = 16 * rows_per_band
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def to_band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [_minhash(_shingle_hashes(t, shingle_k), a, b)
+               .astype(">u8").tobytes() for t in df["text"]]
+        sig_hex = pd.Series([r.hex() for r in raw])
+        doc_ids = df["doc_id"].astype("int64").reset_index(drop=True)
+        frames = []
+        for band in range(bands):
+            chunk = sig_hex.str.slice(band * chars_per_band,
+                                      (band + 1) * chars_per_band)
+            key = pd.util.hash_pandas_object(
+                str(band) + ":" + chunk, index=False).astype("int64").abs()
+            frames.append(pd.DataFrame({"doc_id": doc_ids, "sig": raw,
+                                        "bucket": key}))
+        out = pd.concat(frames, ignore_index=True)
+        out["part"] = (out["bucket"] % nparts).astype("int32")
+        return out
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets (the vast majority) can't produce pairs
+        df = df[df.duplicated("bucket", keep=False)]
+        frames = []
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(g) < 2:
+                continue
+            if len(g) > max_bucket:  # pathological bucket guard
+                g = g.head(max_bucket)
+            ids = g["doc_id"].to_numpy()
+            S = np.frombuffer(b"".join(g["sig"]), dtype=">u8") \
+                .reshape(len(g), num_perm)
+            est = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+            ii, jj = np.where(np.triu(est >= threshold, k=1))
+            frames.append(pd.DataFrame({
+                "doc_id_a": pd.Series(ids[ii], dtype="int64"),
+                "doc_id_b": pd.Series(ids[jj], dtype="int64"),
+                "jaccard_est": est[ii, jj].astype("float64"),
+            }))
+        if not frames:
+            return pd.DataFrame({"doc_id_a": pd.Series(dtype="int64"),
+                                 "doc_id_b": pd.Series(dtype="int64"),
+                                 "jaccard_est": pd.Series(dtype="float64")})
+        # same pair found by several bands within this partition
+        return pd.concat(frames, ignore_index=True).drop_duplicates(
+            subset=["doc_id_a", "doc_id_b"])
+
+    # cross-partition dedup (same pair surfacing from bands that hashed to
+    # different partitions): co-locate duplicates by hashing the pair
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
+        pk = pd.util.hash_pandas_object(df[["doc_id_a", "doc_id_b"]],
+                                        index=False)
+        return df.assign(part=(pk % nparts).astype("int32"))
+
+    verified = (ds.map_batches(to_band_rows, batch_format="pandas")
+                .groupby("part").map_groups(verify_bucket,
+                                            batch_format="pandas"))
+    return (verified.map_batches(pair_part, batch_format="pandas")
+            .groupby("part").map_groups(
+                lambda df: df.drop_duplicates(
+                    subset=["doc_id_a", "doc_id_b"])
+                [["doc_id_a", "doc_id_b", "jaccard_est"]],
+                batch_format="pandas"))
 
 
 def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,

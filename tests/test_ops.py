@@ -329,6 +329,23 @@ class TestDedup:
         for row in pairs.itertuples(index=False):
             assert true_jaccard(row.doc_id_a, row.doc_id_b) >= 0.4, row
 
+    def test_lsh_verify_plans_identical(self, ray_session):
+        # carry (sig ships with the band row, 2 exchanges) and join
+        # (sig hash-joined back onto candidate pairs, 4 exchanges) are
+        # alternative PLANS of the same operator: bit-identical buckets
+        # (both hash the hex band slice), so the pair set and every
+        # estimate must agree exactly
+        from kgx.dedup import minhash_lsh_pairs
+
+        def key(df):
+            return set(zip(df.doc_id_a, df.doc_id_b, df.jaccard_est))
+
+        for kw in ({}, {"threshold": 0.8, "shingle_k": 1}):
+            carry = minhash_lsh_pairs(SF, **kw).to_pandas()
+            join = minhash_lsh_pairs(SF, verify="join", **kw).to_pandas()
+            assert key(carry) == key(join)
+            assert len(carry) > 0  # non-vacuous
+
     def test_simhash_close_docs_close_hashes(self, ray_session):
         from kgx.dedup import simhash
 
