@@ -130,6 +130,7 @@ def run_queries(sf_dir: str) -> dict:
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
         "knn_ivf": lambda: simsearch.knn_ivf(sf_dir),
         "kmeans_clusters": lambda: simsearch.kmeans_clusters(sf_dir),
+        "semantic_dedup": lambda: dedup.semantic_dedup(sf_dir),
         "decontaminate": lambda: traindata.decontaminate(sf_dir),
         "pack_sequences": lambda: traindata.pack_sequences(sf_dir),
         "curate_corpus": lambda: traindata.curate_corpus(sf_dir),

@@ -346,13 +346,26 @@ def dup_ngram_stats(sf_dir: str, l: int = 8):
             "doc_id": df["doc_id"].astype("int64"),
             "n_windows": np.int64(0), "n_dup_positions": np.int64(0)}),
         batch_format="pandas")
-    out = partials.union(zeros).groupby("doc_id").sum(
-        ["n_windows", "n_dup_positions"])
-    return out.map_batches(
-        lambda df: df.rename(columns={"sum(n_windows)": "n_windows",
-                                      "sum(n_dup_positions)":
-                                      "n_dup_positions"}),
-        batch_format="pandas")
+
+    # final per-doc sum as a bucketed co-group, NOT the native
+    # groupby().sum(): Ray's sort-based aggregate on the (already
+    # many-blocked) shuffle output measured 18 s of pure orchestration
+    # at sf0.1 where this hash co-group takes ~2 s — same lesson as the
+    # components loop (CLAUDE.md: chained-shuffle block counts)
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            b2=(pd.util.hash_pandas_object(df["doc_id"], index=False)
+                % nparts).astype("int32"))
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)[
+            ["n_windows", "n_dup_positions"]].sum()
+        return g.astype({"doc_id": "int64", "n_windows": "int64",
+                         "n_dup_positions": "int64"})
+
+    return (partials.union(zeros)
+            .map_batches(doc_bucket, batch_format="pandas")
+            .groupby("b2").map_groups(final_sum, batch_format="pandas"))
 
 
 _LM_Q = 1 << 20  # dyadic quantizer: floor(freq · 2^20) is integer-exact
