@@ -102,11 +102,23 @@ def decontaminate(sf_dir: str, shingle_k: int = 5, bench_mod: int = 50,
 
     partials = (ds.map_batches(shingle_rows, batch_format="pandas")
                 .groupby("part").map_groups(match_part, batch_format="pandas"))
-    out = partials.groupby("doc_id").sum("partial_n")
-    return out.map_batches(
-        lambda df: df.rename(columns={"sum(partial_n)": "n_shared_shingles"})
-        .astype({"n_shared_shingles": "int64"}),
-        batch_format="pandas")
+
+    # per-doc sum as a hash co-group, not the native sort-aggregate —
+    # downstream of a co-group shuffle the native path pays a full sort
+    # over compounded block counts (same fix as textops.dup_ngram_stats)
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            b2=(pd.util.hash_pandas_object(df["doc_id"], index=False)
+                % nparts).astype("int32"))
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["partial_n"].sum()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_shared_shingles": g["partial_n"].astype("int64")})
+
+    return (partials.map_batches(doc_bucket, batch_format="pandas")
+            .groupby("b2").map_groups(final_sum, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
