@@ -128,6 +128,8 @@ def run_queries(sf_dir: str) -> dict:
         "unigram_lm_score": lambda: textops.unigram_lm_score(sf_dir),
         "tfidf_keywords": lambda: textops.tfidf_keywords(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
+        "near_dup_dedup_lsh": lambda: dedup.near_dup_dedup(sf_dir,
+                                                           use_lsh=True),
         "knn_ivf": lambda: simsearch.knn_ivf(sf_dir),
         "kmeans_clusters": lambda: simsearch.kmeans_clusters(sf_dir),
         "semantic_dedup": lambda: dedup.semantic_dedup(sf_dir),

@@ -322,6 +322,10 @@ def write_canonical_graph(corpus, out_dir: str,
             parts[rec["part"]] = rec
 
     t_reduce_done = time.time()
+    # maps are done by now, so the pilot result is long available: record
+    # the range boundaries so merge_canonical_graphs can route a delta
+    # run into these partitions without re-sampling (and so merges chain)
+    boundaries = ray.get(boundaries_ref)
     n_errors = 0
     if err_tables:
         err = pa.concat_tables(err_tables)
@@ -337,10 +341,190 @@ def write_canonical_graph(corpus, out_dir: str,
                        for r in ordered],
         "errors": n_errors,
         "resumed_parts": len(done),
+        "boundaries_hex": [bytes(b).hex() for b in boundaries],
         "phase_sec": {"map_wave": round(t_maps_done - t0, 3),
                       "reduce_tail": round(t_reduce_done - t_maps_done, 3)},
         "config": config.semantic_options(),
         "engine": "exchange",
+        "skipped": False,
+    }
+    with open(manifest_path, "w") as fp:
+        json.dump(manifest, fp, indent=2)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# Incremental merge (LSM-style compaction of two canonical runs)
+# ---------------------------------------------------------------------------
+
+def _rekey_shard(tbl: pa.Table) -> pa.Table:
+    """Recompute the binary sort key on a decoded graph shard.
+
+    tkey is a pure function of the triple (canonicalize._add_tkey_arrow),
+    so shards never need to persist it — a merge re-derives it locally.
+    """
+    from .canonicalize import _KEY_COLS
+
+    return _add_tkey_arrow(tbl.select(_KEY_COLS), expand=False)
+
+
+@ray.remote
+def _route_delta_task(files: list, boundaries: list, num_parts: int):
+    """Read delta graph shards, re-key, and range-partition them against
+    the BASE run's boundaries (same searchsorted side as the original
+    write, so equal keys land in the same partition they would have)."""
+    tables = [_rekey_shard(pq.read_table(f)) for f in files]
+    tbl = pa.concat_tables(tables).combine_chunks() if tables else None
+    if tbl is None or tbl.num_rows == 0:
+        return tuple([None] * num_parts)
+    keys = tbl.column("tkey").to_numpy(zero_copy_only=False)
+    part = (np.searchsorted(np.asarray(boundaries, dtype=object), keys,
+                            side="right")
+            if boundaries else np.zeros(len(keys), dtype=np.int64))
+    order = np.argsort(part, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    counts = np.bincount(part, minlength=num_parts)
+    slices, off = [], 0
+    for c in counts[:num_parts]:
+        slices.append(tbl.slice(off, int(c)) if c else None)
+        off += int(c)
+    return tuple(slices)
+
+
+@ray.remote
+def _merge_task(part_idx: int, base_file: Optional[str], out_dir: str,
+                *delta_slices) -> dict:
+    """Merge one range partition: the base shard is read LOCALLY (never
+    shuffled), delta slices arrive via plasma; sort + adjacent-dedup +
+    atomic write, exactly like _reduce_task."""
+    tables = []
+    if base_file is not None:
+        base = pq.read_table(base_file)
+        if base.num_rows:
+            tables.append(_rekey_shard(base))
+    tables.extend(s for s in delta_slices if s is not None and s.num_rows)
+    if tables:
+        tbl = pa.concat_tables(tables).combine_chunks()
+        tbl = tbl.take(pc.sort_indices(tbl.column("tkey")))
+        out = _dedup_sorted_block(tbl)
+    else:
+        out = _dedup_sorted_block(
+            pa.table({"pred": pa.array([], pa.string()),
+                      "obj": pa.array([], pa.string()),
+                      "obj_is_literal": pa.array([], pa.bool_()),
+                      "obj_lang": pa.array([], pa.string()),
+                      "obj_datatype": pa.array([], pa.string()),
+                      "tkey": pa.array([], pa.binary())}))
+    fname = "part-%05d.parquet" % part_idx
+    tmp = os.path.join(out_dir, "." + fname + ".tmp")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(out_dir, fname))
+    return {"part": part_idx, "file": fname, "rows": out.num_rows}
+
+
+def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
+                           fingerprint: Optional[str] = None) -> dict:
+    """Merge a delta canonical run into a base run WITHOUT re-sorting the
+    base — the incremental-update path (new crawl batch into a standing
+    100 TB graph).
+
+    Both inputs are ``write_canonical_graph(..., fmt="parquet")`` outputs:
+    range-partitioned, sorted within partitions, deduped within runs.
+    Identical tkey ⟹ identical triple (the key embeds a 128-bit hash of
+    the full triple), so a per-partition merge + adjacent-dedup of the two
+    runs IS the canonical graph of the combined corpus: row-identical to a
+    full rebuild (pinned by tests/test_exchange.py).
+
+    Cost shape: the base graph crosses plasma ZERO times (each merge task
+    reads its own base shard from storage), the delta crosses once
+    (route → merge). At a 100 TB base with a small delta this is the
+    difference between an incremental update and a full re-shuffle.
+    Output partitioning reuses the base boundaries (recorded in the base
+    manifest), so merges chain: merged output is itself a valid base.
+    Skewed deltas concentrate into few partitions by design — rebuild
+    (re-sample) when a partition's shard grows past ~2× the target size,
+    the standard LSM compaction trigger.
+
+    Resume: same fingerprint + ``_partials.jsonl`` protocol as
+    write_canonical_graph.
+    """
+    with open(os.path.join(base_dir, "_MANIFEST.json")) as fp:
+        base_man = json.load(fp)
+    with open(os.path.join(delta_dir, "_MANIFEST.json")) as fp:
+        delta_man = json.load(fp)
+    if base_man.get("config") != delta_man.get("config"):
+        raise ValueError(
+            "cannot merge runs with different semantic options: %r vs %r"
+            % (base_man.get("config"), delta_man.get("config")))
+    if "boundaries_hex" not in base_man:
+        raise ValueError("base manifest has no recorded range boundaries "
+                         "(re-run write_canonical_graph to record them)")
+    boundaries = [bytes.fromhex(h) for h in base_man["boundaries_hex"]]
+    P = len(base_man["partitions"])
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    if fingerprint is not None and os.path.isfile(manifest_path):
+        with open(manifest_path) as fp:
+            existing = json.load(fp)
+        if existing.get("fingerprint") == fingerprint and existing.get("complete"):
+            existing["skipped"] = True
+            return existing
+    partials_path = os.path.join(out_dir, "_partials.jsonl")
+    done = _load_partials(partials_path, fingerprint)
+    done = {p: rec for p, rec in done.items()
+            if os.path.isfile(os.path.join(out_dir, rec["file"]))}
+    keep = {rec["file"] for rec in done.values()}
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and f not in keep:
+            os.unlink(os.path.join(out_dir, f))
+
+    delta_files = [os.path.join(delta_dir, r["file"])
+                   for r in delta_man["partitions"] if r["rows"]]
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    D = max(1, min(2 * ncpu, len(delta_files))) if delta_files else 0
+    groups = [delta_files[i::D] for i in range(D)]
+
+    slice_refs: list = [[] for _ in range(P)]
+    for g in groups:
+        rets = _route_delta_task.options(num_returns=P).remote(
+            g, boundaries, P)
+        if P == 1:
+            rets = [rets]
+        for p in range(P):
+            slice_refs[p].append(rets[p])
+
+    pending = {}
+    for p in range(P):
+        if p in done:
+            continue
+        bf = os.path.join(base_dir, base_man["partitions"][p]["file"])
+        pending[_merge_task.remote(p, bf, out_dir, *slice_refs[p])] = p
+
+    parts = dict(done)
+    with open(partials_path, "a") as plog:
+        refs = list(pending)
+        while refs:
+            ready, refs = ray.wait(refs, num_returns=1)
+            rec = ray.get(ready[0])
+            rec["fingerprint"] = fingerprint
+            plog.write(json.dumps(rec) + "\n")
+            plog.flush()
+            parts[rec["part"]] = rec
+
+    ordered = [parts[p] for p in sorted(parts)]
+    manifest = {
+        "fingerprint": fingerprint,
+        "complete": True,
+        "rows": sum(r["rows"] for r in ordered),
+        "partitions": [{"file": r["file"], "rows": r["rows"]}
+                       for r in ordered],
+        "errors": 0,
+        "resumed_parts": len(done),
+        "boundaries_hex": base_man["boundaries_hex"],
+        "config": base_man.get("config"),
+        "engine": "exchange-merge",
+        "merged_from": [os.path.abspath(base_dir), os.path.abspath(delta_dir)],
         "skipped": False,
     }
     with open(manifest_path, "w") as fp:

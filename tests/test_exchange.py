@@ -168,6 +168,58 @@ def test_exchange_rejects_skosify(corpus, tmp_path):
                               PipelineConfig(skosify=True))
 
 
+def test_merge_matches_full_rebuild(ray_session, corpus, tmp_path):
+    """Incremental merge == full rebuild, row-for-row in global order,
+    and the merged output is itself a valid base (merges chain). The
+    corpus split puts planted cross-page duplicates on BOTH sides, so
+    cross-run dedup is exercised."""
+    from kgx.exchange import merge_canonical_graphs
+
+    cfg = PipelineConfig(include_altlabels=True)
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    assert len(files) >= 3
+    base_files, delta_files = files[:-2], files[-2:]
+
+    base = str(tmp_path / "base")
+    delta = str(tmp_path / "delta")
+    merged = str(tmp_path / "merged")
+    full = str(tmp_path / "full")
+    write_canonical_graph(base_files, base, cfg, num_parts=5, map_tasks=2)
+    write_canonical_graph(delta_files, delta, cfg, num_parts=3, map_tasks=2)
+    m = merge_canonical_graphs(base, delta, merged)
+    write_canonical_graph(files, full, cfg, num_parts=5, map_tasks=2)
+
+    _, got = _read_shards(merged)
+    _, want = _read_shards(full)
+    assert m["rows"] == got.num_rows == want.num_rows
+    # identical ROW ORDER, not just set equality: both concatenations are
+    # the total tkey order and tkey is unique after dedup
+    pd.testing.assert_frame_equal(got.to_pandas(), want.to_pandas())
+
+    # chain: merge an empty-ish second delta (reuse delta) into merged —
+    # idempotent, since every delta triple is already in the base side
+    merged2 = str(tmp_path / "merged2")
+    m2 = merge_canonical_graphs(merged, delta, merged2)
+    _, got2 = _read_shards(merged2)
+    assert m2["rows"] == m["rows"]
+    pd.testing.assert_frame_equal(got2.to_pandas(), want.to_pandas())
+
+
+def test_merge_rejects_mismatched_config(ray_session, corpus, tmp_path):
+    from kgx.exchange import merge_canonical_graphs
+
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_canonical_graph(files[:1], a, PipelineConfig(), num_parts=2)
+    write_canonical_graph(files[1:2], b, PipelineConfig(expand=True),
+                          num_parts=2)
+    with pytest.raises(ValueError, match="semantic options"):
+        merge_canonical_graphs(a, b, str(tmp_path / "m"))
+
+
 def test_reduce_unifies_disjoint_map_dictionaries(ray_session):
     """Two map slices whose dictionary-encoded pred/lang/datatype carry
     DISJOINT dictionaries must unify in the reduce and decode back to
