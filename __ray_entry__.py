@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_skosify": q.kg_skosify,
         "kg_broader_closure": _broader_closure,
         "kg_synthetic": q.kg_synthetic,
+        "kg_incremental": q.kg_incremental,
         # text analysis
         "token_counts": textops.token_counts,
         "token_counts_bpe": textops.token_counts_bpe,

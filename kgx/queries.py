@@ -93,6 +93,45 @@ def kg_synthetic(sf_dir: str):
     return build_graph(synthetic_pages(n), cfg)
 
 
+def kg_incremental(sf_dir: str):
+    """kg_synthetic's corpus ingested as TWO crawl batches through the
+    exchange engine — base run + delta run merged incrementally
+    (``exchange.merge_canonical_graphs``, base never reshuffled). The
+    merged triple set is identical to the single-run graph, so the same
+    _SYNTH_CTE oracle hash-checks the incremental-update path end-to-end
+    (row-order parity vs a full rebuild is additionally pinned in
+    tests/test_exchange.py)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .exchange import merge_canonical_graphs, write_canonical_graph
+    from .pages import synthetic_pages
+
+    n = 2 * pq.read_metadata("%s/documents.parquet" % sf_dir).num_rows
+    cfg = PipelineConfig(include_altlabels=True, include_components=True,
+                         include_webdewey=True)
+    root = "/tmp/kgx_incremental_%d" % n
+    shutil.rmtree(root, ignore_errors=True)
+    corpus = os.path.join(root, "pages")
+    synthetic_pages(n).write_parquet(corpus)
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    half = max(1, len(files) // 2)
+    write_canonical_graph(files[:half], os.path.join(root, "base"), cfg)
+    write_canonical_graph(files[half:], os.path.join(root, "delta"), cfg)
+    manifest = merge_canonical_graphs(os.path.join(root, "base"),
+                                      os.path.join(root, "delta"),
+                                      os.path.join(root, "merged"))
+    shards = [os.path.join(root, "merged", p["file"])
+              for p in manifest["partitions"] if p["rows"]]
+    return (ray.data.read_parquet(shards)
+            .select_columns(["subj", "pred", "obj", "obj_is_literal",
+                             "obj_lang", "obj_datatype"]))
+
+
 def kg_degree_histogram(sf_dir: str):
     """Distribution of per-subject triple counts (degree histogram) —
     exercises the two-level aggregation path."""
@@ -970,6 +1009,13 @@ WITH seq AS (
 
 KG_ORACLES = {
     "kg_synthetic": _SYNTH_CTE + (
+        "SELECT DISTINCT subj, pred, obj, obj_is_literal,"
+        " CAST(obj_lang AS VARCHAR) AS obj_lang,"
+        " CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM raw"
+    ),
+    # the incremental merge produces the identical triple set, so the
+    # same corpus reconstruction is its oracle
+    "kg_incremental": _SYNTH_CTE + (
         "SELECT DISTINCT subj, pred, obj, obj_is_literal,"
         " CAST(obj_lang AS VARCHAR) AS obj_lang,"
         " CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM raw"
