@@ -133,59 +133,41 @@ def _sample_task(files: list, config: PipelineConfig, num_parts: int) -> list:
     return [arr[(len(arr) * i) // num_parts] for i in range(1, num_parts)]
 
 
-@ray.remote
-def _map_task(files: list, config: PipelineConfig, num_parts: int,
-              boundaries_wrap: list):
-    """Extract+link+key a fragment group, then range-partition it.
-
-    Returns num_parts keyed slices + one error table. ``boundaries_wrap``
-    is ``[ObjectRef]`` so the task starts extracting immediately and only
-    blocks on the pilot sample when partitioning — the sample's latency
-    fully overlaps the first map wave.
-    """
-    keyed_parts, err_parts = [], []
-    for keyed, err in _keyed_tables(files, config):
-        keyed_parts.append(keyed)
-        if err.num_rows:
-            err_parts.append(err)
-    if not keyed_parts:
-        empty = _dict_encode(_add_tkey_arrow(
-            pa.table({"subj": pa.array([], pa.string()),
-                      "pred": pa.array([], pa.string()),
-                      "obj": pa.array([], pa.string()),
-                      "obj_is_literal": pa.array([], pa.bool_()),
-                      "obj_lang": pa.array([], pa.string()),
-                      "obj_datatype": pa.array([], pa.string())})))
-        slices = [empty] * num_parts
-    else:
-        tbl = pa.concat_tables(keyed_parts).combine_chunks()
-        boundaries = ray.get(boundaries_wrap[0])
-        keys = tbl.column("tkey").to_numpy(zero_copy_only=False)
-        part = (np.searchsorted(np.asarray(boundaries, dtype=object), keys,
-                                side="right")
-                if boundaries else np.zeros(len(keys), dtype=np.int64))
-        order = np.argsort(part, kind="stable")
-        tbl = tbl.take(pa.array(order))
-        counts = np.bincount(part, minlength=num_parts)
-        slices, off = [], 0
-        for c in counts[:num_parts]:
-            slices.append(tbl.slice(off, int(c)))
-            off += int(c)
-    errors = (pa.concat_tables(err_parts) if err_parts
-              else pa.table({"url": pa.array([], pa.string()),
-                             "obj": pa.array([], pa.string())}))
-    return (*slices, errors)
+def _empty_keyed_table() -> pa.Table:
+    """Zero-row keyed table (post-tkey schema, subj embedded in the key)."""
+    return _add_tkey_arrow(
+        pa.table({"subj": pa.array([], pa.string()),
+                  "pred": pa.array([], pa.string()),
+                  "obj": pa.array([], pa.string()),
+                  "obj_is_literal": pa.array([], pa.bool_()),
+                  "obj_lang": pa.array([], pa.string()),
+                  "obj_datatype": pa.array([], pa.string())}))
 
 
-@ray.remote
-def _reduce_task(part_idx: int, out_dir: str, fmt: str, *slices) -> dict:
-    """Sort + adjacent-dedup one range partition and write its shard.
+def _range_partition_slices(tbl: pa.Table, boundaries, num_parts: int) -> list:
+    """Split a keyed table into num_parts contiguous range slices
+    (searchsorted side="right" — the one deterministic routing rule every
+    exchange path shares, so equal keys always co-locate)."""
+    keys = tbl.column("tkey").to_numpy(zero_copy_only=False)
+    part = (np.searchsorted(np.asarray(boundaries, dtype=object), keys,
+                            side="right")
+            if boundaries else np.zeros(len(keys), dtype=np.int64))
+    order = np.argsort(part, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    counts = np.bincount(part, minlength=num_parts)
+    slices, off = [], 0
+    for c in counts[:num_parts]:
+        slices.append(tbl.slice(off, int(c)))
+        off += int(c)
+    return slices
 
-    The write happens HERE, inside the reduce — the sorted stream never
-    re-enters the object store. Shards are written atomically
-    (tmp + rename) so a killed run leaves no torn partition behind.
-    """
-    tables = [s for s in slices if s is not None and s.num_rows]
+
+def _sort_dedup_write(part_idx: int, out_dir: str, fmt: str,
+                      tables: list) -> dict:
+    """Sort + adjacent-dedup one partition's tables and atomically write
+    its shard (tmp + rename, so a killed run leaves no torn partition).
+    Shared by the bulk reduce and the incremental merge."""
+    tables = [t for t in tables if t is not None and t.num_rows]
     if tables:
         # combine_chunks unifies the per-map dictionaries of the encoded
         # low-cardinality columns before the sort-take
@@ -212,6 +194,43 @@ def _reduce_task(part_idx: int, out_dir: str, fmt: str, *slices) -> dict:
             fp.write("".join(nt_lines(out.to_pandas())))
     os.replace(tmp, os.path.join(out_dir, fname))
     return {"part": part_idx, "file": fname, "rows": out.num_rows}
+
+
+@ray.remote
+def _map_task(files: list, config: PipelineConfig, num_parts: int,
+              boundaries_wrap: list):
+    """Extract+link+key a fragment group, then range-partition it.
+
+    Returns num_parts keyed slices + one error table. ``boundaries_wrap``
+    is ``[ObjectRef]`` so the task starts extracting immediately and only
+    blocks on the pilot sample when partitioning — the sample's latency
+    fully overlaps the first map wave.
+    """
+    keyed_parts, err_parts = [], []
+    for keyed, err in _keyed_tables(files, config):
+        keyed_parts.append(keyed)
+        if err.num_rows:
+            err_parts.append(err)
+    if not keyed_parts:
+        slices = [_dict_encode(_empty_keyed_table())] * num_parts
+    else:
+        tbl = pa.concat_tables(keyed_parts).combine_chunks()
+        boundaries = ray.get(boundaries_wrap[0])
+        slices = _range_partition_slices(tbl, boundaries, num_parts)
+    errors = (pa.concat_tables(err_parts) if err_parts
+              else pa.table({"url": pa.array([], pa.string()),
+                             "obj": pa.array([], pa.string())}))
+    return (*slices, errors)
+
+
+@ray.remote
+def _reduce_task(part_idx: int, out_dir: str, fmt: str, *slices) -> dict:
+    """Sort + adjacent-dedup one range partition and write its shard.
+
+    The write happens HERE, inside the reduce — the sorted stream never
+    re-enters the object store.
+    """
+    return _sort_dedup_write(part_idx, out_dir, fmt, list(slices))
 
 
 def _load_partials(path: str, fingerprint) -> dict:
@@ -342,6 +361,9 @@ def write_canonical_graph(corpus, out_dir: str,
         "errors": n_errors,
         "resumed_parts": len(done),
         "boundaries_hex": [bytes(b).hex() for b in boundaries],
+        # tkey embeds a polars struct hash; a merge must re-derive the
+        # IDENTICAL keys, so stamp the version for merge to verify
+        "polars_version": __import__("polars").__version__,
         "phase_sec": {"map_wave": round(t_maps_done - t0, 3),
                       "reduce_tail": round(t_reduce_done - t_maps_done, 3)},
         "config": config.semantic_options(),
@@ -371,24 +393,17 @@ def _rekey_shard(tbl: pa.Table) -> pa.Table:
 @ray.remote
 def _route_delta_task(files: list, boundaries: list, num_parts: int):
     """Read delta graph shards, re-key, and range-partition them against
-    the BASE run's boundaries (same searchsorted side as the original
-    write, so equal keys land in the same partition they would have)."""
+    the BASE run's boundaries (same searchsorted rule as the original
+    write — _range_partition_slices — so equal keys land in the same
+    partition they would have). Returns the single table when
+    num_parts == 1 (num_returns=1 cannot unpack a tuple)."""
     tables = [_rekey_shard(pq.read_table(f)) for f in files]
     tbl = pa.concat_tables(tables).combine_chunks() if tables else None
     if tbl is None or tbl.num_rows == 0:
-        return tuple([None] * num_parts)
-    keys = tbl.column("tkey").to_numpy(zero_copy_only=False)
-    part = (np.searchsorted(np.asarray(boundaries, dtype=object), keys,
-                            side="right")
-            if boundaries else np.zeros(len(keys), dtype=np.int64))
-    order = np.argsort(part, kind="stable")
-    tbl = tbl.take(pa.array(order))
-    counts = np.bincount(part, minlength=num_parts)
-    slices, off = [], 0
-    for c in counts[:num_parts]:
-        slices.append(tbl.slice(off, int(c)) if c else None)
-        off += int(c)
-    return tuple(slices)
+        return None if num_parts == 1 else tuple([None] * num_parts)
+    slices = _range_partition_slices(tbl, boundaries, num_parts)
+    slices = [s if s.num_rows else None for s in slices]
+    return slices[0] if num_parts == 1 else tuple(slices)
 
 
 @ray.remote
@@ -402,24 +417,8 @@ def _merge_task(part_idx: int, base_file: Optional[str], out_dir: str,
         base = pq.read_table(base_file)
         if base.num_rows:
             tables.append(_rekey_shard(base))
-    tables.extend(s for s in delta_slices if s is not None and s.num_rows)
-    if tables:
-        tbl = pa.concat_tables(tables).combine_chunks()
-        tbl = tbl.take(pc.sort_indices(tbl.column("tkey")))
-        out = _dedup_sorted_block(tbl)
-    else:
-        out = _dedup_sorted_block(
-            pa.table({"pred": pa.array([], pa.string()),
-                      "obj": pa.array([], pa.string()),
-                      "obj_is_literal": pa.array([], pa.bool_()),
-                      "obj_lang": pa.array([], pa.string()),
-                      "obj_datatype": pa.array([], pa.string()),
-                      "tkey": pa.array([], pa.binary())}))
-    fname = "part-%05d.parquet" % part_idx
-    tmp = os.path.join(out_dir, "." + fname + ".tmp")
-    pq.write_table(out, tmp)
-    os.replace(tmp, os.path.join(out_dir, fname))
-    return {"part": part_idx, "file": fname, "rows": out.num_rows}
+    tables.extend(delta_slices)
+    return _sort_dedup_write(part_idx, out_dir, "parquet", tables)
 
 
 def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
@@ -448,6 +447,14 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
     Resume: same fingerprint + ``_partials.jsonl`` protocol as
     write_canonical_graph.
     """
+    # the stale-shard sweep below deletes every *.parquet in out_dir not
+    # claimed by a resumable partial — merging in place would destroy an
+    # input before its tasks read it
+    out_abs = os.path.abspath(out_dir)
+    if out_abs in (os.path.abspath(base_dir), os.path.abspath(delta_dir)):
+        raise ValueError(
+            "out_dir must differ from base_dir and delta_dir "
+            "(write to a new directory, then swap)")
     with open(os.path.join(base_dir, "_MANIFEST.json")) as fp:
         base_man = json.load(fp)
     with open(os.path.join(delta_dir, "_MANIFEST.json")) as fp:
@@ -459,6 +466,21 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
     if "boundaries_hex" not in base_man:
         raise ValueError("base manifest has no recorded range boundaries "
                          "(re-run write_canonical_graph to record them)")
+    for man, name in ((base_man, "base"), (delta_man, "delta")):
+        if any(not r["file"].endswith(".parquet")
+               for r in man["partitions"]):
+            raise ValueError(
+                "%s run was not written with fmt='parquet' — merge reads "
+                "parquet shards only" % name)
+        # tkey re-derivation must reproduce the original polars struct
+        # hashes bit-for-bit, or routing/dedup silently break
+        ver = man.get("polars_version")
+        cur = __import__("polars").__version__
+        if ver is not None and ver != cur:
+            raise ValueError(
+                "%s run was written under polars %s but this cluster runs "
+                "%s — tkey hashes are not reproducible across versions; "
+                "rebuild the run or pin polars" % (name, ver, cur))
     boundaries = [bytes.fromhex(h) for h in base_man["boundaries_hex"]]
     P = len(base_man["partitions"])
 
@@ -479,8 +501,13 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
         if f.endswith(".parquet") and f not in keep:
             os.unlink(os.path.join(out_dir, f))
 
+    todo = [p for p in range(P) if p not in done]
     delta_files = [os.path.join(delta_dir, r["file"])
                    for r in delta_man["partitions"] if r["rows"]]
+    # a fully-resumed merge (todo empty) must not pay the delta
+    # read+rekey wave
+    if not todo:
+        delta_files = []
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     D = max(1, min(2 * ncpu, len(delta_files))) if delta_files else 0
     groups = [delta_files[i::D] for i in range(D)]
@@ -495,9 +522,7 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
             slice_refs[p].append(rets[p])
 
     pending = {}
-    for p in range(P):
-        if p in done:
-            continue
+    for p in todo:
         bf = os.path.join(base_dir, base_man["partitions"][p]["file"])
         pending[_merge_task.remote(p, bf, out_dir, *slice_refs[p])] = p
 
@@ -519,9 +544,13 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
         "rows": sum(r["rows"] for r in ordered),
         "partitions": [{"file": r["file"], "rows": r["rows"]}
                        for r in ordered],
-        "errors": 0,
+        # error lineage: counts sum; the _errors.parquet files stay with
+        # the input runs (reachable via merged_from)
+        "errors": (int(base_man.get("errors", 0))
+                   + int(delta_man.get("errors", 0))),
         "resumed_parts": len(done),
         "boundaries_hex": base_man["boundaries_hex"],
+        "polars_version": __import__("polars").__version__,
         "config": base_man.get("config"),
         "engine": "exchange-merge",
         "merged_from": [os.path.abspath(base_dir), os.path.abspath(delta_dir)],

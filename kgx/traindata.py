@@ -45,30 +45,18 @@ def _md5_u64(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
 
 
-# ---------------------------------------------------------------------------
-# Decontamination
-# ---------------------------------------------------------------------------
+# decontamination defaults — shared by decontaminate, curate_corpus and
+# the SQL oracles (queries.py) so the composed pipeline can never
+# silently diverge from the standalone stage
+SHINGLE_K = 5
+BENCH_MOD = 50
+BENCH_REM = 7
 
-def decontaminate(sf_dir: str, shingle_k: int = 5, bench_mod: int = 50,
-                  bench_rem: int = 7, num_partitions: Optional[int] = None):
-    """(doc_id, n_shared_shingles) for every TRAINING document that
-    shares at least one ``shingle_k``-gram with the benchmark holdout
-    (docs with ``doc_id % bench_mod == bench_rem`` stand in for an eval
-    set). ``n_shared_shingles`` counts the doc's DISTINCT contaminated
-    shingles. Documents shorter than ``shingle_k`` tokens emit no
-    shingles.
 
-    Scale shape: both sides explode to (shingle, doc_id, is_bench) rows
-    with a per-batch (doc, shingle) dedup as the combiner; ONE hash
-    shuffle on the shingle co-groups train and bench rows (a given
-    shingle lives in exactly one partition, so the per-partition distinct
-    count is globally correct); per-doc partials then sum in a hash
-    aggregate. The shingle is shipped as text here for oracle-exact
-    semantics — at 10^9 docs ship ``token_hash64(shingle)`` instead
-    (same shape, 8 bytes/row, ~1e-9 collision odds per corpus).
-    """
-    nparts = num_partitions or _nparts()
-    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+def _shingle_rows_fn(shingle_k: int, bench_mod: int, bench_rem: int,
+                     nparts: int):
+    """(doc_id, shingle, is_bench, part) explode with per-doc distinct
+    combiner — the map side of the decontamination co-group."""
 
     def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
         doc_ids, shingles = [], []
@@ -88,6 +76,36 @@ def decontaminate(sf_dir: str, shingle_k: int = 5, bench_mod: int = 50,
         out["part"] = (pd.util.hash_pandas_object(out["shingle"], index=False)
                        % nparts).astype("int32")
         return out
+
+    return shingle_rows
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(sf_dir: str, shingle_k: int = SHINGLE_K,
+                  bench_mod: int = BENCH_MOD, bench_rem: int = BENCH_REM,
+                  num_partitions: Optional[int] = None):
+    """(doc_id, n_shared_shingles) for every TRAINING document that
+    shares at least one ``shingle_k``-gram with the benchmark holdout
+    (docs with ``doc_id % bench_mod == bench_rem`` stand in for an eval
+    set). ``n_shared_shingles`` counts the doc's DISTINCT contaminated
+    shingles. Documents shorter than ``shingle_k`` tokens emit no
+    shingles.
+
+    Scale shape: both sides explode to (shingle, doc_id, is_bench) rows
+    with a per-batch (doc, shingle) dedup as the combiner; ONE hash
+    shuffle on the shingle co-groups train and bench rows (a given
+    shingle lives in exactly one partition, so the per-partition distinct
+    count is globally correct); per-doc partials then sum in a hash
+    aggregate. The shingle is shipped as text here for oracle-exact
+    semantics — at 10^9 docs ship ``token_hash64(shingle)`` instead
+    (same shape, 8 bytes/row, ~1e-9 collision odds per corpus).
+    """
+    nparts = num_partitions or _nparts()
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    shingle_rows = _shingle_rows_fn(shingle_k, bench_mod, bench_rem, nparts)
 
     def match_part(df: pd.DataFrame) -> pd.DataFrame:
         bench = set(df.loc[df["is_bench"], "shingle"])
@@ -211,25 +229,10 @@ def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
                           num_partitions=nparts)
     docs = _read_documents(sf_dir, columns=["doc_id", "lang", "text"])
 
-    # contaminated doc-ids: decontaminate's shingle co-group, minus its
-    # per-doc count tail (set semantics tolerate cross-partition dups)
-    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, shingles = [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            toks = text.split(" ")
-            if len(toks) < 5:
-                continue
-            seen = {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
-            doc_ids.extend([doc_id] * len(seen))
-            shingles.extend(seen)
-        out = pd.DataFrame({
-            "doc_id": pd.Series(doc_ids, dtype="int64"),
-            "shingle": pd.Series(shingles, dtype="object"),
-        })
-        out["is_bench"] = (out["doc_id"] % 50 == 7)
-        out["part"] = (pd.util.hash_pandas_object(out["shingle"], index=False)
-                       % nparts).astype("int32")
-        return out
+    # contaminated doc-ids: decontaminate's shingle co-group (the SAME
+    # map fn and defaults), minus its per-doc count tail — set semantics
+    # tolerate cross-partition dups
+    shingle_rows = _shingle_rows_fn(SHINGLE_K, BENCH_MOD, BENCH_REM, nparts)
 
     def hit_ids(df: pd.DataFrame) -> pd.DataFrame:
         bench = set(df.loc[df["is_bench"], "shingle"])
@@ -280,7 +283,8 @@ def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
         dirty = set(df.loc[df["kind"] == 2, "doc_id"])
         d = df[df["kind"] == 0]
         d = d[d["doc_id"].isin(alive) & ~d["doc_id"].isin(dirty)
-              & (d["doc_id"] % 50 != 7) & (d["n_tokens"] >= min_tokens)]
+              & (d["doc_id"] % BENCH_MOD != BENCH_REM)
+              & (d["n_tokens"] >= min_tokens)]
         d = d.assign(shard=(d["doc_id"] % num_shards).astype("int64"))
         outs = []
         for (lang, shard), cell in d.groupby(["lang", "shard"], sort=False):

@@ -206,6 +206,57 @@ def test_merge_matches_full_rebuild(ray_session, corpus, tmp_path):
     pd.testing.assert_frame_equal(got2.to_pandas(), want.to_pandas())
 
 
+def test_merge_single_partition_base(ray_session, corpus, tmp_path):
+    """P == 1 exercises the num_returns=1 route path (a 1-tuple cannot be
+    unpacked by Ray — the route task returns the bare table)."""
+    from kgx.exchange import merge_canonical_graphs
+
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    base, delta = str(tmp_path / "b1"), str(tmp_path / "d1")
+    write_canonical_graph(files[:2], base, PipelineConfig(), num_parts=1)
+    write_canonical_graph(files[2:4], delta, PipelineConfig(), num_parts=2)
+    m = merge_canonical_graphs(base, delta, str(tmp_path / "m1"))
+    full = str(tmp_path / "f1")
+    write_canonical_graph(files[:4], full, PipelineConfig(), num_parts=1)
+    _, got = _read_shards(str(tmp_path / "m1"))
+    _, want = _read_shards(full)
+    assert m["rows"] == got.num_rows == want.num_rows
+    pd.testing.assert_frame_equal(got.to_pandas(), want.to_pandas())
+
+
+def test_merge_guards(ray_session, corpus, tmp_path):
+    """In-place merge (sweep would destroy an input), non-parquet inputs,
+    and cross-version tkey drift are all rejected upfront."""
+    import json as _json
+
+    from kgx.exchange import merge_canonical_graphs
+
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    base, delta = str(tmp_path / "b2"), str(tmp_path / "d2")
+    write_canonical_graph(files[:2], base, PipelineConfig(), num_parts=2)
+    write_canonical_graph(files[2:3], delta, PipelineConfig(), num_parts=2)
+
+    with pytest.raises(ValueError, match="out_dir must differ"):
+        merge_canonical_graphs(base, delta, base)
+
+    nt = str(tmp_path / "nt2")
+    write_canonical_graph(files[2:3], nt, PipelineConfig(), fmt="ntriples",
+                          num_parts=2)
+    with pytest.raises(ValueError, match="parquet"):
+        merge_canonical_graphs(base, nt, str(tmp_path / "x2"))
+
+    man_path = os.path.join(delta, "_MANIFEST.json")
+    with open(man_path) as fp:
+        man = _json.load(fp)
+    man["polars_version"] = "0.0.0"
+    with open(man_path, "w") as fp:
+        _json.dump(man, fp)
+    with pytest.raises(ValueError, match="polars"):
+        merge_canonical_graphs(base, delta, str(tmp_path / "y2"))
+
+
 def test_merge_rejects_mismatched_config(ray_session, corpus, tmp_path):
     from kgx.exchange import merge_canonical_graphs
 
