@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_broader_closure": _broader_closure,
         "kg_synthetic": q.kg_synthetic,
         "kg_incremental": q.kg_incremental,
+        "kg_graph_diff": q.kg_graph_diff,
         # text analysis
         "token_counts": textops.token_counts,
         "token_counts_bpe": textops.token_counts_bpe,

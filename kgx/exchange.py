@@ -421,6 +421,58 @@ def _merge_task(part_idx: int, base_file: Optional[str], out_dir: str,
     return _sort_dedup_write(part_idx, out_dir, "parquet", tables)
 
 
+def _load_run_manifests(a_dir: str, a_name: str, b_dir: str, b_name: str):
+    """Shared preconditions for two-run operations (merge, diff): both
+    runs parquet, same semantic config, same polars version as this
+    cluster (tkey re-derivation must be bit-identical), and the first run
+    must carry recorded range boundaries."""
+    with open(os.path.join(a_dir, "_MANIFEST.json")) as fp:
+        a_man = json.load(fp)
+    with open(os.path.join(b_dir, "_MANIFEST.json")) as fp:
+        b_man = json.load(fp)
+    if a_man.get("config") != b_man.get("config"):
+        raise ValueError(
+            "cannot combine runs with different semantic options: %r vs %r"
+            % (a_man.get("config"), b_man.get("config")))
+    if "boundaries_hex" not in a_man:
+        raise ValueError("%s manifest has no recorded range boundaries "
+                         "(re-run write_canonical_graph to record them)"
+                         % a_name)
+    cur = __import__("polars").__version__
+    for man, name in ((a_man, a_name), (b_man, b_name)):
+        if any(not r["file"].endswith(".parquet")
+               for r in man["partitions"]):
+            raise ValueError(
+                "%s run was not written with fmt='parquet' — two-run ops "
+                "read parquet shards only" % name)
+        ver = man.get("polars_version")
+        if ver is not None and ver != cur:
+            raise ValueError(
+                "%s run was written under polars %s but this cluster runs "
+                "%s — tkey hashes are not reproducible across versions; "
+                "rebuild the run or pin polars" % (name, ver, cur))
+    return a_man, b_man
+
+
+def _route_run(run_dir: str, man: dict, boundaries, P: int) -> list:
+    """Fan a run's shards through _route_delta_task against another run's
+    boundaries; returns per-partition lists of slice refs."""
+    files = [os.path.join(run_dir, r["file"])
+             for r in man["partitions"] if r["rows"]]
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    D = max(1, min(2 * ncpu, len(files))) if files else 0
+    groups = [files[i::D] for i in range(D)]
+    slice_refs: list = [[] for _ in range(P)]
+    for g in groups:
+        rets = _route_delta_task.options(num_returns=P).remote(
+            g, boundaries, P)
+        if P == 1:
+            rets = [rets]
+        for p in range(P):
+            slice_refs[p].append(rets[p])
+    return slice_refs
+
+
 def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
                            fingerprint: Optional[str] = None) -> dict:
     """Merge a delta canonical run into a base run WITHOUT re-sorting the
@@ -455,32 +507,8 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
         raise ValueError(
             "out_dir must differ from base_dir and delta_dir "
             "(write to a new directory, then swap)")
-    with open(os.path.join(base_dir, "_MANIFEST.json")) as fp:
-        base_man = json.load(fp)
-    with open(os.path.join(delta_dir, "_MANIFEST.json")) as fp:
-        delta_man = json.load(fp)
-    if base_man.get("config") != delta_man.get("config"):
-        raise ValueError(
-            "cannot merge runs with different semantic options: %r vs %r"
-            % (base_man.get("config"), delta_man.get("config")))
-    if "boundaries_hex" not in base_man:
-        raise ValueError("base manifest has no recorded range boundaries "
-                         "(re-run write_canonical_graph to record them)")
-    for man, name in ((base_man, "base"), (delta_man, "delta")):
-        if any(not r["file"].endswith(".parquet")
-               for r in man["partitions"]):
-            raise ValueError(
-                "%s run was not written with fmt='parquet' — merge reads "
-                "parquet shards only" % name)
-        # tkey re-derivation must reproduce the original polars struct
-        # hashes bit-for-bit, or routing/dedup silently break
-        ver = man.get("polars_version")
-        cur = __import__("polars").__version__
-        if ver is not None and ver != cur:
-            raise ValueError(
-                "%s run was written under polars %s but this cluster runs "
-                "%s — tkey hashes are not reproducible across versions; "
-                "rebuild the run or pin polars" % (name, ver, cur))
+    base_man, delta_man = _load_run_manifests(base_dir, "base",
+                                              delta_dir, "delta")
     boundaries = [bytes.fromhex(h) for h in base_man["boundaries_hex"]]
     P = len(base_man["partitions"])
 
@@ -502,24 +530,10 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
             os.unlink(os.path.join(out_dir, f))
 
     todo = [p for p in range(P) if p not in done]
-    delta_files = [os.path.join(delta_dir, r["file"])
-                   for r in delta_man["partitions"] if r["rows"]]
     # a fully-resumed merge (todo empty) must not pay the delta
     # read+rekey wave
-    if not todo:
-        delta_files = []
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    D = max(1, min(2 * ncpu, len(delta_files))) if delta_files else 0
-    groups = [delta_files[i::D] for i in range(D)]
-
-    slice_refs: list = [[] for _ in range(P)]
-    for g in groups:
-        rets = _route_delta_task.options(num_returns=P).remote(
-            g, boundaries, P)
-        if P == 1:
-            rets = [rets]
-        for p in range(P):
-            slice_refs[p].append(rets[p])
+    slice_refs = (_route_run(delta_dir, delta_man, boundaries, P)
+                  if todo else [[] for _ in range(P)])
 
     pending = {}
     for p in todo:
@@ -559,3 +573,57 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
     with open(manifest_path, "w") as fp:
         json.dump(manifest, fp, indent=2)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# Graph diff (set difference of two canonical runs)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _diff_task(part_idx: int, a_file: str, *b_slices) -> pa.Table:
+    """Symmetric difference of one range partition: A's shard read
+    locally, B's routed slices from plasma; anti-join on tkey both ways.
+    Row uniqueness within each run makes the tkey anti-join exact."""
+    a = _rekey_shard(pq.read_table(a_file))
+    bt = [s for s in b_slices if s is not None and s.num_rows]
+    b = pa.concat_tables(bt).combine_chunks() if bt else None
+
+    def _finish(t: pa.Table, side: str) -> pa.Table:
+        # rows are unique, so the adjacent-dedup inside is a no-op — this
+        # only strips tkey and reconstructs subj
+        t = _dedup_sorted_block(t)
+        return t.append_column(
+            "side", pa.array([side] * t.num_rows, pa.string()))
+
+    if b is None or b.num_rows == 0:
+        return pa.concat_tables([_finish(a, "A"), _finish(a.slice(0, 0), "B")])
+    a_keys = a.column("tkey").combine_chunks()
+    b_keys = b.column("tkey").combine_chunks()
+    a_only = a.filter(pc.invert(pc.is_in(a_keys, value_set=b_keys)))
+    b_only = b.filter(pc.invert(pc.is_in(b_keys, value_set=a_keys)))
+    return pa.concat_tables([_finish(a_only, "A"), _finish(b_only, "B")])
+
+
+def diff_canonical_graphs(a_dir: str, b_dir: str):
+    """Set difference of two canonical runs as a Ray Dataset with a
+    ``side`` column ('A' = triple only in a_dir, 'B' = only in b_dir) —
+    the audit/regression primitive that pairs with
+    ``merge_canonical_graphs`` (what changed between two crawls, did a
+    code change alter the graph, is a merge equivalent to its rebuild).
+
+    Cost shape mirrors the merge: A is read partition-local (never
+    shuffled), B crosses plasma once, routed by A's recorded boundaries;
+    the per-partition anti-join is exact because tkey embeds a 128-bit
+    hash of the full triple and each run's rows are unique.
+    """
+    a_man, b_man = _load_run_manifests(a_dir, "A", b_dir, "B")
+    boundaries = [bytes.fromhex(h) for h in a_man["boundaries_hex"]]
+    P = len(a_man["partitions"])
+    slice_refs = _route_run(b_dir, b_man, boundaries, P)
+    refs = []
+    for p in range(P):
+        af = os.path.join(a_dir, a_man["partitions"][p]["file"])
+        refs.append(_diff_task.remote(p, af, *slice_refs[p]))
+    import ray.data
+
+    return ray.data.from_arrow_refs(refs)

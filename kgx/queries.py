@@ -132,6 +132,36 @@ def kg_incremental(sf_dir: str):
                              "obj_lang", "obj_datatype"]))
 
 
+def kg_graph_diff(sf_dir: str):
+    """Set difference of two canonical runs (exchange.diff_canonical_
+    graphs): the full synthetic corpus vs its first half. Every half-
+    corpus triple also exists in the full run, so the exact expected
+    output is ``full EXCEPT half`` with side='A' — expressed directly in
+    the SQL oracle by instantiating the corpus-reconstruction CTE at both
+    sizes."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .exchange import diff_canonical_graphs, write_canonical_graph
+    from .pages import synthetic_pages
+
+    n = 2 * pq.read_metadata("%s/documents.parquet" % sf_dir).num_rows
+    cfg = PipelineConfig(include_altlabels=True, include_components=True,
+                         include_webdewey=True)
+    root = "/tmp/kgx_graphdiff_%d" % n
+    shutil.rmtree(root, ignore_errors=True)
+    for name, pages in (("full", n), ("half", n // 2)):
+        corpus = os.path.join(root, "pages_" + name)
+        synthetic_pages(pages).write_parquet(corpus)
+        write_canonical_graph(corpus, os.path.join(root, name), cfg)
+    ds = diff_canonical_graphs(os.path.join(root, "full"),
+                               os.path.join(root, "half"))
+    return ds.select_columns(["side", "subj", "pred", "obj",
+                              "obj_is_literal", "obj_lang", "obj_datatype"])
+
+
 def kg_degree_histogram(sf_dir: str):
     """Distribution of per-subject triple counts (degree histogram) —
     exercises the two-level aggregation path."""
@@ -1019,6 +1049,21 @@ KG_ORACLES = {
         "SELECT DISTINCT subj, pred, obj, obj_is_literal,"
         " CAST(obj_lang AS VARCHAR) AS obj_lang,"
         " CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM raw"
+    ),
+    # graph diff: the CTE instantiated at full (2×docs pages) and half
+    # (docs pages) corpus size; half ⊂ full, so the difference is
+    # one-sided ('A')
+    "kg_graph_diff": (
+        "SELECT 'A' AS side, * FROM ((" + _SYNTH_CTE +
+        " SELECT DISTINCT subj, pred, obj, obj_is_literal,"
+        " CAST(obj_lang AS VARCHAR) AS obj_lang,"
+        " CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM raw"
+        ") EXCEPT (" + _SYNTH_CTE.replace(
+            "2 * (SELECT count(*) FROM documents)",
+            "(SELECT count(*) FROM documents)") +
+        " SELECT DISTINCT subj, pred, obj, obj_is_literal,"
+        " CAST(obj_lang AS VARCHAR) AS obj_lang,"
+        " CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM raw))"
     ),
     "kg_skosify": _ANC_CTE + (
         "SELECT 'http://example.org/doc/' || d AS subj,"

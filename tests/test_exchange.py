@@ -257,6 +257,35 @@ def test_merge_guards(ray_session, corpus, tmp_path):
         merge_canonical_graphs(base, delta, str(tmp_path / "y2"))
 
 
+def test_diff_canonical_graphs(ray_session, corpus, tmp_path):
+    """Diff of two disjoint-corpus runs reports both sides exactly (set
+    semantics vs the Dataset engine); self-diff is empty."""
+    from kgx.exchange import diff_canonical_graphs
+
+    cfg = PipelineConfig(include_altlabels=True)
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    a_dir, b_dir = str(tmp_path / "da"), str(tmp_path / "db")
+    write_canonical_graph(files[:-2], a_dir, cfg, num_parts=5, map_tasks=2)
+    write_canonical_graph(files[-2:], b_dir, cfg, num_parts=3, map_tasks=2)
+
+    got = diff_canonical_graphs(a_dir, b_dir).to_pandas()
+    a_set = set(map(tuple, _dataset_graph(files[:-2], cfg)
+                    .to_pandas()[KEY_COLS].itertuples(index=False)))
+    b_set = set(map(tuple, _dataset_graph(files[-2:], cfg)
+                    .to_pandas()[KEY_COLS].itertuples(index=False)))
+    got_a = set(map(tuple, got.loc[got["side"] == "A", KEY_COLS]
+                    .itertuples(index=False)))
+    got_b = set(map(tuple, got.loc[got["side"] == "B", KEY_COLS]
+                    .itertuples(index=False)))
+    assert got_a == a_set - b_set
+    assert got_b == b_set - a_set
+    assert got_b, "split corpora should disagree on at least one triple"
+
+    self_diff = diff_canonical_graphs(a_dir, a_dir).to_pandas()
+    assert len(self_diff) == 0
+
+
 def test_merge_rejects_mismatched_config(ray_session, corpus, tmp_path):
     from kgx.exchange import merge_canonical_graphs
 
