@@ -116,6 +116,7 @@ def run_queries(sf_dir: str) -> dict:
     battery = {
         "kg_triples": lambda: q.kg_triples(sf_dir),
         "kg_expand": lambda: q.kg_expand(sf_dir),
+        "kg_incremental": lambda: q.kg_incremental(sf_dir),
         "dedup_exact": lambda: dedup.dedup_exact(sf_dir),
         "minhash_lsh": lambda: dedup.minhash_lsh_pairs(sf_dir),
         "jaccard_pairs": lambda: dedup.jaccard_pairs(sf_dir),

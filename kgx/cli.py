@@ -92,6 +92,11 @@ def main(argv=None) -> int:
                         help="transitive broader-closure cleanup pass "
                              "(reference: skosify with examples/skosify.cfg)")
     parser.add_argument("-l", "--list-schemes", dest="list_schemes", action="store_true")
+    parser.add_argument("--engine", choices=["dataset", "exchange"],
+                        default="dataset",
+                        help="exchange = two-pass sort exchange for bulk "
+                        "pages-dir runs (writes a sharded output dir; "
+                        "parquet or nt; no --include/--skosify)")
     args = parser.parse_args(argv)
 
     from .config import PipelineConfig
@@ -147,6 +152,28 @@ def main(argv=None) -> int:
     from .materialize import (group_concepts_json, materialize, write_jskos,
                               write_ntriples, write_turtle)
     from .pipeline import build_graph
+
+    if args.engine == "exchange":
+        if not os.path.isdir(args.infile):
+            parser.error("--engine exchange needs a pages parquet dir")
+        if args.include or args.skosify:
+            parser.error("--engine exchange does not support "
+                         "--include/--skosify (use the dataset engine)")
+        if not args.outfile or args.outfile == "-":
+            parser.error("--engine exchange writes a sharded output dir")
+        if outformat not in ("parquet", "nt"):
+            parser.error("--engine exchange writes parquet or nt shards")
+        from .exchange import write_canonical_graph
+
+        fmt = "parquet" if outformat == "parquet" else "ntriples"
+        manifest = write_canonical_graph(args.infile, args.outfile, config,
+                                         fmt=fmt)
+        print("wrote %d triples to %s (%d partitions)"
+              % (manifest["rows"], args.outfile,
+                 len(manifest["partitions"])))
+        if owns_ray:
+            ray.shutdown()
+        return 0
 
     if os.path.isdir(args.infile):
         pages = ray.data.read_parquet(args.infile)

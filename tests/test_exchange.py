@@ -300,6 +300,64 @@ def test_merge_rejects_mismatched_config(ray_session, corpus, tmp_path):
         merge_canonical_graphs(a, b, str(tmp_path / "m"))
 
 
+def test_cli_exchange_engine(ray_session, corpus, tmp_path):
+    """--engine exchange routes a pages-dir run through
+    write_canonical_graph; same triple count as the dataset engine."""
+    from kgx.cli import main
+
+    out = str(tmp_path / "graph_dir")
+    rc = main([corpus, out, "--engine", "exchange", "--altlabels"])
+    assert rc == 0
+    manifest, got = _read_shards(out)
+    want = _dataset_graph(corpus, PipelineConfig(include_altlabels=True))
+    assert manifest["rows"] == got.num_rows == want.count()
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):  # argparse error paths
+        main([corpus, "-", "--engine", "exchange"])
+
+
+def test_reduce_write_is_crash_idempotent(ray_session, corpus, tmp_path):
+    """A reduce worker dying mid-write (torn .tmp on disk, process killed)
+    is retried by Ray (tasks default to max_retries=3 on worker death) and
+    the retry produces a well-formed shard — pins the tmp+rename
+    idempotence claim under real worker loss, not just clean reruns."""
+    import ray as _ray
+
+    from kgx.canonicalize import _add_tkey_arrow
+    from kgx.exchange import _sort_dedup_write
+
+    @_ray.remote(max_retries=3)
+    def flaky_reduce(part_idx, out_dir, marker, *slices):
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            # simulate a crash AFTER a partial tmp write: torn temp file
+            # on disk, then the worker process dies without cleanup
+            with open(os.path.join(out_dir, ".part-%05d.parquet.tmp"
+                                   % part_idx), "wb") as fp:
+                fp.write(b"torn")
+            os._exit(1)
+        return _sort_dedup_write(part_idx, out_dir, "parquet", list(slices))
+
+    keyed = _add_tkey_arrow(pa.table({
+        "subj": ["http://x/a", "http://x/b"],
+        "pred": ["http://p", "http://p"],
+        "obj": ["v1", "v2"],
+        "obj_is_literal": [True, True],
+        "obj_lang": pa.array([None, None], pa.string()),
+        "obj_datatype": pa.array([None, None], pa.string()),
+    }))
+    out = str(tmp_path / "crash")
+    os.makedirs(out)
+    marker = str(tmp_path / "died_once")
+    rec = _ray.get(flaky_reduce.remote(0, out, marker, keyed))
+    assert os.path.exists(marker), "first attempt should have died"
+    assert rec["rows"] == 2
+    t = pq.read_table(os.path.join(out, rec["file"]))
+    assert t.num_rows == 2
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
 def test_reduce_unifies_disjoint_map_dictionaries(ray_session):
     """Two map slices whose dictionary-encoded pred/lang/datatype carry
     DISJOINT dictionaries must unify in the reduce and decode back to
