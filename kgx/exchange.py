@@ -411,13 +411,29 @@ def _merge_task(part_idx: int, base_file: Optional[str], out_dir: str,
                 *delta_slices) -> dict:
     """Merge one range partition: the base shard is read LOCALLY (never
     shuffled), delta slices arrive via plasma; sort + adjacent-dedup +
-    atomic write, exactly like _reduce_task."""
+    atomic write, exactly like _reduce_task.
+
+    LSM fast path: a partition that received ZERO delta rows is already
+    its own merged output (sorted, deduped, same schema) — byte-copy the
+    base shard instead of rekey+sort+rewrite, so sparse/localized deltas
+    only pay for the partitions they touch."""
+    deltas = [s for s in delta_slices if s is not None and s.num_rows]
+    if not deltas and base_file is not None:
+        import shutil as _shutil
+
+        fname = "part-%05d.parquet" % part_idx
+        tmp = os.path.join(out_dir, "." + fname + ".tmp")
+        _shutil.copyfile(base_file, tmp)
+        os.replace(tmp, os.path.join(out_dir, fname))
+        return {"part": part_idx, "file": fname,
+                "rows": pq.read_metadata(base_file).num_rows,
+                "copied": True}
     tables = []
     if base_file is not None:
         base = pq.read_table(base_file)
         if base.num_rows:
             tables.append(_rekey_shard(base))
-    tables.extend(delta_slices)
+    tables.extend(deltas)
     return _sort_dedup_write(part_idx, out_dir, "parquet", tables)
 
 
@@ -563,6 +579,7 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
         "errors": (int(base_man.get("errors", 0))
                    + int(delta_man.get("errors", 0))),
         "resumed_parts": len(done),
+        "copied_parts": sum(1 for r in ordered if r.get("copied")),
         "boundaries_hex": base_man["boundaries_hex"],
         "polars_version": __import__("polars").__version__,
         "config": base_man.get("config"),

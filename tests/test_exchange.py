@@ -206,6 +206,26 @@ def test_merge_matches_full_rebuild(ray_session, corpus, tmp_path):
     pd.testing.assert_frame_equal(got2.to_pandas(), want.to_pandas())
 
 
+def test_merge_empty_delta_fast_copies(ray_session, corpus, tmp_path):
+    """Partitions untouched by the delta take the LSM fast path: the base
+    shard is byte-copied, not rekeyed+rewritten. An empty delta run makes
+    every partition untouched — output byte-identical to the base."""
+    from kgx.exchange import merge_canonical_graphs
+
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    base, empty = str(tmp_path / "eb"), str(tmp_path / "ed")
+    write_canonical_graph(files[:3], base, PipelineConfig(), num_parts=4)
+    write_canonical_graph([], empty, PipelineConfig(), num_parts=2)
+    m = merge_canonical_graphs(base, empty, str(tmp_path / "em"))
+    assert m["copied_parts"] == 4
+    for part in m["partitions"]:
+        a = open(os.path.join(base, part["file"]), "rb").read()
+        b = open(os.path.join(str(tmp_path / "em"), part["file"]),
+                 "rb").read()
+        assert a == b
+
+
 def test_merge_single_partition_base(ray_session, corpus, tmp_path):
     """P == 1 exercises the num_returns=1 route path (a 1-tuple cannot be
     unpacked by Ray — the route task returns the bare table)."""
