@@ -162,26 +162,28 @@ def _range_partition_slices(tbl: pa.Table, boundaries, num_parts: int) -> list:
     return slices
 
 
-def _sort_dedup_write(part_idx: int, out_dir: str, fmt: str,
-                      tables: list) -> dict:
-    """Sort + adjacent-dedup one partition's tables and atomically write
+def _empty_keyed_sorted() -> pa.Table:
+    return pa.table({"pred": pa.array([], pa.string()),
+                     "obj": pa.array([], pa.string()),
+                     "obj_is_literal": pa.array([], pa.bool_()),
+                     "obj_lang": pa.array([], pa.string()),
+                     "obj_datatype": pa.array([], pa.string()),
+                     "tkey": pa.array([], pa.binary())})
+
+
+def _write_sorted_dedup(part_idx: int, out_dir: str, fmt: str,
+                        tbl: pa.Table, keep_key: bool = False) -> dict:
+    """Adjacent-dedup an ALREADY-SORTED keyed table and atomically write
     its shard (tmp + rename, so a killed run leaves no torn partition).
-    Shared by the bulk reduce and the incremental merge."""
-    tables = [t for t in tables if t is not None and t.num_rows]
-    if tables:
-        # combine_chunks unifies the per-map dictionaries of the encoded
-        # low-cardinality columns before the sort-take
-        tbl = pa.concat_tables(tables).combine_chunks()
-        tbl = tbl.take(pc.sort_indices(tbl.column("tkey")))
-        out = _dict_decode(_dedup_sorted_block(tbl))
-    else:
-        out = _dedup_sorted_block(
-            pa.table({"pred": pa.array([], pa.string()),
-                      "obj": pa.array([], pa.string()),
-                      "obj_is_literal": pa.array([], pa.bool_()),
-                      "obj_lang": pa.array([], pa.string()),
-                      "obj_datatype": pa.array([], pa.string()),
-                      "tkey": pa.array([], pa.binary())}))
+    ``keep_key`` persists the binary tkey column in the shard so a later
+    merge/diff skips the polars re-key pass (the measured 62% of a
+    merge's per-shard rewrite)."""
+    if keep_key:
+        tbl = tbl.append_column("tkey_keep", tbl.column("tkey"))
+    out = _dict_decode(_dedup_sorted_block(tbl))
+    if keep_key:
+        out = out.rename_columns(
+            ["tkey" if c == "tkey_keep" else c for c in out.column_names])
     ext = "parquet" if fmt == "parquet" else "nt"
     fname = "part-%05d.%s" % (part_idx, ext)
     tmp = os.path.join(out_dir, "." + fname + ".tmp")
@@ -194,6 +196,21 @@ def _sort_dedup_write(part_idx: int, out_dir: str, fmt: str,
             fp.write("".join(nt_lines(out.to_pandas())))
     os.replace(tmp, os.path.join(out_dir, fname))
     return {"part": part_idx, "file": fname, "rows": out.num_rows}
+
+
+def _sort_dedup_write(part_idx: int, out_dir: str, fmt: str,
+                      tables: list, keep_key: bool = False) -> dict:
+    """Sort + adjacent-dedup one partition's tables and atomically write
+    its shard. Shared by the bulk reduce and the incremental merge."""
+    tables = [t for t in tables if t is not None and t.num_rows]
+    if tables:
+        # combine_chunks unifies the per-map dictionaries of the encoded
+        # low-cardinality columns before the sort-take
+        tbl = pa.concat_tables(tables).combine_chunks()
+        tbl = tbl.take(pc.sort_indices(tbl.column("tkey")))
+    else:
+        tbl = _empty_keyed_sorted()
+    return _write_sorted_dedup(part_idx, out_dir, fmt, tbl, keep_key)
 
 
 @ray.remote
@@ -224,13 +241,15 @@ def _map_task(files: list, config: PipelineConfig, num_parts: int,
 
 
 @ray.remote
-def _reduce_task(part_idx: int, out_dir: str, fmt: str, *slices) -> dict:
+def _reduce_task(part_idx: int, out_dir: str, fmt: str, keep_key: bool,
+                 *slices) -> dict:
     """Sort + adjacent-dedup one range partition and write its shard.
 
     The write happens HERE, inside the reduce — the sorted stream never
     re-enters the object store.
     """
-    return _sort_dedup_write(part_idx, out_dir, fmt, list(slices))
+    return _sort_dedup_write(part_idx, out_dir, fmt, list(slices),
+                             keep_key=keep_key)
 
 
 def _load_partials(path: str, fingerprint) -> dict:
@@ -254,12 +273,16 @@ def write_canonical_graph(corpus, out_dir: str,
                           num_parts: Optional[int] = None,
                           map_tasks: Optional[int] = None,
                           fingerprint: Optional[str] = None,
-                          fmt: str = "parquet") -> dict:
+                          fmt: str = "parquet",
+                          keep_key: bool = False) -> dict:
     """pages parquet → canonical sorted graph shards, in two passes.
 
     ``corpus`` — a directory of page parquet fragments (or a file list).
     ``fmt`` — "parquet" or "ntriples" (shards concatenate byte-identically
     to materialize.write_ntriples(graph, sort=False)).
+    ``keep_key`` — persist the binary tkey column in the parquet shards
+    (a standing graph that expects incremental merges should set this:
+    merge then skips the per-shard re-key pass entirely).
 
     Returns the manifest dict (same shape as materialize.materialize, plus
     per-partition lineage). Resume: with the same ``fingerprint``, a
@@ -273,6 +296,8 @@ def write_canonical_graph(corpus, out_dir: str,
         # engine — the exchange covers the expand/plain flagship shapes.
         raise NotImplementedError(
             "--skosify runs on the Dataset engine (pipeline.run_pipeline)")
+    if keep_key and fmt != "parquet":
+        raise ValueError("keep_key requires fmt='parquet'")
     files = _list_fragments(corpus)
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
@@ -321,7 +346,8 @@ def write_canonical_graph(corpus, out_dir: str,
     for p in range(P):
         if p in done:
             continue
-        pending[_reduce_task.remote(p, out_dir, fmt, *slice_refs[p])] = p
+        pending[_reduce_task.remote(p, out_dir, fmt, keep_key,
+                                    *slice_refs[p])] = p
 
     # phase observability (manifest only): the error tables return with
     # the map tasks, so waiting on them timestamps the map wave without
@@ -364,6 +390,7 @@ def write_canonical_graph(corpus, out_dir: str,
         # tkey embeds a polars struct hash; a merge must re-derive the
         # IDENTICAL keys, so stamp the version for merge to verify
         "polars_version": __import__("polars").__version__,
+        "keep_key": keep_key,
         "phase_sec": {"map_wave": round(t_maps_done - t0, 3),
                       "reduce_tail": round(t_reduce_done - t_maps_done, 3)},
         "config": config.semantic_options(),
@@ -380,11 +407,22 @@ def write_canonical_graph(corpus, out_dir: str,
 # ---------------------------------------------------------------------------
 
 def _rekey_shard(tbl: pa.Table) -> pa.Table:
-    """Recompute the binary sort key on a decoded graph shard.
-
-    tkey is a pure function of the triple (canonicalize._add_tkey_arrow),
-    so shards never need to persist it — a merge re-derives it locally.
-    """
+    """Keyed view of a graph shard: reuse the persisted tkey column when
+    the run was written with ``keep_key=True`` (free), else recompute it
+    (tkey is a pure function of the triple — canonicalize._add_tkey_arrow
+    — but the polars struct hash is the measured 62% of a merge's
+    per-shard rewrite, which is exactly what keep_key buys back)."""
+    if "tkey" in tbl.column_names:
+        # cast to the exact schema the polars re-key path emits, so mixed
+        # keep_key / re-keyed tables concat cleanly (parquet roundtrips
+        # the dict-decoded columns as string, polars emits large_string)
+        keyed = pa.schema([("pred", pa.large_string()),
+                           ("obj", pa.large_string()),
+                           ("obj_is_literal", pa.bool_()),
+                           ("obj_lang", pa.large_string()),
+                           ("obj_datatype", pa.large_string()),
+                           ("tkey", pa.binary())])
+        return tbl.select([f.name for f in keyed]).cast(keyed)
     from .canonicalize import _KEY_COLS
 
     return _add_tkey_arrow(tbl.select(_KEY_COLS), expand=False)
@@ -406,17 +444,39 @@ def _route_delta_task(files: list, boundaries: list, num_parts: int):
     return slices[0] if num_parts == 1 else tuple(slices)
 
 
+def _merge_sorted(base: pa.Table, delta: pa.Table) -> pa.Table:
+    """Interleave two tkey-SORTED keyed tables into one sorted table via
+    numpy searchsorted — O(n) take instead of an O(n log n) re-sort of
+    the (large) base side. Equal keys place the delta row first; the
+    adjacent-dedup downstream keeps one (identical tkey ⟹ identical
+    triple, so the winner is irrelevant)."""
+    bkeys = base.column("tkey").to_numpy(zero_copy_only=False)
+    dkeys = delta.column("tkey").to_numpy(zero_copy_only=False)
+    nb, nd = len(bkeys), len(dkeys)
+    pos = np.searchsorted(bkeys, dkeys, side="left")
+    didx = pos + np.arange(nd)
+    order = np.empty(nb + nd, dtype=np.int64)
+    mask = np.ones(nb + nd, dtype=bool)
+    mask[didx] = False
+    order[didx] = nb + np.arange(nd)
+    order[mask] = np.arange(nb)
+    both = pa.concat_tables([base, delta]).combine_chunks()
+    return both.take(pa.array(order))
+
+
 @ray.remote
 def _merge_task(part_idx: int, base_file: Optional[str], out_dir: str,
-                *delta_slices) -> dict:
+                keep_key: bool, *delta_slices) -> dict:
     """Merge one range partition: the base shard is read LOCALLY (never
-    shuffled), delta slices arrive via plasma; sort + adjacent-dedup +
-    atomic write, exactly like _reduce_task.
+    shuffled), delta slices arrive via plasma; adjacent-dedup + atomic
+    write, exactly like _reduce_task.
 
-    LSM fast path: a partition that received ZERO delta rows is already
-    its own merged output (sorted, deduped, same schema) — byte-copy the
-    base shard instead of rekey+sort+rewrite, so sparse/localized deltas
-    only pay for the partitions they touch."""
+    Two structural savings over a naive rewrite: (1) LSM fast path — a
+    partition with ZERO delta rows byte-copies its base shard, so
+    sparse/localized deltas pay only for partitions they touch; (2) the
+    base shard is already tkey-sorted, so only the (small) delta side is
+    sorted and the two interleave in O(n) (_merge_sorted) instead of
+    re-sorting the whole partition."""
     deltas = [s for s in delta_slices if s is not None and s.num_rows]
     if not deltas and base_file is not None:
         import shutil as _shutil
@@ -428,13 +488,27 @@ def _merge_task(part_idx: int, base_file: Optional[str], out_dir: str,
         return {"part": part_idx, "file": fname,
                 "rows": pq.read_metadata(base_file).num_rows,
                 "copied": True}
-    tables = []
+    base = None
     if base_file is not None:
-        base = pq.read_table(base_file)
-        if base.num_rows:
-            tables.append(_rekey_shard(base))
-    tables.extend(deltas)
-    return _sort_dedup_write(part_idx, out_dir, "parquet", tables)
+        b = pq.read_table(base_file)
+        if b.num_rows:
+            base = _rekey_shard(b)  # free when the run persisted tkey
+            if "tkey" not in b.column_names:
+                # the polars re-key dedups with unique(keep="any"), which
+                # may reorder — restore the sortedness _merge_sorted needs
+                # (a keep_key shard keeps its on-disk order, no re-sort)
+                base = base.take(pc.sort_indices(base.column("tkey")))
+    delta = None
+    if deltas:
+        delta = pa.concat_tables(deltas).combine_chunks()
+        delta = delta.take(pc.sort_indices(delta.column("tkey")))
+    if base is not None and delta is not None:
+        merged = _merge_sorted(base, delta)
+    else:
+        merged = (base if base is not None else
+                  delta if delta is not None else _empty_keyed_sorted())
+    return _write_sorted_dedup(part_idx, out_dir, "parquet", merged,
+                               keep_key=keep_key)
 
 
 def _load_run_manifests(a_dir: str, a_name: str, b_dir: str, b_name: str):
@@ -551,10 +625,14 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
     slice_refs = (_route_run(delta_dir, delta_man, boundaries, P)
                   if todo else [[] for _ in range(P)])
 
+    # output schema follows the base: a keep_key base stays keep_key so
+    # merge chains stay rekey-free
+    keep_key = bool(base_man.get("keep_key"))
     pending = {}
     for p in todo:
         bf = os.path.join(base_dir, base_man["partitions"][p]["file"])
-        pending[_merge_task.remote(p, bf, out_dir, *slice_refs[p])] = p
+        pending[_merge_task.remote(p, bf, out_dir, keep_key,
+                                   *slice_refs[p])] = p
 
     parts = dict(done)
     with open(partials_path, "a") as plog:
@@ -582,6 +660,7 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
         "copied_parts": sum(1 for r in ordered if r.get("copied")),
         "boundaries_hex": base_man["boundaries_hex"],
         "polars_version": __import__("polars").__version__,
+        "keep_key": keep_key,
         "config": base_man.get("config"),
         "engine": "exchange-merge",
         "merged_from": [os.path.abspath(base_dir), os.path.abspath(delta_dir)],

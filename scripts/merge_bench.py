@@ -32,6 +32,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=400000)
     ap.add_argument("--delta-frac", type=float, default=0.1)
+    ap.add_argument("--keep-key", action="store_true",
+                    help="persist tkey in the base shards so the merge "
+                    "skips the per-shard re-key pass")
     args = ap.parse_args()
 
     import ray
@@ -58,7 +61,8 @@ def main() -> int:
     p = lambda name: os.path.join(root, name)  # noqa: E731
 
     t0 = time.time()
-    base_man = write_canonical_graph(base_files, p("base"), cfg)
+    base_man = write_canonical_graph(base_files, p("base"), cfg,
+                                     keep_key=args.keep_key)
     t_base = time.time() - t0
 
     t0 = time.time()
@@ -84,6 +88,8 @@ def main() -> int:
         "incremental_sec": round(t_incremental, 2),
         "rebuild_sec": round(t_rebuild, 2),
         "speedup": round(t_rebuild / t_incremental, 2),
+        "keep_key": args.keep_key,
+        "copied_parts": merged_man.get("copied_parts", 0),
         "num_cpus": int(ray.cluster_resources().get("CPU", 0)),
     }))
     ray.shutdown()

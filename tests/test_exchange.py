@@ -206,6 +206,39 @@ def test_merge_matches_full_rebuild(ray_session, corpus, tmp_path):
     pd.testing.assert_frame_equal(got2.to_pandas(), want.to_pandas())
 
 
+def test_keep_key_merge_parity(ray_session, corpus, tmp_path):
+    """keep_key=True persists tkey in the shards; the merge then reuses
+    the stored keys (no polars re-key) and the triple content is still
+    identical to a full rebuild. Output stays keep_key so chains stay
+    rekey-free."""
+    from kgx.exchange import merge_canonical_graphs
+
+    cfg = PipelineConfig(include_altlabels=True)
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    base, delta = str(tmp_path / "kb"), str(tmp_path / "kd")
+    write_canonical_graph(files[:-2], base, cfg, num_parts=4, keep_key=True)
+    write_canonical_graph(files[-2:], delta, cfg, num_parts=2, keep_key=True)
+    merged = str(tmp_path / "km")
+    m = merge_canonical_graphs(base, delta, merged)
+    assert m["keep_key"]
+
+    full = str(tmp_path / "kf")
+    write_canonical_graph(files, full, cfg, num_parts=4)
+    _, got = _read_shards(merged)
+    _, want = _read_shards(full)
+    assert "tkey" in got.column_names and "tkey" not in want.column_names
+    pd.testing.assert_frame_equal(
+        got.to_pandas()[KEY_COLS], want.to_pandas()[KEY_COLS])
+
+    # stored tkey equals the recomputed one (the reuse is sound);
+    # compare as sets — _add_tkey_arrow's internal unique() may reorder
+    from kgx.canonicalize import _add_tkey_arrow
+    recomputed = _add_tkey_arrow(got.select(KEY_COLS), expand=False)
+    assert set(recomputed.column("tkey").to_pylist()) == \
+        set(got.column("tkey").to_pylist())
+
+
 def test_merge_empty_delta_fast_copies(ray_session, corpus, tmp_path):
     """Partitions untouched by the delta take the LSM fast path: the base
     shard is byte-copied, not rekeyed+rewritten. An empty delta run makes
@@ -407,7 +440,7 @@ def test_reduce_unifies_disjoint_map_dictionaries(ray_session):
 
     with tempfile.TemporaryDirectory() as out:
         rec = ray.get(_reduce_task.remote(
-            0, out, "parquet", keyed("a", "en"), keyed("b", "de")))
+            0, out, "parquet", False, keyed("a", "en"), keyed("b", "de")))
         assert rec["rows"] == 2
         import pyarrow.parquet as pq
 
