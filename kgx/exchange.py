@@ -723,3 +723,94 @@ def diff_canonical_graphs(a_dir: str, b_dir: str):
     import ray.data
 
     return ray.data.from_arrow_refs(refs)
+
+
+# ---------------------------------------------------------------------------
+# Compaction (bound partition sizes across unbounded merge chains)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _split_task(path: str, k: int) -> list:
+    """Split one sorted keep_key shard into k even-row pieces, written
+    atomically next to it. Returns per-piece file/rows/last-key (the new
+    range boundaries). The original file is NOT deleted here — the driver
+    removes it only after the updated manifest is durable."""
+    tbl = pq.read_table(path)
+    n = tbl.num_rows
+    out_dir = os.path.dirname(path)
+    stem = os.path.basename(path)[:-len(".parquet")]
+    pieces, start = [], 0
+    for j in range(k):
+        end = (n * (j + 1)) // k
+        piece = tbl.slice(start, end - start)
+        fname = "%s.c%02d.parquet" % (stem, j)
+        tmp = os.path.join(out_dir, "." + fname + ".tmp")
+        pq.write_table(piece, tmp)
+        os.replace(tmp, os.path.join(out_dir, fname))
+        pieces.append({
+            "file": fname, "rows": piece.num_rows,
+            "last_key_hex": piece.column("tkey")[piece.num_rows - 1]
+            .as_py().hex()})
+        start = end
+    return pieces
+
+
+def compact_canonical_graph(run_dir: str, max_rows: int) -> dict:
+    """Split every partition whose shard exceeds ``max_rows`` into
+    ceil(rows/max_rows) even pieces, in place — the LSM compaction
+    trigger that bounds partition sizes across unbounded merge chains
+    (skewed deltas concentrate rows into few partitions; this restores
+    balance without touching the rest of the graph).
+
+    Requires a ``keep_key=True`` run: the new range boundaries are the
+    stored sort keys at the split points, so no re-key and no shuffle —
+    each oversized shard is rewritten locally, every other shard is
+    untouched on disk. Global order is preserved (pieces are contiguous
+    row ranges of a sorted shard) and future merges route by the updated
+    boundaries exactly as before. Crash-safe ordering: pieces are written
+    first, the manifest flips second, originals are deleted last — at any
+    interruption the on-disk manifest references only complete files.
+    """
+    manifest_path = os.path.join(run_dir, "_MANIFEST.json")
+    with open(manifest_path) as fp:
+        man = json.load(fp)
+    if not man.get("keep_key"):
+        raise ValueError("compaction requires a keep_key=True run "
+                         "(boundaries come from the stored sort key)")
+    parts = man["partitions"]
+    boundaries = list(man["boundaries_hex"])
+    oversized = [(i, r) for i, r in enumerate(parts)
+                 if r["rows"] > max_rows]
+    if not oversized:
+        man["compacted_parts"] = 0
+        return man
+
+    refs = {i: _split_task.remote(
+        os.path.join(run_dir, r["file"]),
+        -(-r["rows"] // max_rows)) for i, r in oversized}
+    pieces = {i: ray.get(ref) for i, ref in refs.items()}
+
+    new_parts, new_bounds = [], []
+    for i, r in enumerate(parts):
+        if i in pieces:
+            ps = pieces[i]
+            new_parts.extend({"file": p["file"], "rows": p["rows"]}
+                             for p in ps)
+            # boundary after each piece except the last, whose upper
+            # bound is the partition's original one
+            new_bounds.extend(p["last_key_hex"] for p in ps[:-1])
+        else:
+            new_parts.append(r)
+        if i < len(parts) - 1:
+            new_bounds.append(boundaries[i])
+
+    man["partitions"] = new_parts
+    man["boundaries_hex"] = new_bounds
+    man["compacted_parts"] = len(oversized)
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fp:
+        json.dump(man, fp, indent=2)
+    os.replace(tmp, manifest_path)
+    for i, r in oversized:
+        os.unlink(os.path.join(run_dir, r["file"]))
+    return man

@@ -120,8 +120,12 @@ def kg_incremental(sf_dir: str):
     files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
                    if f.endswith(".parquet"))
     half = max(1, len(files) // 2)
-    write_canonical_graph(files[:half], os.path.join(root, "base"), cfg)
-    write_canonical_graph(files[half:], os.path.join(root, "delta"), cfg)
+    # keep_key: the standing-graph schema — merge reuses the stored sort
+    # key instead of re-keying every base shard
+    write_canonical_graph(files[:half], os.path.join(root, "base"), cfg,
+                          keep_key=True)
+    write_canonical_graph(files[half:], os.path.join(root, "delta"), cfg,
+                          keep_key=True)
     manifest = merge_canonical_graphs(os.path.join(root, "base"),
                                       os.path.join(root, "delta"),
                                       os.path.join(root, "merged"))

@@ -239,6 +239,53 @@ def test_keep_key_merge_parity(ray_session, corpus, tmp_path):
         set(got.column("tkey").to_pylist())
 
 
+def test_compaction_bounds_partitions_and_stays_mergeable(
+        ray_session, corpus, tmp_path):
+    """compact_canonical_graph splits oversized partitions in place:
+    every partition ends ≤ max_rows, the concatenated graph is unchanged,
+    and a subsequent merge into the compacted run still matches a full
+    rebuild (the updated boundaries route correctly)."""
+    from kgx.exchange import compact_canonical_graph, merge_canonical_graphs
+
+    cfg = PipelineConfig(include_altlabels=True)
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    base = str(tmp_path / "cb")
+    write_canonical_graph(files[:-2], base, cfg, num_parts=3, keep_key=True)
+    _, before = _read_shards(base)
+
+    max_rows = before.num_rows // 8
+    man = compact_canonical_graph(base, max_rows)
+    assert man["compacted_parts"] >= 1
+    assert all(p["rows"] <= max_rows for p in man["partitions"])
+    assert len(man["boundaries_hex"]) == len(man["partitions"]) - 1
+    _, after = _read_shards(base)
+    pd.testing.assert_frame_equal(before.to_pandas(), after.to_pandas())
+
+    # idempotent: nothing left oversized
+    man2 = compact_canonical_graph(base, max_rows)
+    assert man2["compacted_parts"] == 0
+
+    # the compacted run is still a valid merge base
+    delta = str(tmp_path / "cd")
+    write_canonical_graph(files[-2:], delta, cfg, num_parts=2,
+                          keep_key=True)
+    merged = str(tmp_path / "cm")
+    merge_canonical_graphs(base, delta, merged)
+    full = str(tmp_path / "cf")
+    write_canonical_graph(files, full, cfg, num_parts=3)
+    _, got = _read_shards(merged)
+    _, want = _read_shards(full)
+    pd.testing.assert_frame_equal(
+        got.to_pandas()[KEY_COLS], want.to_pandas()[KEY_COLS])
+
+    # non-keep_key runs are rejected upfront
+    plain = str(tmp_path / "cp")
+    write_canonical_graph(files[:1], plain, cfg, num_parts=2)
+    with pytest.raises(ValueError, match="keep_key"):
+        compact_canonical_graph(plain, 10)
+
+
 def test_merge_empty_delta_fast_copies(ray_session, corpus, tmp_path):
     """Partitions untouched by the delta take the LSM fast path: the base
     shard is byte-copied, not rekeyed+rewritten. An empty delta run makes
