@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,
         "pack_sequences": traindata.pack_sequences,
+        "chunk_documents": traindata.chunk_documents,
         "curate_corpus": traindata.curate_corpus,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,

@@ -845,6 +845,28 @@ WITH RECURSIVE d AS (
 SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
        CAST(seq AS BIGINT) AS seq_id FROM p
 """,
+    # traindata.chunk_documents(chunk_tokens=64, overlap=8): the
+    # identical window slicing via generate_series + list_slice
+    # (stride = 56; k = max(1, ceil((n - 8) / 56)))
+    "chunk_documents": r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(1, CAST(ceil((len(toks) - 8) / 56.0) AS BIGINT)) AS k
+  FROM t
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, k - 1)) AS chunk_id
+  FROM c
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       least(chunk_id * 56 + 64, n) - chunk_id * 56 AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * 56 + 1,
+                                  least(chunk_id * 56 + 64, n)),
+                       ' ') AS chunk_text
+FROM e
+""",
 }
 
 def _payload_features_sql(dim: int = 16, seed: int = 42) -> str:

@@ -306,6 +306,44 @@ def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
                                           batch_format="pandas")
 
 
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64, overlap: int = 8):
+    """(doc_id, chunk_id, n_tokens, chunk_text) — split every document
+    into fixed-size token windows with overlap, the context-window
+    chunking step between curation and tokenization (RAG indexing and
+    long-doc pretraining both consume this shape).
+
+    Chunk i covers whitespace tokens [i·stride, i·stride+chunk_tokens)
+    with stride = chunk_tokens − overlap; a document shorter than one
+    chunk yields exactly one chunk. Map-only (no shuffle, embarrassingly
+    parallel); the DuckDB oracle replays the identical slicing with
+    generate_series + list_slice.
+    """
+    stride = chunk_tokens - overlap
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, chunk_ids, n_toks, texts = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            n = len(toks)
+            k = max(1, -(-(n - overlap) // stride))
+            for i in range(k):
+                start = i * stride
+                end = min(start + chunk_tokens, n)
+                doc_ids.append(doc_id)
+                chunk_ids.append(i)
+                n_toks.append(end - start)
+                texts.append(" ".join(toks[start:end]))
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+            "n_tokens": pd.Series(n_toks, dtype="int64"),
+            "chunk_text": pd.Series(texts, dtype="object"),
+        })
+
+    return ds.map_batches(chunks, batch_format="pandas")
+
+
 def greedy_pack(n_tokens: np.ndarray, capacity: int) -> np.ndarray:
     """The greedy reset-cumsum: 1-based sequence id per document, new
     sequence when adding the doc would exceed ``capacity`` (an oversized

@@ -580,6 +580,39 @@ class TestTrainData:
                     nxt = ntok[seqs[seq_id + 1][0]]
                     assert total + nxt > cap
 
+    def test_chunk_documents_window_invariants(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import chunk_documents
+
+        chunk, overlap = 64, 8
+        df = chunk_documents(SF, chunk_tokens=chunk,
+                             overlap=overlap).to_pandas()
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"]).to_pandas()
+        toks = dict(zip(t["doc_id"], t["text"].str.split(" ")))
+        # every doc chunked; short docs yield exactly one chunk
+        assert set(df["doc_id"]) == set(t["doc_id"])
+        stride = chunk - overlap
+        for doc_id, g in df.groupby("doc_id"):
+            n = len(toks[doc_id])
+            k = max(1, -(-(n - overlap) // stride))
+            assert sorted(g["chunk_id"]) == list(range(k))
+            for _, row in g.iterrows():
+                start = row["chunk_id"] * stride
+                want = toks[doc_id][start:start + chunk]
+                assert row["n_tokens"] == len(want)
+                assert row["chunk_text"] == " ".join(want)
+            # reassembly: dropping each chunk's overlap prefix (after the
+            # first) reconstructs the document exactly
+            parts = []
+            for _, row in g.sort_values("chunk_id").iterrows():
+                words = row["chunk_text"].split(" ")
+                parts.extend(words if row["chunk_id"] == 0
+                             else words[overlap:])
+            assert parts == toks[doc_id][:len(parts)] and \
+                len(parts) == n
+
 
 class TestMultimodal:
     def test_decode_stub_raises(self):
