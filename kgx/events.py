@@ -161,3 +161,48 @@ def event_type_hourly(sf_dir: str):
     return out.map_batches(
         lambda df: df.rename(columns={"sum(partial_n)": "n"}).astype({"n": "int64"}),
         batch_format="pandas")
+
+
+def funnel_stages(sf_dir: str, stages=("view", "click", "purchase")):
+    """(user_id, funnel_stage) — classic conversion-funnel analysis with
+    first-occurrence cascade semantics: stage k is reached iff an event
+    of type ``stages[k-1]`` occurs STRICTLY AFTER the timestamp that
+    reached stage k-1 (stage 1 = the user's first ``stages[0]`` event).
+    funnel_stage is the deepest stage reached (0 if none).
+
+    Scale shape: the sessionize bucket co-group — hash(user_id) % nparts,
+    one Ray group per partition; inside each bucket the cascade is three
+    vectorized merge+filter+groupby-min passes, never a per-user loop.
+    """
+    ds = _read_events(sf_dir, columns=["user_id", "ts", "event_type"])
+    nparts = _nparts()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(pd.util.hash_pandas_object(df["user_id"], index=False)
+                    % nparts).astype("int32"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        users = df[["user_id"]].drop_duplicates()
+        # stage 1: first occurrence of the entry event
+        reach = (df[df["event_type"] == stages[0]]
+                 .groupby("user_id", as_index=False)["ts"].min())
+        stage_of = users.merge(reach.assign(stage=1), how="left",
+                               on="user_id")
+        for k, ev in enumerate(stages[1:], start=2):
+            cand = df[df["event_type"] == ev].merge(
+                reach.rename(columns={"ts": "prev_ts"}), on="user_id")
+            cand = cand[cand["ts"] > cand["prev_ts"]]
+            reach = cand.groupby("user_id", as_index=False)["ts"].min()
+            stage_of = stage_of.merge(reach.assign(**{"s%d" % k: k})
+                                      [["user_id", "s%d" % k]],
+                                      how="left", on="user_id")
+            stage_of["stage"] = stage_of[["stage", "s%d" % k]].max(axis=1)
+            stage_of = stage_of.drop(columns=["s%d" % k])
+        return pd.DataFrame({
+            "user_id": stage_of["user_id"].astype("int64"),
+            "funnel_stage": stage_of["stage"].fillna(0).astype("int64"),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))

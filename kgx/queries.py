@@ -652,6 +652,27 @@ WHERE doc_id NOT IN (
         "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n"
         " FROM events GROUP BY 1, 2"
     ),
+    # conversion funnel, first-occurrence cascade with strict-> ordering
+    # (mirrors events.funnel_stages)
+    "funnel_stages": """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+     c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+     p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+""",
     # as-of join: latest strictly-earlier view per purchase, same user
     "events_asof": """
 WITH p AS (SELECT event_id, user_id, ts FROM events

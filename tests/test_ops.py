@@ -580,6 +580,43 @@ class TestTrainData:
                     nxt = ntok[seqs[seq_id + 1][0]]
                     assert total + nxt > cap
 
+    def test_funnel_stages_cascade_semantics(self, ray_session, tmp_path):
+        """Constructed cases pin each stage and the STRICTLY-AFTER rule:
+        a purchase before the first view counts nothing; a click at the
+        exact first-view timestamp does not advance (strict >)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.events import funnel_stages
+
+        t0 = pd.Timestamp("2026-01-01")
+        rows = [
+            # user 1: full funnel in order -> 3
+            (1, t0, "view"), (1, t0 + pd.Timedelta("1min"), "click"),
+            (1, t0 + pd.Timedelta("2min"), "purchase"),
+            # user 2: purchase BEFORE view -> only stage 1
+            (2, t0, "purchase"), (2, t0 + pd.Timedelta("1min"), "view"),
+            # user 3: click at the SAME ts as first view (strict >) -> 1
+            (3, t0, "view"), (3, t0, "click"),
+            # user 4: no funnel events at all -> 0
+            (4, t0, "error"),
+            # user 5: view then click, no purchase -> 2
+            (5, t0, "view"), (5, t0 + pd.Timedelta("1min"), "click"),
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        df["event_id"] = range(len(df))
+        df["value"] = 0.0
+        df["props"] = ""
+        d = str(tmp_path / "funnel_sf")
+        import os as _os
+        _os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df), _os.path.join(
+            d, "events.parquet"))
+        got = funnel_stages(d).to_pandas().set_index("user_id")[
+            "funnel_stage"].to_dict()
+        assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
     def test_chunk_documents_window_invariants(self, ray_session):
         import pyarrow.parquet as pq
 
