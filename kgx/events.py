@@ -206,3 +206,38 @@ def funnel_stages(sf_dir: str, stages=("view", "click", "purchase")):
 
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
+def props_stats(sf_dir: str, key: str = "k"):
+    """(event_type, n, sum_k, max_k) — semi-structured ingestion: pull an
+    integer field out of the JSON ``props`` column and aggregate per
+    event type. The extraction is a vectorized regex (exact for the
+    integer-valued field; a full JSON path would swap in pyarrow's
+    json parsing at the same spot), the aggregate is a per-batch
+    combiner + tiny hash groupby — the standard two-level shape.
+    """
+    import re
+
+    ds = _read_events(sf_dir, columns=["event_type", "props"])
+    pat = re.escape('"%s":' % key) + r"\s*(-?\d+)"
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(df["props"].str.extract(pat, expand=False),
+                          errors="coerce")
+        d = df.assign(k=k).dropna(subset=["k"])
+        g = d.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n": g["n"].astype("int64"),
+            "sum_k": g["sum_k"].astype("int64"),
+            "max_k": g["max_k"].astype("int64"),
+        })
+
+    return (ds.map_batches(combine, batch_format="pandas")
+            .groupby("event_type").map_groups(final, batch_format="pandas"))

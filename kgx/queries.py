@@ -652,6 +652,15 @@ WHERE doc_id NOT IN (
         "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n"
         " FROM events GROUP BY 1, 2"
     ),
+    # semi-structured props ingestion (mirrors events.props_stats)
+    "props_stats": (
+        "SELECT event_type, count(*) AS n,"
+        " CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)"
+        " AS sum_k,"
+        " max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k"
+        " FROM events WHERE json_extract(props, '$.k') IS NOT NULL"
+        " GROUP BY event_type"
+    ),
     # conversion funnel, first-occurrence cascade with strict-> ordering
     # (mirrors events.funnel_stages)
     "funnel_stages": """

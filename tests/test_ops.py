@@ -617,6 +617,37 @@ class TestTrainData:
             "funnel_stage"].to_dict()
         assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
 
+    def test_props_stats_json_extraction(self, ray_session, tmp_path):
+        """Constructed JSON props pin the extraction: missing key and
+        non-integer rows drop out, negatives aggregate correctly."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.events import props_stats
+
+        t0 = pd.Timestamp("2026-01-01")
+        rows = [
+            ("view", '{"k": 10}'), ("view", '{"k": -3}'),
+            ("view", '{"other": 1}'),          # missing key -> dropped
+            ("click", '{"k": 7}'), ("click", ""),  # empty props -> dropped
+        ]
+        df = pd.DataFrame(rows, columns=["event_type", "props"])
+        df["event_id"] = range(len(df))
+        df["user_id"] = 1
+        df["ts"] = t0
+        df["value"] = 0.0
+        d = str(tmp_path / "props_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "events.parquet"))
+        got = props_stats(d).to_pandas().set_index("event_type")
+        assert got.loc["view"].to_dict() == {"n": 2, "sum_k": 7, "max_k": 10}
+        assert got.loc["click"].to_dict() == {"n": 1, "sum_k": 7, "max_k": 7}
+        assert len(got) == 2
+
     def test_chunk_documents_window_invariants(self, ray_session):
         import pyarrow.parquet as pq
 
