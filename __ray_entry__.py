@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_customer_nation": relational.orders_by_customer_nation,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
+        "decontaminate_broadcast": traindata.decontaminate_broadcast,
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,
         "pack_sequences": traindata.pack_sequences,

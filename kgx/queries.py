@@ -934,6 +934,11 @@ try:
 except OSError:
     pass
 
+# the broadcast decontamination plan computes the IDENTICAL answer to
+# the co-group plan (real set intersection, not a sketch) — one oracle
+# serves both, which is exactly the point of having two plans
+DOC_ORACLES["decontaminate_broadcast"] = DOC_ORACLES["decontaminate"]
+
 # exact long-format mirror of the payload feature model (dyadic weights)
 DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 

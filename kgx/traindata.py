@@ -139,6 +139,97 @@ def decontaminate(sf_dir: str, shingle_k: int = SHINGLE_K,
             .groupby("b2").map_groups(final_sum, batch_format="pandas"))
 
 
+def _bench_shingle_set(sf_dir: str, shingle_k: int, bench_mod: int,
+                       bench_rem: int) -> frozenset:
+    """Distinct shingles of the benchmark holdout, collected driver-side.
+
+    Bounded by construction: the holdout is the small, FIXED side of
+    decontamination (real pipelines hold a few hundred eval sets — MBs
+    of text — against a 100 TB corpus), so its distinct-shingle set fits
+    on the driver and is the natural broadcast payload. Per-batch
+    distinct is the combiner; ``take_all`` only ever sees holdout-sized
+    rows, never corpus-sized. At true scale the holdout would be its own
+    small table and this read replaced by it — the derived-from-the-same-
+    table form here exists so the oracle can replay it relationally.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def bench_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[df["doc_id"] % bench_mod == bench_rem]
+        out = set()
+        for text in b["text"]:
+            toks = text.split(" ")
+            if len(toks) < shingle_k:
+                continue
+            out.update(" ".join(toks[i:i + shingle_k])
+                       for i in range(len(toks) - shingle_k + 1))
+        return pd.DataFrame({"shingle": pd.Series(sorted(out),
+                                                  dtype="object")})
+
+    rows = ds.map_batches(bench_shingles, batch_format="pandas").take_all()
+    return frozenset(r["shingle"] for r in rows)
+
+
+# per-worker cache of deserialized broadcast objects: ray.get() of a
+# Python set unpickles per TASK otherwise; keyed by the object ref so a
+# new broadcast invalidates naturally (same pattern as link.py's
+# per-worker registry cache)
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_get(ref):
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()  # at most one live broadcast per worker
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def decontaminate_broadcast(sf_dir: str, shingle_k: int = SHINGLE_K,
+                            bench_mod: int = BENCH_MOD,
+                            bench_rem: int = BENCH_REM):
+    """Same answer as ``decontaminate`` — (doc_id, n_shared_shingles)
+    for contaminated training docs — via the broadcast plan instead of
+    the shingle co-group: the holdout's distinct-shingle set is shipped
+    ONCE through the object store (``ray.put``) and every scan task
+    counts its docs' distinct shingles against it in place. ZERO
+    all-to-all exchanges (the co-group plan pays one over the full
+    corpus's exploded shingle rows).
+
+    This is the right plan whenever the holdout side is small — the
+    normal case for benchmark decontamination — and the co-group plan
+    remains the general one for two big sides. Exactness is preserved
+    (a real set, not a Bloom filter), so both plans share one oracle.
+    """
+    import ray
+
+    bench_ref = ray.put(_bench_shingle_set(sf_dir, shingle_k, bench_mod,
+                                           bench_rem))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def count_hits(df: pd.DataFrame) -> pd.DataFrame:
+        bench = _bcast_get(bench_ref)
+        doc_ids, counts = [], []
+        train = df[df["doc_id"] % bench_mod != bench_rem]
+        for doc_id, text in zip(train["doc_id"], train["text"]):
+            toks = text.split(" ")
+            if len(toks) < shingle_k:
+                continue
+            seen = {" ".join(toks[i:i + shingle_k])
+                    for i in range(len(toks) - shingle_k + 1)}
+            n = len(seen & bench)
+            if n:
+                doc_ids.append(doc_id)
+                counts.append(n)
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "n_shared_shingles": pd.Series(counts, dtype="int64")})
+
+    return ds.map_batches(count_hits, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling
 # ---------------------------------------------------------------------------
@@ -205,13 +296,14 @@ def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
        semantics, shard-local per (lang, doc_id % num_shards)).
 
     Returns (doc_id, lang, shard, seq_id). Exchange-minimal shape
-    (3 all-to-alls total, measured 11.8 s → ~6 s at sf0.1/32):
+    (ONE curate-level all-to-all — near_dup_dedup's internal exchanges
+    now dominate; was 3, 11.8 s → ~6 s → remeasure at sf0.1/32):
 
-    - contamination reuses ``decontaminate``'s shingle co-group but emits
-      hit doc-ids straight out of the shingle partition — the per-doc
-      count exchange is dropped because curation only needs the SET
-      (duplicate ids across shingle partitions are harmless to the
-      set-membership verdict);
+    - contamination uses the BROADCAST plan (``decontaminate_broadcast``):
+      the holdout's distinct-shingle set ships once via ``ray.put`` and
+      each scan task flags its own docs in place — the exploded-shingle
+      co-group exchange is gone entirely (set semantics, identical
+      answer);
     - the verdict co-group is keyed by ``shard = doc_id % num_shards``
       (coarsened ``% nparts``) instead of a doc-id hash, so every
       ``(lang, shard)`` pack cell arrives COMPLETE in one group and the
@@ -221,6 +313,8 @@ def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
     The DuckDB oracle replays the whole composition in a single
     WITH RECURSIVE query.
     """
+    import ray
+
     from .dedup import near_dup_dedup
 
     nparts = num_partitions or _nparts()
@@ -229,27 +323,27 @@ def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
                           num_partitions=nparts)
     docs = _read_documents(sf_dir, columns=["doc_id", "lang", "text"])
 
-    # contaminated doc-ids: decontaminate's shingle co-group (the SAME
-    # map fn and defaults), minus its per-doc count tail — set semantics
-    # tolerate cross-partition dups
-    shingle_rows = _shingle_rows_fn(SHINGLE_K, BENCH_MOD, BENCH_REM, nparts)
-
-    def hit_ids(df: pd.DataFrame) -> pd.DataFrame:
-        bench = set(df.loc[df["is_bench"], "shingle"])
-        train = df[~df["is_bench"]]
-        hits = (train.loc[train["shingle"].isin(bench), "doc_id"].unique()
-                if bench else [])
-        return pd.DataFrame({"doc_id": pd.Series(hits, dtype="int64")})
-
-    cont = (docs.map_batches(shingle_rows, batch_format="pandas")
-            .groupby("part").map_groups(hit_ids, batch_format="pandas"))
+    # contaminated flag computed in the scan against the broadcast
+    # holdout shingle set — same semantics as decontaminate, zero
+    # exchanges (see decontaminate_broadcast)
+    bench_ref = ray.put(_bench_shingle_set(sf_dir, SHINGLE_K, BENCH_MOD,
+                                           BENCH_REM))
 
     def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        bench = _bcast_get(bench_ref)
+        dirty = []
+        for text in df["text"]:
+            toks = text.split(" ")
+            dirty.append(
+                len(toks) >= SHINGLE_K
+                and any(" ".join(toks[i:i + SHINGLE_K]) in bench
+                        for i in range(len(toks) - SHINGLE_K + 1)))
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
             "kind": np.int8(0),
             "lang": df["lang"],
             "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+            "dirty": pd.Series(dirty, dtype="int8"),
         })
 
     def verdict_rows(kind: int, col: str = "doc_id"):
@@ -259,6 +353,7 @@ def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
                 "kind": np.int8(kind),
                 "lang": "",
                 "n_tokens": np.int64(0),
+                "dirty": np.int8(0),
             })
         return fn
 
@@ -267,22 +362,19 @@ def curate_corpus(sf_dir: str, threshold: float = 0.8, min_tokens: int = 20,
         return df.assign(
             bucket=((df["doc_id"] % num_shards) % nparts).astype("int32"))
 
-    # the two verdict streams are tiny (KBs) but arrive as nparts×2
-    # blocks; coalescing them keeps the sort exchange at ~nparts input
-    # blocks instead of 3×nparts (native sort cost scales with
+    # the survivor verdict stream is tiny (KBs) but arrives as nparts
+    # blocks; coalescing it keeps the sort exchange at ~nparts input
+    # blocks instead of 2×nparts (native sort cost scales with
     # blocks_in × parts_out)
     u = (docs.map_batches(doc_rows, batch_format="pandas")
          .union(surv.map_batches(verdict_rows(1), batch_format="pandas")
-                .repartition(8))
-         .union(cont.map_batches(verdict_rows(2), batch_format="pandas")
                 .repartition(8))
          .map_batches(add_bucket, batch_format="pandas"))
 
     def keep_and_pack(df: pd.DataFrame) -> pd.DataFrame:
         alive = set(df.loc[df["kind"] == 1, "doc_id"])
-        dirty = set(df.loc[df["kind"] == 2, "doc_id"])
         d = df[df["kind"] == 0]
-        d = d[d["doc_id"].isin(alive) & ~d["doc_id"].isin(dirty)
+        d = d[d["doc_id"].isin(alive) & (d["dirty"] == 0)
               & (d["doc_id"] % BENCH_MOD != BENCH_REM)
               & (d["n_tokens"] >= min_tokens)]
         d = d.assign(shard=(d["doc_id"] % num_shards).astype("int64"))

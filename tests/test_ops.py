@@ -506,6 +506,19 @@ class TestTrainData:
         # a benchmark doc must never appear on the training side
         assert (got["doc_id"] % 50 != 7).all()
 
+    def test_decontaminate_broadcast_plan_equality(self, ray_session):
+        """The zero-exchange broadcast plan must compute the IDENTICAL
+        frame as the shingle co-group plan — two plans, one answer."""
+        from kgx.traindata import decontaminate, decontaminate_broadcast
+
+        a = (decontaminate(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (decontaminate_broadcast(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["n_shared_shingles"].tolist() == \
+            b["n_shared_shingles"].tolist()
+
     def test_curate_corpus_composition(self, ray_session):
         # the composed pipeline == the composed recursive-CTE oracle,
         # and every stage's contract holds on the output
