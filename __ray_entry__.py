@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,
+        "dsir_weights": traindata.dsir_weights,
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,
         "pack_sequences": traindata.pack_sequences,

@@ -939,6 +939,39 @@ except OSError:
 # serves both, which is exactly the point of having two plans
 DOC_ORACLES["decontaminate_broadcast"] = DOC_ORACLES["decontaminate"]
 
+# exact mirror of traindata.dsir_weights: per-token integer-quantized
+# log-ratio weights (add-1 smoothing, target = doc_id % 50 == 7), INT64
+# sum per training doc. Both products are exact BIGINTs cast to DOUBLE
+# once (mirrors Python's float(num)/float(den)); ln is the same libm
+# call on both sides, so floor(2^20·ln(...)) agrees bit-for-bit.
+DOC_ORACLES["dsir_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok,
+    CAST(sum(CASE WHEN doc_id % 50 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+    CAST(sum(CASE WHEN doc_id % 50 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS s_n
+  FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(t_n) AS BIGINT) AS t_tot,
+         CAST(sum(s_n) AS BIGINT) AS s_tot,
+         CAST(count(*) AS BIGINT) AS v
+  FROM counts
+), w AS (
+  SELECT tok,
+    CAST(floor(1048576.0 * ln(
+      CAST((t_n + 1) * (s_tot + v) AS DOUBLE) /
+      CAST((s_n + 1) * (t_tot + v) AS DOUBLE))) AS BIGINT) AS w
+  FROM counts, tot
+)
+SELECT t.doc_id,
+       CAST(sum(w.w) AS BIGINT) AS dsir_q20,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM toks t JOIN w USING (tok)
+WHERE t.doc_id % 50 <> 7
+GROUP BY t.doc_id
+"""
+
 # exact long-format mirror of the payload feature model (dyadic weights)
 DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 

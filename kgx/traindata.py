@@ -230,6 +230,78 @@ def decontaminate_broadcast(sf_dir: str, shingle_k: int = SHINGLE_K,
     return ds.map_batches(count_hits, batch_format="pandas")
 
 
+def dsir_weights(sf_dir: str, bench_mod: int = BENCH_MOD,
+                 bench_rem: int = BENCH_REM):
+    """(doc_id, dsir_q20, n_tokens) — DSIR-style importance weights
+    (Data Selection with Importance Resampling, arXiv:2302.03169): score
+    every training document by how target-like its unigram distribution
+    is, where the target is the benchmark holdout (``doc_id % bench_mod
+    == bench_rem``) and the source is the rest of the corpus.
+
+    Per token: w(tok) = floor(2^20 · ln(p_target(tok) / p_source(tok)))
+    with add-1 smoothing; per doc: the INT64 sum of its tokens' weights
+    (high = target-like, the docs DSIR would up-sample). Quantizing each
+    token weight to an integer BEFORE the sum makes the result exact and
+    order-independent, so Ray and the SQL oracle agree bit-for-bit —
+    Python ``math.log`` and DuckDB ``ln`` are the same libm call, and
+    both sides divide the identical pair of sub-2^53 doubles (guarded).
+
+    Scale shape: the same two-pass broadcast-aggregate as
+    ``textops.unigram_lm_score`` — pass 1 aggregates (tok, n_target,
+    n_source) through a per-batch combiner (the shuffle carries
+    vocabulary, not occurrences), the MB-sized weight table broadcasts
+    into the map-only pass 2.
+    """
+    import math
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t")
+              .with_columns((pl.col("doc_id") % bench_mod == bench_rem)
+                            .alias("is_b")))
+        g = ex.group_by("t").agg(
+            pl.col("is_b").sum().cast(pl.Int64).alias("t_n"),
+            (pl.len() - pl.col("is_b").sum()).cast(pl.Int64).alias("s_n"))
+        return g.rename({"t": "tok"}).to_pandas()
+
+    vocab = (ds.map_batches(local_counts, batch_format="pandas")
+             .groupby("tok").sum(["t_n", "s_n"]).to_pandas())
+    t_tot = int(vocab["sum(t_n)"].sum())
+    s_tot = int(vocab["sum(s_n)"].sum())
+    v = len(vocab)
+    q = 1 << 20
+    weights = {}
+    for tok, t_n, s_n in zip(vocab["tok"], vocab["sum(t_n)"],
+                             vocab["sum(s_n)"]):
+        num = (int(t_n) + 1) * (s_tot + v)
+        den = (int(s_n) + 1) * (t_tot + v)
+        # both factors must be exactly representable doubles or the
+        # engine/oracle double-rounding paths could diverge
+        assert num < (1 << 53) and den < (1 << 53), "quantize counts first"
+        weights[tok] = math.floor(q * math.log(float(num) / float(den)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        d = d.filter(pl.col("doc_id") % bench_mod != bench_rem)
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t")
+              .with_columns(pl.col("t").replace_strict(
+                  weights, default=0, return_dtype=pl.Int64).alias("w")))
+        out = ex.group_by("doc_id").agg(
+            pl.col("w").sum().cast(pl.Int64).alias("dsir_q20"),
+            pl.len().cast(pl.Int64).alias("n_tokens"))
+        return out.to_pandas()
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling
 # ---------------------------------------------------------------------------

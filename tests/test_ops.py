@@ -519,6 +519,34 @@ class TestTrainData:
         assert a["n_shared_shingles"].tolist() == \
             b["n_shared_shingles"].tolist()
 
+    def test_dsir_weights_target_like_scores_higher(self, ray_session,
+                                                    tmp_path):
+        """Constructed corpus: the training doc that reuses the
+        holdout's vocabulary must outscore the one that doesn't, the
+        holdout doc itself is excluded, and n_tokens is exact."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import dsir_weights
+
+        rows = [(7, "alpha beta gamma"),          # holdout (7 % 50 == 7)
+                (1, "alpha beta gamma"),          # target-like train doc
+                (2, "noise filler junk")]         # source-like train doc
+        rows += [(10 + i, "noise filler junk") for i in range(5)]
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        df["lang"] = "en"
+        d = str(tmp_path / "dsir_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        got = dsir_weights(d).to_pandas().set_index("doc_id")
+        assert 7 not in got.index
+        assert (got["n_tokens"] == 3).all()
+        assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
+
     def test_curate_corpus_composition(self, ray_session):
         # the composed pipeline == the composed recursive-CTE oracle,
         # and every stage's contract holds on the output
