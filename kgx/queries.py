@@ -972,6 +972,21 @@ WHERE t.doc_id % 50 <> 7
 GROUP BY t.doc_id
 """
 
+# exact mirror of traindata.token_quantiles: discrete per-lang quantiles
+# of whitespace token counts (quantile_disc = the ceil(q*N)-th smallest,
+# the same rule the engine's histogram walk implements)
+DOC_ORACLES["token_quantiles"] = """
+WITH n AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang,
+  unnest([25, 50, 90, 99]) AS q_pct,
+  unnest([quantile_disc(n, 0.25), quantile_disc(n, 0.50),
+          quantile_disc(n, 0.90), quantile_disc(n, 0.99)]) AS n_tokens
+FROM n GROUP BY lang
+"""
+
 # exact long-format mirror of the payload feature model (dyadic weights)
 DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 

@@ -349,6 +349,47 @@ def stratified_sample(sf_dir: str, n_per_group: int = 50, seed: int = 42):
     return cands.groupby("lang").map_groups(final_topn, batch_format="pandas")
 
 
+def token_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
+    """(lang, q_pct, n_tokens) — EXACT per-language quantiles of the
+    document token-count distribution (the length profile that drives
+    chunk/pack/filter thresholds), discrete percentile semantics
+    (smallest value whose cumulative count reaches ceil(q·N) — DuckDB's
+    ``quantile_disc``).
+
+    Exact distributed quantiles without sorting the data: token counts
+    live in a BOUNDED INTEGER domain, so a per-batch (lang, n) histogram
+    is a lossless combiner — the shuffle carries histogram rows (at most
+    |langs| × distinct lengths), never documents, and the per-language
+    cumulative walk runs over that tiny frame. This is the 100 TB shape
+    for any quantile over a discrete/quantized column; continuous
+    doubles would quantize first (t-digest territory otherwise).
+    """
+    import math
+
+    ds = _read_documents(sf_dir, columns=["lang", "text"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].str.count(" ") + 1).astype("int64")
+        g = (pd.DataFrame({"lang": df["lang"], "n": n})
+             .groupby(["lang", "n"], as_index=False).size())
+        return pd.DataFrame({"lang": g["lang"], "n": g["n"].astype("int64"),
+                             "cnt": g["size"].astype("int64")})
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("n", as_index=False)["cnt"].sum()
+             .sort_values("n").reset_index(drop=True))
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["n"].to_numpy()
+        total = int(cum[-1])
+        rows = [(df["lang"].iloc[0], int(round(q * 100)),
+                 int(vals[np.searchsorted(cum, math.ceil(q * total))]))
+                for q in qs]
+        return pd.DataFrame(rows, columns=["lang", "q_pct", "n_tokens"])
+
+    return (ds.map_batches(hist, batch_format="pandas")
+            .groupby("lang").map_groups(quant, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

@@ -547,6 +547,28 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_token_quantiles_discrete_rule(self, ray_session, tmp_path):
+        """Pins the ceil(q·N)-th-smallest rule on a constructed N=4
+        distribution where the interpolating conventions would differ."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import token_quantiles
+
+        texts = ["a", "a b", "a b c", "a b c d"]  # lengths 1..4
+        df = pd.DataFrame({"doc_id": range(4), "text": texts, "lang": "en"})
+        d = str(tmp_path / "tq_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        got = token_quantiles(d).to_pandas().set_index("q_pct")[
+            "n_tokens"].to_dict()
+        # ceil(0.25*4)=1st, ceil(0.5*4)=2nd, ceil(0.9*4)=4th, ceil(0.99*4)=4th
+        assert got == {25: 1, 50: 2, 90: 4, 99: 4}
+
     def test_curate_corpus_composition(self, ray_session):
         # the composed pipeline == the composed recursive-CTE oracle,
         # and every stage's contract holds on the output
