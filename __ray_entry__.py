@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_broadcast": traindata.decontaminate_broadcast,
         "dsir_weights": traindata.dsir_weights,
         "token_quantiles": traindata.token_quantiles,
+        "distinct_token_kmv": traindata.distinct_token_kmv,
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,
         "pack_sequences": traindata.pack_sequences,

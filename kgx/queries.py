@@ -987,6 +987,29 @@ SELECT lang,
 FROM n GROUP BY lang
 """
 
+# exact replay of traindata.distinct_token_kmv: the KMV sketch is
+# deterministic (md5-u64 token hashes), so the oracle recomputes the k
+# smallest hashes and the (k-1)*2^64 // kth estimator bit-for-bit
+DOC_ORACLES["distinct_token_kmv"] = """
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+), km AS (
+  SELECT h FROM h ORDER BY h LIMIT 256
+), agg AS (
+  SELECT count(*) AS kn, max(h) AS kth FROM km
+)
+SELECT CAST(kn AS BIGINT) AS k_used,
+       CAST(kth AS VARCHAR) AS kth_hash,
+       CAST(CASE WHEN kn < 256 THEN CAST(kn AS HUGEINT)
+            ELSE (CAST(kn - 1 AS HUGEINT)
+                  * CAST('18446744073709551616' AS HUGEINT))
+                 // CAST(kth AS HUGEINT)
+       END AS BIGINT) AS est_distinct
+FROM agg
+"""
+
 # exact long-format mirror of the payload feature model (dyadic weights)
 DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 

@@ -390,6 +390,46 @@ def token_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
             .groupby("lang").map_groups(quant, batch_format="pandas"))
 
 
+def distinct_token_kmv(sf_dir: str, k: int = 256):
+    """(k_used, kth_hash, est_distinct) — corpus-wide distinct-token
+    cardinality via a K-Minimum-Values sketch (Bar-Yossef et al. 2002):
+    keep the ``k`` smallest 64-bit token hashes; the estimator is
+    ``(k−1) · 2^64 // kth_smallest`` (exact count when fewer than ``k``
+    distinct hashes exist).
+
+    The sketch state is k·8 bytes regardless of corpus size — the
+    per-batch combiner emits each batch's k smallest distinct-token
+    hashes, the merge is "k smallest of the union" over ≤ k·n_batches
+    rows on one tiny partition. Because the hash is the shared md5-u64
+    (``textops.token_hash64``), the sketch is DETERMINISTIC and the SQL
+    oracle replays it EXACTLY — an approximate operator with an exact
+    correctness gate, not just an error-bound smoke test.
+    """
+    from .textops import token_hash64
+
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def kmin(df: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in df["text"]:
+            toks.update(t.split(" "))
+        hs = sorted(token_hash64(t) for t in toks)[:k]
+        return pd.DataFrame({"h": pd.Series(hs, dtype="uint64")})
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(df["h"].to_numpy())[:k]
+        kn = len(hs)
+        kth = int(hs[-1])
+        est = kn if kn < k else ((kn - 1) << 64) // kth
+        return pd.DataFrame({"k_used": pd.Series([kn], dtype="int64"),
+                             "kth_hash": [str(kth)],
+                             "est_distinct": pd.Series([est],
+                                                       dtype="int64")})
+
+    return (ds.map_batches(kmin, batch_format="pandas")
+            .repartition(1).map_batches(estimate, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

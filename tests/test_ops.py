@@ -569,6 +569,37 @@ class TestTrainData:
         # ceil(0.25*4)=1st, ceil(0.5*4)=2nd, ceil(0.9*4)=4th, ceil(0.99*4)=4th
         assert got == {25: 1, 50: 2, 90: 4, 99: 4}
 
+    def test_distinct_token_kmv_estimate(self, ray_session, tmp_path):
+        """KMV estimate within the k=256 error envelope vs the exact
+        distinct count at SF, and the <k path returns the exact count."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import distinct_token_kmv
+
+        row = distinct_token_kmv(SF).to_pandas().iloc[0]
+        exact = len({t for text in pq.read_table(
+            "%s/documents.parquet" % SF, columns=["text"])["text"]
+            .to_pylist() for t in text.split(" ")})
+        if row["k_used"] < 256:
+            assert row["est_distinct"] == exact
+        else:
+            # standard KMV relative error ~1/sqrt(k) = 6.25%; allow 4x
+            assert abs(row["est_distinct"] - exact) <= 0.25 * exact
+
+        # tiny corpus (< k distinct tokens) → exact count, kth = max hash
+        df = pd.DataFrame({"doc_id": [1, 2],
+                           "text": ["a b c", "c d"], "lang": "en"})
+        d = str(tmp_path / "kmv_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        small = distinct_token_kmv(d).to_pandas().iloc[0]
+        assert small["k_used"] == 4 and small["est_distinct"] == 4
+
     def test_curate_corpus_composition(self, ray_session):
         # the composed pipeline == the composed recursive-CTE oracle,
         # and every stage's contract holds on the output
