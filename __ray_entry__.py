@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": traindata.dsir_weights,
         "token_quantiles": traindata.token_quantiles,
         "distinct_token_kmv": traindata.distinct_token_kmv,
+        "inverted_index": traindata.inverted_index,
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,
         "pack_sequences": traindata.pack_sequences,

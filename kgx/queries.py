@@ -1010,6 +1010,23 @@ SELECT CAST(kn AS BIGINT) AS k_used,
 FROM agg
 """
 
+# exact mirror of traindata.inverted_index: df over ALL docs, posting
+# list = the 32 smallest doc_ids per token
+DOC_ORACLES["inverted_index"] = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY tok
+), ranked AS (
+  SELECT tok, doc_id,
+         row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+  FROM pairs
+)
+SELECT r.tok, d.df, r.doc_id
+FROM ranked r JOIN dfreq d USING (tok) WHERE r.rk <= 32
+"""
+
 # exact long-format mirror of the payload feature model (dyadic weights)
 DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 

@@ -430,6 +430,58 @@ def distinct_token_kmv(sf_dir: str, k: int = 256):
             .repartition(1).map_batches(estimate, batch_format="pandas"))
 
 
+def inverted_index(sf_dir: str, max_postings: int = 32,
+                   num_partitions: Optional[int] = None):
+    """(tok, df, doc_id) — the inverted index a search / RAG stack
+    builds over the corpus: every token's exact document frequency plus
+    its posting list CAPPED at the ``max_postings`` smallest doc_ids
+    (deterministic truncation — the impact-ordering trick that keeps
+    stopword rows bounded; df stays exact over ALL docs).
+
+    Scale shape: per-batch distinct (doc, tok) explode is the combiner
+    (a doc lives in exactly one batch, so partial dfs SUM exactly); the
+    one exchange is keyed by ``hash(tok) % nparts`` — never by raw token
+    (vocabulary is high-cardinality; the true per-token grouping happens
+    vectorized inside the bucket). Posting rows entering the shuffle are
+    already capped per batch, so a hot token ships ≤ cap·n_batches rows,
+    not its full posting list.
+    """
+    nparts = num_partitions or _nparts()
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t").unique(subset=["doc_id", "t"]))
+        dfreq = ex.group_by("t").agg(pl.len().cast(pl.Int64).alias("n"))
+        posts = (ex.sort("doc_id").group_by("t", maintain_order=True)
+                 .head(max_postings))
+        a = dfreq.rename({"t": "tok"}).to_pandas()
+        a["doc_id"] = np.int64(-1)
+        b = posts.rename({"t": "tok"}).to_pandas()
+        b["n"] = np.int64(-1)
+        out = pd.concat([a[["tok", "doc_id", "n"]],
+                         b[["tok", "doc_id", "n"]]], ignore_index=True)
+        out["part"] = (pd.util.hash_pandas_object(out["tok"], index=False)
+                       % nparts).astype("int32")
+        return out
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = (df[df["n"] > 0].groupby("tok", as_index=False)["n"].sum()
+                 .rename(columns={"n": "dfreq"}))
+        posts = (df[df["n"] < 0].sort_values(["tok", "doc_id"])
+                 .groupby("tok", sort=False).head(max_postings))
+        m = posts.merge(dfreq, on="tok")
+        return pd.DataFrame({"tok": m["tok"],
+                             "df": m["dfreq"].astype("int64"),
+                             "doc_id": m["doc_id"].astype("int64")})
+
+    return (ds.map_batches(partials, batch_format="pandas")
+            .groupby("part").map_groups(reduce, batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

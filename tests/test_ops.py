@@ -600,6 +600,34 @@ class TestTrainData:
         small = distinct_token_kmv(d).to_pandas().iloc[0]
         assert small["k_used"] == 4 and small["est_distinct"] == 4
 
+    def test_inverted_index_cap_and_exact_df(self, ray_session, tmp_path):
+        """A hot token keeps EXACT df but only the 32 smallest doc_ids
+        as postings; a rare token keeps all of its postings."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import inverted_index
+
+        rows = [(i, "common" + (" rare" if i in (3, 50) else ""))
+                for i in range(40)] + [(50, "common rare")]
+        df = pd.DataFrame(rows[:40] + [rows[-1]],
+                          columns=["doc_id", "text"])
+        df["lang"] = "en"
+        d = str(tmp_path / "inv_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        got = inverted_index(d).to_pandas()
+        hot = got[got["tok"] == "common"]
+        assert (hot["df"] == 41).all() and len(hot) == 32
+        assert sorted(hot["doc_id"]) == list(range(32))
+        rare = got[got["tok"] == "rare"]
+        assert (rare["df"] == 2).all()
+        assert sorted(rare["doc_id"]) == [3, 50]
+
     def test_curate_corpus_composition(self, ray_session):
         # the composed pipeline == the composed recursive-CTE oracle,
         # and every stage's contract holds on the output
