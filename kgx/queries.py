@@ -1027,6 +1027,25 @@ SELECT r.tok, d.df, r.doc_id
 FROM ranked r JOIN dfreq d USING (tok) WHERE r.rk <= 32
 """
 
+# exact mirror of components.triangle_count over the jaccard_pairs edge
+# set: canonical a<b edges; triangle (x<y<z) matched once as
+# e1=(x,y), e2=(x,z), e3=(y,z)
+DOC_ORACLES["triangle_count"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM p e1 JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
 # exact long-format mirror of the payload feature model (dyadic weights)
 DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 

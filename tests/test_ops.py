@@ -628,6 +628,29 @@ class TestTrainData:
         assert (rare["df"] == 2).all()
         assert sorted(rare["doc_id"]) == [3, 50]
 
+    def test_triangle_count_constructed(self, ray_session, tmp_path):
+        """A 4-clique of identical docs yields C(4,3)=4 triangles; a
+        separate identical pair adds an edge but no triangle."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.components import triangle_count
+
+        rows = [(i, "alpha beta gamma delta") for i in range(4)]
+        rows += [(10, "omega psi chi"), (11, "omega psi chi")]
+        rows += [(20, "solo unique text here")]
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        df["lang"] = "en"
+        d = str(tmp_path / "tri_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        got = triangle_count(d).to_pandas()
+        assert got["n_triangles"].tolist() == [4]
+
     def test_curate_corpus_composition(self, ray_session):
         # the composed pipeline == the composed recursive-CTE oracle,
         # and every stage's contract holds on the output
