@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": traindata.stratified_sample,
         "pack_sequences": traindata.pack_sequences,
         "chunk_documents": traindata.chunk_documents,
+        "segment_dedup": traindata.segment_dedup,
         "curate_corpus": traindata.curate_corpus,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,

@@ -1027,6 +1027,35 @@ SELECT r.tok, d.df, r.doc_id
 FROM ranked r JOIN dfreq d USING (tok) WHERE r.rk <= 32
 """
 
+# traindata.segment_dedup(seg_tokens=16): identical slicing
+# (generate_series + list_slice), identical u64 segment hash
+# (('0x'||substr(md5,1,16))::UBIGINT, collision-faithful to the engine's
+# partitioning key), identical keeper rule (min (doc_id, sidx) per hash)
+DOC_ORACLES["segment_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), segs AS (
+  SELECT doc_id, i AS sidx,
+         array_to_string(list_slice(t, i * 16 + 1, i * 16 + 16), ' ') AS seg
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(0,
+                   CAST(ceil(len(t) / 16.0) AS BIGINT) - 1)) AS i
+        FROM toks)
+), ranked AS (
+  SELECT doc_id, sidx, seg,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(md5(seg), 1, 16))::UBIGINT
+           ORDER BY doc_id, sidx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY sidx) FILTER (WHERE rn = 1),
+                '') AS text,
+       count(*) AS n_segments,
+       count(*) FILTER (WHERE rn > 1) AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
 # exact mirror of components.triangle_count over the jaccard_pairs edge
 # set: canonical a<b edges; triangle (x<y<z) matched once as
 # e1=(x,y), e2=(x,z), e3=(y,z)

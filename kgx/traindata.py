@@ -641,6 +641,114 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64, overlap: int = 8):
     return ds.map_batches(chunks, batch_format="pandas")
 
 
+def segment_dedup(sf_dir: str, seg_tokens: int = 16,
+                  num_partitions: Optional[int] = None):
+    """(doc_id, text, n_segments, n_removed) — exact duplicated-span
+    REMOVAL with document REWRITING (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499, approximated
+    at fixed token-segment granularity — the shape production pipelines
+    use when a corpus-wide suffix array is infeasible). Every document
+    is cut into consecutive ``seg_tokens``-token segments (the tail
+    segment may be short); a segment whose content already occurred at a
+    smaller ``(doc_id, seg_idx)`` anywhere in the corpus is removed, and
+    each document is reassembled from its surviving segments (possibly
+    down to the empty string). Unlike dedup_exact / near_dup_dedup
+    (whole-document verdicts) and dup_ngram_stats (statistics only),
+    this operator changes the text itself.
+
+    Scale shape: two all-to-alls; document text crosses plasma exactly
+    once. (1) segments explode to ``(h=md5-u64(segment), doc_id, sidx)``
+    fixed-width rows bucketed by ``h % nparts`` — every occurrence of a
+    segment lands in one partition, where a vectorized first-of-sorted
+    pass picks the global keeper per hash and emits verdict rows ONLY
+    for the duplicates (sparse on a clean corpus, never segment text);
+    (2) verdicts co-group with the original documents on
+    ``doc_id % nparts`` and each flagged document is re-split locally
+    and rebuilt; unflagged documents pass through untouched. The DuckDB
+    oracle replays the identical slicing (generate_series + list_slice),
+    the identical u64 hash partitioning, and the identical
+    ``row_number() ... ORDER BY doc_id, sidx`` keeper rule.
+    """
+    nparts = num_partitions or _nparts()
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def seg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, sidxs, hs = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            nseg = (len(toks) + seg_tokens - 1) // seg_tokens
+            for i in range(nseg):
+                hs.append(_md5_u64(
+                    " ".join(toks[i * seg_tokens:(i + 1) * seg_tokens])))
+                doc_ids.append(doc_id)
+                sidxs.append(i)
+        out = pd.DataFrame({
+            "h": pd.Series(hs, dtype="uint64"),
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "sidx": pd.Series(sidxs, dtype="int64"),
+        })
+        out["part"] = (out["h"] % np.uint64(nparts)).astype("int32")
+        return out
+
+    def dup_verdicts(df: pd.DataFrame) -> pd.DataFrame:
+        # global keeper per h = min (doc_id, sidx); everything else in
+        # the hash's partition-complete group is a duplicate
+        df = df.sort_values(["h", "doc_id", "sidx"], kind="mergesort")
+        dups = df[df["h"].duplicated()]
+        return pd.DataFrame({
+            "doc_id": dups["doc_id"].astype("int64"),
+            "sidx": dups["sidx"].astype("int64"),
+            "text": "",
+            "kind": np.int8(1),
+            "part2": (dups["doc_id"] % nparts).astype("int32"),
+        })
+
+    verdicts = (ds.map_batches(seg_rows, batch_format="pandas")
+                .groupby("part")
+                .map_groups(dup_verdicts, batch_format="pandas"))
+
+    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "sidx": np.int64(-1),
+            "text": df["text"],
+            "kind": np.int8(0),
+            "part2": (df["doc_id"] % nparts).astype("int32"),
+        })
+
+    docs = ds.map_batches(doc_side, batch_format="pandas")
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["kind"] == 0]
+        drop_map: dict = {}
+        for doc_id, sidx in zip(df.loc[df["kind"] == 1, "doc_id"],
+                                df.loc[df["kind"] == 1, "sidx"]):
+            drop_map.setdefault(doc_id, set()).add(sidx)
+        texts, nsegs, nrem = [], [], []
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            toks = text.split(" ")
+            nseg = (len(toks) + seg_tokens - 1) // seg_tokens
+            nsegs.append(nseg)
+            dropped = drop_map.get(doc_id)
+            if not dropped:
+                texts.append(text)
+                nrem.append(0)
+                continue
+            texts.append(" ".join(
+                " ".join(toks[i * seg_tokens:(i + 1) * seg_tokens])
+                for i in range(nseg) if i not in dropped))
+            nrem.append(len(dropped))
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(dtype="int64"),
+            "text": pd.Series(texts, dtype="object"),
+            "n_segments": pd.Series(nsegs, dtype="int64"),
+            "n_removed": pd.Series(nrem, dtype="int64"),
+        })
+
+    return (docs.union(verdicts).groupby("part2")
+            .map_groups(rebuild, batch_format="pandas"))
+
+
 def greedy_pack(n_tokens: np.ndarray, capacity: int) -> np.ndarray:
     """The greedy reset-cumsum: 1-based sequence id per document, new
     sequence when adding the doc would exceed ``capacity`` (an oversized

@@ -547,6 +547,50 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_segment_dedup_constructed(self, ray_session, tmp_path):
+        """Planted duplicate segments: cross-doc dups are removed from
+        the later (doc_id, sidx), within-doc dups keep only the first
+        occurrence, a fully-duplicated doc collapses to the empty
+        string, and clean docs pass through byte-identical."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import segment_dedup
+
+        seg_a = " ".join("a%d" % i for i in range(4))   # 4-token segment
+        seg_b = " ".join("b%d" % i for i in range(4))
+        seg_c = " ".join("c%d" % i for i in range(4))
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                seg_a + " " + seg_b,          # keeper of A and B
+                seg_c + " " + seg_a,          # loses its A copy
+                seg_b,                        # fully duplicated → empty
+                seg_c + " " + seg_c + " tail",  # within-doc dup of C
+            ],
+        })
+        d = str(tmp_path / "segdedup_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(docs),
+                       os.path.join(d, "documents.parquet"))
+        got = (segment_dedup(d, seg_tokens=4).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[0, "text"] == seg_a + " " + seg_b
+        assert got.loc[0, "n_removed"] == 0
+        assert got.loc[1, "text"] == seg_c  # A copy dropped
+        assert got.loc[1, "n_removed"] == 1
+        assert got.loc[2, "text"] == ""
+        assert (got.loc[2, "n_segments"], got.loc[2, "n_removed"]) == (1, 1)
+        # doc 3: segments [C, C, "tail"] — C already kept at doc 1 sidx 0?
+        # No: doc 1's C is at (1, 0), doc 3's copies at (3, 0) and (3, 1)
+        # both lose; "tail" survives.
+        assert got.loc[3, "text"] == "tail"
+        assert got.loc[3, "n_removed"] == 2
+        assert got["n_segments"].tolist() == [2, 2, 1, 3]
+
     def test_token_quantiles_discrete_rule(self, ray_session, tmp_path):
         """Pins the ceil(q·N)-th-smallest rule on a constructed N=4
         distribution where the interpolating conventions would differ."""
