@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": traindata.pack_sequences,
         "chunk_documents": traindata.chunk_documents,
         "segment_dedup": traindata.segment_dedup,
+        "bm25_search": traindata.bm25_search,
         "curate_corpus": traindata.curate_corpus,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,

@@ -1027,6 +1027,53 @@ SELECT r.tok, d.df, r.doc_id
 FROM ranked r JOIN dfreq d USING (tok) WHERE r.rk <= 32
 """
 
+# traindata.bm25_search(k=10, n_queries=16): BM25 replayed relationally.
+# Same float64 discipline as dsir_weights: ln is the shared libm call,
+# every other op an exactly-rounded double ·/÷ of bit-matched operands in
+# the IDENTICAL expression tree, each term floor-quantized to int64
+# BEFORE the order-independent sum.
+DOC_ORACLES["bm25_search"] = r"""
+WITH train AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 50 <> 7
+), stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+  FROM train
+), ex AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM train
+), tf AS (
+  SELECT doc_id, tok, max(dl) AS dl, count(*) AS tf
+  FROM ex GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), q AS (
+  SELECT doc_id AS qid,
+         unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id % 50 = 7 AND doc_id < 800
+), contrib AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(floor(1048576.0 * (
+           ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.25)
+           / (tf.tf + 1.25 * (0.25 + 0.75 *
+              (tf.dl / (SELECT avgdl FROM stats)))))) AS BIGINT) AS c
+  FROM q
+  JOIN tf ON tf.tok = q.tok
+  JOIN dfreq d ON d.tok = q.tok
+), scores AS (
+  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_q20
+  FROM contrib GROUP BY qid, doc_id
+), ranked AS (
+  SELECT qid, doc_id, score_q20,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_q20 DESC, doc_id) AS rk
+  FROM scores
+)
+SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id, score_q20
+FROM ranked WHERE rk <= 10
+"""
+
 # traindata.segment_dedup(seg_tokens=16): identical slicing
 # (generate_series + list_slice), identical u64 segment hash
 # (('0x'||substr(md5,1,16))::UBIGINT, collision-faithful to the engine's

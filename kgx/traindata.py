@@ -641,6 +641,134 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64, overlap: int = 8):
     return ds.map_batches(chunks, batch_format="pandas")
 
 
+def bm25_search(sf_dir: str, k: int = 10, n_queries: int = 16,
+                bench_mod: int = BENCH_MOD, bench_rem: int = BENCH_REM):
+    """(qid, rank, doc_id, score_q20) — BM25 top-``k`` retrieval, the
+    query side of the search/RAG stack whose build side is
+    ``inverted_index``: the first ``n_queries`` holdout documents
+    (``doc_id % bench_mod == bench_rem``, ``doc_id < mod·n_queries``)
+    are the queries (their distinct tokens), scored against every
+    TRAINING document with BM25 (k1 = 1.25, b = 0.75 — dyadic constants
+    so both engines hit the same float64 path).
+
+    Per shared token: contrib = floor(2^20 · idf · (tf·(k1+1)) /
+    (tf + k1·(1−b+b·dl/avgdl))) with idf = ln(1+(N−df+0.5)/(df+0.5));
+    per (query, doc): the INT64 sum. Quantizing each term BEFORE the sum
+    makes the score exact and order-independent; ln is the same libm
+    call on both sides and every other op is an exactly-rounded float64
+    ·/÷ of bit-matched operands (same guard discipline as
+    ``dsir_weights``), so the SQL oracle hash-matches bit-for-bit.
+
+    Scale shape: the query set is the small, FIXED side (bounded by
+    ``n_queries``, never corpus-sized). Pass A aggregates df ONLY for
+    the query vocabulary plus (N, Σdl) through a per-batch combiner —
+    the exchange carries at most |qvocab|+1 rows per batch; the MB-sized
+    (tok, qid, idf) table then rides each pass-B task's closure, where
+    scoring is a map-only vectorized merge with a per-batch per-query
+    top-k combiner; the final exchange groups the ≤ n_queries·k·n_batches
+    partials by qid (bounded cardinality).
+    """
+    import math
+
+    import pyarrow.parquet as pq
+
+    q_max = bench_mod * n_queries
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    # the bounded query side, read driver-side (same rationale as
+    # _bench_shingle_set: the query set is MBs against a 100 TB corpus)
+    qdocs = pq.read_table(
+        "%s/documents.parquet" % sf_dir, columns=["doc_id", "text"],
+        filters=[("doc_id", "<", q_max)]).to_pandas()
+    qdocs = qdocs[qdocs["doc_id"] % bench_mod == bench_rem]
+    q_rows = [(int(qid), tok) for qid, text in zip(qdocs["doc_id"],
+                                                   qdocs["text"])
+              for tok in sorted(set(text.split(" ")))]
+    qvocab = frozenset(t for _, t in q_rows)
+
+    def df_partials(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["doc_id"] % bench_mod != bench_rem]
+        cnt: dict = {}
+        dl_sum = int((t["text"].str.count(" ") + 1).sum())
+        for text in t["text"]:
+            for tok in set(text.split(" ")) & qvocab:
+                cnt[tok] = cnt.get(tok, 0) + 1
+        out = pd.DataFrame({
+            "tok": pd.Series(list(cnt) + [""], dtype="object"),
+            "n": pd.Series(list(cnt.values()) + [len(t)], dtype="int64"),
+            "dl": pd.Series([0] * len(cnt) + [dl_sum], dtype="int64"),
+        })
+        return out
+
+    agg = (ds.map_batches(df_partials, batch_format="pandas")
+           .groupby("tok").sum(["n", "dl"]).to_pandas())
+    totals = agg[agg["tok"] == ""]
+    n_docs = int(totals["sum(n)"].iloc[0])
+    dl_tot = int(totals["sum(dl)"].iloc[0])
+    assert n_docs < (1 << 52) and dl_tot < (1 << 53), "quantize first"
+    avgdl = float(dl_tot) / float(n_docs)
+    dfreq = {tok: int(n) for tok, n in zip(agg["tok"], agg["sum(n)"])
+             if tok != ""}
+    # (qid, tok, idf) — tokens absent from every training doc drop out
+    # (df = 0 would still be well-defined, but the SQL joins on tf)
+    qtab = pd.DataFrame(
+        [(qid, tok,
+          math.log(1.0 + (float(n_docs) - dfreq[tok] + 0.5)
+                   / (dfreq[tok] + 0.5)))
+         for qid, tok in q_rows if tok in dfreq],
+        columns=["qid", "tok", "idf"])
+
+    def score_batch(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        t = df[df["doc_id"] % bench_mod != bench_rem]
+        d = pl.from_pandas(t[["doc_id", "text"]])
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .with_columns(pl.col("t").list.len().cast(pl.Int64)
+                            .alias("dl"))
+              .drop("text").explode("t"))
+        tf = (ex.group_by(["doc_id", "t"])
+              .agg(pl.len().cast(pl.Int64).alias("tf"),
+                   pl.col("dl").first().alias("dl"))
+              .rename({"t": "tok"}).to_pandas())
+        m = tf.merge(qtab, on="tok")
+        if m.empty:
+            return pd.DataFrame({
+                "qid": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score_q20": pd.Series([], dtype="int64")})
+        tfv = m["tf"].to_numpy(dtype="float64")
+        dlv = m["dl"].to_numpy(dtype="float64")
+        idf = m["idf"].to_numpy(dtype="float64")
+        contrib = (idf * (tfv * 2.25)
+                   / (tfv + 1.25 * (0.25 + 0.75 * (dlv / avgdl))))
+        m["c"] = np.floor(1048576.0 * contrib).astype("int64")
+        s = (m.groupby(["qid", "doc_id"], as_index=False)["c"].sum()
+             .rename(columns={"c": "score_q20"}))
+        # per-batch per-query top-k combiner: (qid, doc) pairs are
+        # complete here (a doc lives in one batch), so pruning to the
+        # k best per query is lossless
+        s = (s.sort_values(["qid", "score_q20", "doc_id"],
+                           ascending=[True, False, True])
+             .groupby("qid", sort=False).head(k))
+        return pd.DataFrame({
+            "qid": s["qid"].to_numpy(dtype="int64"),
+            "doc_id": s["doc_id"].to_numpy(dtype="int64"),
+            "score_q20": s["score_q20"].to_numpy(dtype="int64")})
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df.sort_values(["score_q20", "doc_id"],
+                            ascending=[False, True]).head(k))
+        return pd.DataFrame({
+            "qid": s["qid"].to_numpy(dtype="int64"),
+            "rank": np.arange(1, len(s) + 1, dtype="int64"),
+            "doc_id": s["doc_id"].to_numpy(dtype="int64"),
+            "score_q20": s["score_q20"].to_numpy(dtype="int64")})
+
+    return (ds.map_batches(score_batch, batch_format="pandas")
+            .groupby("qid").map_groups(final_topk, batch_format="pandas"))
+
+
 def segment_dedup(sf_dir: str, seg_tokens: int = 16,
                   num_partitions: Optional[int] = None):
     """(doc_id, text, n_segments, n_removed) — exact duplicated-span

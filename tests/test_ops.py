@@ -547,6 +547,41 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_bm25_search_ranking(self, ray_session, tmp_path):
+        """BM25 semantics on a constructed corpus: a rare query term
+        outranks a corpus-wide common one, the query doc itself is never
+        retrieved, and ranks are dense from 1 with deterministic
+        doc_id tie-breaks."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import bm25_search
+
+        rows = [{"doc_id": 7, "text": "zebra apple"}]  # the query doc
+        rows.append({"doc_id": 0, "text": "zebra x0 x1 x2"})  # rare hit
+        for i in range(1, 6):  # 'apple' is common (5 docs)
+            rows.append({"doc_id": i, "text": "apple y%d0 y%d1 y%d2"
+                         % (i, i, i)})
+        rows.append({"doc_id": 6, "text": "nothing shared here at"})
+        d = str(tmp_path / "bm25_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)),
+                       os.path.join(d, "documents.parquet"))
+        got = bm25_search(d, k=10).to_pandas().sort_values("rank")
+        assert set(got["qid"]) == {7}
+        assert 7 not in set(got["doc_id"])  # holdout never searched
+        assert 6 not in set(got["doc_id"])  # no shared token, no score
+        assert got["rank"].tolist() == list(range(1, len(got) + 1))
+        # rare 'zebra' match ranks above every common 'apple' match
+        assert got.iloc[0]["doc_id"] == 0
+        # equal-score 'apple' docs tie-break by ascending doc_id
+        apple = got[got["doc_id"] > 0]
+        assert apple["doc_id"].tolist() == sorted(apple["doc_id"])
+        assert apple["score_q20"].nunique() == 1
+
     def test_segment_dedup_constructed(self, ray_session, tmp_path):
         """Planted duplicate segments: cross-doc dups are removed from
         the later (doc_id, sidx), within-doc dups keep only the first
