@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": traindata.chunk_documents,
         "segment_dedup": traindata.segment_dedup,
         "bm25_search": traindata.bm25_search,
+        "ccnet_buckets": traindata.ccnet_buckets,
         "curate_corpus": traindata.curate_corpus,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,

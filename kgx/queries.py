@@ -1027,6 +1027,32 @@ SELECT r.tok, d.df, r.doc_id
 FROM ranked r JOIN dfreq d USING (tok) WHERE r.rk <= 32
 """
 
+# traindata.ccnet_buckets: the unigram_lm_score CTE (identical integer
+# weights), per-token normalization by integer floor division, dyadic
+# per-lang quartile cutpoints via quantile_disc (== the engine's
+# ceil(q·N)-th-smallest histogram walk), CASE order mirrored
+DOC_ORACLES["ccnet_buckets"] = """
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM cnt),
+w AS (SELECT t, CAST((c * 1048576) // s AS BIGINT) AS q FROM cnt, tot),
+sc AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS lm,
+              CAST(count(*) AS BIGINT) AS n
+       FROM tk JOIN w USING (t) GROUP BY doc_id),
+s8 AS (SELECT d.doc_id, d.lang,
+              CAST((sc.lm * 256) // (sc.n * 1048576) AS BIGINT) AS ppl_q8
+       FROM sc JOIN documents d USING (doc_id)),
+th AS (SELECT lang, quantile_disc(ppl_q8, 0.25) AS t25,
+              quantile_disc(ppl_q8, 0.75) AS t75
+       FROM s8 GROUP BY lang)
+SELECT s.doc_id, s.lang, s.ppl_q8,
+       CASE WHEN s.ppl_q8 <= th.t25 THEN 'tail'
+            WHEN s.ppl_q8 > th.t75 THEN 'head'
+            ELSE 'middle' END AS bucket
+FROM s8 s JOIN th USING (lang)
+"""
+
 # traindata.bm25_search(k=10, n_queries=16): BM25 replayed relationally.
 # Same float64 discipline as dsir_weights: ln is the shared libm call,
 # every other op an exactly-rounded double ·/÷ of bit-matched operands in

@@ -641,6 +641,101 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64, overlap: int = 8):
     return ds.map_batches(chunks, batch_format="pandas")
 
 
+def ccnet_buckets(sf_dir: str):
+    """(doc_id, lang, ppl_q8, bucket) — CCNet-style quality
+    partitioning (arXiv:1911.00359): score every document with the
+    corpus unigram LM (``textops.unigram_lm_score`` semantics, identical
+    integer-quantized weights), normalize to a PER-TOKEN score
+    ``ppl_q8 = (lm_q20 · 256) // (n_tokens · 2^20)`` (integer floor
+    division — bit-exact, bounded domain [0, 256]), and split each
+    language into ``head`` (most target-like: above the per-lang 0.75
+    discrete quantile), ``tail`` (at or below the 0.25 quantile) and
+    ``middle``. Quartile cutpoints are dyadic on purpose: ``0.25·N`` is
+    exactly representable, so the engine's ceil(q·N)-th-smallest walk
+    and DuckDB's ``quantile_disc`` provably agree (CCNet's thirds would
+    put ``0.33·N`` float rounding between the two engines).
+
+    Scale shape: the LM weight table is the unigram broadcast-aggregate
+    (vocabulary-sized shuffle); per-doc scores reduce the corpus to a
+    4-int-column table that is pinned once (at 10^10 docs ~300 GB,
+    object-store spillable — pinning beats re-tokenizing the text a
+    second time); the per-lang histogram combiner ships at most
+    |langs|·257 rows per batch, the cumulative walk runs on the driver,
+    and bucketing is a map over the pinned int table.
+    """
+    import math
+
+    from .textops import unigram_lm_score
+
+    scored_src = unigram_lm_score(sf_dir)
+    langs = _read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    # attach lang and normalize per token: both inputs are keyed by
+    # doc_id; re-deriving lang in the scoring pass would need the
+    # documents row anyway, so join the two int-narrow tables via a
+    # bucketed co-group (doc_id % nparts)
+    nparts = _nparts()
+
+    def score_side(df: pd.DataFrame) -> pd.DataFrame:
+        s8 = (df["lm_q20"].to_numpy(dtype="int64") * 256
+              // (df["n_tokens"].to_numpy(dtype="int64") * 1048576))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": "",
+            "ppl_q8": pd.Series(s8, dtype="int64"),
+            "part": (df["doc_id"] % nparts).astype("int32")})
+
+    def lang_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"],
+            "ppl_q8": np.int64(-1),
+            "part": (df["doc_id"] % nparts).astype("int32")})
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["ppl_q8"] >= 0][["doc_id", "ppl_q8"]]
+        l = df[df["ppl_q8"] < 0][["doc_id", "lang"]]
+        m = s.merge(l, on="doc_id")
+        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                             "lang": m["lang"],
+                             "ppl_q8": m["ppl_q8"].astype("int64")})
+
+    scored = (scored_src.map_batches(score_side, batch_format="pandas")
+              .union(langs.map_batches(lang_side, batch_format="pandas"))
+              .groupby("part").map_groups(join_part, batch_format="pandas")
+              .materialize())
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["lang", "ppl_q8"], as_index=False).size())
+        return pd.DataFrame({"lang": g["lang"],
+                             "v": g["ppl_q8"].astype("int64"),
+                             "cnt": g["size"].astype("int64")})
+
+    h = (scored.map_batches(hist, batch_format="pandas")
+         .groupby(["lang", "v"]).sum("cnt").to_pandas())
+    thresholds = {}
+    for lang, g in h.groupby("lang"):
+        g = g.sort_values("v")
+        cum = g["sum(cnt)"].cumsum().to_numpy()
+        vals = g["v"].to_numpy()
+        total = int(cum[-1])
+        t25 = int(vals[np.searchsorted(cum, math.ceil(0.25 * total))])
+        t75 = int(vals[np.searchsorted(cum, math.ceil(0.75 * total))])
+        thresholds[lang] = (t25, t75)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        t25 = df["lang"].map(lambda x: thresholds[x][0]).to_numpy()
+        t75 = df["lang"].map(lambda x: thresholds[x][1]).to_numpy()
+        v = df["ppl_q8"].to_numpy()
+        bucket = np.where(v <= t25, "tail",
+                          np.where(v > t75, "head", "middle"))
+        out = df[["doc_id", "lang", "ppl_q8"]].copy()
+        out["bucket"] = bucket
+        return out
+
+    return scored.map_batches(bucketize, batch_format="pandas")
+
+
 def bm25_search(sf_dir: str, k: int = 10, n_queries: int = 16,
                 bench_mod: int = BENCH_MOD, bench_rem: int = BENCH_REM):
     """(qid, rank, doc_id, score_q20) — BM25 top-``k`` retrieval, the

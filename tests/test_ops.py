@@ -547,6 +547,36 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_ccnet_buckets_boundaries(self, ray_session, tmp_path):
+        """Discrete quartile semantics on 8 docs with strictly
+        increasing per-token commonality: t25 = the 2nd smallest score,
+        t75 = the 6th — so exactly ranks 1-2 are 'tail', 3-6 'middle',
+        7-8 'head', and the partition is ordered by ppl_q8."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import ccnet_buckets
+
+        docs = []
+        for i in range(8):
+            toks = ["w"] * i + ["u%d_%d" % (i, j) for j in range(8 - i)]
+            docs.append({"doc_id": i, "lang": "en", "text": " ".join(toks)})
+        d = str(tmp_path / "ccnet_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(docs)),
+                       os.path.join(d, "documents.parquet"))
+        got = (ccnet_buckets(d).to_pandas()
+               .sort_values("ppl_q8").reset_index(drop=True))
+        assert got["ppl_q8"].is_monotonic_increasing
+        assert got["ppl_q8"].nunique() == 8  # strictly separated scores
+        assert got["bucket"].tolist() == (
+            ["tail"] * 2 + ["middle"] * 4 + ["head"] * 2)
+        # most common-token-heavy doc is the most target-like
+        assert got.iloc[-1]["doc_id"] == 7
+
     def test_bm25_search_ranking(self, ray_session, tmp_path):
         """BM25 semantics on a constructed corpus: a rare query term
         outranks a corpus-wide common one, the query doc itself is never
