@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,
+        "winnow_fingerprints": dedup.winnow_fingerprints,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf": simsearch.knn_ivf,

@@ -791,3 +791,60 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.4, nlist: int = 64):
     return (ds.map_batches(assign, batch_format="pandas")
             .groupby("cluster").map_groups(prune_cluster,
                                            batch_format="pandas"))
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 4, w: int = 4):
+    """(doc_id, pos, fp) — winnowing fingerprints (Schleimer, Wilkerson
+    & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-token k-gram,
+    slide a window of ``w`` consecutive hashes, and select the RIGHTMOST
+    minimal hash in each window; the distinct selected (position, hash)
+    pairs are the document's fingerprint. Winnowing guarantees any
+    shared substring of ≥ w+k-1 tokens yields a shared fingerprint,
+    with density ~2/(w+1) — the position-robust sketch the
+    fingerprint/simhash family lacks (both break under token insertion).
+
+    Scale shape: map-only, embarrassingly parallel (per-doc numpy
+    sliding-window argmin over md5-u64 k-gram hashes, rightmost-tie via
+    the reversed-argmin trick); no shuffle. Docs shorter than ``k``
+    tokens emit nothing; docs with fewer than ``w`` k-grams form a
+    single window. The SQL oracle replays the identical hash
+    (collision-faithful ('0x'||substr(md5,1,16))::UBIGINT), window
+    extent, and max-position tie rule.
+    """
+    import hashlib
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_pos, out_h = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            t = len(toks) - k + 1
+            if t <= 0:
+                continue
+            hs = np.array(
+                [int(hashlib.md5(" ".join(toks[i:i + k]).encode("utf-8"))
+                     .hexdigest()[:16], 16) for i in range(t)],
+                dtype=np.uint64)
+            if t <= w:
+                j = t - 1 - int(np.argmin(hs[::-1]))
+                sel = {(j, int(hs[j]))}
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(hs, w)
+                # argmin picks the FIRST minimum; reversing each window
+                # makes that the rightmost one
+                jrel = w - 1 - sw[:, ::-1].argmin(axis=1)
+                pos = np.arange(t - w + 1) + jrel
+                sel = set(zip(pos.tolist(), hs[pos].tolist()))
+            for p, h in sorted(sel):
+                out_doc.append(doc_id)
+                out_pos.append(p)
+                out_h.append(h)
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "pos": pd.Series(out_pos, dtype="int64"),
+            "fp": pd.Series(out_h, dtype="uint64"),
+        })
+
+    return ds.map_batches(fps, batch_format="pandas")

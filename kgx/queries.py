@@ -1027,6 +1027,38 @@ SELECT r.tok, d.df, r.doc_id
 FROM ranked r JOIN dfreq d USING (tok) WHERE r.rk <= 32
 """
 
+# dedup.winnow_fingerprints(k=4, w=4): identical k-gram hash, window
+# extent (single window when a doc has fewer than w k-grams), and
+# rightmost-minimum tie rule (max(pos) among window positions whose hash
+# equals the window minimum)
+DOC_ORACLES["winnow_fingerprints"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(t, i, i + 3), ' ')), 1, 16))::UBIGINT AS h,
+         len(t) - 3 AS nk
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+        FROM toks WHERE len(t) >= 4)
+), starts AS (
+  SELECT doc_id, unnest(generate_series(0, greatest(nk - 4, 0))) AS s
+  FROM (SELECT DISTINCT doc_id, nk FROM kg)
+), wmin AS (
+  SELECT st.doc_id, st.s, min(k.h) AS mh
+  FROM starts st
+  JOIN kg k ON k.doc_id = st.doc_id AND k.pos BETWEEN st.s AND st.s + 3
+  GROUP BY st.doc_id, st.s
+), sel AS (
+  SELECT w.doc_id, max(k.pos) AS pos, w.mh AS fp
+  FROM wmin w
+  JOIN kg k ON k.doc_id = w.doc_id AND k.pos BETWEEN w.s AND w.s + 3
+           AND k.h = w.mh
+  GROUP BY w.doc_id, w.s, w.mh
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
+"""
+
 # traindata.ccnet_buckets: the unigram_lm_score CTE (identical integer
 # weights), per-token normalization by integer floor division, dyadic
 # per-lang quartile cutpoints via quantile_disc (== the engine's

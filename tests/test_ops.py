@@ -547,6 +547,41 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_winnow_fingerprints_guarantee_and_ties(self, ray_session,
+                                                    tmp_path):
+        """Pins the two defining winnowing properties: (1) two docs
+        sharing a substring of ≥ w+k-1 tokens share at least one
+        fingerprint HASH; (2) a window of identical k-gram hashes
+        (repeated token runs) selects the RIGHTMOST position."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import winnow_fingerprints
+
+        shared = " ".join("s%d" % i for i in range(7))  # w+k-1 = 7 tokens
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["p0 p1 p2 " + shared + " q0 q1",
+                     "r0 " + shared + " r1 r2 r3 r4",
+                     "z z z z z z z z"],  # all k-grams identical → ties
+        })
+        d = str(tmp_path / "winnow_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(docs),
+                       os.path.join(d, "documents.parquet"))
+        got = winnow_fingerprints(d).to_pandas()
+        f0 = set(got.loc[got.doc_id == 0, "fp"])
+        f1 = set(got.loc[got.doc_id == 1, "fp"])
+        assert f0 & f1, "shared 7-token substring must share a fingerprint"
+        # doc 2: 5 k-grams, all equal; every window picks its rightmost
+        # position → selected positions are the window ends {3, 4}
+        d2 = got[got.doc_id == 2]
+        assert sorted(d2["pos"]) == [3, 4]
+        assert d2["fp"].nunique() == 1
+
     def test_ccnet_buckets_boundaries(self, ray_session, tmp_path):
         """Discrete quartile semantics on 8 docs with strictly
         increasing per-token commonality: t25 = the 2nd smallest score,
