@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_ivf": simsearch.knn_ivf,
         "kmeans_clusters": simsearch.kmeans_clusters,
+        "pq_codes": simsearch.pq_codes,
         # sameAs-chain resolution (iterative hash-partitioned union-find)
         "sameas_components": _sameas_components,
         # iterative graph analytics (integer-quantized, bit-exact oracle)

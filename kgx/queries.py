@@ -1486,8 +1486,47 @@ WHERE NOT EXISTS (
 """
 
 
+def _pq_codes_sql(sf_dir: str = "/root/testdata/sf0.01",
+                  m: int = 8, ksub: int = 16) -> str:
+    """Exact SQL mirror of simsearch.pq_codes GIVEN the trained
+    codebooks (embedded as literals; sf0.01-specific like _ivf_sql).
+    argmin L2 replayed as argmax (x·c − ||c||²/2) with (score DESC, c)
+    tie rank — the identical expression the engine evaluates."""
+    from .simsearch import train_pq_codebooks
+
+    CB = train_pq_codebooks(sf_dir, m=m, ksub=ksub)
+    sd = CB.shape[2]
+    hn = 0.5 * (CB ** 2).sum(axis=2)
+    cb_vals = ",".join(
+        "(%d,%d,%d,%r)" % (mi, c, mi * sd + i, CB[mi, c, i])
+        for mi in range(m) for c in range(ksub) for i in range(sd))
+    hn_vals = ",".join("(%d,%d,%r)" % (mi, c, hn[mi, c])
+                       for mi in range(m) for c in range(ksub))
+    return f"""
+WITH cb(m, c, i, w) AS (VALUES {cb_vals}),
+hn(m, c, n2) AS (VALUES {hn_vals}),
+e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+sims AS (
+  SELECT e.vec_id, cb.m, cb.c, sum(CAST(e.x AS DOUBLE) * cb.w) AS s
+  FROM e JOIN cb ON cb.i = e.i - 1
+  GROUP BY e.vec_id, cb.m, cb.c
+)
+SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(c AS BIGINT) AS code FROM (
+  SELECT s.vec_id, s.m, s.c,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY s.s - hn.n2 DESC, s.c) AS rk
+  FROM sims s JOIN hn ON hn.m = s.m AND hn.c = s.c
+) WHERE rk = 1
+"""
+
+
 try:
     DOC_ORACLES["kmeans_clusters"] = _kmeans_sql()
     DOC_ORACLES["semantic_dedup"] = _semantic_dedup_sql()
+    DOC_ORACLES["pq_codes"] = _pq_codes_sql()
 except OSError:
     pass

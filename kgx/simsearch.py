@@ -279,3 +279,77 @@ def kmeans_clusters(sf_dir: str, nlist: int = 64):
     ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def train_pq_codebooks(sf_dir: str, m: int = 8, ksub: int = 16,
+                       sample: int = 4096, iters: int = 10,
+                       seed: int = 11) -> np.ndarray:
+    """Deterministic per-subspace L2 k-means on a bounded driver-side
+    sample — the "train the product quantizer" step of IVF-PQ (Jégou,
+    Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011). Returns an (m, ksub, d/m) array; O(sample·d) memory,
+    independent of table size. Empty clusters keep their previous
+    centroid (deterministic)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile("%s/embeddings.parquet" % sf_dir)
+    batch = next(pf.iter_batches(batch_size=sample, columns=["embedding"]))
+    M = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    d = M.shape[1]
+    assert d % m == 0, "embedding dim must split evenly into subspaces"
+    sd = d // m
+    rng = np.random.RandomState(seed)
+    ksub = min(ksub, len(M))
+    out = np.empty((m, ksub, sd), dtype=np.float64)
+    for mi in range(m):
+        sub = M[:, mi * sd:(mi + 1) * sd]
+        C = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = sub[a == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        out[mi] = C
+    return out
+
+
+def pq_codes(sf_dir: str, m: int = 8, ksub: int = 16):
+    """(vec_id, m, code) — product-quantization encoding, the
+    compression half of IVF-PQ: split each embedding into ``m``
+    subspaces and store only the id of the nearest trained sub-centroid
+    per subspace (L2; here m=8 × 16 codes = 8 × 4 bits — a 64-float
+    vector becomes 4 bytes, the 64× compression that makes 10^9-vector
+    ANN fit in RAM). Ties go to the lowest code id (np.argmax first-hit
+    == the oracle's (score DESC, c) rank).
+
+    Map-only, the same shape as ``kmeans_clusters``: codebooks train
+    once on a bounded driver-side sample, broadcast via closure, and the
+    table streams through one vectorized matmul per subspace — argmin
+    ||x−c||² computed as argmax (x·c − ||c||²/2), the form the SQL
+    oracle replays with the trained codebook embedded as literals.
+    """
+    import ray.data
+
+    CB = train_pq_codebooks(sf_dir, m=m, ksub=ksub)
+    sd = CB.shape[2]
+    halfnorm = 0.5 * (CB ** 2).sum(axis=2)  # (m, ksub)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.array(df["embedding"].to_list(), dtype=np.float64)
+        n = len(X)
+        vec_ids = df["vec_id"].to_numpy(dtype="int64")
+        outs = []
+        for mi in range(CB.shape[0]):
+            sub = X[:, mi * sd:(mi + 1) * sd]
+            scores = sub @ CB[mi].T - halfnorm[mi]
+            outs.append(pd.DataFrame({
+                "vec_id": vec_ids,
+                "m": np.full(n, mi, dtype="int64"),
+                "code": scores.argmax(axis=1).astype("int64")}))
+        return pd.concat(outs, ignore_index=True)
+
+    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(encode, batch_format="pandas")

@@ -547,6 +547,39 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_pq_codes_reconstruction(self, ray_session):
+        """PQ encoding is a quantizer, so judge it as one: decoding the
+        codes must reconstruct the vectors with far less error than the
+        1-centroid baseline (the per-subspace mean, i.e. the data's own
+        variance), and each (vec, subspace) must get exactly one code."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.simsearch import pq_codes, train_pq_codebooks
+
+        sf = "/root/testdata/sf0.001"
+        CB = train_pq_codebooks(sf)  # (m, ksub, sd)
+        m, _, sd = CB.shape
+        got = pq_codes(sf).to_pandas()
+        X = np.array(pq.read_table(
+            "%s/embeddings.parquet" % sf,
+            columns=["vec_id", "embedding"]).to_pandas()
+            .sort_values("vec_id")["embedding"].to_list(), dtype=np.float64)
+        codes = (got.pivot(index="vec_id", columns="m", values="code")
+                 .sort_index().to_numpy())
+        assert codes.shape == (len(X), m)  # exactly one code per cell
+        Xhat = np.concatenate(
+            [CB[mi][codes[:, mi]] for mi in range(m)], axis=1)
+        err = ((X - Xhat) ** 2).sum(axis=1).mean()
+        base = np.concatenate(
+            [np.broadcast_to(X[:, mi * sd:(mi + 1) * sd].mean(axis=0),
+                             (len(X), sd)) for mi in range(m)], axis=1)
+        err_base = ((X - base) ** 2).sum(axis=1).mean()
+        # synthetic embeddings are near-isotropic — the hardest case for
+        # a quantizer; 16 codes over an 8-dim subspace measured ~0.55×
+        # the variance here (real clustered data goes far lower)
+        assert err < 0.7 * err_base
+
     def test_winnow_fingerprints_guarantee_and_ties(self, ray_session,
                                                     tmp_path):
         """Pins the two defining winnowing properties: (1) two docs
