@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": events.sliding_window_counts,
         "funnel_stages": events.funnel_stages,
         "props_stats": events.props_stats,
+        "cohort_retention": events.cohort_retention,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

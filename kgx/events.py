@@ -241,3 +241,54 @@ def props_stats(sf_dir: str, key: str = "k"):
 
     return (ds.map_batches(combine, batch_format="pandas")
             .groupby("event_type").map_groups(final, batch_format="pandas"))
+
+
+def cohort_retention(sf_dir: str):
+    """(cohort_day, day_offset, n_users) — classic cohort retention:
+    bucket every user by their first active day (epoch days), then count
+    how many users of each cohort were active again ``day_offset`` days
+    later. The growth-analytics staple over an event stream.
+
+    Scale shape: the per-batch combiner reduces events to DISTINCT
+    (user, day) pairs (bounded by users × active-days, far below event
+    count); one hash exchange on the user co-locates each user's days,
+    where the cohort assignment is a vectorized groupby-min; the final
+    (cohort, offset) count pre-aggregates per bucket and finishes in a
+    tiny hash aggregate — event rows never cross a shuffle.
+    """
+    ds = _read_events(sf_dir, columns=["user_id", "ts"])
+    nparts = _nparts()
+
+    def user_days(df: pd.DataFrame) -> pd.DataFrame:
+        # normalize to µs explicitly: parquet timestamp[us] may surface
+        # as datetime64[us] or [ns] depending on the pandas/Arrow path
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day": us // 86_400_000_000,
+        }).drop_duplicates()
+        out["bucket"] = (pd.util.hash_pandas_object(out["user_id"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["user_id", "day"]].drop_duplicates()
+        d = d.assign(cohort=d.groupby("user_id")["day"].transform("min"))
+        g = (d.assign(day_offset=d["day"] - d["cohort"])
+             .groupby(["cohort", "day_offset"], as_index=False).size())
+        return pd.DataFrame({
+            "cohort_day": g["cohort"].astype("int64"),
+            "day_offset": g["day_offset"].astype("int64"),
+            "n": g["size"].astype("int64")})
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_day": df["cohort_day"].astype("int64"),
+            "day_offset": df["day_offset"].astype("int64"),
+            "n_users": df["sum(n)"].astype("int64")})
+
+    return (ds.map_batches(user_days, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+            .groupby(["cohort_day", "day_offset"]).sum("n")
+            .map_batches(rename, batch_format="pandas"))

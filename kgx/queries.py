@@ -661,6 +661,21 @@ WHERE doc_id NOT IN (
         " FROM events WHERE json_extract(props, '$.k') IS NOT NULL"
         " GROUP BY event_type"
     ),
+    # cohort retention (mirrors events.cohort_retention: epoch-day
+    # integer division, per-user min day = cohort)
+    "cohort_retention": """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), c AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort
+  FROM ud
+)
+SELECT CAST(cohort AS BIGINT) AS cohort_day,
+       CAST(day - cohort AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2
+""",
     # conversion funnel, first-occurrence cascade with strict-> ordering
     # (mirrors events.funnel_stages)
     "funnel_stages": """

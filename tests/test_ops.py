@@ -547,6 +547,37 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_cohort_retention_constructed(self, ray_session, tmp_path):
+        """Two cohorts with known return patterns: day-0 rows count
+        every cohort member once, repeat visits within a day collapse,
+        and offsets are relative to each user's own first day."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.events import cohort_retention
+
+        day = 86_400_000_000  # µs
+        rows = []
+        # users 1,2 start day 0; user 1 returns day 1 (twice) and day 3
+        for uid, d in [(1, 0), (1, 1), (1, 1), (1, 3), (2, 0),
+                       (3, 1), (3, 2)]:  # user 3 starts day 1
+            rows.append({"event_id": len(rows), "user_id": uid,
+                         "ts": pd.Timestamp(d * day, unit="us"),
+                         "event_type": "view", "value": 1.0,
+                         "props": "{}"})
+        d = str(tmp_path / "cohort_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)),
+                       os.path.join(d, "events.parquet"))
+        got = (cohort_retention(d).to_pandas()
+               .set_index(["cohort_day", "day_offset"])["n_users"]
+               .to_dict())
+        assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                       (1, 0): 1, (1, 1): 1}
+
     def test_pq_codes_reconstruction(self, ray_session):
         """PQ encoding is a quantizer, so judge it as one: decoding the
         codes must reconstruct the vectors with far less error than the
