@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textops.pii_scrub,
         "unigram_lm_score": textops.unigram_lm_score,
         "tfidf_keywords": textops.tfidf_keywords,
+        "pmi_bigrams": textops.pmi_bigrams,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,

@@ -1042,6 +1042,40 @@ SELECT r.tok, d.df, r.doc_id
 FROM ranked r JOIN dfreq d USING (tok) WHERE r.rk <= 32
 """
 
+# textops.pmi_bigrams(min_count=5, k=100): the identical five-term
+# libm-ln expression tree, floor-quantized per bigram; global top-k with
+# (pmi DESC, x, y) ties
+DOC_ORACLES["pmi_bigrams"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT unnest(t) AS x FROM toks
+), ucnt AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY x
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+bg AS (
+  SELECT t[i] AS x, t[i + 1] AS y
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+), bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+bcnt AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+  FROM bg GROUP BY x, y HAVING count(*) >= 5
+), scored AS (
+  SELECT bc.x, bc.y, bc.cxy,
+         CAST(floor(1048576.0 * (
+           ln(bc.cxy) - ln((SELECT b FROM bb)) + 2.0 * ln((SELECT n FROM nn))
+           - ln(ux.c) - ln(uy.c))) AS BIGINT) AS pmi_q20
+  FROM bcnt bc
+  JOIN ucnt ux ON ux.x = bc.x
+  JOIN ucnt uy ON uy.x = bc.y
+)
+SELECT x, y, cxy, pmi_q20 FROM (
+  SELECT x, y, cxy, pmi_q20,
+         row_number() OVER (ORDER BY pmi_q20 DESC, x, y) AS rk
+  FROM scored
+) WHERE rk <= 100
+"""
+
 # dedup.winnow_fingerprints(k=4, w=4): identical k-gram hash, window
 # extent (single window when a doc has fewer than w k-grams), and
 # rightmost-minimum tie rule (max(pos) among window positions whose hash

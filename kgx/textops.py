@@ -477,3 +477,89 @@ def lang_counts(sf_dir: str):
     out = ds.groupby("lang").count()
     return out.map_batches(lambda df: df.rename(columns={"count()": "n"}),
                            batch_format="pandas")
+
+
+def pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 100):
+    """(x, y, cxy, pmi_q20) — the global top-``k`` adjacent-token
+    bigrams by pointwise mutual information, the word2phrase phrase-
+    mining step (Mikolov et al., arXiv:1310.4546): PMI =
+    ln(c_xy) − ln(B) + 2·ln(N) − ln(c_x) − ln(c_y) over bigrams seen at
+    least ``min_count`` times, floor-quantized to 2^-20 so the score is
+    an integer and the ordering oracle-exact (the five-term expression
+    tree is written identically on both sides; every ln argument is an
+    exact sub-2^53 double and ln itself is the shared libm call —
+    ``math.log`` per surviving row, never numpy's SIMD log, which does
+    not bit-match libm).
+
+    Scale shape: unigram counts come from the vocabulary-sized
+    broadcast-aggregate (``unigram_lm_score``'s shape); bigram counts
+    take ONE hash exchange with a per-batch value_counts combiner (the
+    shuffle carries the bigram VOCABULARY per batch, not occurrences);
+    scoring and a per-bucket top-k happen inside the bucket, so the
+    final single-group reduce sees at most nparts·k rows.
+    """
+    import math
+
+    import ray
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    vocab = (ds.map_batches(local_counts, batch_format="pandas")
+             .groupby("tok").sum("n").to_pandas())
+    ucnt = {t: int(n) for t, n in zip(vocab["tok"], vocab["sum(n)"])}
+    n_uni = int(vocab["sum(n)"].sum())
+
+    def bigram_meta(df: pd.DataFrame) -> pd.DataFrame:
+        nb = int((df["text"].str.count(" ")).sum())  # Σ (len_d − 1)
+        return pd.DataFrame({"nb": pd.Series([nb], dtype="int64")})
+
+    n_bi = int(ds.map_batches(bigram_meta, batch_format="pandas")
+               .sum("nb"))
+    assert n_uni < (1 << 53) and n_bi < (1 << 53), "quantize counts first"
+    ln_n = math.log(float(n_uni))
+    ln_b = math.log(float(n_bi))
+
+    def bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        # adjacent pairs inside each doc: zip t with its own tail
+        g = (pl.from_pandas(df[["text"]])
+             .with_columns(pl.col("text").str.split(" ").alias("t"))
+             .with_row_index("r")
+             .explode("t")
+             .with_columns(pl.col("t").shift(-1).over("r").alias("y"))
+             .drop_nulls("y")
+             .group_by(["t", "y"]).agg(pl.len().cast(pl.Int64).alias("n"))
+             .rename({"t": "x"}).to_pandas())
+        g["part"] = (pd.util.hash_pandas_object(
+            g["x"] + "\x1f" + g["y"], index=False) % nparts).astype("int32")
+        return g
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["x", "y"], as_index=False)["n"].sum()
+        g = g[g["n"] >= min_count]
+        rows = []
+        for x, y, cxy in zip(g["x"], g["y"], g["n"]):
+            pmi = (math.log(float(cxy)) - ln_b + 2.0 * ln_n
+                   - math.log(float(ucnt[x])) - math.log(float(ucnt[y])))
+            rows.append((x, y, int(cxy), math.floor(1048576.0 * pmi)))
+        out = pd.DataFrame(rows, columns=["x", "y", "cxy", "pmi_q20"])
+        out = out.sort_values(["pmi_q20", "x", "y"],
+                              ascending=[False, True, True]).head(k)
+        out["g"] = np.int8(0)
+        return out.astype({"cxy": "int64", "pmi_q20": "int64"})
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(["pmi_q20", "x", "y"],
+                              ascending=[False, True, True]).head(k))
+        return out[["x", "y", "cxy", "pmi_q20"]].reset_index(drop=True)
+
+    return (ds.map_batches(bigram_partials, batch_format="pandas")
+            .groupby("part").map_groups(score_bucket, batch_format="pandas")
+            .groupby("g").map_groups(final_topk, batch_format="pandas"))

@@ -547,6 +547,41 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_pmi_bigrams_constructed(self, ray_session, tmp_path):
+        """A bigram whose parts only ever co-occur scores the maximal
+        PMI and ranks first; a frequent-but-independent pair scores
+        lower; sub-min_count bigrams never appear."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.textops import pmi_bigrams
+
+        # 'alpha beta' always together (6×); 'c d' co-occurs 6× but both
+        # tokens also appear apart (8 more times each); 'rare pair' 2×
+        docs = []
+        for i in range(6):
+            docs.append("alpha beta filler%d c d" % i)
+        for i in range(8):
+            docs.append("c x%d y%d d" % (i, i))
+        docs.append("rare pair")
+        docs.append("rare pair was here")
+        df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+        d = str(tmp_path / "pmi_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(d, "documents.parquet"))
+        got = pmi_bigrams(d, min_count=5, k=10).to_pandas()
+        pairs = list(zip(got["x"], got["y"]))
+        assert ("rare", "pair") not in pairs  # below min_count
+        ab = got[(got.x == "alpha") & (got.y == "beta")]
+        cd = got[(got.x == "c") & (got.y == "d")]
+        assert len(ab) == 1 and len(cd) == 1
+        assert ab["pmi_q20"].iloc[0] > cd["pmi_q20"].iloc[0]
+        assert got["pmi_q20"].is_monotonic_decreasing
+
     def test_cohort_retention_constructed(self, ray_session, tmp_path):
         """Two cohorts with known return patterns: day-0 rows count
         every cohort member once, repeat visits within a day collapse,
