@@ -128,6 +128,13 @@ def run_queries(sf_dir: str) -> dict:
         "dup_ngram_stats": lambda: textops.dup_ngram_stats(sf_dir),
         "unigram_lm_score": lambda: textops.unigram_lm_score(sf_dir),
         "tfidf_keywords": lambda: textops.tfidf_keywords(sf_dir),
+        "pmi_bigrams": lambda: textops.pmi_bigrams(sf_dir),
+        "segment_dedup": lambda: traindata.segment_dedup(sf_dir),
+        "bm25_search": lambda: traindata.bm25_search(sf_dir),
+        "ccnet_buckets": lambda: traindata.ccnet_buckets(sf_dir),
+        "winnow_fingerprints": lambda: dedup.winnow_fingerprints(sf_dir),
+        "pq_codes": lambda: simsearch.pq_codes(sf_dir),
+        "cohort_retention": lambda: events.cohort_retention(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
         "near_dup_dedup_lsh": lambda: dedup.near_dup_dedup(sf_dir,
                                                            use_lsh=True),

@@ -656,8 +656,10 @@ def ccnet_buckets(sf_dir: str):
     put ``0.33·N`` float rounding between the two engines).
 
     Scale shape: the LM weight table is the unigram broadcast-aggregate
-    (vocabulary-sized shuffle); per-doc scores reduce the corpus to a
-    4-int-column table that is pinned once (at 10^10 docs ~300 GB,
+    (vocabulary-sized shuffle, ``unigram_lm_score``'s pass 1); the
+    scoring pass reads (doc_id, lang, text) directly so lang rides along
+    for free — NO join exchange — and reduces the corpus to a
+    3-column int table that is pinned once (at 10^10 docs ~300 GB,
     object-store spillable — pinning beats re-tokenizing the text a
     second time); the per-lang histogram combiner ships at most
     |langs|·257 rows per batch, the cumulative walk runs on the driver,
@@ -665,45 +667,39 @@ def ccnet_buckets(sf_dir: str):
     """
     import math
 
-    from .textops import unigram_lm_score
+    ds = _read_documents(sf_dir, columns=["doc_id", "lang", "text"])
 
-    scored_src = unigram_lm_score(sf_dir)
-    langs = _read_documents(sf_dir, columns=["doc_id", "lang"])
+    # pass 1: the identical vocabulary aggregate as unigram_lm_score
+    # (same integer quantization, so ppl_q8 matches the shared oracle CTE)
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
 
-    # attach lang and normalize per token: both inputs are keyed by
-    # doc_id; re-deriving lang in the scoring pass would need the
-    # documents row anyway, so join the two int-narrow tables via a
-    # bucketed co-group (doc_id % nparts)
-    nparts = _nparts()
+    vocab = (ds.map_batches(local_counts, batch_format="pandas")
+             .groupby("tok").sum("n").to_pandas())
+    total = int(vocab["sum(n)"].sum())
+    weights = {t: (int(n) * 1048576) // total
+               for t, n in zip(vocab["tok"], vocab["sum(n)"])}
 
-    def score_side(df: pd.DataFrame) -> pd.DataFrame:
-        s8 = (df["lm_q20"].to_numpy(dtype="int64") * 256
-              // (df["n_tokens"].to_numpy(dtype="int64") * 1048576))
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64"),
-            "lang": "",
-            "ppl_q8": pd.Series(s8, dtype="int64"),
-            "part": (df["doc_id"] % nparts).astype("int32")})
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
 
-    def lang_side(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64"),
-            "lang": df["lang"],
-            "ppl_q8": np.int64(-1),
-            "part": (df["doc_id"] % nparts).astype("int32")})
+        d = pl.from_pandas(df[["doc_id", "lang", "text"]])
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t")
+              .with_columns(pl.col("t").replace_strict(
+                  weights, default=0, return_dtype=pl.Int64).alias("q")))
+        g = (ex.group_by(["doc_id", "lang"]).agg(
+            pl.col("q").sum().cast(pl.Int64).alias("lm"),
+            pl.len().cast(pl.Int64).alias("n")).to_pandas())
+        s8 = (g["lm"].to_numpy(dtype="int64") * 256
+              // (g["n"].to_numpy(dtype="int64") * 1048576))
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "lang": g["lang"],
+                             "ppl_q8": pd.Series(s8, dtype="int64")})
 
-    def join_part(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[df["ppl_q8"] >= 0][["doc_id", "ppl_q8"]]
-        l = df[df["ppl_q8"] < 0][["doc_id", "lang"]]
-        m = s.merge(l, on="doc_id")
-        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
-                             "lang": m["lang"],
-                             "ppl_q8": m["ppl_q8"].astype("int64")})
-
-    scored = (scored_src.map_batches(score_side, batch_format="pandas")
-              .union(langs.map_batches(lang_side, batch_format="pandas"))
-              .groupby("part").map_groups(join_part, batch_format="pandas")
-              .materialize())
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby(["lang", "ppl_q8"], as_index=False).size())
