@@ -812,6 +812,28 @@ GROUP BY s.doc_id
         "  ORDER BY ('0x' || substr(md5(doc_id || ':42'), 1, 16))::UBIGINT"
         " ) AS rk FROM documents) WHERE rk <= 50"
     ),
+    # traindata.weighted_sample(k=100, seed=42): A-Res keys via the
+    # matched float tree — u = (CAST(h AS DOUBLE) + 1) / 2^64, key =
+    # floor(2^20 · ln(u)/w) — and the (key DESC, doc_id) top-k rank
+    "weighted_sample": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(doc_id || ':42'), 1, 16))::UBIGINT AS h
+  FROM documents
+), keys AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(1048576.0 * (
+           ln((CAST(h AS DOUBLE) + 1) / 18446744073709551616.0)
+           / n_tokens)) AS BIGINT) AS key_q20
+  FROM d
+)
+SELECT doc_id, n_tokens, key_q20 FROM (
+  SELECT doc_id, n_tokens, key_q20,
+         row_number() OVER (ORDER BY key_q20 DESC, doc_id) AS rk
+  FROM keys
+) WHERE rk <= 100
+""",
     # the full composed curation pipeline (traindata.curate_corpus):
     # near-dup removal -> decontamination -> quality filter -> packing,
     # replayed in one WITH RECURSIVE query from the stage oracles

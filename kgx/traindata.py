@@ -322,6 +322,52 @@ def seeded_sample(sf_dir: str, frac: float = 0.25, seed: int = 42):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def weighted_sample(sf_dir: str, k: int = 100, seed: int = 42):
+    """(doc_id, n_tokens, key_q20) — weighted sampling WITHOUT
+    replacement, A-Res (Efraimidis & Spirakis, "Weighted random sampling
+    with a reservoir", IPL 2006): each doc draws u from its seeded md5
+    hash and competes with key u^(1/w), w = its token count — the
+    standard "sample ∝ length/quality" data-mixing primitive. Selecting
+    the top ``k`` by key is equivalent to top-k by ln(u)/w (monotone),
+    which needs only the libm ln both engines share; the key is
+    floor-quantized to 2^-20 so the selection is integer-exact (ties
+    broken by doc_id — a tie means two keys agree to within 2^-20, where
+    either choice is a valid A-Res draw).
+
+    Scale shape: map-only scoring with a per-batch top-k combiner; the
+    single-group final reduce sees ≤ k·n_batches rows. The float tree is
+    matched to the oracle: u = (CAST(h AS DOUBLE) + 1) / 2^64 (never
+    zero, +1 applied AFTER the double rounding on both sides).
+    """
+    import math
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].str.count(" ") + 1).astype("int64")
+        keys = []
+        for doc_id, w in zip(df["doc_id"], n):
+            u = (float(_md5_u64("%d:%d" % (doc_id, seed))) + 1.0) \
+                / 18446744073709551616.0
+            keys.append(math.floor(1048576.0 * (math.log(u) / float(w))))
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+            "n_tokens": n.to_numpy(dtype="int64"),
+            "key_q20": pd.Series(keys, dtype="int64")})
+        out = out.sort_values(["key_q20", "doc_id"],
+                              ascending=[False, True]).head(k)
+        out["g"] = np.int8(0)
+        return out
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.sort_values(["key_q20", "doc_id"],
+                              ascending=[False, True]).head(k))
+        return out[["doc_id", "n_tokens", "key_q20"]].reset_index(drop=True)
+
+    return (ds.map_batches(score, batch_format="pandas")
+            .groupby("g").map_groups(final_topk, batch_format="pandas"))
+
+
 def stratified_sample(sf_dir: str, n_per_group: int = 50, seed: int = 42):
     """(doc_id, lang) — per-language stratified sample: the ``n`` docs
     with the smallest seeded hash in each language (ties impossible —

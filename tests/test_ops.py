@@ -547,6 +547,37 @@ class TestTrainData:
         assert (got["n_tokens"] == 3).all()
         assert got.loc[1, "dsir_q20"] > got.loc[2, "dsir_q20"]
 
+    def test_weighted_sample_bias(self, ray_session, tmp_path):
+        """A-Res must favor heavy items: with 10 docs of weight ~100
+        competing against 200 docs of weight 1 for k=10 slots, the heavy
+        docs dominate the sample (each heavy key ≈ u^(1/100) is near 1).
+        Deterministic seed → a fixed, re-runnable assertion."""
+        import os
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import weighted_sample
+
+        rows = [{"doc_id": i, "text": "t%d" % i} for i in range(200)]
+        for i in range(10):  # heavy docs: 100 tokens each
+            rows.append({"doc_id": 1000 + i,
+                         "text": " ".join("h%d_%d" % (i, j)
+                                          for j in range(100))})
+        d = str(tmp_path / "wsample_sf")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)),
+                       os.path.join(d, "documents.parquet"))
+        got = weighted_sample(d, k=10).to_pandas()
+        assert len(got) == 10
+        n_heavy = (got["doc_id"] >= 1000).sum()
+        # heavy keys are Beta(100,1) draws vs 200 uniform lights: the
+        # lights' top order statistics compete, so expect roughly half
+        # the slots heavy (measured 6 with this seed) — against an
+        # UNWEIGHTED expectation of 10/210·10 ≈ 0.5 heavy slots
+        assert n_heavy >= 4
+
     def test_pmi_bigrams_constructed(self, ray_session, tmp_path):
         """A bigram whose parts only ever co-occur scores the maximal
         PMI and ranks first; a frequent-but-independent pair scores
