@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import broader_closure as _broader_closure
     from kgx.components import pagerank as _pagerank
     from kgx.components import sameas_components as _sameas_components
+    from kgx.components import kcore as _kcore
     from kgx.components import triangle_count as _triangle_count
 
     return {
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analytics (integer-quantized, bit-exact oracle)
         "pagerank": _pagerank,
         "triangle_count": _triangle_count,
+        "kcore": _kcore,
         # events / windows
         "sessionize": events.sessionize,
         "event_type_hourly": events.event_type_hourly,

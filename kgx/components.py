@@ -631,3 +631,112 @@ def triangle_count(sf_dir: str, threshold: float = 0.8,
             [int(df["partial"].sum())], dtype="int64")})
 
     return partials.repartition(1).map_batches(total, batch_format="pandas")
+
+
+def _edge_degrees(edges, nparts: int):
+    """Dataset[(a, b)] → Dataset[(node, deg, bucket)] — global degrees
+    via a per-batch value_counts combiner and one node-hash exchange."""
+
+    def expl(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.concat([df["a"], df["b"]], ignore_index=True).value_counts()
+        out = pd.DataFrame({"node": vc.index.astype("int64"),
+                            "deg": vc.to_numpy(dtype="int64")})
+        out["bucket"] = (pd.util.hash_pandas_object(out["node"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["deg"].sum()
+        return pd.DataFrame({"node": g["node"].astype("int64"),
+                             "deg": g["deg"].astype("int64")})
+
+    return (edges.map_batches(expl, batch_format="pandas")
+            .groupby("bucket").map_groups(red, batch_format="pandas"))
+
+
+def _local_kcore(edges, k: int, rounds: int):
+    """Single-task fixed-round peel — the small-graph fast path (same
+    rationale and gating as _local_components: only the near-duplicated
+    fraction of a corpus appears in the pair graph)."""
+
+    def peel(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[["a", "b"]].to_numpy(dtype="int64")
+        for _ in range(rounds):
+            if not len(e):
+                break
+            nodes, counts = np.unique(e.ravel(), return_counts=True)
+            alive = set(nodes[counts >= k].tolist())
+            keep = np.fromiter(
+                ((int(x) in alive and int(y) in alive) for x, y in e),
+                dtype=bool, count=len(e))
+            if keep.all():
+                break  # fixpoint — further rounds are identity
+            e = e[keep]
+        if not len(e):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "core_deg": pd.Series([], dtype="int64")})
+        nodes, counts = np.unique(e.ravel(), return_counts=True)
+        return pd.DataFrame({"doc_id": pd.Series(nodes, dtype="int64"),
+                             "core_deg": pd.Series(counts, dtype="int64")})
+
+    return edges.repartition(1).map_batches(peel, batch_format="pandas",
+                                            batch_size=None)
+
+
+def kcore(sf_dir: str, k: int = 2, rounds: int = 4, threshold: float = 0.8,
+          num_partitions: Optional[int] = None,
+          small_graph_threshold: int = 2_000_000):
+    """(doc_id, core_deg) — fixed-round k-core peeling of the near-dup
+    pair graph (``jaccard_pairs`` edges): ``rounds`` iterations of
+    "drop every node with degree < k and the edges it carries", then the
+    surviving nodes with their degree in the surviving subgraph. The
+    k-core separates dense duplicate clusters from incidental pair
+    noise (an isolated pair dies in round 1; a near-clique survives).
+    Fixed-round semantics keep the SQL oracle static; the peel reaches
+    its fixpoint well inside 4 rounds on near-clique dup graphs
+    (early-exits when a round removes nothing, and the convergence test
+    pins rounds vs rounds+1 equality).
+
+    Scale shape: the edge list is the small side (only the duplicated
+    fraction of the corpus), so a ≤ ``small_graph_threshold``-edge graph
+    peels in ONE task; above it, each round is one degree exchange
+    (value_counts combiner, node-hash buckets) plus two reduce-side
+    semi-joins (survivor status onto each endpoint) — 3 bucketed
+    all-to-alls per round over edge-sized rows, edges re-materialized
+    per round so shuffle block counts don't compound. The two paths are
+    pinned row-identical (tests/test_ops.py).
+    """
+    from .dedup import jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas").materialize()
+    if edges.count() <= small_graph_threshold:
+        return _local_kcore(edges, k, rounds)
+
+    for _ in range(rounds):
+        deg = _edge_degrees(edges, nparts)
+        surv = deg.map_batches(
+            lambda df, k=k: df.loc[df["deg"] >= k, ["node"]].assign(
+                alive=np.int8(1)),
+            batch_format="pandas")
+        # semi-join survivor status onto endpoint a, then b
+        ea = _join_kv(_kv(edges, "a", "b"), _kv(surv, "node", "alive"),
+                      nparts)  # (k=a, va=b, vb=1) — dead a's drop out
+        eb = _join_kv(
+            ea.map_batches(lambda df: pd.DataFrame(
+                {"k": df["va"], "v": df["k"]}), batch_format="pandas"),
+            _kv(surv, "node", "alive"), nparts)
+        edges = eb.map_batches(
+            lambda df: pd.DataFrame({"a": df["va"].astype("int64"),
+                                     "b": df["k"].astype("int64")}),
+            batch_format="pandas").repartition(nparts).materialize()
+
+    return _edge_degrees(edges, nparts).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
+                                 "core_deg": df["deg"].astype("int64")}),
+        batch_format="pandas")

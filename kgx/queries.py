@@ -1498,6 +1498,46 @@ SELECT doc_id, r AS rank_q FROM r{iters}
 """
 
 
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """Exact mirror of components.kcore: the jaccard_pairs edge CTE
+    (same as triangle_count's), then ``rounds`` unrolled peel steps —
+    degrees over e_{r-1}, edges kept iff both endpoints have deg ≥ k —
+    and the final degree count over the surviving subgraph. Fixed-round
+    on both sides, so the match is by construction even pre-fixpoint
+    (the engine's early-exit on an identity round is a no-op)."""
+    parts = ["""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e{r - 1}
+        UNION ALL SELECT b AS node FROM e{r - 1})
+  GROUP BY node
+), e{r} AS (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN d{r} da ON da.node = e.a
+  JOIN d{r} db ON db.node = e.b
+  WHERE da.deg >= {k} AND db.deg >= {k}
+)""")
+    parts.append(f"""
+SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+GROUP BY node""")
+    return "".join(parts)
+
+
+DOC_ORACLES["kcore"] = _kcore_sql()
+
 DOC_ORACLES["pagerank"] = _pagerank_sql()
 
 

@@ -96,6 +96,39 @@ class TestComponents:
         got = dict(zip(df["node"], df["component"]))
         assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
 
+    def test_kcore_peel_semantics(self, ray_session):
+        # triangle {1,2,3} + pendant edge 3-4: k=2 peels the pendant in
+        # round 1 (deg(4)=1), leaving the triangle at core_deg 2 each
+        import pandas as pd
+        import ray.data
+
+        from kgx.components import _local_kcore
+
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "a": [1, 1, 2, 3], "b": [2, 3, 3, 4]}))
+        df = _local_kcore(edges, k=2, rounds=4).to_pandas()
+        assert dict(zip(df["doc_id"], df["core_deg"])) == {1: 2, 2: 2, 3: 2}
+
+    def test_kcore_fast_and_distributed_paths_agree(self, ray_session):
+        from kgx.components import kcore
+
+        sf = "/root/testdata/sf0.001"
+        key = lambda ds: sorted(
+            map(tuple, ds.to_pandas()[["doc_id", "core_deg"]].values))
+        fast = key(kcore(sf))
+        dist = key(kcore(sf, small_graph_threshold=0, num_partitions=4))
+        assert fast == dist and len(fast) > 0
+
+    def test_kcore_converged_by_fixed_rounds(self, ray_session):
+        # the fixed-round answer equals rounds+1: the peel reaches its
+        # fixpoint inside the 4 rounds the oracle unrolls
+        from kgx.components import kcore
+
+        sf = "/root/testdata/sf0.001"
+        key = lambda ds: sorted(
+            map(tuple, ds.to_pandas()[["doc_id", "core_deg"]].values))
+        assert key(kcore(sf, rounds=4)) == key(kcore(sf, rounds=5))
+
 
 class TestVocabYaml:
     def test_load_reference_format(self, tmp_path):
