@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import pagerank as _pagerank
     from kgx.components import sameas_components as _sameas_components
     from kgx.components import kcore as _kcore
+    from kgx.components import label_propagation as _label_propagation
     from kgx.components import triangle_count as _triangle_count
 
     return {
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _pagerank,
         "triangle_count": _triangle_count,
         "kcore": _kcore,
+        "label_propagation": _label_propagation,
         # events / windows
         "sessionize": events.sessionize,
         "event_type_hourly": events.event_type_hourly,

@@ -740,3 +740,134 @@ def kcore(sf_dir: str, k: int = 2, rounds: int = 4, threshold: float = 0.8,
         lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
                                  "core_deg": df["deg"].astype("int64")}),
         batch_format="pandas")
+
+
+def _local_labelprop(edges, rounds: int):
+    """Single-task synchronous LPA — the small-graph fast path (same
+    gating rationale as _local_components / _local_kcore)."""
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        src = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        nodes = np.unique(src)
+        lbl = pd.Series(nodes, index=nodes)
+        for _ in range(rounds):
+            d = pd.DataFrame({"node": src,
+                              "lbl": lbl.loc[nbr].to_numpy()})
+            cnt = d.groupby(["node", "lbl"], as_index=False).size()
+            cnt = cnt.sort_values(["node", "size", "lbl"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            top = cnt.drop_duplicates("node", keep="first")
+            new = pd.Series(top["lbl"].to_numpy(),
+                            index=top["node"].to_numpy())
+            if new.equals(lbl):
+                break  # fixpoint — further rounds are identity
+            lbl = new
+        return pd.DataFrame({"doc_id": lbl.index.to_numpy(dtype=np.int64),
+                             "label": lbl.to_numpy(dtype=np.int64)})
+
+    return edges.repartition(1).map_batches(run, batch_format="pandas",
+                                            batch_size=None)
+
+
+def label_propagation(sf_dir: str, rounds: int = 4, threshold: float = 0.8,
+                      num_partitions: Optional[int] = None,
+                      small_graph_threshold: int = 2_000_000):
+    """(doc_id, label) — deterministic synchronous label propagation
+    (community detection) over the near-dup pair graph (``jaccard_pairs``
+    edges, undirected). Every node starts labelled with its own doc_id;
+    each of the ``rounds`` synchronous steps relabels every node with
+    the MOST FREQUENT label among its neighbours, ties broken toward the
+    smallest label. Near-clique duplicate clusters collapse onto their
+    minimum doc_id within a couple of rounds; the fixed-round semantics
+    keep the unrolled-CTE SQL oracle exact even before convergence (the
+    engine early-exits only on an identity round, which is a no-op).
+
+    Scale shape: the edge list is the small side (only the duplicated
+    fraction of the corpus pairs up). At or below
+    ``small_graph_threshold`` edges a single task iterates vectorized;
+    above it the bidirectional edge table is bucketed by hash(neighbour)
+    ONCE and materialized — each round re-ships only the label vector
+    (2 int64s per node) through (1) a neighbour-bucket co-group that
+    attaches labels and pre-counts (node, label) per batch and (2) a
+    node-hash aggregate that sums partials and takes the per-node
+    (count desc, label asc) argmax. Edges never re-shuffle, label
+    lineage is repartitioned+pinned per round so block counts don't
+    compound. Two paths pinned row-identical (tests).
+    """
+    from .dedup import jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas").materialize()
+    if edges.count() <= small_graph_threshold:
+        return _local_labelprop(edges, rounds)
+
+    def bidir(df: pd.DataFrame) -> pd.DataFrame:
+        src = pd.concat([df["a"], df["b"]], ignore_index=True)
+        nbr = pd.concat([df["b"], df["a"]], ignore_index=True)
+        out = pd.DataFrame({"src": src.astype("int64"),
+                            "nbr": nbr.astype("int64"),
+                            "side": np.int8(0)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["nbr"], index=False)
+                         % nparts).astype("int32")
+        return out
+
+    edge_tbl = edges.map_batches(bidir, batch_format="pandas").materialize()
+
+    # init: every endpoint labels itself (node list via the degree helper)
+    labels = _edge_degrees(edges, nparts).map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
+                                 "lbl": df["node"].astype("int64")}),
+        batch_format="pandas")
+
+    def lbl_tag(df: pd.DataFrame) -> pd.DataFrame:
+        # labels ride the edge schema: src=node, nbr=lbl, side=1
+        out = pd.DataFrame({"src": df["node"].astype("int64"),
+                            "nbr": df["lbl"].astype("int64"),
+                            "side": np.int8(1)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["src"], index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def attach_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0][["src", "nbr"]]
+        l = df[df["side"] == 1][["src", "nbr"]].rename(
+            columns={"src": "nbr_", "nbr": "lbl"})
+        m = e.merge(l, left_on="nbr", right_on="nbr_")
+        # combiner: partial (node, label) counts before the node shuffle
+        g = m.groupby(["src", "lbl"], as_index=False).size()
+        out = pd.DataFrame({"node": g["src"].astype("int64"),
+                            "lbl": g["lbl"].astype("int64"),
+                            "cnt": g["size"].astype("int64")})
+        out["bucket"] = (pd.util.hash_pandas_object(out["node"], index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["node", "lbl"], as_index=False)["cnt"].sum()
+        g = g.sort_values(["node", "cnt", "lbl"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("node", keep="first")
+        return pd.DataFrame({"node": top["node"].astype("int64"),
+                             "lbl": top["lbl"].astype("int64")})
+
+    for _ in range(rounds):
+        labels = (edge_tbl.union(
+                      labels.map_batches(lbl_tag, batch_format="pandas"))
+                  .groupby("bucket")
+                  .map_groups(attach_and_count, batch_format="pandas")
+                  .groupby("bucket")
+                  .map_groups(vote, batch_format="pandas"))
+        labels = labels.repartition(nparts).materialize()
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
+                                 "label": df["lbl"].astype("int64")}),
+        batch_format="pandas")

@@ -1538,6 +1538,50 @@ GROUP BY node""")
 
 DOC_ORACLES["kcore"] = _kcore_sql()
 
+
+def _labelprop_sql(rounds: int = 4) -> str:
+    """Exact mirror of components.label_propagation: the jaccard_pairs
+    edge CTE (same as kcore/triangle_count), bidirectional adjacency,
+    then ``rounds`` unrolled synchronous votes — per node the most
+    frequent neighbour label, ties to the smallest label (row_number
+    over (cnt DESC, lbl ASC)). Fixed-round on both sides, so the match
+    is by construction even pre-convergence."""
+    parts = ["""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), adj AS (
+  SELECT a AS node, b AS nbr FROM e0
+  UNION ALL SELECT b, a FROM e0
+), l0 AS (
+  SELECT DISTINCT node, node AS lbl FROM adj
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+c{r} AS (
+  SELECT adj.node, l.lbl, count(*) AS cnt
+  FROM adj JOIN l{r - 1} l ON l.node = adj.nbr
+  GROUP BY adj.node, l.lbl
+), l{r} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM c{r}) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT node AS doc_id, CAST(lbl AS BIGINT) AS label FROM l{rounds}""")
+    return "".join(parts)
+
+
+DOC_ORACLES["label_propagation"] = _labelprop_sql()
+
 DOC_ORACLES["pagerank"] = _pagerank_sql()
 
 

@@ -119,6 +119,32 @@ class TestComponents:
         dist = key(kcore(sf, small_graph_threshold=0, num_partitions=4))
         assert fast == dist and len(fast) > 0
 
+    def test_labelprop_semantics(self, ray_session):
+        # triangle {1,2,3}: round 1 votes → {1:2, 2:1, 3:1}; round 2
+        # collapses onto 1; the component converges to its min id
+        import pandas as pd
+        import ray.data
+
+        from kgx.components import _local_labelprop
+
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "a": [1, 1, 2], "b": [2, 3, 3]}))
+        one = _local_labelprop(edges, rounds=1).to_pandas()
+        assert dict(zip(one["doc_id"], one["label"])) == {1: 2, 2: 1, 3: 1}
+        done = _local_labelprop(edges, rounds=4).to_pandas()
+        assert dict(zip(done["doc_id"], done["label"])) == {1: 1, 2: 1, 3: 1}
+
+    def test_labelprop_fast_and_distributed_paths_agree(self, ray_session):
+        from kgx.components import label_propagation
+
+        sf = "/root/testdata/sf0.001"
+        key = lambda ds: sorted(
+            map(tuple, ds.to_pandas()[["doc_id", "label"]].values))
+        fast = key(label_propagation(sf))
+        dist = key(label_propagation(sf, small_graph_threshold=0,
+                                     num_partitions=4))
+        assert fast == dist and len(fast) > 0
+
     def test_kcore_converged_by_fixed_rounds(self, ray_session):
         # the fixed-round answer equals rounds+1: the peel reaches its
         # fixpoint inside the 4 rounds the oracle unrolls
