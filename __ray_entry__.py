@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": dedup.winnow_fingerprints,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
+        "knn_ivfpq": simsearch.knn_ivfpq,
         "knn_ivf": simsearch.knn_ivf,
         "kmeans_clusters": simsearch.kmeans_clusters,
         "pq_codes": simsearch.pq_codes,

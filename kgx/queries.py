@@ -966,8 +966,118 @@ GROUP BY h.doc_id, w.j
 # sf0.01 embeddings file at import time; when that table is absent (repo
 # used outside the driver sandbox) knn_ivf simply falls back to the
 # rows-only check instead of breaking the import.
+def _ivfpq_sql(sf_dir: str = "/root/testdata/sf0.01", stride: int = 50,
+               k: int = 5, nlist: int = 64, nprobe: int = 16,
+               m: int = 8, ksub: int = 256, refine: int = 4) -> str:
+    """Exact SQL mirror of simsearch.knn_ivfpq GIVEN the trained
+    (C, CB): normalize, coarse-assign, residual-encode every candidate
+    (argmin Σ(r−w)², ties to the lowest code — the identical arithmetic
+    form the engine uses), build each query's per-probed-bucket LUT, sum
+    m lookups into the ADC distance, keep the per-query refine·k by
+    (dist ASC, neighbor ASC) and re-rank those by exact cosine.
+    sf0.01-specific like _ivf_sql (the quantizer is a model artifact of
+    that table); other scales rely on the recall pin vs bruteforce."""
+    from .simsearch import train_ivfpq
+
+    C, CB = train_ivfpq(sf_dir, nlist=nlist, m=m, ksub=ksub)
+    sd = CB.shape[2]
+    cvals = ",".join(
+        "(%d,%d,%r)" % (c, i, C[c, i])
+        for c in range(C.shape[0]) for i in range(C.shape[1]))
+    cbvals = ",".join(
+        "(%d,%d,%d,%r)" % (mi, j, ii, CB[mi, j, ii])
+        for mi in range(CB.shape[0]) for j in range(CB.shape[1])
+        for ii in range(CB.shape[2]))
+    return f"""
+WITH cents(c, i, w) AS (VALUES {cvals}),
+cb(mi, j, ii, w) AS (VALUES {cbvals}),
+e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(generate_series(1, len(embedding))) - 1 AS i
+  FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nn FROM e GROUP BY vec_id),
+en AS (SELECT e.vec_id, e.i, e.x / nrm.nn AS x
+       FROM e JOIN nrm USING (vec_id)),
+sims AS (
+  SELECT en.vec_id, cents.c, sum(en.x * cents.w) AS s
+  FROM en JOIN cents ON cents.i = en.i
+  GROUP BY en.vec_id, cents.c
+),
+assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
+    FROM sims) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rk
+    FROM sims WHERE vec_id % {stride} = 0) WHERE rk <= {nprobe}
+),
+res AS (
+  SELECT en.vec_id, en.i, en.x - cents.w AS r
+  FROM en JOIN assign a USING (vec_id)
+  JOIN cents ON cents.c = a.c AND cents.i = en.i
+),
+cdist AS (
+  SELECT r.vec_id, cb.mi, cb.j, sum((r.r - cb.w) * (r.r - cb.w)) AS d2
+  FROM res r JOIN cb ON cb.mi = r.i // {sd} AND cb.ii = r.i % {sd}
+  GROUP BY r.vec_id, cb.mi, cb.j
+),
+codes AS (
+  SELECT vec_id, mi, j AS code FROM (
+    SELECT vec_id, mi, j,
+           row_number() OVER (PARTITION BY vec_id, mi
+                              ORDER BY d2 ASC, j ASC) AS rk
+    FROM cdist) WHERE rk = 1
+),
+qres AS (
+  SELECT p.vec_id AS qid, p.c, en.i, en.x - cents.w AS r
+  FROM probes p JOIN en ON en.vec_id = p.vec_id
+  JOIN cents ON cents.c = p.c AND cents.i = en.i
+),
+lut AS (
+  SELECT q.qid, q.c, cb.mi, cb.j, sum((q.r - cb.w) * (q.r - cb.w)) AS d2
+  FROM qres q JOIN cb ON cb.mi = q.i // {sd} AND cb.ii = q.i % {sd}
+  GROUP BY q.qid, q.c, cb.mi, cb.j
+),
+adc AS (
+  SELECT p.vec_id AS qid, a.vec_id AS nid, sum(l.d2) AS dist
+  FROM probes p
+  JOIN assign a ON a.c = p.c AND a.vec_id <> p.vec_id
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  JOIN lut l ON l.qid = p.vec_id AND l.c = p.c
+            AND l.mi = cd.mi AND l.j = cd.code
+  GROUP BY p.vec_id, a.vec_id
+),
+adcr AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dist ASC, nid) AS rk
+    FROM adc) WHERE rk <= {refine * k}
+),
+refined AS (
+  SELECT a.qid, a.nid,
+         list_cosine_similarity(eq.embedding, en.embedding) AS sim
+  FROM adcr a
+  JOIN embeddings eq ON eq.vec_id = a.qid
+  JOIN embeddings en ON en.vec_id = a.nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS rank
+FROM (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rk
+      FROM refined)
+WHERE rk <= {k}
+"""
+
+
 try:
     DOC_ORACLES["knn_ivf"] = _ivf_sql()
+    DOC_ORACLES["knn_ivfpq"] = _ivfpq_sql()
 except OSError:
     pass
 

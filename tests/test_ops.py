@@ -384,6 +384,33 @@ class TestSimSearch:
         b = sharded[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_ivfpq_recall_vs_bruteforce(self, ray_session):
+        from kgx.simsearch import knn_bruteforce, knn_ivfpq
+
+        bf = knn_bruteforce(SF).to_pandas()
+        pqr = knn_ivfpq(SF).to_pandas()
+        bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+        pq_sets = pqr.groupby("query_id")["neighbor_id"].apply(set)
+        recalls = [
+            len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
+            for q in bf_sets.index
+        ]
+        # 8-bit residual PQ + exact refine recovers the full IVF routing
+        # ceiling — measured 0.78 at sf0.001, identical to knn_ivf's
+        assert np.mean(recalls) >= 0.7, np.mean(recalls)
+
+    def test_ivfpq_sharded_buckets_same_answer(self, ray_session):
+        import pandas as pd
+
+        from kgx.simsearch import knn_ivfpq
+
+        base = knn_ivfpq(SF).to_pandas()
+        sharded = knn_ivfpq(SF, shards_per_bucket=4).to_pandas()
+        cols = ["query_id", "neighbor_id", "rank"]
+        a = base[cols].sort_values(cols).reset_index(drop=True)
+        b = sharded[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
     def test_bruteforce_rank_contract(self, ray_session):
         from kgx.simsearch import knn_bruteforce
 
