@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": traindata.inverted_index,
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,
+        "temperature_mix": traindata.temperature_mix,
         "weighted_sample": traindata.weighted_sample,
         "pack_sequences": traindata.pack_sequences,
         "chunk_documents": traindata.chunk_documents,

@@ -834,6 +834,26 @@ SELECT doc_id, n_tokens, key_q20 FROM (
   FROM keys
 ) WHERE rk <= 100
 """,
+    # traindata.temperature_mix(total=200, seed=42): α=1/2 mixture rates
+    # in pure integer arithmetic (isqrt == floor(sqrt(DOUBLE)) while
+    # n·2^40 < 2^52), seeded md5-u64 threshold per language
+    "temperature_mix": """
+WITH c AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n
+           FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
+             CAST(floor(sqrt(CAST(n * 1099511627776 AS DOUBLE))) AS HUGEINT)
+             AS w
+      FROM c),
+tot AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w),
+thr AS (SELECT w.lang,
+               (CAST(200 AS HUGEINT) * w.w
+                * CAST('18446744073709551616' AS HUGEINT))
+               // (t.sw * w.n) AS t
+        FROM w, tot t)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr ON thr.lang = d.lang
+WHERE CAST(('0x' || substr(md5(d.doc_id || ':42'), 1, 16))::UBIGINT
+           AS HUGEINT) < thr.t
+""",
     # the full composed curation pipeline (traindata.curate_corpus):
     # near-dup removal -> decontamination -> quality filter -> packing,
     # replayed in one WITH RECURSIVE query from the stage oracles

@@ -395,6 +395,52 @@ def stratified_sample(sf_dir: str, n_per_group: int = 50, seed: int = 42):
     return cands.groupby("lang").map_groups(final_topn, batch_format="pandas")
 
 
+def temperature_mix(sf_dir: str, total: int = 200, seed: int = 42,
+                    group_col: str = "lang"):
+    """(doc_id, lang) — temperature-scaled mixture sampling, the GPT-3 /
+    multilingual-LM data-mixing step: group g with n_g documents gets
+    sampling mass ∝ n_g^α with α = 1/2, so rare groups are UPSAMPLED
+    relative to proportional (en:fr 218:64 mixes ≈1.85:1 instead of
+    3.4:1) while expected output size stays ``total``. A doc is kept iff
+    its seeded md5-u64 hash falls below its group's threshold
+    t_g = total · w_g · 2^64 // (Σw · n_g) with w_g = isqrt(n_g · 2^40)
+    — ALL arithmetic integer, so the engine (Python bigints) and the
+    DuckDB oracle (HUGEINT; floor(sqrt(DOUBLE)) == isqrt while
+    n·2^40 < 2^52, i.e. through the oracle's own scale) agree
+    bit-for-bit with no float-summation-order risk.
+
+    Scale shape: pass 1 is a per-batch value_counts combiner into a
+    tiny group aggregate (group keys are low-cardinality by
+    construction — languages, sources); the resulting rate table lives
+    on the driver and broadcasts into pass 2, a map-only hash filter.
+    No all-to-all at any size.
+    """
+    import math
+
+    ds = _read_documents(sf_dir, columns=["doc_id", group_col])
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[group_col].value_counts()
+        return pd.DataFrame({"g": vc.index, "n": vc.to_numpy(dtype="int64")})
+
+    counts = (ds.map_batches(local_counts, batch_format="pandas")
+              .groupby("g").sum("n").to_pandas())
+    n_by_g = dict(zip(counts["g"], (int(x) for x in counts["sum(n)"])))
+    w_by_g = {g: math.isqrt(n << 40) for g, n in n_by_g.items()}
+    W = sum(w_by_g.values())
+    thr = {g: (total * w_by_g[g] * (1 << 64)) // (W * n_by_g[g])
+           for g in n_by_g}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = [_md5_u64("%d:%d" % (d, seed)) for d in df["doc_id"]]
+        mask = [x < thr[g] for x, g in zip(h, df[group_col])]
+        out = df.loc[mask]
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             group_col: out[group_col]})
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def token_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.9, 0.99)):
     """(lang, q_pct, n_tokens) — EXACT per-language quantiles of the
     document token-count distribution (the length profile that drives

@@ -1000,6 +1000,38 @@ class TestTrainData:
         again = stratified_sample(SF, n_per_group=30).to_pandas()
         assert sorted(df["doc_id"]) == sorted(again["doc_id"])
 
+    def test_temperature_mix_matches_integer_replay(self, ray_session):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import _md5_u64, temperature_mix
+
+        got = set(map(tuple, temperature_mix(SF)
+                      .to_pandas()[["doc_id", "lang"]].values))
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "lang"])
+        rows = list(zip(t.column("doc_id").to_pylist(),
+                        t.column("lang").to_pylist()))
+        n: dict = {}
+        for _, g in rows:
+            n[g] = n.get(g, 0) + 1
+        w = {g: math.isqrt(c << 40) for g, c in n.items()}
+        W = sum(w.values())
+        thr = {g: (200 * w[g] * (1 << 64)) // (W * n[g]) for g in n}
+        want = {(d, g) for d, g in rows
+                if _md5_u64("%d:42" % d) < thr[g]}
+        assert got == want and len(got) > 0
+        # the temperature effect: every rare group keeps a HIGHER
+        # fraction of its docs than the most common group
+        kept: dict = {}
+        for _, g in got:
+            kept[g] = kept.get(g, 0) + 1
+        top = max(n, key=n.get)
+        for g in n:
+            if n[g] < n[top] / 2:
+                assert kept.get(g, 0) / n[g] > kept[top] / n[top]
+
     def test_pack_sequences_greedy_invariants(self, ray_session):
         import pyarrow.parquet as pq
 
