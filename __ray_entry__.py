@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": traindata.chunk_documents,
         "segment_dedup": traindata.segment_dedup,
         "bm25_search": traindata.bm25_search,
+        "rrf_fusion": traindata.rrf_fusion,
         "ccnet_buckets": traindata.ccnet_buckets,
         "curate_corpus": traindata.curate_corpus,
         # multimodal plumbing

@@ -1333,6 +1333,72 @@ SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id, score_q20
 FROM ranked WHERE rk <= 10
 """
 
+# traindata.rrf_fusion(k=10, stride=50, n_queries=10): the bm25_search
+# CTE chain re-parameterized to the % 50 = 0 query set, the
+# knn_bruteforce chain restricted to the same ids, and the fusion layer
+# in pure integer arithmetic (2^20 // (60 + rank), BIGINT sums)
+DOC_ORACLES["rrf_fusion"] = r"""
+WITH train AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 50 <> 0
+), stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+  FROM train
+), ex AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM train
+), tf AS (
+  SELECT doc_id, tok, max(dl) AS dl, count(*) AS tf
+  FROM ex GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), q AS (
+  SELECT doc_id AS qid,
+         unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 500
+), contrib AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(floor(1048576.0 * (
+           ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * 2.25)
+           / (tf.tf + 1.25 * (0.25 + 0.75 *
+              (tf.dl / (SELECT avgdl FROM stats)))))) AS BIGINT) AS c
+  FROM q
+  JOIN tf ON tf.tok = q.tok
+  JOIN dfreq d ON d.tok = q.tok
+), sscores AS (
+  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS s
+  FROM contrib GROUP BY qid, doc_id
+), sranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rk
+  FROM sscores
+), dq AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % 50 = 0 AND vec_id < 500
+), dsim AS (
+  SELECT qid, vec_id AS nid, list_cosine_similarity(qe, embedding) AS sim
+  FROM dq, embeddings WHERE vec_id != qid
+), dranked AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+  FROM dsim
+), contribs AS (
+  SELECT qid, doc_id, 1048576 // (60 + rk) AS c FROM sranked WHERE rk <= 10
+  UNION ALL
+  SELECT qid, nid AS doc_id, 1048576 // (60 + rk) FROM dranked WHERE rk <= 5
+), fused AS (
+  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q20
+  FROM contribs GROUP BY qid, doc_id
+)
+SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id, rrf_q20
+FROM (SELECT qid, doc_id, rrf_q20,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rrf_q20 DESC, doc_id) AS rk
+      FROM fused)
+WHERE rk <= 10
+"""
+
 # traindata.segment_dedup(seg_tokens=16): identical slicing
 # (generate_series + list_slice), identical u64 segment hash
 # (('0x'||substr(md5,1,16))::UBIGINT, collision-faithful to the engine's

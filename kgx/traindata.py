@@ -952,6 +952,61 @@ def bm25_search(sf_dir: str, k: int = 10, n_queries: int = 16,
             .groupby("qid").map_groups(final_topk, batch_format="pandas"))
 
 
+def rrf_fusion(sf_dir: str, k: int = 10, k_sparse: int = 10,
+               k_dense: int = 5, rrf_k: int = 60, stride: int = 50,
+               n_queries: int = 10):
+    """(qid, rank, doc_id, rrf_q20) — hybrid retrieval by reciprocal-
+    rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): the sparse
+    side is ``bm25_search`` over the query docs' tokens, the dense side
+    ``knn_bruteforce`` over the same ids' embeddings, and each hit
+    contributes 2^20 // (rrf_k + rank) — integer, so the fused scores
+    and ranks are bit-exact in SQL with no float path at the fusion
+    layer. Queries are doc_id % stride == 0, doc_id < stride·n_queries
+    (the intersection convention of both sub-searches).
+
+    Scale shape: both retrievals keep their own distributed plans; the
+    fusion tail sees only their outputs — ≤ n_queries·(k_sparse+k_dense)
+    rows, bounded by construction — so the per-qid group reduce is a
+    fixed-size epilogue, never a corpus-sized shuffle.
+    """
+    from .simsearch import knn_bruteforce
+
+    q_max = stride * n_queries
+    sparse = bm25_search(sf_dir, k=k_sparse, n_queries=n_queries,
+                         bench_mod=stride, bench_rem=0)
+    dense = knn_bruteforce(sf_dir, stride=stride, k=k_dense)
+
+    def sp_c(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "qid": df["qid"].astype("int64"),
+            "doc_id": df["doc_id"].astype("int64"),
+            "c": (1048576 // (rrf_k + df["rank"].astype("int64")))
+            .astype("int64")})
+
+    def de_c(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["query_id"] < q_max]
+        return pd.DataFrame({
+            "qid": d["query_id"].astype("int64"),
+            "doc_id": d["neighbor_id"].astype("int64"),
+            "c": (1048576 // (rrf_k + d["rank"].astype("int64")))
+            .astype("int64")})
+
+    fused = (sparse.map_batches(sp_c, batch_format="pandas")
+             .union(dense.map_batches(de_c, batch_format="pandas")))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["qid", "doc_id"], as_index=False)["c"].sum()
+        g = (g.sort_values(["c", "doc_id"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        return pd.DataFrame({
+            "qid": g["qid"].astype("int64"),
+            "rank": pd.Series(range(1, len(g) + 1), dtype="int64"),
+            "doc_id": g["doc_id"].astype("int64"),
+            "rrf_q20": g["c"].astype("int64")})
+
+    return fused.groupby("qid").map_groups(topk, batch_format="pandas")
+
+
 def segment_dedup(sf_dir: str, seg_tokens: int = 16,
                   num_partitions: Optional[int] = None):
     """(doc_id, text, n_segments, n_removed) — exact duplicated-span

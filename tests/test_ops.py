@@ -1032,6 +1032,38 @@ class TestTrainData:
             if n[g] < n[top] / 2:
                 assert kept.get(g, 0) / n[g] > kept[top] / n[top]
 
+    def test_rrf_fusion_matches_manual_fusion(self, ray_session):
+        import pandas as pd
+
+        from kgx.simsearch import knn_bruteforce
+        from kgx.traindata import bm25_search, rrf_fusion
+
+        got = rrf_fusion(SF).to_pandas()
+        sp = bm25_search(SF, k=10, n_queries=10, bench_mod=50,
+                         bench_rem=0).to_pandas()
+        de = knn_bruteforce(SF, stride=50, k=5).to_pandas()
+        de = de[de["query_id"] < 500]
+        rows = pd.concat([
+            pd.DataFrame({"qid": sp["qid"], "doc_id": sp["doc_id"],
+                          "c": 1048576 // (60 + sp["rank"])}),
+            pd.DataFrame({"qid": de["query_id"], "doc_id": de["neighbor_id"],
+                          "c": 1048576 // (60 + de["rank"])})])
+        want = []
+        for qid, g in rows.groupby("qid"):
+            f = g.groupby("doc_id", as_index=False)["c"].sum()
+            f = f.sort_values(["c", "doc_id"],
+                              ascending=[False, True]).head(10)
+            for r, (_, row) in enumerate(f.iterrows(), 1):
+                want.append((qid, r, row["doc_id"], row["c"]))
+        key = ["qid", "rank", "doc_id", "rrf_q20"]
+        assert sorted(map(tuple, got[key].values)) == sorted(want)
+        # fusion is live on both sides: some fused doc must come from
+        # the dense list beyond BM25's reach, and vice versa
+        sp_set = set(map(tuple, sp[["qid", "doc_id"]].values))
+        de_set = set(map(tuple, de[["query_id", "neighbor_id"]].values))
+        fused = set(map(tuple, got[["qid", "doc_id"]].values))
+        assert fused & (de_set - sp_set) and fused & (sp_set - de_set)
+
     def test_pack_sequences_greedy_invariants(self, ray_session):
         import pyarrow.parquet as pq
 
