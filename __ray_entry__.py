@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": textops.top_terms,
         "quality": textops.quality,
         "quality_ratios": textops.quality_ratios,
+        "gopher_filter": textops.gopher_filter,
         "lang_counts": textops.lang_counts,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,

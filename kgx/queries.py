@@ -423,6 +423,30 @@ FROM documents
         " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]+')) AS n_bpe_tokens"
         " FROM documents"
     ),
+    # textops.gopher_filter: every rule an integer inequality over exact
+    # counts (mean-word-length as 3n ≤ len_sum ≤ 10n), same stopword
+    # list and [A-Za-z] class as the engine
+    "gopher_filter": r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS len_sum,
+         CAST(len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha_words,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','and','of','to','in','is','that',
+                                 'for','with','as'], t))) AS BIGINT)
+           AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words, len_sum, n_alpha_words, n_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND 3 * n_words <= len_sum AND len_sum <= 10 * n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stopwords >= 2) AS keep
+FROM c
+""",
     "top_terms": (
         "SELECT tok, count(*) AS n FROM ("
         "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"

@@ -9,6 +9,7 @@ inherent.
 
 from __future__ import annotations
 
+import re
 import zlib
 from functools import lru_cache
 
@@ -51,6 +52,10 @@ def quality(sf_dir: str):
 
     return ds.map_batches(fn, batch_format="pandas")
 
+
+# gopher_filter's "word contains an alphabetic char" test (compiled once
+# per worker; the same class RE2 evaluates identically in the oracle)
+_ALPHA_RE = re.compile(r"[A-Za-z]")
 
 # tiny per-language stopword profiles for the heuristic language ID
 _LANG_PROFILES = {
@@ -159,6 +164,52 @@ def quality_ratios(sf_dir: str):
             "n_stopwords": toks.map(
                 lambda t: sum(1 for x in t if x in stop)).astype("int64"),
             "n_tokens": toks.str.len().astype("int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def gopher_filter(sf_dir: str, min_words: int = 50,
+                  max_words: int = 100_000):
+    """(doc_id, n_words, len_sum, n_alpha_words, n_stopwords, keep) —
+    the Gopher quality-rule gate (Rae et al., "Scaling Language Models:
+    ... Gopher", 2021, §A1.1; also Dolma's reimplementation): keep a
+    document iff
+      · word count in [min_words, max_words],
+      · mean word length in [3, 10]  — tested as the INTEGER inequality
+        3·n_words ≤ len_sum ≤ 10·n_words (len_sum = chars excl. spaces),
+      · ≥ 80% of words contain an alphabetic char (5·n_alpha ≥ 4·n_words),
+      · ≥ 2 stopwords (the same 10-word list quality_ratios uses).
+    Every rule is integer arithmetic over exact counts, so the SQL
+    oracle reproduces keep bit-for-bit — no float ratio thresholds.
+
+    Map-only single pass (vectorized str ops per batch), no shuffle at
+    any scale; the per-rule counts ride along so downstream stages can
+    re-threshold without a second scan."""
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    stop = _LANG_PROFILES["en"]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        low = df["text"].str.lower().str.split(" ")
+        n_words = toks.str.len().astype("int64")
+        len_sum = (df["text"].str.len()
+                   - df["text"].str.count(" ")).astype("int64")
+        n_alpha = toks.map(
+            lambda t: sum(1 for x in t if _ALPHA_RE.search(x))
+        ).astype("int64")
+        n_stop = low.map(
+            lambda t: sum(1 for x in t if x in stop)).astype("int64")
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (3 * n_words <= len_sum) & (len_sum <= 10 * n_words)
+                & (5 * n_alpha >= 4 * n_words) & (n_stop >= 2))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": n_words,
+            "len_sum": len_sum,
+            "n_alpha_words": n_alpha,
+            "n_stopwords": n_stop,
+            "keep": keep,
         })
 
     return ds.map_batches(fn, batch_format="pandas")

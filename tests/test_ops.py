@@ -1032,6 +1032,25 @@ class TestTrainData:
             if n[g] < n[top] / 2:
                 assert kept.get(g, 0) / n[g] > kept[top] / n[top]
 
+    def test_gopher_filter_rules_live(self, ray_session):
+        from kgx.textops import gopher_filter
+
+        df = gopher_filter(SF).to_pandas()
+        assert len(df) == 500
+        # the gate discriminates on this corpus (both classes present)
+        assert df["keep"].any() and (~df["keep"]).any()
+        # rule recomputation on the returned counts
+        want = ((df["n_words"] >= 50) & (df["n_words"] <= 100_000)
+                & (3 * df["n_words"] <= df["len_sum"])
+                & (df["len_sum"] <= 10 * df["n_words"])
+                & (5 * df["n_alpha_words"] >= 4 * df["n_words"])
+                & (df["n_stopwords"] >= 2))
+        assert (df["keep"] == want).all()
+        # loosening the floor can only widen the kept set
+        loose = gopher_filter(SF, min_words=1).to_pandas()
+        assert set(df.loc[df["keep"], "doc_id"]) <= set(
+            loose.loc[loose["keep"], "doc_id"])
+
     def test_rrf_fusion_matches_manual_fusion(self, ray_session):
         import pandas as pd
 
