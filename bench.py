@@ -105,6 +105,8 @@ def run_headline(num_pages: int, out_dir: str, warmup: bool = True,
 def run_queries(sf_dir: str) -> dict:
     from kgx import dedup, events, relational, simsearch, textops, traindata
     from kgx import queries as q
+    from kgx.components import kcore as _kcore
+    from kgx.components import label_propagation as _label_propagation
     from kgx.components import pagerank as _pagerank
 
     def consume(ds):
@@ -139,12 +141,18 @@ def run_queries(sf_dir: str) -> dict:
         "near_dup_dedup_lsh": lambda: dedup.near_dup_dedup(sf_dir,
                                                            use_lsh=True),
         "knn_ivf": lambda: simsearch.knn_ivf(sf_dir),
+        "knn_ivfpq": lambda: simsearch.knn_ivfpq(sf_dir),
         "kmeans_clusters": lambda: simsearch.kmeans_clusters(sf_dir),
         "semantic_dedup": lambda: dedup.semantic_dedup(sf_dir),
         "decontaminate": lambda: traindata.decontaminate(sf_dir),
         "pack_sequences": lambda: traindata.pack_sequences(sf_dir),
         "curate_corpus": lambda: traindata.curate_corpus(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),
+        "kcore": lambda: _kcore(sf_dir),
+        "label_propagation": lambda: _label_propagation(sf_dir),
+        "temperature_mix": lambda: traindata.temperature_mix(sf_dir),
+        "rrf_fusion": lambda: traindata.rrf_fusion(sf_dir),
+        "gopher_filter": lambda: textops.gopher_filter(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
