@@ -423,6 +423,37 @@ FROM documents
         " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]+')) AS n_bpe_tokens"
         " FROM documents"
     ),
+    # textops.bigram_lm_score: interpolated bigram LM replayed with the
+    # identical float64 tree (exact int→double divisions, dyadic λ=3/4,
+    # shared libm ln), each term floor-quantized BEFORE the integer sum
+    "bigram_lm_score": r"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uni),
+big AS (SELECT doc_id, t[i] AS v, t[i + 1] AS w
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks)),
+cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY v, w),
+cv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY v),
+term AS (
+  SELECT b.doc_id,
+         CAST(floor(1048576.0 * ln(
+           0.75 * (CAST(cvw.c AS DOUBLE) / cv.c)
+           + 0.25 * (CAST(u.c AS DOUBLE) / t.T))) AS BIGINT) AS q
+  FROM big b
+  JOIN cvw ON cvw.v = b.v AND cvw.w = b.w
+  JOIN cv ON cv.v = b.v
+  JOIN uni u ON u.tok = b.w
+  CROSS JOIN tot t),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(q) AS BIGINT) AS lm2_q20
+        FROM term GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.lm2_q20, 0) AS lm2_q20
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
     # textops.gopher_filter: every rule an integer inequality over exact
     # counts (mean-word-length as 3n ≤ len_sum ≤ 10n), same stopword
     # list and [A-Za-z] class as the engine

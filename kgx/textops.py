@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 import zlib
 from functools import lru_cache
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -463,6 +464,118 @@ def unigram_lm_score(sf_dir: str):
         return out.to_pandas()
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def bigram_lm_score(sf_dir: str, num_partitions: Optional[int] = None):
+    """(doc_id, n_bigrams, lm2_q20) — interpolated bigram language-model
+    score per document: Σ over positions i ≥ 2 of
+    floor(2^20 · ln(3/4 · P(wᵢ|wᵢ₋₁) + 1/4 · P(wᵢ))), with
+    P(w|v) = c(v,w)/c(v,·) from corpus bigram counts and P(w) the
+    unigram frequency — the context-aware upgrade of
+    ``unigram_lm_score`` (CCNet's real filter is an n-gram LM, not a
+    unigram one). λ = 3/4 is dyadic, every division is an
+    exactly-rounded float64 of sub-2^53 integers in the IDENTICAL
+    expression tree as the SQL oracle, ln is the shared libm call, and
+    each term floor-quantizes to int64 BEFORE the order-independent sum
+    — so the oracle hash-matches bit-for-bit (same discipline as
+    dsir_weights / bm25_search). Documents with < 2 tokens score
+    (0, 0), carried as m=0 sentinel rows.
+
+    Scale shape: the bigram table is corpus-sized (NOT broadcastable,
+    unlike the unigram vocabulary, which ships via closure as in
+    unigram_lm_score). Key the ONE bigram exchange on hash(v): every
+    (v, ·) occurrence co-locates, so c(v,w) AND the denominator c(v,·)
+    are both partition-local — no second exchange for the conditional.
+    The per-batch (doc, v, w) count combiner bounds shuffle rows at
+    per-block distinct bigrams; per-doc partials then sum in a bucketed
+    hash aggregate (one row per doc per v-partition crosses)."""
+    import ray
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    vocab = (ds.map_batches(local_counts, batch_format="pandas")
+             .groupby("tok").sum("n").to_pandas())
+    total = float(int(vocab["sum(n)"].sum()))
+    uni = {t: int(n) for t, n in zip(vocab["tok"], vocab["sum(n)"])}
+
+    def bigram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, vs, ws = [], [], []
+        zero = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            t = text.split(" ")
+            if len(t) < 2:
+                zero.append(doc_id)
+                continue
+            doc_ids.extend([doc_id] * (len(t) - 1))
+            vs.extend(t[:-1])
+            ws.extend(t[1:])
+        out = pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64"),
+                            "v": pd.Series(vs, dtype="object"),
+                            "w": pd.Series(ws, dtype="object")})
+        g = out.groupby(["doc_id", "v", "w"], as_index=False).size()
+        g = g.rename(columns={"size": "m"})
+        # < 2-token docs ride along as sentinel rows (v = w = "")
+        if zero:
+            g = pd.concat([g, pd.DataFrame({
+                "doc_id": pd.Series(zero, dtype="int64"),
+                "v": "", "w": "", "m": np.int64(0)})], ignore_index=True)
+        g["bucket"] = (pd.util.hash_pandas_object(g["v"], index=False)
+                       % nparts).astype("int32")
+        return g
+
+    def score_part(df: pd.DataFrame) -> pd.DataFrame:
+        zero = df[df["m"] == 0]
+        df = df[df["m"] > 0]
+        outs = []
+        if len(df):
+            cvw = df.groupby(["v", "w"], as_index=False)["m"].sum() \
+                .rename(columns={"m": "c_vw"})
+            cv = df.groupby("v", as_index=False)["m"].sum() \
+                .rename(columns={"m": "c_v"})
+            d = df.merge(cvw, on=["v", "w"]).merge(cv, on="v")
+            p = (0.75 * (d["c_vw"].to_numpy(dtype="float64")
+                         / d["c_v"].to_numpy(dtype="float64"))
+                 + 0.25 * (np.array([uni[w] for w in d["w"]],
+                                    dtype="float64") / total))
+            q = np.floor(1048576.0 * np.log(p)).astype("int64")
+            part = pd.DataFrame({"doc_id": d["doc_id"],
+                                 "nb": d["m"].astype("int64"),
+                                 "s": d["m"].to_numpy(dtype="int64") * q})
+            outs.append(part.groupby("doc_id", as_index=False).sum())
+        if len(zero):
+            outs.append(pd.DataFrame({
+                "doc_id": zero["doc_id"].astype("int64"),
+                "nb": np.int64(0), "s": np.int64(0)}))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "nb": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = (ds.map_batches(bigram_rows, batch_format="pandas")
+                .groupby("bucket").map_groups(score_part,
+                                              batch_format="pandas"))
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            b2=(pd.util.hash_pandas_object(df["doc_id"], index=False)
+                % nparts).astype("int32"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)[["nb", "s"]].sum()
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "n_bigrams": g["nb"].astype("int64"),
+                             "lm2_q20": g["s"].astype("int64")})
+
+    return (partials.map_batches(rebucket, batch_format="pandas")
+            .groupby("b2").map_groups(final, batch_format="pandas"))
 
 
 def tfidf_keywords(sf_dir: str, k: int = 3):

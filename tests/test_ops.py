@@ -190,6 +190,38 @@ class TestTextOps:
             assert df.loc[doc_id, "n_tokens"] == len(toks)
 
 
+    def test_bigram_lm_score_matches_local_replay(self, ray_session):
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import bigram_lm_score
+
+        df = bigram_lm_score(SF).to_pandas().set_index("doc_id")
+        assert len(df) == 500
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        texts = dict(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+        uni, cvw, cv = Counter(), Counter(), Counter()
+        for text in texts.values():
+            toks = text.split(" ")
+            uni.update(toks)
+            cvw.update(zip(toks, toks[1:]))
+            cv.update(toks[:-1])
+        T = float(sum(uni.values()))
+        for doc_id in list(texts)[:20]:
+            toks = texts[doc_id].split(" ")
+            want = sum(
+                math.floor(1048576.0 * math.log(
+                    0.75 * (float(cvw[(v, w)]) / float(cv[v]))
+                    + 0.25 * (float(uni[w]) / T)))
+                for v, w in zip(toks, toks[1:]))
+            assert df.loc[doc_id, "lm2_q20"] == want
+            assert df.loc[doc_id, "n_bigrams"] == max(0, len(toks) - 1)
+
+
 class TestDedup:
     def test_exact_survivors(self, ray_session):
         from kgx.dedup import dedup_exact
