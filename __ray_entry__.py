@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
+        "shipping_priority": relational.shipping_priority,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -157,6 +157,7 @@ def run_queries(sf_dir: str) -> dict:
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
+        "shipping_priority": lambda: relational.shipping_priority(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -787,6 +787,32 @@ SELECT event_type, window_start, count(*) AS n FROM (
         " JOIN customer ON o_custkey = c_custkey"
         " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
     ),
+    # relational.shipping_priority (TPC-H Q3 shape): revenue quantized
+    # PER LINE ITEM (floor(100·price·(1−disc)), exactly-rounded float64
+    # ops of bit-matched operands) before the order-independent BIGINT
+    # sum; total order (revenue DESC, date, orderkey) mirrored
+    "shipping_priority": """
+WITH agg AS (
+  SELECT l.l_orderkey,
+         CAST(sum(CAST(floor(100.0 * (l.l_extendedprice
+                * (1.0 - l.l_discount))) AS BIGINT)) AS BIGINT)
+           AS revenue_q2,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT l_orderkey, revenue_q2, o_orderdate, o_orderpriority
+FROM (SELECT *, row_number() OVER (ORDER BY revenue_q2 DESC,
+                                   o_orderdate ASC, l_orderkey ASC) AS rk
+      FROM agg)
+WHERE rk <= 10
+""",
     "payload_stats": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
     ),

@@ -116,3 +116,127 @@ def orders_by_customer_nation(sf_dir: str, num_partitions=None):
         lambda df: df.rename(columns={"sum(n)": "n_orders"}).astype(
             {"n_orders": "int64"}),
         batch_format="pandas")
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01", k: int = 10,
+                      num_partitions=None):
+    """TPC-H Q3 shape: top-``k`` unshipped orders of one market segment
+    by revenue — the canonical 3-way join + aggregate + top-k. Revenue
+    is integer-quantized PER LINE ITEM (floor(100·price·(1−disc)) —
+    both factors are exactly-rounded float64 ops of bit-matched
+    operands) so the per-order sum is order-independent and the SQL
+    oracle hash-matches bit-for-bit. Returns
+    (l_orderkey, revenue_q2, o_orderdate, o_orderpriority).
+
+    Scale shape: both date predicates push into the parquet read
+    (row-group pruning); lineitem — the big side — pre-aggregates
+    revenue per orderkey inside each batch (combiner), so exchange 1
+    (hash(orderkey) co-group with date-filtered orders) carries distinct
+    orders, not line items; exchange 2 semi-joins the segment-filtered
+    customer keys on hash(custkey); the top-k runs as a per-partition
+    combiner into a single bounded reduce (≤ k·nparts rows), the same
+    shape as weighted_sample. No ``Dataset.join``, no full-table
+    broadcast, two bucketed all-to-alls total.
+    """
+    import datetime
+
+    import numpy as np
+    import pyarrow.dataset as pds
+    import ray
+    import ray.data
+
+    if num_partitions is None:
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+    cut = datetime.datetime.fromisoformat(cutoff)
+
+    lineitem = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pds.field("l_shipdate") > cut))
+    orders = ray.data.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=(pds.field("o_orderdate") < cut))
+    customer = ray.data.read_parquet(
+        "%s/customer.parquet" % sf_dir, columns=["c_custkey"],
+        filter=(pds.field("c_mktsegment") == segment))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(100.0 * (df["l_extendedprice"].to_numpy(dtype="float64")
+                              * (1.0 - df["l_discount"]
+                                 .to_numpy(dtype="float64"))))
+        t = pd.DataFrame({"k": df["l_orderkey"].astype("int64"),
+                          "rev": q.astype("int64")})
+        g = t.groupby("k", as_index=False)["rev"].sum()
+        return pd.DataFrame({
+            "k": g["k"], "rev": g["rev"].astype("int64"),
+            "ck": np.int64(-1), "od": np.int64(0), "prio": "",
+            "part": (g["k"] % nparts).astype("int32"),
+            "side": np.int8(0)})
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].to_numpy().astype("datetime64[D]") \
+            .astype("int64")
+        return pd.DataFrame({
+            "k": df["o_orderkey"].astype("int64"),
+            "rev": np.int64(0), "ck": df["o_custkey"].astype("int64"),
+            "od": od, "prio": df["o_orderpriority"].astype(str),
+            "part": (df["o_orderkey"] % nparts).astype("int32"),
+            "side": np.int8(1)})
+
+    def join_orders(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["side"] == 0]
+        rev = li.groupby("k", as_index=False)["rev"].sum()
+        o = df[df["side"] == 1][["k", "ck", "od", "prio"]]
+        m = o.merge(rev, on="k", how="inner")
+        return pd.DataFrame({
+            "k": m["k"].astype("int64"),
+            "rev": m["rev"].astype("int64"),
+            "ck": m["ck"].astype("int64"),
+            "od": m["od"].astype("int64"),
+            "prio": m["prio"],
+            "part": (m["ck"] % nparts).astype("int32"),
+            "side": np.int8(0)})
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": np.int64(0), "rev": np.int64(0),
+            "ck": df["c_custkey"].astype("int64"),
+            "od": np.int64(0), "prio": "",
+            "part": (df["c_custkey"] % nparts).astype("int32"),
+            "side": np.int8(1)})
+
+    def topk_local(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        keep = set(df.loc[df["side"] == 1, "ck"])
+        o = o[o["ck"].isin(keep)]
+        o = o.sort_values(["rev", "od", "k"],
+                          ascending=[False, True, True]).head(k)
+        return pd.DataFrame({"k": o["k"].astype("int64"),
+                             "rev": o["rev"].astype("int64"),
+                             "od": o["od"].astype("int64"),
+                             "prio": o["prio"], "g": np.int8(0)})
+
+    def topk_final(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.sort_values(["rev", "od", "k"],
+                           ascending=[False, True, True]).head(k)
+        return pd.DataFrame({
+            "l_orderkey": o["k"].astype("int64"),
+            "revenue_q2": o["rev"].astype("int64"),
+            "o_orderdate": pd.to_datetime(o["od"], unit="D")
+            .dt.strftime("%Y-%m-%d"),
+            "o_orderpriority": o["prio"]})
+
+    joined = (lineitem.map_batches(li_partial, batch_format="pandas")
+              .union(orders.map_batches(o_rows, batch_format="pandas"))
+              .groupby("part")
+              .map_groups(join_orders, batch_format="pandas"))
+    filtered = (joined.union(
+                    customer.map_batches(c_rows, batch_format="pandas"))
+                .groupby("part")
+                .map_groups(topk_local, batch_format="pandas"))
+    return filtered.groupby("g").map_groups(topk_final,
+                                            batch_format="pandas")

@@ -1064,6 +1064,18 @@ class TestTrainData:
             if n[g] < n[top] / 2:
                 assert kept.get(g, 0) / n[g] > kept[top] / n[top]
 
+    def test_shipping_priority_contract(self, ray_session):
+        from kgx.relational import shipping_priority
+
+        df = shipping_priority(SF).to_pandas()
+        assert 0 < len(df) <= 10
+        # revenue is the primary sort key, strictly non-increasing
+        rev = df["revenue_q2"].to_numpy()
+        assert (rev[:-1] >= rev[1:]).all()
+        assert (df["o_orderdate"] < "1998-01-01").all()
+        again = shipping_priority(SF).to_pandas()
+        assert df.values.tolist() == again.values.tolist()
+
     def test_gopher_filter_rules_live(self, ray_session):
         from kgx.textops import gopher_filter
 
