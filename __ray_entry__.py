@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": traindata.curate_corpus,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
+        "bmp_pixel_stats": multimodal.bmp_pixel_stats,
         "payload_features": multimodal.payload_features,
         "payload_features_vals": multimodal.payload_features_vals,
         "payload_resize": multimodal.payload_resize,

@@ -816,6 +816,25 @@ WHERE rk <= 10
     "payload_stats": (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
     ),
+    # multimodal.bmp_pixel_stats (width=32): the real BMP decode round
+    # trip — geometry h = max(1, ceil(n/96)) pins header/stride/flip
+    # handling, px_sum = Σ byte values pins the pixel payload (padding
+    # zeros and the BGR→RGB reorder are sum-invariant; corpus is ASCII
+    # so octet == codepoint)
+    "bmp_pixel_stats": """
+WITH chars AS (
+  SELECT doc_id, ascii(substr(text, i, 1)) AS v
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents)
+),
+s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS px_sum
+      FROM chars GROUP BY doc_id)
+SELECT doc_id, GREATEST(1, CAST(ceil(n / 96.0) AS BIGINT)) AS h,
+       CAST(32 AS BIGINT) AS w, px_sum
+FROM s
+""",
     # exact mirror of multimodal.frame_sample geometry (16-byte frames,
     # every 4th sampled)
     "frame_sample": """

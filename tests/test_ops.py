@@ -1262,6 +1262,40 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
 
+    def test_bmp_roundtrip_exact(self):
+        import numpy as np
+
+        from kgx.multimodal import decode_bmp, encode_bmp
+
+        # deterministic pseudo-random bytes, non-multiple of a row
+        data = bytes((i * 37 + 11) % 256 for i in range(1000))
+        img = decode_bmp(encode_bmp(data, width=7))  # stride pad = 3
+        assert img.shape == (48, 7, 3)  # ceil(1000/21) = 48 rows
+        # undo RGB→ and row-major flatten recovers the padded bytes
+        flat = img[:, :, ::-1].reshape(-1)
+        assert bytes(flat[:1000]) == data
+        assert not flat[1000:].any()
+
+    def test_bmp_decoder_drives_feature_extractor(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from kgx.multimodal import FeatureExtractor, encode_bmp
+
+        data = b"hello bmp world" * 20
+        fx = FeatureExtractor(decoder="bmp")
+        df = pd.DataFrame({"doc_id": [1],
+                           "payload": [encode_bmp(data, width=8)]})
+        got = np.array(fx(df)["feature"].iloc[0])
+        # expected: projection of the DECODED pixel histogram =
+        # histogram of data bytes + grid-padding zeros
+        row = 3 * 8
+        h = -(-len(data) // row)
+        padded = data + b"\x00" * (h * row - len(data))
+        hist = np.bincount(np.frombuffer(padded, dtype=np.uint8),
+                           minlength=256).astype(np.float64)
+        assert np.array_equal(got, hist @ fx.W)
+
     def test_payload_resize_deterministic(self, ray_session):
         from kgx.multimodal import payload_resize
 
