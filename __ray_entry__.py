@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": traindata.dsir_weights,
         "token_quantiles": traindata.token_quantiles,
         "distinct_token_kmv": traindata.distinct_token_kmv,
+        "heavy_hitters": traindata.heavy_hitters,
+        "hll_distinct": traindata.hll_distinct,
+        "shard_corpus": traindata.shard_corpus,
+        "bpe_train": traindata.bpe_train,
         "inverted_index": traindata.inverted_index,
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,

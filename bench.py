@@ -154,6 +154,10 @@ def run_queries(sf_dir: str) -> dict:
         "temperature_mix": lambda: traindata.temperature_mix(sf_dir),
         "rrf_fusion": lambda: traindata.rrf_fusion(sf_dir),
         "gopher_filter": lambda: textops.gopher_filter(sf_dir),
+        "heavy_hitters": lambda: traindata.heavy_hitters(sf_dir),
+        "hll_distinct": lambda: traindata.hll_distinct(sf_dir),
+        "shard_corpus": lambda: traindata.shard_corpus(sf_dir),
+        "bpe_train": lambda: traindata.bpe_train(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),

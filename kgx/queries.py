@@ -1981,3 +1981,155 @@ try:
     DOC_ORACLES["pq_codes"] = _pq_codes_sql()
 except OSError:
     pass
+
+
+# exact replay of traindata.heavy_hitters: the Count-Min sketch cells
+# (md5-u64 row hashes mod 1024, depth 4), the min-over-rows estimate per
+# DISTINCT token, and the integer-permille threshold. CMS collisions —
+# the sketch's only approximation — are deterministic and reproduced by
+# the identical cell hash, so the estimates match bit-for-bit.
+DOC_ORACLES["heavy_hitters"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt
+), rws AS (
+  SELECT unnest([0, 1, 2, 3]) AS r
+), cells AS (
+  SELECT rws.r AS r,
+         CAST(('0x' || substr(md5(CAST(rws.r AS VARCHAR) || ':' || tok),
+                              1, 16))::UBIGINT % 1024 AS BIGINT) AS col,
+         CAST(sum(c) AS BIGINT) AS cell
+  FROM cnt CROSS JOIN rws GROUP BY 1, 2
+), est AS (
+  SELECT t.tok, min(ce.cell) AS est
+  FROM cnt t CROSS JOIN rws
+  JOIN cells ce ON ce.r = rws.r AND ce.col =
+    CAST(('0x' || substr(md5(CAST(rws.r AS VARCHAR) || ':' || t.tok),
+                         1, 16))::UBIGINT % 1024 AS BIGINT)
+  GROUP BY t.tok
+)
+SELECT e.tok, CAST(e.est AS BIGINT) AS est
+FROM est e, tot
+WHERE e.est >= (tot.n * 34 + 999) // 1000
+"""
+
+# exact replay of traindata.hll_distinct (p=8, 3-token shingles): md5-u64
+# shingle hashes, register j = top 8 bits, rho = leading zeros of the
+# 56-bit remainder + 1 (bit length via an exact power-of-two join, never
+# float log2), elementwise-max registers, and the estimator in exact
+# integer arithmetic — harmonic sum as HUGEINT sum of 2^(64-Mj), alpha
+# as the rational 7213*256000/(10^4*257079); the linear-counting branch
+# shares libm ln on an exactly-rounded m/V.
+DOC_ORACLES["hll_distinct"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+), h AS (
+  SELECT DISTINCT ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+                                  1, 16))::UBIGINT AS h
+  FROM pos
+), reg AS (
+  SELECT CAST(h >> 56 AS BIGINT) AS j,
+         h & CAST(72057594037927935 AS UBIGINT) AS v
+  FROM h
+), pw AS (
+  SELECT p, CAST(1 AS UBIGINT) << CAST(p AS INTEGER) AS tp
+  FROM range(0, 56) t(p)
+), bl AS (
+  SELECT reg.j, reg.v, coalesce(max(pw.p) + 1, 0) AS bitlen
+  FROM reg LEFT JOIN pw ON reg.v >= pw.tp
+  GROUP BY reg.j, reg.v
+), rho AS (
+  SELECT j, max(57 - bitlen) AS mj FROM bl GROUP BY j
+), regs AS (
+  SELECT r.j, coalesce(rho.mj, 0) AS mj
+  FROM range(0, 256) r(j) LEFT JOIN rho ON rho.j = r.j
+), agg AS (
+  SELECT sum(CAST('18446744073709551616' AS HUGEINT)
+             // (CAST(1 AS UBIGINT) << CAST(mj AS INTEGER))) AS s,
+         CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM regs
+), raw AS (
+  SELECT zeros,
+         CAST('2232315375841361980711845756928000' AS HUGEINT)
+           // (CAST(2570790000 AS HUGEINT) * s) AS est
+  FROM agg
+)
+SELECT CAST(256 AS BIGINT) AS m,
+       zeros AS zero_registers,
+       CAST(CASE WHEN est * 2 <= 1280 AND zeros > 0
+                 THEN CAST(floor(256.0 * ln(256.0 / zeros)) AS HUGEINT)
+                 ELSE est END AS BIGINT) AS est_distinct
+FROM raw
+"""
+
+# exact mirror of traindata.shard_corpus (seed=42, shard_size=100):
+# md5(seed:doc_id) global order, row_number rank, fixed-size shard cut
+DOC_ORACLES["shard_corpus"] = r"""
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                         1, 16))::UBIGINT AS key
+  FROM documents
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) - 1 AS rk
+  FROM k
+)
+SELECT doc_id, CAST(rk // 100 AS BIGINT) AS shard,
+       CAST(rk % 100 AS BIGINT) AS pos
+FROM r
+"""
+
+
+def _bpe_sql(num_merges: int = 4) -> str:
+    """Unrolled replay of traindata.bpe_train: word-frequency vocabulary,
+    per-round adjacent-pair counts over the evolving symbol sequences,
+    argmax with the (cnt DESC, l, r) tie rule, and a recursive-CTE
+    greedy left-to-right merge walk per round (the exact `_bpe_apply`
+    semantics — pinned equivalent by tests/test_ops.py)."""
+    parts = ["""
+WITH RECURSIVE vocab AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), w0 AS (
+  SELECT word, freq,
+         list_transform(generate_series(1, len(word)),
+                        i -> substr(word, i, 1)) AS seq
+  FROM vocab
+)"""]
+    for k in range(1, num_merges + 1):
+        prev = "w%d" % (k - 1)
+        parts.append(f""", p{k} AS (
+  SELECT seq[i] AS l, seq[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM {prev}, unnest(generate_series(1, len(seq) - 1)) t(i)
+  GROUP BY 1, 2
+), b{k} AS (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+)""")
+        if k < num_merges:
+            parts.append(f""", walk{k}(word, freq, seq, i, out) AS (
+  SELECT word, freq, seq, 1, CAST([] AS VARCHAR[]) FROM {prev}
+  UNION ALL
+  SELECT word, freq, seq, i + CASE WHEN hit THEN 2 ELSE 1 END,
+         list_append(out, CASE WHEN hit THEN seq[i] || seq[i+1]
+                               ELSE seq[i] END)
+  FROM (SELECT w.*, (w.i < len(w.seq) AND w.seq[w.i] = b.l
+                     AND w.seq[w.i+1] = b.r) AS hit
+        FROM walk{k} w CROSS JOIN b{k} b) t
+  WHERE i <= len(seq)
+), w{k} AS (
+  SELECT word, freq, out AS seq FROM walk{k} WHERE i > len(seq)
+)""")
+    sel = "\nUNION ALL ".join(
+        "SELECT CAST(%d AS BIGINT) AS rnd, l, r, cnt AS freq FROM b%d"
+        % (k, k) for k in range(1, num_merges + 1))
+    return "".join(parts) + "\n" + sel
+
+
+DOC_ORACLES["bpe_train"] = _bpe_sql()

@@ -1166,3 +1166,311 @@ def pack_sequences(sf_dir: str, capacity: int = 256, num_shards: int = 16):
     keyed = ds.map_batches(add_keys, batch_format="pandas")
     return keyed.groupby(["lang", "shard"]).map_groups(
         pack_cell, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Frequency / cardinality sketches (Count-Min, HyperLogLog)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(sf_dir: str, threshold_permille: int = 34,
+                  depth: int = 4, width: int = 1024):
+    """(tok, est) — corpus heavy hitters via a Count-Min sketch (Cormode
+    & Muthukrishnan 2005): tokens whose CMS frequency ESTIMATE is at
+    least ``ceil(threshold_permille/1000)`` of the total token count.
+
+    The canonical two-pass CMS heavy-hitter plan:
+
+    - pass 1 builds the sketch: each batch's combiner emits at most
+      ``depth × width`` (row, col, cnt) cells plus one total-count cell,
+      so the shuffle carries sketch cells, never token occurrences; the
+      merge is an order-independent integer hash aggregate. The finished
+      sketch is ``depth·width·8`` bytes REGARDLESS of corpus size.
+    - pass 2 broadcasts the sketch (closure capture — ~32 KB) back over
+      the corpus: per batch, DISTINCT tokens get a vectorized
+      min-over-rows estimate, only candidates with ``est ≥ T`` survive,
+      and a tiny groupby dedups candidates across batches.
+
+    CMS guarantees est ≥ true count, so every true heavy hitter is
+    reported (recall 1.0); over-threshold false positives from cell
+    collisions are possible but DETERMINISTIC (md5 row hashes), which is
+    what lets the SQL oracle replay the sketch — and its collisions —
+    bit-for-bit. Threshold is integer arithmetic (``(N·p + 999) //
+    1000``) so engine and oracle can never diverge on a float ceil.
+    """
+    ds = _read_documents(sf_dir, columns=["text"])
+    from .textops import token_hash64
+
+    def cell_cols(tok: str) -> list:
+        return [_md5_u64("%d:%s" % (r, tok)) % width for r in range(depth)]
+
+    def sketch_cells(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        rows, cols, cnts = [], [], []
+        for tok, c in vc.items():
+            for r, col in enumerate(cell_cols(tok)):
+                rows.append(r)
+                cols.append(col)
+                cnts.append(int(c))
+        rows.append(-1)
+        cols.append(0)
+        cnts.append(int(vc.sum()))
+        out = (pd.DataFrame({"r": rows, "c": cols, "cnt": cnts})
+               .groupby(["r", "c"], as_index=False)["cnt"].sum())
+        return pd.DataFrame({"r": out["r"].astype("int64"),
+                             "c": out["c"].astype("int64"),
+                             "cnt": out["cnt"].astype("int64")})
+
+    cells = (ds.map_batches(sketch_cells, batch_format="pandas")
+             .groupby(["r", "c"]).sum("cnt").to_pandas())
+    total = int(cells.loc[cells["r"] == -1, "sum(cnt)"].iloc[0])
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    body = cells[cells["r"] >= 0]
+    sketch[body["r"].to_numpy(), body["c"].to_numpy()] = (
+        body["sum(cnt)"].to_numpy())
+    thresh = (total * threshold_permille + 999) // 1000
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in df["text"]:
+            toks.update(t.split(" "))
+        toks = sorted(toks)
+        ests = [int(min(sketch[r, col]
+                        for r, col in enumerate(cell_cols(t))))
+                for t in toks]
+        out = pd.DataFrame({"tok": pd.Series(toks, dtype="object"),
+                            "est": pd.Series(ests, dtype="int64")})
+        return out[out["est"] >= thresh]
+
+    return (ds.map_batches(candidates, batch_format="pandas")
+            .groupby("tok").max("est")
+            .map_batches(lambda df: df.rename(columns={"max(est)": "est"}),
+                         batch_format="pandas"))
+
+
+def _hll_estimate(regs, m: int):
+    """(est, zero_registers) — the HLL estimator in EXACT arithmetic:
+    harmonic sum as Σ 2^(64−M_j) over Python bigints, α_m as the
+    rational 7213·256000/(10⁴·257079), one floor division; the
+    small-range branch (raw est ≤ 5m/2 with empty registers) is linear
+    counting ``floor(m·ln(m/V))`` on the shared libm ln. Mirrored
+    line-for-line by the SQL oracle (queries.DOC_ORACLES['hll_distinct'])."""
+    import math
+
+    s = sum(1 << (64 - int(r)) for r in regs)
+    est = (7213 * 256000 * m * m << 64) // (10000 * 257079 * s)
+    zeros = int(sum(1 for r in regs if r == 0))
+    if est * 2 <= 5 * m and zeros > 0:
+        est = int(math.floor(m * math.log(m / zeros)))
+    return est, zeros
+
+
+def hll_distinct(sf_dir: str, shingle_k: int = 3, p: int = 8):
+    """(m, zero_registers, est_distinct) — distinct-shingle cardinality
+    via HyperLogLog (Flajolet et al. 2007) with ``m = 2^p`` registers.
+
+    Register state is ``m`` bytes regardless of corpus size and merges
+    by ELEMENTWISE MAX — the property that makes HLL the sketch of
+    choice for distributed distinct counts: each batch's combiner emits
+    its local register maxima (≤ m rows), the reduce is one tiny
+    ``groupby(j).max()``. The estimator runs in EXACT integer
+    arithmetic: the harmonic sum is computed as ``Σ 2^(64−M_j)``
+    (dyadic terms scaled by 2^64, exact in Python bigints and DuckDB
+    HUGEINT) and the bias constant α_m = 0.7213/(1+1.079/m) as the
+    rational (7213·256000)/(10⁴·257079), so the raw estimate is one
+    floor division both engine- and oracle-side. The small-range branch
+    (est ≤ 5m/2 with empty registers → linear counting ``m·ln(m/V)``)
+    uses the shared libm ln on an exactly-rounded m/V, then floors —
+    bit-equal in DuckDB. Hashes are the shared md5-u64 over
+    space-joined ``shingle_k``-grams, so the sketch — an approximation —
+    still carries an EXACT oracle (same trick as distinct_token_kmv).
+    """
+    from .textops import token_hash64
+
+    m = 1 << p
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def registers(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.int64)
+        for t in df["text"]:
+            toks = t.split(" ")
+            for i in range(len(toks) - shingle_k + 1):
+                h = token_hash64(" ".join(toks[i:i + shingle_k]))
+                j = h >> (64 - p)
+                v = h & ((1 << (64 - p)) - 1)
+                rho = (64 - p) - v.bit_length() + 1
+                if rho > regs[j]:
+                    regs[j] = rho
+        return pd.DataFrame({"j": np.arange(m, dtype=np.int64),
+                             "rho": regs})
+
+    merged = (ds.map_batches(registers, batch_format="pandas")
+              .groupby("j").max("rho").to_pandas())
+    regs = np.zeros(m, dtype=np.int64)
+    regs[merged["j"].to_numpy()] = merged["max(rho)"].to_numpy()
+
+    est, zeros = _hll_estimate(regs, m)
+    return pd.DataFrame({"m": pd.Series([m], dtype="int64"),
+                         "zero_registers": pd.Series([zeros],
+                                                     dtype="int64"),
+                         "est_distinct": pd.Series([est], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Training-shard assembly (deterministic global shuffle)
+# ---------------------------------------------------------------------------
+
+
+def shard_corpus(sf_dir: str, shard_size: int = 100, seed: int = 42):
+    """(doc_id, shard, pos) — the deterministic global shuffle every
+    pretraining run needs before writing token shards: documents are
+    ordered by ``md5(seed:doc_id)`` (ties by doc_id) and cut into
+    fixed-size shards of ``shard_size`` docs, ``pos`` being the
+    document's slot within its shard.
+
+    Global RANK without a global sort materialization — the counting-
+    sort offset pattern: the md5 key's top byte routes each doc to one
+    of 256 key-range buckets; pass 1 is a tiny per-batch bucket-count
+    combiner (≤256 rows/batch) whose cumulative sums give every
+    bucket's global rank offset (driver-side, 256 rows); pass 2 is ONE
+    bucket co-group that sorts locally and adds the broadcast offset.
+    Each reduce task holds one key range — at 100 TB it would write its
+    own shard files right there (the exchange.py write-in-reduce
+    shape), and buckets are balanced by construction because md5 keys
+    are uniform. Oracle: ``row_number() OVER (ORDER BY key, doc_id)``.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        keys = np.array([_md5_u64("%d:%d" % (seed, d))
+                         for d in df["doc_id"]], dtype=np.uint64)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "key": keys,
+                             "bucket": (keys >> np.uint64(56)).astype(
+                                 "int64")})
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["bucket"].value_counts()
+        return pd.DataFrame({"bucket": vc.index.astype("int64"),
+                             "n": vc.values.astype("int64")})
+
+    with_key = ds.map_batches(keyed, batch_format="pandas")
+    counts = (with_key.map_batches(bucket_counts, batch_format="pandas")
+              .groupby("bucket").sum("n").to_pandas()
+              .sort_values("bucket"))
+    offsets = np.zeros(256, dtype=np.int64)
+    b = counts["bucket"].to_numpy()
+    n = counts["sum(n)"].to_numpy()
+    cum = np.concatenate([[0], np.cumsum(n)[:-1]])
+    offsets[b] = cum
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "doc_id"])
+        rk = offsets[int(df["bucket"].iloc[0])] + np.arange(len(df))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "shard": (rk // shard_size).astype("int64"),
+                             "pos": (rk % shard_size).astype("int64")})
+
+    return with_key.groupby("bucket").map_groups(
+        rank_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply(word: str, merges) -> list:
+    """Greedy left-to-right application of ``merges`` (in order) to the
+    character sequence of ``word`` — the reference BPE semantics
+    (non-overlapping, leftmost-first, identical to regex replace of
+    'a b'→'ab' and to the SQL oracle's recursive walk)."""
+    seq = list(word)
+    for a, b in merges:
+        out, i, n = [], 0, len(seq)
+        while i < n:
+            if i < n - 1 and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def bpe_train(sf_dir: str, num_merges: int = 4):
+    """(rnd, l, r, freq) — the first ``num_merges`` BPE merge rules
+    learned from the corpus (Sennrich et al. 2016): per round, the most
+    frequent adjacent symbol pair across the word vocabulary (weighted
+    by word frequency, ties to the lexicographically smallest pair),
+    then merged greedily left-to-right in every word.
+
+    The 100 TB shape mirrors how production tokenizer trainers work:
+    the CORPUS is read exactly once, collapsed into a word-frequency
+    vocabulary by a per-batch value_counts combiner + hash aggregate
+    (the shuffle carries vocabulary rows, never token occurrences).
+    Every merge round then runs over the materialized VOCABULARY
+    dataset only: a map-only pair-count combiner (current merge list —
+    K tiny rows — broadcast via closure; per-batch partial counts), a
+    small pair hash aggregate, and a per-batch top-1 combiner so the
+    driver picks the argmax from ≤ n_batches candidate rows. Nothing
+    corpus-sized moves after pass 1.
+
+    Oracle: the full replay — vocabulary CTE, per-round pair counts,
+    argmax with the same tie rule, and a recursive-CTE greedy
+    left-to-right merge walk per round (pinned equivalent to
+    ``_bpe_apply`` by the probe in tests).
+    """
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def wcounts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "freq": vc.values.astype("int64")})
+
+    vocab = (ds.map_batches(wcounts, batch_format="pandas")
+             .groupby("word").sum("freq")
+             .map_batches(lambda df: df.rename(
+                 columns={"sum(freq)": "freq"}), batch_format="pandas")
+             .materialize())
+
+    merges = []
+    for rnd in range(num_merges):
+        cur = [(a, b) for a, b, _ in merges]
+
+        def pair_counts(df: pd.DataFrame, _m=cur) -> pd.DataFrame:
+            agg = {}
+            for word, freq in zip(df["word"], df["freq"]):
+                seq = _bpe_apply(word, _m)
+                for i in range(len(seq) - 1):
+                    k = (seq[i], seq[i + 1])
+                    agg[k] = agg.get(k, 0) + int(freq)
+            ls = [k[0] for k in agg]
+            rs = [k[1] for k in agg]
+            return pd.DataFrame({"l": pd.Series(ls, dtype="string"),
+                                 "r": pd.Series(rs, dtype="string"),
+                                 "cnt": pd.Series(list(agg.values()),
+                                                  dtype="int64")})
+
+        def local_top1(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(columns={"sum(cnt)": "cnt"})
+            df = df.sort_values(["cnt", "l", "r"],
+                                ascending=[False, True, True])
+            return df.head(1)
+
+        tops = (vocab.map_batches(pair_counts, batch_format="pandas")
+                .groupby(["l", "r"]).sum("cnt")
+                .map_batches(local_top1, batch_format="pandas")
+                .to_pandas())
+        tops = tops.sort_values(["cnt", "l", "r"],
+                                ascending=[False, True, True])
+        best = tops.iloc[0]
+        merges.append((str(best["l"]), str(best["r"]), int(best["cnt"])))
+
+    return pd.DataFrame({
+        "rnd": pd.Series(range(1, num_merges + 1), dtype="int64"),
+        "l": [m[0] for m in merges],
+        "r": [m[1] for m in merges],
+        "freq": pd.Series([m[2] for m in merges], dtype="int64"),
+    })

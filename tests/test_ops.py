@@ -1414,3 +1414,131 @@ class TestNoOracleCrossChecks:
         }
         for text, want in cases.items():
             assert classify_lang(text) == want, text
+
+
+class TestSketchesAndShards:
+    def test_heavy_hitters_cms_guarantee(self, ray_session):
+        """CMS estimates dominate true counts, and every TRUE heavy
+        hitter is reported (recall 1.0 — the one-sided CMS guarantee)."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import heavy_hitters
+
+        out = heavy_hitters(SF).to_pandas()
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text"]).to_pandas()
+        true = docs["text"].str.split(" ").explode().value_counts()
+        total = int(true.sum())
+        thresh = (total * 34 + 999) // 1000
+        est = dict(zip(out["tok"], out["est"]))
+        # every reported estimate >= the true count (est never undercounts)
+        for tok, e in est.items():
+            assert e >= int(true[tok])
+        # every true heavy hitter is reported
+        for tok, c in true.items():
+            if int(c) >= thresh:
+                assert tok in est
+
+    def test_hll_estimate_branches(self):
+        """The exact-integer HLL estimator: raw harmonic branch on dense
+        registers, linear counting on sparse ones — both closed-form."""
+        import math
+
+        from kgx.traindata import _hll_estimate
+
+        m = 256
+        # sparse: 16 registers at rho=1, 240 empty -> linear counting
+        regs = [1] * 16 + [0] * 240
+        est, zeros = _hll_estimate(regs, m)
+        assert zeros == 240
+        assert est == int(math.floor(m * math.log(m / 240)))
+        # dense: all registers at rho=3 -> raw integer formula
+        regs = [3] * m
+        est, zeros = _hll_estimate(regs, m)
+        assert zeros == 0
+        s = m * (1 << 61)
+        assert est == (7213 * 256000 * m * m << 64) // (10000 * 257079 * s)
+
+    def test_hll_accuracy_vs_exact(self, ray_session):
+        """p=8 → ~6.5% standard error; assert within 20% of the exact
+        distinct-shingle count."""
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import hll_distinct
+
+        out = hll_distinct(SF)
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text"]).to_pandas()
+        sh = set()
+        for t in docs["text"]:
+            toks = t.split(" ")
+            for i in range(len(toks) - 2):
+                sh.add(" ".join(toks[i:i + 3]))
+        true = len(sh)
+        est = int(out["est_distinct"].iloc[0])
+        assert abs(est - true) <= 0.2 * true
+
+    def test_shard_corpus_is_a_partition(self, ray_session):
+        """Every doc appears exactly once; ranks are dense 0..N-1; every
+        shard except the last holds exactly shard_size docs."""
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import shard_corpus
+
+        out = shard_corpus(SF, shard_size=100).to_pandas()
+        n = len(pq.read_table(SF + "/documents.parquet",
+                              columns=["doc_id"]))
+        assert len(out) == n
+        assert out["doc_id"].nunique() == n
+        ranks = sorted(out["shard"] * 100 + out["pos"])
+        assert ranks == list(range(n))
+        sizes = out["shard"].value_counts()
+        full = sorted(sizes.index)[:-1]
+        assert all(sizes[s] == 100 for s in full)
+
+    def test_shard_corpus_deterministic(self, ray_session):
+        from kgx.traindata import shard_corpus
+
+        a = (shard_corpus(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (shard_corpus(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
+
+
+class TestBpeTrain:
+    def test_bpe_apply_greedy_left_to_right(self):
+        """The merge walk is greedy, leftmost-first, non-overlapping —
+        the semantics the SQL oracle's recursive CTE replays."""
+        from kgx.traindata import _bpe_apply
+
+        assert _bpe_apply("aaa", [("a", "a")]) == ["aa", "a"]
+        assert _bpe_apply("abab", [("a", "b")]) == ["ab", "ab"]
+        assert _bpe_apply("aabb", [("a", "b")]) == ["a", "ab", "b"]
+        # merges compose in order: (a,b) then (ab,ab)
+        assert _bpe_apply("abab", [("a", "b"), ("ab", "ab")]) == ["abab"]
+
+    def test_bpe_train_matches_local_reference(self, ray_session):
+        """The distributed trainer equals a pure-Python Sennrich-style
+        reference run on the same corpus."""
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import _bpe_apply, bpe_train
+
+        out = bpe_train(SF, num_merges=4)
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text"]).to_pandas()
+        freq = docs["text"].str.split(" ").explode().value_counts()
+        merges = []
+        for _ in range(4):
+            pairs = {}
+            for word, f in freq.items():
+                seq = _bpe_apply(word, merges)
+                for i in range(len(seq) - 1):
+                    k = (seq[i], seq[i + 1])
+                    pairs[k] = pairs.get(k, 0) + int(f)
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append(best[0])
+        got = list(zip(out["l"], out["r"]))
+        assert got == merges
