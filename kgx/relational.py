@@ -120,7 +120,7 @@ def orders_by_customer_nation(sf_dir: str, num_partitions=None):
 
 def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                       cutoff: str = "1998-01-01", k: int = 10,
-                      num_partitions=None):
+                      num_partitions=None, plan: str = "broadcast"):
     """TPC-H Q3 shape: top-``k`` unshipped orders of one market segment
     by revenue — the canonical 3-way join + aggregate + top-k. Revenue
     is integer-quantized PER LINE ITEM (floor(100·price·(1−disc)) —
@@ -131,13 +131,21 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     Scale shape: both date predicates push into the parquet read
     (row-group pruning); lineitem — the big side — pre-aggregates
-    revenue per orderkey inside each batch (combiner), so exchange 1
-    (hash(orderkey) co-group with date-filtered orders) carries distinct
-    orders, not line items; exchange 2 semi-joins the segment-filtered
-    customer keys on hash(custkey); the top-k runs as a per-partition
-    combiner into a single bounded reduce (≤ k·nparts rows), the same
-    shape as weighted_sample. No ``Dataset.join``, no full-table
-    broadcast, two bucketed all-to-alls total.
+    revenue per orderkey inside each batch (combiner), so the orderkey
+    exchange carries distinct orders, not line items; the top-k runs as
+    a per-partition combiner into a single bounded reduce (≤ k·nparts
+    rows), the same shape as weighted_sample. Two PLANS, pinned
+    result-identical (tests/test_ops.py):
+
+    - ``plan="broadcast"`` (default): the segment-filtered customer
+      KEYS (≈1/5 of custkeys — int64s, ~1.6 GB per 10⁹ customers) ship
+      once via ``ray.put`` into a per-worker cache; orders are
+      semi-join-filtered MAP-SIDE before the orderkey exchange, which
+      both removes the second all-to-all entirely and shrinks the
+      orders side of the remaining one ~5×. ONE data-sized exchange.
+    - ``plan="exchange"``: the huge-customer fallback — a second
+      hash(custkey) co-group semi-join instead of the broadcast, for
+      the regime where the filtered key set no longer fits a worker.
     """
     import datetime
 
@@ -229,6 +237,43 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             "o_orderdate": pd.to_datetime(o["od"], unit="D")
             .dt.strftime("%Y-%m-%d"),
             "o_orderpriority": o["prio"]})
+
+    if plan == "broadcast":
+        from .traindata import _bcast_get
+
+        keys = np.sort(customer.to_pandas()["c_custkey"]
+                       .to_numpy(dtype="int64"))
+        keys_ref = ray.put(keys)
+
+        def li_slim(df: pd.DataFrame) -> pd.DataFrame:
+            out = li_partial(df)
+            return out[["k", "rev", "od", "prio", "part", "side"]]
+
+        def o_rows_b(df: pd.DataFrame) -> pd.DataFrame:
+            ks = _bcast_get(keys_ref)
+            df = df[np.isin(df["o_custkey"].to_numpy(dtype="int64"), ks)]
+            out = o_rows(df)
+            return out[["k", "rev", "od", "prio", "part", "side"]]
+
+        def join_topk(df: pd.DataFrame) -> pd.DataFrame:
+            li = df[df["side"] == 0]
+            rev = li.groupby("k", as_index=False)["rev"].sum()
+            o = df[df["side"] == 1][["k", "od", "prio"]]
+            m = o.merge(rev, on="k", how="inner")
+            m = m.sort_values(["rev", "od", "k"],
+                              ascending=[False, True, True]).head(k)
+            return pd.DataFrame({"k": m["k"].astype("int64"),
+                                 "rev": m["rev"].astype("int64"),
+                                 "od": m["od"].astype("int64"),
+                                 "prio": m["prio"], "g": np.int8(0)})
+
+        return (lineitem.map_batches(li_slim, batch_format="pandas")
+                .union(orders.map_batches(o_rows_b,
+                                          batch_format="pandas"))
+                .groupby("part")
+                .map_groups(join_topk, batch_format="pandas")
+                .groupby("g").map_groups(topk_final,
+                                         batch_format="pandas"))
 
     joined = (lineitem.map_batches(li_partial, batch_format="pandas")
               .union(orders.map_batches(o_rows, batch_format="pandas"))

@@ -1076,6 +1076,20 @@ class TestTrainData:
         again = shipping_priority(SF).to_pandas()
         assert df.values.tolist() == again.values.tolist()
 
+    def test_shipping_priority_plans_agree(self, ray_session):
+        """The broadcast semi-join plan (one exchange) and the
+        hash(custkey) co-group plan (huge-customer fallback) return the
+        same rows."""
+        from kgx.relational import shipping_priority
+
+        cols = ["l_orderkey", "revenue_q2", "o_orderdate",
+                "o_orderpriority"]
+        a = (shipping_priority(SF, plan="broadcast").to_pandas()
+             .sort_values(cols).reset_index(drop=True))
+        b = (shipping_priority(SF, plan="exchange").to_pandas()
+             .sort_values(cols).reset_index(drop=True))
+        assert a.equals(b)
+
     def test_gopher_filter_rules_live(self, ray_session):
         from kgx.textops import gopher_filter
 
