@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": traindata.hll_distinct,
         "shard_corpus": traindata.shard_corpus,
         "bpe_train": traindata.bpe_train,
+        "bpe_encode": traindata.bpe_encode,
         "inverted_index": traindata.inverted_index,
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,

@@ -158,6 +158,7 @@ def run_queries(sf_dir: str) -> dict:
         "hll_distinct": lambda: traindata.hll_distinct(sf_dir),
         "shard_corpus": lambda: traindata.shard_corpus(sf_dir),
         "bpe_train": lambda: traindata.bpe_train(sf_dir),
+        "bpe_encode": lambda: traindata.bpe_encode(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),

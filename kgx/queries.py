@@ -2086,12 +2086,12 @@ FROM r
 """
 
 
-def _bpe_sql(num_merges: int = 4) -> str:
-    """Unrolled replay of traindata.bpe_train: word-frequency vocabulary,
-    per-round adjacent-pair counts over the evolving symbol sequences,
-    argmax with the (cnt DESC, l, r) tie rule, and a recursive-CTE
-    greedy left-to-right merge walk per round (the exact `_bpe_apply`
-    semantics — pinned equivalent by tests/test_ops.py)."""
+def _bpe_chain(num_merges: int, walk_through_last: bool) -> str:
+    """The shared unrolled-BPE CTE chain (vocabulary, per-round pair
+    counts p{k}, argmax b{k}, recursive greedy merge walks w{k}) used by
+    both the bpe_train and bpe_encode oracles. With
+    ``walk_through_last`` the chain also applies the LAST learned merge,
+    ending at w{num_merges} (what bpe_encode tokenizes with)."""
     parts = ["""
 WITH RECURSIVE vocab AS (
   SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
@@ -2112,7 +2112,7 @@ WITH RECURSIVE vocab AS (
 ), b{k} AS (
   SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
 )""")
-        if k < num_merges:
+        if k < num_merges or walk_through_last:
             parts.append(f""", walk{k}(word, freq, seq, i, out) AS (
   SELECT word, freq, seq, 1, CAST([] AS VARCHAR[]) FROM {prev}
   UNION ALL
@@ -2126,10 +2126,37 @@ WITH RECURSIVE vocab AS (
 ), w{k} AS (
   SELECT word, freq, out AS seq FROM walk{k} WHERE i > len(seq)
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql(num_merges: int = 4) -> str:
+    """Unrolled replay of traindata.bpe_train: word-frequency vocabulary,
+    per-round adjacent-pair counts over the evolving symbol sequences,
+    argmax with the (cnt DESC, l, r) tie rule, and a recursive-CTE
+    greedy left-to-right merge walk per round (the exact `_bpe_apply`
+    semantics — pinned equivalent by tests/test_ops.py)."""
     sel = "\nUNION ALL ".join(
         "SELECT CAST(%d AS BIGINT) AS rnd, l, r, cnt AS freq FROM b%d"
         % (k, k) for k in range(1, num_merges + 1))
-    return "".join(parts) + "\n" + sel
+    return _bpe_chain(num_merges, walk_through_last=False) + "\n" + sel
+
+
+def _bpe_encode_sql(num_merges: int = 4) -> str:
+    """Replay of traindata.bpe_encode: the same trained merge chain
+    applied THROUGH the last merge (w{K}), then every document's words
+    joined to their final symbol-sequence lengths."""
+    return _bpe_chain(num_merges, walk_through_last=True) + f"""
+, wl AS (
+  SELECT word, CAST(len(seq) AS BIGINT) AS n FROM w{num_merges}
+), dt AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wl.n) AS BIGINT) AS n_bpe_tokens
+FROM dt d JOIN wl USING (word)
+GROUP BY d.doc_id
+"""
 
 
 DOC_ORACLES["bpe_train"] = _bpe_sql()
+DOC_ORACLES["bpe_encode"] = _bpe_encode_sql()

@@ -1474,3 +1474,40 @@ def bpe_train(sf_dir: str, num_merges: int = 4):
         "r": [m[1] for m in merges],
         "freq": pd.Series([m[2] for m in merges], dtype="int64"),
     })
+
+
+def bpe_encode(sf_dir: str, num_merges: int = 4):
+    """(doc_id, n_words, n_bpe_tokens) — tokenize the corpus with the
+    BPE merge table trained by ``bpe_train`` on the same corpus: every
+    word's final symbol count after applying all ``num_merges`` merges
+    greedily left-to-right, summed per document.
+
+    Train-then-apply is the production tokenizer shape: training runs
+    over the vocabulary (see bpe_train), then the K-row merge table is
+    broadcast via closure into ONE map-only encoding pass over the
+    corpus — no shuffle at all in the apply stage, and a per-worker
+    word→length cache amortizes the merge walk to once per distinct
+    word. Oracle: the shared unrolled merge chain applied through the
+    last merge, joined to each document's words.
+    """
+    trained = bpe_train(sf_dir, num_merges=num_merges)
+    merges = list(zip(trained["l"], trained["r"]))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def encode(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        def wlen(w: str) -> int:
+            n = _cache.get(w)
+            if n is None:
+                n = len(_bpe_apply(w, merges))
+                _cache[w] = n
+            return n
+
+        toks = df["text"].str.split(" ")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": toks.str.len().astype("int64"),
+            "n_bpe_tokens": toks.map(
+                lambda ws: sum(wlen(w) for w in ws)).astype("int64"),
+        })
+
+    return ds.map_batches(encode, batch_format="pandas")

@@ -1556,3 +1556,24 @@ class TestBpeTrain:
             merges.append(best[0])
         got = list(zip(out["l"], out["r"]))
         assert got == merges
+
+    def test_bpe_encode_bounds(self, ray_session):
+        """Per-doc BPE token counts sit between the word count (every
+        word is ≥1 symbol) and the character count (merges only shrink),
+        and each merge round can only reduce the total."""
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import bpe_encode
+
+        out = (bpe_encode(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        docs = (pq.read_table(SF + "/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        chars = (docs["text"].str.len()
+                 - docs["text"].str.count(" ")).to_numpy()
+        assert (out["n_bpe_tokens"].to_numpy() <= chars).all()
+        assert (out["n_bpe_tokens"] >= out["n_words"]).all()
+        fewer = bpe_encode(SF, num_merges=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert (out["n_bpe_tokens"] <= fewer["n_bpe_tokens"]).all()
