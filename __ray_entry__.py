@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,
+        "decontaminate_bloom": traindata.decontaminate_bloom,
         "dsir_weights": traindata.dsir_weights,
         "token_quantiles": traindata.token_quantiles,
         "distinct_token_kmv": traindata.distinct_token_kmv,

@@ -146,6 +146,7 @@ def run_queries(sf_dir: str) -> dict:
         "kmeans_clusters": lambda: simsearch.kmeans_clusters(sf_dir),
         "semantic_dedup": lambda: dedup.semantic_dedup(sf_dir),
         "decontaminate": lambda: traindata.decontaminate(sf_dir),
+        "decontaminate_bloom": lambda: traindata.decontaminate_bloom(sf_dir),
         "pack_sequences": lambda: traindata.pack_sequences(sf_dir),
         "curate_corpus": lambda: traindata.curate_corpus(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),

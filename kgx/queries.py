@@ -2160,3 +2160,39 @@ GROUP BY d.doc_id
 
 DOC_ORACLES["bpe_train"] = _bpe_sql()
 DOC_ORACLES["bpe_encode"] = _bpe_encode_sql()
+
+
+# exact replay of traindata.decontaminate_bloom: the holdout shingles'
+# bloom bit positions (md5, 2 hash fns, 2^16 bits), then per train doc
+# the count of DISTINCT shingles whose every position is set — the
+# filter's deterministic false positives included
+DOC_ORACLES["decontaminate_bloom"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+  FROM toks WHERE len(t) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM pos
+), hs AS (
+  SELECT unnest([0, 1]) AS h
+), bits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(hs.h AS VARCHAR) || ':' || s.shingle),
+                         1, 16))::UBIGINT % 65536 AS BIGINT) AS p
+  FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 7) s
+  CROSS JOIN hs
+), flagged AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s
+  WHERE s.doc_id % 50 <> 7 AND NOT EXISTS (
+    SELECT 1 FROM hs
+    WHERE CAST(('0x' || substr(md5(CAST(hs.h AS VARCHAR) || ':'
+                               || s.shingle), 1, 16))::UBIGINT
+               % 65536 AS BIGINT) NOT IN (SELECT p FROM bits)
+  )
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+FROM flagged GROUP BY doc_id
+"""

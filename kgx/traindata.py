@@ -1511,3 +1511,55 @@ def bpe_encode(sf_dir: str, num_merges: int = 4):
         })
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def decontaminate_bloom(sf_dir: str, shingle_k: int = SHINGLE_K,
+                        bench_mod: int = BENCH_MOD,
+                        bench_rem: int = BENCH_REM,
+                        m_bits: int = 1 << 16, n_hashes: int = 2):
+    """(doc_id, n_bloom_hits) — benchmark decontamination through a
+    BLOOM FILTER of the holdout's shingles: the constant-memory plan for
+    when even the distinct holdout-shingle SET is too big to broadcast
+    (the bit array is ``m_bits/8`` bytes — here 8 KB — independent of
+    shingle count; a 10⁹-shingle holdout at 1% FP is ~1.2 GB of bits vs
+    ~50 GB of strings).
+
+    Same zero-all-to-all shape as decontaminate_broadcast: the packed
+    bit array ships once via ``ray.put`` into a per-worker cache and
+    every flag is computed in the scan. Bloom false positives — the
+    plan's only approximation — are DETERMINISTIC (md5 bit positions),
+    so the SQL oracle replays the filter, including its FPs, exactly:
+    ``n_bloom_hits ≥ n_shared_shingles`` per doc, with equality unless a
+    non-holdout shingle collides on all ``n_hashes`` positions.
+    """
+    import ray
+
+    bench = _bench_shingle_set(sf_dir, shingle_k, bench_mod, bench_rem)
+    bits = np.zeros(m_bits, dtype=bool)
+    for s in bench:
+        for h in range(n_hashes):
+            bits[_md5_u64("%d:%s" % (h, s)) % m_bits] = True
+    ref = ray.put(np.packbits(bits))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def count_hits(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.unpackbits(_bcast_get(ref)).astype(bool)
+        t = df[df["doc_id"] % bench_mod != bench_rem]
+        ids, hits = [], []
+        for doc_id, text in zip(t["doc_id"], t["text"]):
+            toks = text.split(" ")
+            if len(toks) < shingle_k:
+                continue
+            sh = {" ".join(toks[i:i + shingle_k])
+                  for i in range(len(toks) - shingle_k + 1)}
+            n = sum(1 for s in sh
+                    if all(b[_md5_u64("%d:%s" % (h, s)) % m_bits]
+                           for h in range(n_hashes)))
+            if n:
+                ids.append(int(doc_id))
+                hits.append(n)
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "n_bloom_hits": pd.Series(hits,
+                                                       dtype="int64")})
+
+    return ds.map_batches(count_hits, batch_format="pandas")

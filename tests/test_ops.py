@@ -1577,3 +1577,17 @@ class TestBpeTrain:
         fewer = bpe_encode(SF, num_merges=2).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
         assert (out["n_bpe_tokens"] <= fewer["n_bpe_tokens"]).all()
+
+    def test_decontaminate_bloom_dominates_exact(self, ray_session):
+        """Bloom membership never misses: per-doc bloom hits >= the
+        exact shared-shingle count, and every exactly-contaminated doc
+        is flagged (false positives only, never false negatives)."""
+        from kgx.traindata import decontaminate, decontaminate_bloom
+
+        exact = (decontaminate(SF).to_pandas()
+                 .set_index("doc_id")["n_shared_shingles"])
+        bloom = (decontaminate_bloom(SF).to_pandas()
+                 .set_index("doc_id")["n_bloom_hits"])
+        assert set(exact.index) <= set(bloom.index)
+        for d, n in exact.items():
+            assert bloom[d] >= n
