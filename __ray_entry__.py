@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_score": textops.bigram_lm_score,
         "tfidf_keywords": textops.tfidf_keywords,
         "pmi_bigrams": textops.pmi_bigrams,
+        "rollup_stats": textops.rollup_stats,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": events.funnel_stages,
         "props_stats": events.props_stats,
         "cohort_retention": events.cohort_retention,
+        "running_totals": events.running_totals,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
@@ -129,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "bmp_pixel_stats": multimodal.bmp_pixel_stats,
+        "wav_pcm_stats": multimodal.wav_pcm_stats,
         "payload_features": multimodal.payload_features,
         "payload_features_vals": multimodal.payload_features_vals,
         "payload_resize": multimodal.payload_resize,

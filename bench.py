@@ -160,6 +160,8 @@ def run_queries(sf_dir: str) -> dict:
         "shard_corpus": lambda: traindata.shard_corpus(sf_dir),
         "bpe_train": lambda: traindata.bpe_train(sf_dir),
         "bpe_encode": lambda: traindata.bpe_encode(sf_dir),
+        "running_totals": lambda: events.running_totals(sf_dir),
+        "rollup_stats": lambda: textops.rollup_stats(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),

@@ -10,6 +10,7 @@ one user's events fit one bucket partition (they hash together by key).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 _GAP_MINUTES = 30
@@ -292,3 +293,46 @@ def cohort_retention(sf_dir: str):
             .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
             .groupby(["cohort_day", "day_offset"]).sum("n")
             .map_batches(rename, batch_format="pandas"))
+
+
+def running_totals(sf_dir: str):
+    """(event_id, user_id, cum_value_q2) — the classic cumulative window
+    function: per-user running sum of ``value`` in (ts, event_id) order,
+    ``SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id)``.
+
+    Values are quantized per EVENT (floor(100·value) — one exactly-
+    rounded float64 multiply) so the running sums are integer and
+    therefore association-free: the engine's vectorized pandas cumsum
+    and DuckDB's window aggregate (which may sum in a different tree
+    shape) agree bit-for-bit. One hash(user) bucket exchange; the
+    cumulative walk is vectorized across ALL users in the bucket
+    (sort + groupby-cumsum), the same shape as sessionize.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                       "value"])
+    nparts = _nparts()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"],
+            "vq": np.floor(100.0 * df["value"].to_numpy(dtype="float64"))
+            .astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(df["user_id"],
+                                                  index=False)
+                       % nparts).astype("int32"),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        cum = df.groupby("user_id")["vq"].cumsum()
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "cum_value_q2": cum.astype("int64"),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))

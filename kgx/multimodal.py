@@ -355,3 +355,78 @@ def bmp_pixel_stats(sf_dir: str, width: int = 32, batch_size: int = 64):
         })
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+def encode_wav(data: bytes, sample_rate: int = 8000) -> bytes:
+    """Pack raw bytes into a standard RIFF/WAVE file (PCM, mono,
+    16-bit little-endian; input zero-padded to a whole sample).
+    Deterministic, pure stdlib — the audio counterpart of
+    ``encode_bmp``."""
+    import struct
+
+    body = data + b"\x00" * (len(data) % 2)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decode, no codec libraries needed: walk the RIFF
+    chunk list (any chunk order, unknown chunks skipped, odd-sized
+    chunks padded per spec), validate PCM/mono/16-bit from the ``fmt ``
+    chunk, and return the ``data`` chunk as an int16 sample array. A
+    wrong chunk walk, endianness or sample width changes the output and
+    fails the oracle."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are even-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if fmt[0] != 1 or fmt[1] != 1 or fmt[5] != 16:
+        raise ValueError("only PCM mono 16-bit")
+    return np.frombuffer(data, dtype="<i2")
+
+
+def wav_pcm_stats(sf_dir: str, batch_size: int = 64):
+    """(doc_id, n_samples, amp_sum) — the END-TO-END REAL audio decode
+    stage: each document's bytes become a genuine RIFF/WAVE PCM16 file
+    (``encode_wav``, standing in for stored audio payloads), DECODED FOR
+    REAL by the chunk-walking ``decode_wav``, and reduced to sample
+    stats (count + total absolute amplitude).
+
+    The SQL oracle replays it because the synthesis is deterministic:
+    sample i = byte(2i) + 256·byte(2i+1) interpreted signed — a wrong
+    chunk offset, endianness or sample width changes amp_sum and fails
+    the hash. Map-only over small batches, same shape as
+    bmp_pixel_stats."""
+    import ray.data
+
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ns, amps = [], []
+        for text in df["text"]:
+            s = decode_wav(encode_wav(text.encode("utf-8")))
+            ns.append(len(s))
+            amps.append(int(np.abs(s.astype(np.int64)).sum()))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_samples": pd.Series(ns, dtype="int64"),
+            "amp_sum": pd.Series(amps, dtype="int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)

@@ -2196,3 +2196,47 @@ WITH toks AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
 FROM flagged GROUP BY doc_id
 """
+
+
+# exact mirror of events.running_totals: per-event integer quantization
+# (floor(100*value) — one exactly-rounded float64 multiply on both
+# sides) makes the running sum association-free, so DuckDB's window
+# aggregate and the engine's vectorized cumsum agree bit-for-bit
+DOC_ORACLES["running_totals"] = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(100 * value) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS cum_value_q2
+FROM events
+"""
+
+# exact mirror of textops.rollup_stats: GROUP BY ROLLUP with the same
+# '*' sentinel for subtotal slots
+DOC_ORACLES["rollup_stats"] = """
+SELECT coalesce(lang, '*') AS lang, coalesce(source, '*') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+# exact replay of multimodal.wav_pcm_stats: the synthesized PCM16 stream
+# is the document's UTF-8 bytes (ASCII corpus → chars are the bytes)
+# zero-padded to a whole sample; sample i = b(2i) + 256*b(2i+1) signed
+DOC_ORACLES["wav_pcm_stats"] = """
+WITH ch AS (
+  SELECT doc_id, text, len(text) AS n,
+         unnest(generate_series(1, (len(text) + 1) // 2)) AS i
+  FROM documents
+), smp AS (
+  SELECT doc_id,
+         ascii(substr(text, 2*i - 1, 1))
+         + 256 * (CASE WHEN 2*i <= n THEN ascii(substr(text, 2*i, 1))
+                       ELSE 0 END) AS x
+  FROM ch
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN x < 32768 THEN x ELSE 65536 - x END)
+            AS BIGINT) AS amp_sum
+FROM smp GROUP BY doc_id
+"""

@@ -727,3 +727,41 @@ def pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 100):
     return (ds.map_batches(bigram_partials, batch_format="pandas")
             .groupby("part").map_groups(score_bucket, batch_format="pandas")
             .groupby("g").map_groups(final_topk, batch_format="pandas"))
+
+
+def rollup_stats(sf_dir: str):
+    """(lang, source, n_docs, n_tokens) — the multi-level ROLLUP
+    aggregate (detail, per-lang subtotal, grand total; subtotal slots
+    hold ``'*'``) computed in ONE exchange: the per-batch combiner emits
+    every grouping-set row pre-aggregated (≤ 3× the batch's distinct
+    (lang, source) pairs — bounded by the key domain, never by rows), so
+    the shuffle carries subtotal partials, not documents, and the reduce
+    is a plain hash aggregate. The 100 TB shape for OLAP-style rollups:
+    no second pass per grouping level.
+    """
+    ds = _read_documents(sf_dir, columns=["lang", "source", "text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({
+            "lang": df["lang"],
+            "source": df["source"],
+            "n_docs": np.int64(1),
+            "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+        })
+        levels = [base,
+                  base.assign(source="*"),
+                  base.assign(lang="*", source="*")]
+        out = (pd.concat(levels, ignore_index=True)
+               .groupby(["lang", "source"], as_index=False)
+               [["n_docs", "n_tokens"]].sum())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"sum(n_docs)": "n_docs",
+                                  "sum(n_tokens)": "n_tokens"})
+
+    return (ds.map_batches(partials, batch_format="pandas")
+            .groupby(["lang", "source"]).sum(["n_docs", "n_tokens"])
+            .map_batches(rename, batch_format="pandas"))

@@ -1591,3 +1591,88 @@ class TestBpeTrain:
         assert set(exact.index) <= set(bloom.index)
         for d, n in exact.items():
             assert bloom[d] >= n
+
+
+class TestWavDecode:
+    def test_wav_roundtrip_exact(self):
+        """decode(encode(bytes)) equals the struct-unpacked reference,
+        including negative samples (high bytes ≥ 0x80)."""
+        import struct
+
+        import numpy as np
+
+        from kgx.multimodal import decode_wav, encode_wav
+
+        data = bytes((7 * i + 13) % 256 for i in range(257))  # odd length
+        s = decode_wav(encode_wav(data))
+        padded = data + b"\x00"
+        ref = struct.unpack("<%dh" % (len(padded) // 2), padded)
+        assert s.tolist() == list(ref)
+        assert (np.array(ref) < 0).any()  # the signed path is exercised
+
+    def test_wav_chunk_walker_skips_unknown_chunks(self):
+        """A LIST chunk (odd-sized, pad byte per RIFF spec) inserted
+        before data must not shift the decode."""
+        import struct
+
+        from kgx.multimodal import decode_wav, encode_wav
+
+        wav = bytearray(encode_wav(b"abcd"))
+        extra = b"LIST" + struct.pack("<I", 3) + b"junk"  # 3 + pad byte
+        di = wav.index(b"data")
+        patched = bytes(wav[:di]) + extra + bytes(wav[di:])
+        patched = (patched[:4]
+                   + struct.pack("<I", len(patched) - 8) + patched[8:])
+        assert decode_wav(patched).tolist() == decode_wav(bytes(wav)).tolist()
+
+    def test_wav_rejects_non_pcm(self):
+        import struct
+
+        import pytest as _pytest
+
+        from kgx.multimodal import decode_wav, encode_wav
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"RIFX" + b"\x00" * 40)
+        wav = bytearray(encode_wav(b"abcd"))
+        fi = wav.index(b"fmt ") + 8
+        wav[fi:fi + 2] = struct.pack("<H", 85)  # mp3 codec id
+        with _pytest.raises(ValueError):
+            decode_wav(bytes(wav))
+
+
+class TestWindowAndRollup:
+    def test_running_totals_matches_local(self, ray_session):
+        """Per-user cumulative sums equal a single-process pandas replay."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.events import running_totals
+
+        out = (running_totals(SF).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        ev = (pq.read_table(SF + "/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+              .to_pandas().sort_values(["user_id", "ts", "event_id"]))
+        ev["vq"] = np.floor(100.0 * ev["value"].to_numpy()).astype("int64")
+        ev["cum"] = ev.groupby("user_id")["vq"].cumsum()
+        ref = ev.set_index("event_id")["cum"].sort_index()
+        got = out.set_index("event_id")["cum_value_q2"].sort_index()
+        assert (got == ref).all()
+
+    def test_rollup_levels_consistent(self, ray_session):
+        """Detail rows sum to their lang subtotal; lang subtotals sum to
+        the grand total."""
+        from kgx.textops import rollup_stats
+
+        df = rollup_stats(SF).to_pandas()
+        detail = df[(df["lang"] != "*") & (df["source"] != "*")]
+        lang_sub = df[(df["lang"] != "*") & (df["source"] == "*")]
+        grand = df[(df["lang"] == "*") & (df["source"] == "*")]
+        assert len(grand) == 1
+        assert grand["n_docs"].iloc[0] == detail["n_docs"].sum()
+        assert grand["n_tokens"].iloc[0] == detail["n_tokens"].sum()
+        for _, row in lang_sub.iterrows():
+            d = detail[detail["lang"] == row["lang"]]
+            assert row["n_docs"] == d["n_docs"].sum()
+            assert row["n_tokens"] == d["n_tokens"].sum()
