@@ -161,6 +161,7 @@ def run_queries(sf_dir: str) -> dict:
         "bpe_train": lambda: traindata.bpe_train(sf_dir),
         "bpe_encode": lambda: traindata.bpe_encode(sf_dir),
         "running_totals": lambda: events.running_totals(sf_dir),
+        "range_join_counts": lambda: events.range_join_counts(sf_dir),
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),

@@ -336,3 +336,64 @@ def running_totals(sf_dir: str):
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas"))
+
+
+def range_join_counts(sf_dir: str, left_type: str = "purchase",
+                      right_type: str = "view",
+                      window_minutes: int = 60):
+    """(event_id, n_right_in_window) — the RANGE (band) JOIN: for every
+    ``left_type`` event, the number of same-user ``right_type`` events
+    with ``ts ∈ [left.ts − window, left.ts)`` (strictly earlier;
+    microsecond-exact integer bounds on both sides).
+
+    Ray Data has no range-join primitive; the scalable composition is
+    the same co-partition the as-of join uses — ONE hash(user) exchange
+    puts every user's lefts and rights in the same partition — and the
+    band COUNT per left is two vectorized ``searchsorted`` probes into
+    the user's sorted right-timestamp array (O((L+R)·log R) per
+    partition, never a per-pair expansion, so a hot user cannot blow up
+    a task the way a naive interval cross-join would). The partitioning
+    assumption (one user fits one partition) is the documented
+    sessionize contract.
+    """
+    delta = np.int64(window_minutes) * 60_000_000
+    ds = _read_events(sf_dir, columns=["event_id", "ts", "user_id",
+                                       "event_type"])
+    nparts = _nparts()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin([left_type, right_type])]
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "ts_us": ((df["ts"] - pd.Timestamp(0))
+                      // pd.Timedelta(microseconds=1)).astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "is_left": (df["event_type"] == left_type),
+            "bucket": (pd.util.hash_pandas_object(df["user_id"],
+                                                  index=False)
+                       % nparts).astype("int32"),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rights = {u: np.sort(g["ts_us"].to_numpy())
+                  for u, g in df[~df["is_left"]].groupby("user_id")}
+        left = df[df["is_left"]]
+        out_id, out_n = [], []
+        for u, g in left.groupby("user_id"):
+            arr = rights.get(u)
+            ts = g["ts_us"].to_numpy()
+            if arr is None:
+                n = np.zeros(len(g), dtype=np.int64)
+            else:
+                n = (np.searchsorted(arr, ts, side="left")
+                     - np.searchsorted(arr, ts - delta, side="left"))
+            out_id.extend(g["event_id"].tolist())
+            out_n.extend(n.tolist())
+        return pd.DataFrame({
+            "event_id": pd.Series(out_id, dtype="int64"),
+            "n_right_in_window": pd.Series(out_n, dtype="int64"),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))

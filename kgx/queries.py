@@ -2240,3 +2240,15 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
             AS BIGINT) AS amp_sum
 FROM smp GROUP BY doc_id
 """
+
+
+# exact mirror of events.range_join_counts: LEFT band self-join on
+# (user, ts in [p.ts - 60 min, p.ts)), microsecond-exact on both sides
+DOC_ORACLES["range_join_counts"] = """
+SELECT p.event_id, CAST(count(v.event_id) AS BIGINT) AS n_right_in_window
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""

@@ -1676,3 +1676,25 @@ class TestWindowAndRollup:
             d = detail[detail["lang"] == row["lang"]]
             assert row["n_docs"] == d["n_docs"].sum()
             assert row["n_tokens"] == d["n_tokens"].sum()
+
+    def test_range_join_counts_matches_local(self, ray_session):
+        """The banded self-join equals a direct per-purchase interval
+        count, including the [ts-60min, ts) boundary semantics."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.events import range_join_counts
+
+        out = (range_join_counts(SF).to_pandas()
+               .set_index("event_id")["n_right_in_window"].sort_index())
+        ev = pq.read_table(SF + "/events.parquet",
+                           columns=["event_id", "ts", "user_id",
+                                    "event_type"]).to_pandas()
+        views = ev[ev["event_type"] == "view"]
+        delta = pd.Timedelta(minutes=60)
+        ref = {}
+        for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+            v = views[views["user_id"] == p["user_id"]]
+            ref[int(p["event_id"])] = int(
+                ((v["ts"] < p["ts"]) & (v["ts"] >= p["ts"] - delta)).sum())
+        assert dict(out) == ref
