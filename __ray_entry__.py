@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": textops.tfidf_keywords,
         "pmi_bigrams": textops.pmi_bigrams,
         "rollup_stats": textops.rollup_stats,
+        "freq_spectrum": textops.freq_spectrum,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,

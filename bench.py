@@ -163,6 +163,7 @@ def run_queries(sf_dir: str) -> dict:
         "running_totals": lambda: events.running_totals(sf_dir),
         "range_join_counts": lambda: events.range_join_counts(sf_dir),
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
+        "freq_spectrum": lambda: textops.freq_spectrum(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),

@@ -2252,3 +2252,16 @@ FROM events p LEFT JOIN events v
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 """
+
+
+# exact mirror of textops.freq_spectrum: count-of-counts over the
+# token-frequency table (the Good–Turing N_k input)
+DOC_ORACLES["freq_spectrum"] = """
+WITH cnt AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT CAST(c AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_types
+FROM cnt GROUP BY c
+"""

@@ -765,3 +765,35 @@ def rollup_stats(sf_dir: str):
     return (ds.map_batches(partials, batch_format="pandas")
             .groupby(["lang", "source"]).sum(["n_docs", "n_tokens"])
             .map_batches(rename, batch_format="pandas"))
+
+
+def freq_spectrum(sf_dir: str):
+    """(k, n_types) — the corpus frequency spectrum (how many token
+    TYPES occur exactly k times), the frequency-of-frequencies table
+    Good–Turing smoothing and vocabulary-growth estimators consume.
+
+    Two cascaded hash aggregates, both combiner-fed: the token-count
+    aggregate ships per-batch value_counts partials (vocabulary rows,
+    never occurrences), and the spectrum aggregate ships per-block
+    count-of-counts partials (≤ distinct-k rows per block — a few dozen
+    at any corpus size). Nothing driver-side.
+    """
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def tok_partials(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str),
+                             "n": vc.values.astype("int64")})
+
+    def spectrum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["sum(n)"].value_counts()
+        return pd.DataFrame({"k": vc.index.astype("int64"),
+                             "nt": vc.values.astype("int64")})
+
+    return (ds.map_batches(tok_partials, batch_format="pandas")
+            .groupby("tok").sum("n")
+            .map_batches(spectrum_partial, batch_format="pandas")
+            .groupby("k").sum("nt")
+            .map_batches(lambda df: df.rename(columns={"sum(nt)":
+                                                       "n_types"}),
+                         batch_format="pandas"))

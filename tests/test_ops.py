@@ -1698,3 +1698,17 @@ class TestWindowAndRollup:
             ref[int(p["event_id"])] = int(
                 ((v["ts"] < p["ts"]) & (v["ts"] >= p["ts"] - delta)).sum())
         assert dict(out) == ref
+
+    def test_freq_spectrum_identities(self, ray_session):
+        """Σ n_types = vocabulary size and Σ k·n_types = total token
+        occurrences — the two Good–Turing mass identities."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import freq_spectrum
+
+        df = freq_spectrum(SF).to_pandas()
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text"]).to_pandas()
+        toks = docs["text"].str.split(" ").explode()
+        assert df["n_types"].sum() == toks.nunique()
+        assert (df["k"] * df["n_types"]).sum() == len(toks)
