@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
         "shipping_priority": relational.shipping_priority,
+        "local_supplier_volume": relational.local_supplier_volume,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -168,6 +168,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
         "shipping_priority": lambda: relational.shipping_priority(sf_dir),
+        "local_supplier_volume": lambda: relational.local_supplier_volume(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

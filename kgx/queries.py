@@ -2265,3 +2265,21 @@ WITH cnt AS (
 SELECT CAST(c AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_types
 FROM cnt GROUP BY c
 """
+
+
+# relational.local_supplier_volume (TPC-H Q5 shape): six-table join,
+# revenue quantized per line item with the shipping_priority rule so
+# the BIGINT sum is order-independent
+DOC_ORACLES["local_supplier_volume"] = """
+SELECT n_name,
+       CAST(sum(CAST(floor(100.0 * (l_extendedprice
+             * (1.0 - l_discount))) AS BIGINT)) AS BIGINT) AS revenue_q2
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""

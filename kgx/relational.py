@@ -285,3 +285,172 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                 .map_groups(topk_local, batch_format="pandas"))
     return filtered.groupby("g").map_groups(topk_final,
                                             batch_format="pandas")
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1995-01-01",
+                          date_to: str = "1996-01-01",
+                          num_partitions=None):
+    """TPC-H Q5 shape: revenue per nation from orders where the customer
+    and the line item's supplier sit in the SAME nation of one region —
+    the canonical six-table join (region ⋈ nation ⋈ customer ⋈ orders ⋈
+    lineitem ⋈ supplier). Revenue is integer-quantized per line item
+    (floor(100·price·(1−disc)), the shipping_priority rule) so sums are
+    order-independent and the SQL oracle hash-matches bit-for-bit.
+    Returns (n_name, revenue_q2).
+
+    Scale shape — TWO data-sized exchanges total, each carrying
+    combiner-shrunk rows:
+
+    - region (5 rows) and nation (25 rows) are config-sized: read
+      driver-side, captured in closures.
+    - supplier is ~1/10,000th of lineitem (TPC-H ratios): the
+      region-filtered (suppkey → nationkey) pair ships ONCE via
+      ``ray.put`` into the per-worker broadcast cache and is probed
+      map-side with a sorted-array searchsorted — lineitem rows outside
+      the region die before any shuffle.
+    - exchange 1, hash(custkey): date-pruned orders (predicate pushed
+      into the parquet read) co-group with region-filtered customers —
+      a reduce-side join emitting (orderkey → customer nation).
+    - exchange 2, hash(orderkey): lineitem pre-aggregates
+      (orderkey, supplier_nation) → Σrev inside each batch (combiner),
+      then co-groups with exchange 1's output; the same-nation predicate
+      (c_nationkey = s_nationkey) applies in the reduce, leaving ≤25
+      partial rows per partition for the final tiny hash aggregate.
+    """
+    import datetime
+
+    import numpy as np
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .traindata import _bcast_get
+
+    if num_partitions is None:
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+    d0 = datetime.datetime.fromisoformat(date_from)
+    d1 = datetime.datetime.fromisoformat(date_to)
+
+    # config-sized dims, driver-side
+    rt = pq.read_table("%s/region.parquet" % sf_dir)
+    rkeys = {r for r, n in zip(rt.column("r_regionkey").to_pylist(),
+                               rt.column("r_name").to_pylist())
+             if n == region}
+    nt = pq.read_table("%s/nation.parquet" % sf_dir)
+    nation_name = {}
+    region_nations = set()
+    for nk, nm, rk in zip(nt.column("n_nationkey").to_pylist(),
+                          nt.column("n_name").to_pylist(),
+                          nt.column("n_regionkey").to_pylist()):
+        nation_name[nk] = nm
+        if rk in rkeys:
+            region_nations.add(nk)
+    rn_arr = np.array(sorted(region_nations), dtype="int64")
+
+    # supplier broadcast: sorted (suppkey, nationkey), region-only
+    st = pq.read_table("%s/supplier.parquet" % sf_dir,
+                       columns=["s_suppkey", "s_nationkey"])
+    sk = st.column("s_suppkey").to_numpy().astype("int64")
+    sn = st.column("s_nationkey").to_numpy().astype("int64")
+    keep = np.isin(sn, rn_arr)
+    order = np.argsort(sk[keep], kind="stable")
+    supp_ref = ray.put((sk[keep][order], sn[keep][order]))
+
+    orders = ray.data.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pds.field("o_orderdate") >= d0)
+                & (pds.field("o_orderdate") < d1)))
+    customer = ray.data.read_parquet(
+        "%s/customer.parquet" % sf_dir,
+        columns=["c_custkey", "c_nationkey"])
+    lineitem = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_custkey"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": k, "v": df["o_orderkey"].astype("int64"),
+            "part": (k % nparts).astype("int32"),
+            "side": np.int8(0)})
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nk = df["c_nationkey"].to_numpy(dtype="int64")
+        m = np.isin(nk, rn_arr)
+        k = df["c_custkey"].to_numpy(dtype="int64")[m]
+        return pd.DataFrame({
+            "k": k, "v": nk[m],
+            "part": (k % nparts).astype("int32"),
+            "side": np.int8(1)})
+
+    def join_cust(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        c = df[df["side"] == 1][["k", "v"]]
+        m = o.merge(c, on="k", how="inner")  # v_x=orderkey, v_y=cnation
+        ok = m["v_x"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": ok, "nk": m["v_y"].astype("int64"),
+            "rev": np.int64(0),
+            "part": (ok % nparts).astype("int32"),
+            "side": np.int8(1)})
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        skeys, snats = _bcast_get(supp_ref)
+        empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                              "nk": pd.Series(dtype="int64"),
+                              "rev": pd.Series(dtype="int64"),
+                              "part": pd.Series(dtype="int32"),
+                              "side": pd.Series(dtype="int8")})
+        if len(skeys) == 0:
+            return empty
+        s = df["l_suppkey"].to_numpy(dtype="int64")
+        pos = np.searchsorted(skeys, s)
+        pos[pos >= len(skeys)] = 0
+        hit = skeys[pos] == s
+        df = df[hit]
+        if not len(df):
+            return empty
+        q = np.floor(100.0 * (df["l_extendedprice"].to_numpy(dtype="float64")
+                              * (1.0 - df["l_discount"]
+                                 .to_numpy(dtype="float64"))))
+        t = pd.DataFrame({"k": df["l_orderkey"].astype("int64"),
+                          "nk": snats[pos[hit]],
+                          "rev": q.astype("int64")})
+        g = t.groupby(["k", "nk"], as_index=False)["rev"].sum()
+        k = g["k"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k": k, "nk": g["nk"].astype("int64"),
+            "rev": g["rev"].astype("int64"),
+            "part": (k % nparts).astype("int32"),
+            "side": np.int8(0)})
+
+    def join_orders(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["side"] == 0]
+        o = df[df["side"] == 1][["k", "nk"]]
+        m = li.merge(o, on="k", how="inner")  # nk_x=snation, nk_y=cnation
+        m = m[m["nk_x"] == m["nk_y"]]
+        g = m.groupby("nk_x", as_index=False)["rev"].sum()
+        return pd.DataFrame({"nk": g["nk_x"].astype("int64"),
+                             "rev": g["rev"].astype("int64")})
+
+    joined = (orders.map_batches(o_rows, batch_format="pandas")
+              .union(customer.map_batches(c_rows, batch_format="pandas"))
+              .groupby("part").map_groups(join_cust,
+                                          batch_format="pandas"))
+    partials = (lineitem.map_batches(li_partials, batch_format="pandas")
+                .union(joined)
+                .groupby("part").map_groups(join_orders,
+                                            batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": df["nk"].map(nation_name),
+            "revenue_q2": df["sum(rev)"].astype("int64")})
+
+    return (partials.groupby("nk").sum("rev")
+            .map_batches(finish, batch_format="pandas"))

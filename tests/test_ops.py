@@ -1712,3 +1712,35 @@ class TestWindowAndRollup:
         toks = docs["text"].str.split(" ").explode()
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
+
+    def test_local_supplier_volume_replays_locally(self, ray_session):
+        """Q5-shape six-table join matches an independent pandas replay
+        (same per-line-item quantization rule)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import local_supplier_volume
+
+        out = local_supplier_volume(SF).to_pandas()
+        t = {n: pq.read_table(f"{SF}/{n}.parquet").to_pandas()
+             for n in ["region", "nation", "customer", "orders",
+                       "lineitem", "supplier"]}
+        rk = set(t["region"].loc[t["region"]["r_name"] == "ASIA",
+                                 "r_regionkey"])
+        nat = t["nation"][t["nation"]["n_regionkey"].isin(rk)]
+        m = (t["lineitem"]
+             .merge(t["supplier"], left_on="l_suppkey",
+                    right_on="s_suppkey")
+             .merge(t["orders"], left_on="l_orderkey",
+                    right_on="o_orderkey")
+             .merge(t["customer"], left_on="o_custkey",
+                    right_on="c_custkey")
+             .merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
+        m = m[(m["c_nationkey"] == m["s_nationkey"])
+              & (m["o_orderdate"] >= "1995-01-01")
+              & (m["o_orderdate"] < "1996-01-01")]
+        rev = np.floor(100.0 * (m["l_extendedprice"].to_numpy()
+                                * (1.0 - m["l_discount"].to_numpy())))
+        ref = (m.assign(rev=rev.astype("int64"))
+               .groupby("n_name")["rev"].sum().to_dict())
+        assert dict(zip(out["n_name"], out["revenue_q2"])) == ref
