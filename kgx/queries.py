@@ -2283,3 +2283,32 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY n_name
 """
+
+
+# textops.dedup_substrings (Lee et al. exact-substring rewrite): drop
+# every token position covered by a length-8 window whose text occurs
+# >=2 times corpus-wide; rebuild the text from the survivors. 1-based
+# positions throughout; fully-covered docs keep an empty string via the
+# LEFT JOIN (mirroring the engine's reindex-fill)
+DOC_ORACLES["dedup_substrings"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (
+  SELECT doc_id, i AS s, array_to_string(t[i:i+7], ' ') AS w
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+cnt AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.s + o.o AS i
+  FROM w JOIN cnt USING (w)
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS o) AS o),
+tok AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS i
+  FROM toks),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.i) AS txt
+  FROM tok t ANTI JOIN cov c ON (t.doc_id = c.doc_id AND t.i = c.i)
+  GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(k.txt, '') AS text_dedup
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""

@@ -797,3 +797,94 @@ def freq_spectrum(sf_dir: str):
             .map_batches(lambda df: df.rename(columns={"sum(nt)":
                                                        "n_types"}),
                          batch_format="pandas"))
+
+
+def dedup_substrings(sf_dir: str, l: int = 8):
+    """(doc_id, text_dedup) — exact-substring deduplication REWRITE
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): every token position covered by some length-``l`` window
+    whose text occurs ≥2 times CORPUS-WIDE (including within one
+    document) is dropped; the surviving tokens are re-joined in order.
+    The companion of dup_ngram_stats that actually rewrites the corpus
+    instead of scoring it.
+
+    Scale shape — two exchanges, no quadratic blowup: (1) window rows
+    (content string, doc, start) shuffle on hash(window); each bucket
+    holds EVERY occurrence of its windows, so global occurrence counts
+    and the covered (doc, start) pairs fall out locally — duplicated
+    positions only (typically a small fraction) continue. (2) the
+    covered starts co-group with the documents on hash(doc_id); the
+    rebuild is fully vectorized per bucket (one explode, one int64
+    (doc,pos) key array, np.isin anti-join, one groupby-join — no
+    per-document Python loop). Production note: the window string is
+    the shuffle key so the exact-content grouping is oracle-checkable;
+    at 100 TB you would key on a 16-byte content hash instead (the
+    exchange engine's trick), shrinking stage 1's rows ~4×.
+    """
+    import ray
+    import ray.data
+
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t"))
+        ex = ex.with_columns(pl.int_range(pl.len()).over("doc_id")
+                             .cast(pl.Int64).alias("s"))
+        cols = [pl.col("t").shift(-k).over("doc_id") for k in range(1, l)]
+        w = (ex.with_columns(
+                pl.concat_str([pl.col("t")] + cols, separator=" ",
+                              ignore_nulls=False).alias("w"))
+             .drop_nulls("w").select(["doc_id", "s", "w"]))
+        out = w.to_pandas()
+        out["bucket"] = (pd.util.hash_pandas_object(out["w"], index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def dup_starts(df: pd.DataFrame) -> pd.DataFrame:
+        occ = df.groupby("w")["w"].transform("size")
+        dup = df[occ >= 2]
+        did = dup["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": did, "s": dup["s"].astype("int64"),
+            "text": "", "part": (did % nparts).astype("int32")})
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": did, "s": np.int64(-1),
+            "text": df["text"].astype(str),
+            "part": (did % nparts).astype("int32")})
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["s"] < 0][["doc_id", "text"]]
+        cov = df[df["s"] >= 0]
+        toks = docs["text"].str.split(" ")
+        ex = toks.explode()
+        flat_doc = (docs["doc_id"].reindex(ex.index)
+                    .to_numpy(dtype="int64"))
+        pos = ex.groupby(level=0).cumcount().to_numpy(dtype="int64")
+        # (doc, pos) packed into one int64 key (doc_id < 2^31, pos < 2^32)
+        key = flat_doc * (1 << 32) + pos
+        s = cov["s"].to_numpy(dtype="int64")
+        cd = cov["doc_id"].to_numpy(dtype="int64")
+        ckey = (np.repeat(cd, l) * (1 << 32) + np.repeat(s, l)
+                + np.tile(np.arange(l, dtype="int64"), len(s)))
+        keep = ~np.isin(key, ckey)
+        kept = pd.DataFrame({"doc_id": flat_doc[keep],
+                             "tok": ex.to_numpy()[keep]})
+        agg = kept.groupby("doc_id")["tok"].agg(" ".join)
+        out = agg.reindex(docs["doc_id"].to_numpy(dtype="int64")).fillna("")
+        return pd.DataFrame({"doc_id": out.index.astype("int64"),
+                             "text_dedup": out.to_numpy().astype(str)})
+
+    cov = (ds.map_batches(windows, batch_format="pandas")
+           .groupby("bucket").map_groups(dup_starts,
+                                         batch_format="pandas"))
+    docs = ds.map_batches(doc_rows, batch_format="pandas")
+    return (cov.union(docs).groupby("part")
+            .map_groups(rebuild, batch_format="pandas"))

@@ -1744,3 +1744,34 @@ class TestWindowAndRollup:
         ref = (m.assign(rev=rev.astype("int64"))
                .groupby("n_name")["rev"].sum().to_dict())
         assert dict(zip(out["n_name"], out["revenue_q2"])) == ref
+
+    def test_dedup_substrings_replays_locally(self, ray_session):
+        """The exact-substring rewrite matches an independent local
+        replay (Counter over all 8-token windows, coverage sets)."""
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import dedup_substrings
+
+        out = dedup_substrings(SF).to_pandas()
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        toks = {int(d): t.split(" ")
+                for d, t in zip(docs["doc_id"], docs["text"])}
+        wins = {d: [" ".join(t[i:i + 8]) for i in range(len(t) - 7)]
+                for d, t in toks.items()}
+        cnt = Counter(w for ws in wins.values() for w in ws)
+        ref = {}
+        for d, t in toks.items():
+            covered = set()
+            for s, w in enumerate(wins[d]):
+                if cnt[w] >= 2:
+                    covered.update(range(s, s + 8))
+            ref[d] = " ".join(x for i, x in enumerate(t)
+                              if i not in covered)
+        got = dict(zip(out["doc_id"].astype(int), out["text_dedup"]))
+        assert got == ref
+        # the rewrite bites on this corpus (templated docs share spans)
+        assert any(got[d] != " ".join(t) for d, t in toks.items())
+        assert any(got[d] == " ".join(t) for d, t in toks.items())
