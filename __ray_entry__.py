@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": dedup.winnow_fingerprints,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
+        "knn_graph": simsearch.knn_graph,
         "knn_ivfpq": simsearch.knn_ivfpq,
         "knn_ivf": simsearch.knn_ivf,
         "kmeans_clusters": simsearch.kmeans_clusters,

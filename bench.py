@@ -124,6 +124,7 @@ def run_queries(sf_dir: str) -> dict:
         "jaccard_pairs": lambda: dedup.jaccard_pairs(sf_dir),
         "embedding_near_dup_lsh": lambda: dedup.embedding_near_dup_lsh(sf_dir),
         "knn_bruteforce": lambda: simsearch.knn_bruteforce(sf_dir),
+        "knn_graph": lambda: simsearch.knn_graph(sf_dir),
         "token_counts": lambda: textops.token_counts(sf_dir),
         "top_terms": lambda: textops.top_terms(sf_dir),
         "repetition_stats": lambda: textops.repetition_stats(sf_dir),

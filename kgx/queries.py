@@ -695,6 +695,17 @@ WHERE doc_id NOT IN (
         "SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r"
         " WHERE rk <= 5"
     ),
+    # all-pairs k-NN graph: every vector is a query
+    "knn_graph": (
+        "WITH s AS (SELECT a.vec_id AS vid, b.vec_id AS nid,"
+        " list_cosine_similarity(a.embedding, b.embedding) AS sim"
+        " FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id), "
+        "r AS (SELECT vid, nid,"
+        " row_number() OVER (PARTITION BY vid ORDER BY sim DESC, nid) AS rk"
+        " FROM s) "
+        "SELECT vid AS vec_id, nid AS neighbor_id, rk AS rank FROM r"
+        " WHERE rk <= 5"
+    ),
     "sessionize": (
         "SELECT user_id, count(*) AS n_events,"
         " CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT)"

@@ -124,6 +124,105 @@ def knn_bruteforce(sf_dir: str, stride: int = 50, k: int = 5):
     return _final_topk_reduce(partial, k)
 
 
+def _cell_topk_partial(qids: np.ndarray, cids: np.ndarray,
+                       sims: np.ndarray, k: int) -> pd.DataFrame:
+    """Per-cell partial top-k: for every row of ``sims`` keep the k best
+    columns (vectorized argpartition, no per-row Python loop). Entries
+    masked to -inf (self-matches) are dropped after selection."""
+    n, m = sims.shape
+    if n == 0 or m == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
+    k2 = min(k, m)
+    if k2 < m:
+        idx = np.argpartition(-sims, k2 - 1, axis=1)[:, :k2]
+    else:
+        idx = np.broadcast_to(np.arange(m), (n, m)).copy()
+    vals = np.take_along_axis(sims, idx, axis=1)
+    keep = np.isfinite(vals.ravel())
+    return pd.DataFrame({
+        "query_id": np.repeat(qids, k2)[keep],
+        "neighbor_id": cids[idx.ravel()][keep],
+        "sim": vals.ravel()[keep],
+    })
+
+
+def knn_graph(sf_dir: str, k: int = 5, num_blocks: int = None):
+    """(vec_id, neighbor_id, rank) — the exact all-pairs k-NN graph: top-k
+    cosine neighbors for EVERY vector (what semantic-dedup clustering,
+    graph-based ANN indexes and kNN-classification pipelines build on),
+    not just for a query subset like ``knn_bruteforce``.
+
+    Scale shape — block-grid all-pairs join (same grid as
+    ``dedup.embedding_near_dup``): vector → block ``g = vec_id % B``;
+    each unordered block pair is one grid cell and a vector replicates to
+    its B cells, so every vector meets every other vector in EXACTLY one
+    cell. One Ray group per cell computes the (n/B)²·d matmul and keeps
+    only a per-row partial top-k, so the reduce shuffle carries
+    O(N·B·k) fixed-width partial rows — never the O(N²) similarity
+    matrix — and the existing bucketed per-query reduce
+    (``_final_topk_reduce``: one group per hash bucket, never per node)
+    merges cell partials into global ranks. Per-task memory is
+    O(2N/B · d); size B ≈ sqrt(4·cores) so cells ≈ 2× cores.
+    """
+    import ray
+    import ray.data
+
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_blocks = max(4, int((4 * ncpu) ** 0.5))
+    B = num_blocks
+
+    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+                               columns=["vec_id", "embedding"])
+
+    def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df["vec_id"] % B).astype("int32")
+        copies = []
+        for h in range(B):
+            lo = np.minimum(g, h)
+            hi = np.maximum(g, h)
+            copies.append(pd.DataFrame({
+                "vec_id": df["vec_id"],
+                "embedding": df["embedding"],
+                "g": g,
+                "cell": (lo * B + hi).astype("int32"),
+            }))
+        return pd.concat(copies, ignore_index=True)
+
+    def topk_in_cell(df: pd.DataFrame) -> pd.DataFrame:
+        cell = int(df["cell"].iloc[0])
+        lo, hi = divmod(cell, B)
+        ids = df["vec_id"].to_numpy()
+        M = _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
+        if lo == hi:
+            sims = M @ M.T
+            np.fill_diagonal(sims, -np.inf)
+            parts = [_cell_topk_partial(ids, ids, sims, k)]
+        else:
+            left = df["g"].to_numpy() == lo
+            A, C = M[left], M[~left]
+            aid, cid = ids[left], ids[~left]
+            sims = A @ C.T if len(aid) and len(cid) else \
+                np.zeros((len(aid), len(cid)))
+            parts = [_cell_topk_partial(aid, cid, sims, k),
+                     _cell_topk_partial(cid, aid, sims.T, k)]
+        out = pd.concat(parts, ignore_index=True)
+        return pd.DataFrame({
+            "query_id": out["query_id"].astype("int64"),
+            "neighbor_id": out["neighbor_id"].astype("int64"),
+            "sim": out["sim"].astype("float64")})
+
+    partials = (ds.map_batches(to_cells, batch_format="pandas")
+                .groupby("cell").map_groups(topk_in_cell,
+                                            batch_format="pandas"))
+    ranked = _final_topk_reduce(partials, k)
+    return ranked.map_batches(
+        lambda df: df.rename(columns={"query_id": "vec_id"}),
+        batch_format="pandas")
+
+
 def train_centroids(sf_dir: str, nlist: int = 64, sample: int = 4096,
                     iters: int = 10, seed: int = 7) -> np.ndarray:
     """Deterministic spherical k-means on a bounded driver-side sample

@@ -402,6 +402,42 @@ class TestSimSearch:
         # the data) — measured 0.78 at sf0.001, 0.88 at sf0.01
         assert np.mean(recalls) >= 0.7, np.mean(recalls)
 
+    def test_knn_graph_matches_bruteforce_on_query_subset(self, ray_session):
+        # the all-pairs graph restricted to knn_bruteforce's stride-50
+        # query subset must BE knn_bruteforce's answer (same tie rule,
+        # same k) — pins the block-grid partial-top-k + reduce against
+        # the independently-oracled baseline
+        import pandas as pd
+
+        from kgx.simsearch import knn_bruteforce, knn_graph
+
+        bf = (knn_bruteforce(SF).to_pandas()
+              .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        g = knn_graph(SF).to_pandas()
+        sub = (g[g["vec_id"] % 50 == 0]
+               .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+               .rename(columns={"vec_id": "query_id"}))
+        pd.testing.assert_frame_equal(
+            sub[["query_id", "neighbor_id", "rank"]],
+            bf[["query_id", "neighbor_id", "rank"]])
+
+    def test_knn_graph_every_vector_is_a_query(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.simsearch import knn_graph
+
+        n = pq.ParquetFile(SF + "/embeddings.parquet").metadata.num_rows
+        g = knn_graph(SF, k=3).to_pandas()
+        assert g["vec_id"].nunique() == n
+        assert (g.groupby("vec_id")["rank"].max() == 3).all()
+        # block-grid independence: a different grid, identical answer
+        g2 = knn_graph(SF, k=3, num_blocks=5).to_pandas()
+        cols = ["vec_id", "neighbor_id", "rank"]
+        import pandas as pd
+        pd.testing.assert_frame_equal(
+            g[cols].sort_values(cols).reset_index(drop=True),
+            g2[cols].sort_values(cols).reset_index(drop=True))
+
     def test_ivf_sharded_buckets_same_answer(self, ray_session):
         # bucket sub-sharding is a pure partitioning of candidates: the
         # per-query reduce merges shard partials to the identical top-k
