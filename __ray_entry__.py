@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": textops.pmi_bigrams,
         "rollup_stats": textops.rollup_stats,
         "freq_spectrum": textops.freq_spectrum,
+        "vocab_growth": textops.vocab_growth,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

@@ -1542,6 +1542,23 @@ FROM ranked GROUP BY doc_id
 # exact mirror of components.triangle_count over the jaccard_pairs edge
 # set: canonical a<b edges; triangle (x<y<z) matched once as
 # e1=(x,y), e2=(x,z), e3=(y,z)
+# Heaps'-law vocabulary growth: cumulative tokens + distinct vocabulary
+# after each tenth of the corpus (docs ordered by the dense doc_id)
+DOC_ORACLES["vocab_growth"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+n AS (SELECT count(*) AS nd FROM documents),
+cuts AS (SELECT k, (k * nd) // 10 AS cut
+         FROM generate_series(1, 10) t(k), n),
+firsts AS (SELECT tok, min(doc_id) AS fd FROM tok GROUP BY tok)
+SELECT CAST(k AS BIGINT) AS checkpoint, CAST(cut AS BIGINT) AS n_docs,
+  CAST((SELECT count(*) FROM tok WHERE doc_id < cut) AS BIGINT)
+    AS n_tokens,
+  CAST((SELECT count(*) FROM firsts WHERE fd < cut) AS BIGINT)
+    AS n_distinct
+FROM cuts
+"""
+
 DOC_ORACLES["triangle_count"] = """
 WITH d AS (
   SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,

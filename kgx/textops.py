@@ -888,3 +888,75 @@ def dedup_substrings(sf_dir: str, l: int = 8):
     docs = ds.map_batches(doc_rows, batch_format="pandas")
     return (cov.union(docs).groupby("part")
             .map_groups(rebuild, batch_format="pandas"))
+
+
+def vocab_growth(sf_dir: str, checkpoints: int = 10):
+    """(checkpoint, n_docs, n_tokens, n_distinct) — the Heaps'-law
+    vocabulary-growth curve: after each corpus prefix (docs ordered by
+    doc_id; checkpoint k covers doc_id < k·N/K) the cumulative token
+    count and cumulative DISTINCT-vocabulary size. The standard plot for
+    sizing tokenizer vocabularies and testing corpus diversity
+    (V(n) ≈ K·n^β, Heaps 1978).
+
+    Scale shape — two combiner-fed passes, shuffles never carry token
+    occurrences: pass A ships per-batch (token → min doc_id) partials
+    into a vocabulary-row hash aggregate (high-cardinality key is fine
+    for an AGGREGATE, like top_terms), then folds each token's global
+    first occurrence into a ≤K-row interval histogram; pass B ships
+    per-batch K-row occurrence histograms straight into a tiny
+    aggregate. Final assembly is a K-row cumulative sum.
+    """
+    import pyarrow.parquet as pq
+
+    K = checkpoints
+    N = pq.ParquetFile("%s/documents.parquet" % sf_dir).metadata.num_rows
+    cuts = np.array([(k * N) // K for k in range(1, K + 1)], dtype=np.int64)
+
+    def interval(vals: np.ndarray) -> np.ndarray:
+        # smallest j with val < cuts[j]; doc_id ≤ N-1 < cuts[K-1] always
+        return np.searchsorted(cuts, vals, side="right")
+
+    def hist_df(j: np.ndarray, weights: np.ndarray) -> pd.DataFrame:
+        cnt = np.bincount(j, weights=weights, minlength=K).astype("int64")
+        return pd.DataFrame({"j": np.arange(K, dtype="int64"), "n": cnt})
+
+    # pass A — global first occurrence per token, then interval histogram
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[["doc_id", "text"]].copy()
+        ex["tok"] = ex["text"].str.split(" ")
+        ex = ex[["doc_id", "tok"]].explode("tok")
+        g = ex.groupby("tok", sort=False)["doc_id"].min()
+        return pd.DataFrame({"tok": g.index.astype(str),
+                             "fd": g.to_numpy(dtype="int64")})
+
+    def first_hist(df: pd.DataFrame) -> pd.DataFrame:
+        j = interval(df["min(fd)"].to_numpy(dtype="int64"))
+        return hist_df(j, np.ones(len(j)))
+
+    distinct = (_read_documents(sf_dir, columns=["doc_id", "text"])
+                .map_batches(first_partial, batch_format="pandas")
+                .groupby("tok").min("fd")
+                .map_batches(first_hist, batch_format="pandas")
+                .groupby("j").sum("n").to_pandas())
+
+    # pass B — cumulative token totals per interval
+    def tok_hist(df: pd.DataFrame) -> pd.DataFrame:
+        j = interval(df["doc_id"].to_numpy(dtype="int64"))
+        n = df["text"].str.split(" ").str.len().to_numpy(dtype="int64")
+        return hist_df(j, n)
+
+    totals = (_read_documents(sf_dir, columns=["doc_id", "text"])
+              .map_batches(tok_hist, batch_format="pandas")
+              .groupby("j").sum("n").to_pandas())
+
+    def cum(df: pd.DataFrame) -> np.ndarray:
+        v = np.zeros(K, dtype=np.int64)
+        v[df["j"].to_numpy(dtype="int64")] = df["sum(n)"].to_numpy("int64")
+        return np.cumsum(v)
+
+    return pd.DataFrame({
+        "checkpoint": pd.Series(range(1, K + 1), dtype="int64"),
+        "n_docs": pd.Series(cuts, dtype="int64"),
+        "n_tokens": pd.Series(cum(totals), dtype="int64"),
+        "n_distinct": pd.Series(cum(distinct), dtype="int64"),
+    })

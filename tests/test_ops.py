@@ -1749,6 +1749,25 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_vocab_growth_curve_identities(self, ray_session):
+        """Final checkpoint equals the global corpus totals, and both
+        curves are monotone non-decreasing (a vocabulary never shrinks)."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import vocab_growth
+
+        df = vocab_growth(SF)
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text"]).to_pandas()
+        toks = docs["text"].str.split(" ").explode()
+        assert len(df) == 10
+        assert df["n_tokens"].iloc[-1] == len(toks)
+        assert df["n_distinct"].iloc[-1] == toks.nunique()
+        assert df["n_tokens"].is_monotonic_increasing
+        assert df["n_distinct"].is_monotonic_increasing
+        # Heaps sublinearity: distinct grows slower than tokens
+        assert df["n_distinct"].iloc[-1] < df["n_tokens"].iloc[-1]
+
     def test_local_supplier_volume_replays_locally(self, ray_session):
         """Q5-shape six-table join matches an independent pandas replay
         (same per-line-item quantization rule)."""
