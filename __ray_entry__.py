@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import kcore as _kcore
     from kgx.components import label_propagation as _label_propagation
     from kgx.components import triangle_count as _triangle_count
+    from kgx.components import clustering_coeff as _clustering_coeff
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -93,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analytics (integer-quantized, bit-exact oracle)
         "pagerank": _pagerank,
         "triangle_count": _triangle_count,
+        "clustering_coeff": _clustering_coeff,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

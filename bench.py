@@ -105,6 +105,7 @@ def run_headline(num_pages: int, out_dir: str, warmup: bool = True,
 def run_queries(sf_dir: str) -> dict:
     from kgx import dedup, events, relational, simsearch, textops, traindata
     from kgx import queries as q
+    from kgx.components import clustering_coeff as _clustering_coeff
     from kgx.components import kcore as _kcore
     from kgx.components import label_propagation as _label_propagation
     from kgx.components import pagerank as _pagerank
@@ -152,6 +153,7 @@ def run_queries(sf_dir: str) -> dict:
         "curate_corpus": lambda: traindata.curate_corpus(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
+        "clustering_coeff": lambda: _clustering_coeff(sf_dir),
         "label_propagation": lambda: _label_propagation(sf_dir),
         "temperature_mix": lambda: traindata.temperature_mix(sf_dir),
         "rrf_fusion": lambda: traindata.rrf_fusion(sf_dir),

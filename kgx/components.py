@@ -871,3 +871,148 @@ def label_propagation(sf_dir: str, rounds: int = 4, threshold: float = 0.8,
         lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
                                  "label": df["lbl"].astype("int64")}),
         batch_format="pandas")
+
+
+def clustering_coeff(sf_dir: str, threshold: float = 0.8,
+                     num_partitions: Optional[int] = None):
+    """(node, deg, n_tri) — per-node triangle count and degree of the
+    near-dup pair graph (``jaccard_pairs`` edges): the local clustering
+    coefficient 2·n_tri / (deg·(deg−1)) divides out exactly from these
+    integers, which hash portably (dup clusters are near-cliques, so a
+    LOW coefficient flags noisy pair edges worth re-verifying).
+
+    Same degree-ordered wedge enumeration as ``triangle_count`` — each
+    triangle closes in exactly one grid bucket — but every wedge carries
+    its APEX, so a closed wedge credits all three corners. Shuffles move
+    edge-sized rows only: edges materialize once (bounded: pair rows),
+    degrees come from the standard per-batch value_counts combiner, the
+    wedge/close exchanges mirror triangle_count, and per-node triangle
+    partials meet the degree rows in one final node-hash co-group.
+    """
+    from .dedup import jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold,
+                          num_partitions=nparts).materialize()
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas")
+    degrees = _edge_degrees(edges, nparts)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].astype("int64")
+        b = df["b"].astype("int64")
+        out = pd.DataFrame({
+            "node": pd.concat([a, b], ignore_index=True),
+            "other": pd.concat([b, a], ignore_index=True)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["node"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df.groupby("node")["other"].transform("size")
+        u = np.minimum(df["node"], df["other"])
+        w = np.maximum(df["node"], df["other"])
+        return pd.DataFrame({
+            "u": u.astype("int64"), "w": w.astype("int64"),
+            "node": df["node"].astype("int64"),
+            "deg": deg.astype("int64"),
+            "bucket": ((pd.util.hash_pandas_object(u, index=False)
+                        * 31 + pd.util.hash_pandas_object(w, index=False))
+                       % nparts).astype("int32")})
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["node"] == df["u"]]
+        rhs = df[df["node"] == df["w"]][["u", "w", "deg"]]
+        m = lhs.merge(rhs, on=["u", "w"], suffixes=("_u", "_w"))
+        u_first = (m["deg_u"] < m["deg_w"]) | (
+            (m["deg_u"] == m["deg_w"]) & (m["u"] < m["w"]))
+        src = np.where(u_first, m["u"], m["w"])
+        dst = np.where(u_first, m["w"], m["u"])
+        return pd.DataFrame({
+            "src": src.astype("int64"), "dst": dst.astype("int64"),
+            "bucket": (pd.Series(src).pipe(
+                pd.util.hash_pandas_object, index=False)
+                % nparts).astype("int32")})
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # wedge rows keep their apex (kind=0, apex=src); oriented edges
+        # pass through as existence witnesses (kind=1, apex=-1)
+        us, ws, aps, kinds = [], [], [], []
+        for src, g in df.groupby("src", sort=False):
+            nb = np.sort(g["dst"].to_numpy())
+            if len(nb) > 1:
+                iu, iw = np.triu_indices(len(nb), k=1)
+                us.append(nb[iu]); ws.append(nb[iw])
+                aps.append(np.full(len(iu), src, dtype=np.int64))
+                kinds.append(np.zeros(len(iu), dtype=np.int8))
+        eu = np.minimum(df["src"], df["dst"]).to_numpy()
+        ew = np.maximum(df["src"], df["dst"]).to_numpy()
+        us.append(eu); ws.append(ew)
+        aps.append(np.full(len(eu), -1, dtype=np.int64))
+        kinds.append(np.ones(len(eu), dtype=np.int8))
+        u = np.concatenate(us); w = np.concatenate(ws)
+        out = pd.DataFrame({"u": u.astype("int64"),
+                            "w": w.astype("int64"),
+                            "apex": np.concatenate(aps),
+                            "kind": np.concatenate(kinds)})
+        out["bucket"] = ((pd.util.hash_pandas_object(out["u"], index=False)
+                          * 31 + pd.util.hash_pandas_object(out["w"],
+                                                            index=False))
+                         % nparts).astype("int32")
+        return out
+
+    def close_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        wdg = df[df["kind"] == 0][["u", "w", "apex"]]
+        edg = df[df["kind"] == 1][["u", "w"]].drop_duplicates()
+        m = wdg.merge(edg, on=["u", "w"])
+        vc = pd.concat([m["apex"], m["u"], m["w"]],
+                       ignore_index=True).value_counts()
+        out = pd.DataFrame({"node": vc.index.astype("int64"),
+                            "n_tri": vc.to_numpy(dtype="int64")})
+        out["bucket"] = (pd.util.hash_pandas_object(out["node"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    tri = (edges.map_batches(explode, batch_format="pandas")
+           .groupby("bucket").map_groups(attach_deg, batch_format="pandas")
+           .groupby("bucket").map_groups(orient, batch_format="pandas")
+           .groupby("bucket").map_groups(wedges, batch_format="pandas")
+           .groupby("bucket").map_groups(close_wedges,
+                                         batch_format="pandas"))
+
+    # final node-hash co-group: triangle partials (kind=0) meet degree
+    # rows (kind=1) — hash buckets match because both use the same key
+    def tag_tri(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].astype("int64"),
+                             "val": df["n_tri"].astype("int64"),
+                             "kind": np.zeros(len(df), dtype=np.int8),
+                             "bucket": df["bucket"].astype("int32")})
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"node": df["node"].astype("int64"),
+                            "val": df["deg"].astype("int64"),
+                            "kind": np.ones(len(df), dtype=np.int8)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["node"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def merge_node(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df[df["kind"] == 1][["node", "val"]].rename(
+            columns={"val": "deg"})
+        t = (df[df["kind"] == 0].groupby("node", as_index=False)["val"]
+             .sum().rename(columns={"val": "n_tri"}))
+        out = deg.merge(t, on="node", how="left")
+        return pd.DataFrame({
+            "node": out["node"].astype("int64"),
+            "deg": out["deg"].astype("int64"),
+            "n_tri": out["n_tri"].fillna(0).astype("int64")})
+
+    both = (tri.map_batches(tag_tri, batch_format="pandas")
+            .union(degrees.map_batches(tag_deg, batch_format="pandas")))
+    return both.groupby("bucket").map_groups(merge_node,
+                                             batch_format="pandas")

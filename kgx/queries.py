@@ -1575,6 +1575,37 @@ FROM p e1 JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
           JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
+# per-node triangles + degree over the same pair graph: the local
+# clustering coefficient 2·n_tri/(deg·(deg−1)) divides out exactly
+DOC_ORACLES["clustering_coeff"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM p e1 JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
+), tri AS (
+  SELECT node, count(*) AS nt FROM (
+    SELECT x AS node FROM t UNION ALL SELECT y FROM t
+    UNION ALL SELECT z FROM t)
+  GROUP BY node
+), deg AS (
+  SELECT node, count(*) AS dg FROM (
+    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+  GROUP BY node
+)
+SELECT deg.node, CAST(deg.dg AS BIGINT) AS deg,
+       CAST(COALESCE(tri.nt, 0) AS BIGINT) AS n_tri
+FROM deg LEFT JOIN tri ON deg.node = tri.node
+"""
+
 # exact long-format mirror of the payload feature model (dyadic weights)
 DOC_ORACLES["payload_features_vals"] = _payload_features_sql()
 

@@ -1749,6 +1749,29 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_clustering_coeff_replays_locally(self, ray_session):
+        """Per-node (deg, n_tri) matches an independent adjacency-set
+        replay of the jaccard_pairs graph, and the global identities
+        hold (Σ n_tri = 3·n_triangles, Σ deg = 2·|E|)."""
+        from collections import defaultdict
+
+        from kgx.components import clustering_coeff, triangle_count
+        from kgx.dedup import jaccard_pairs
+
+        edges = jaccard_pairs(SF).to_pandas()
+        adj = defaultdict(set)
+        for a, b in zip(edges["doc_id_a"], edges["doc_id_b"]):
+            adj[int(a)].add(int(b)); adj[int(b)].add(int(a))
+        out = clustering_coeff(SF).to_pandas().set_index("node")
+        assert set(out.index) == set(adj)
+        for n, nbrs in adj.items():
+            assert out.loc[n, "deg"] == len(nbrs)
+            tri = sum(len(adj[m] & nbrs) for m in nbrs) // 2
+            assert out.loc[n, "n_tri"] == tri, n
+        total = int(triangle_count(SF).to_pandas()["n_triangles"].iloc[0])
+        assert out["n_tri"].sum() == 3 * total
+        assert out["deg"].sum() == 2 * len(edges)
+
     def test_vocab_growth_curve_identities(self, ray_session):
         """Final checkpoint equals the global corpus totals, and both
         curves are monotone non-decreasing (a vocabulary never shrinks)."""
