@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_customer_nation": relational.orders_by_customer_nation,
         "shipping_priority": relational.shipping_priority,
         "local_supplier_volume": relational.local_supplier_volume,
+        "big_orders": relational.big_orders,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -174,6 +174,7 @@ def run_queries(sf_dir: str) -> dict:
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
         "shipping_priority": lambda: relational.shipping_priority(sf_dir),
         "local_supplier_volume": lambda: relational.local_supplier_volume(sf_dir),
+        "big_orders": lambda: relational.big_orders(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -1542,6 +1542,17 @@ FROM ranked GROUP BY doc_id
 # exact mirror of components.triangle_count over the jaccard_pairs edge
 # set: canonical a<b edges; triangle (x<y<z) matched once as
 # e1=(x,y), e2=(x,z), e3=(y,z)
+# TPC-H Q18 shape: HAVING-filtered child aggregate gates the parent join
+DOC_ORACLES["big_orders"] = """
+WITH t AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250)
+SELECT o.o_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, t.total_qty
+FROM orders o JOIN t ON o.o_orderkey = t.l_orderkey
+"""
+
 # Heaps'-law vocabulary growth: cumulative tokens + distinct vocabulary
 # after each tenth of the corpus (docs ordered by the dense doc_id)
 DOC_ORACLES["vocab_growth"] = """

@@ -454,3 +454,73 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     return (partials.groupby("nk").sum("rev")
             .map_batches(finish, batch_format="pandas"))
+
+
+def big_orders(sf_dir: str, min_qty: int = 250):
+    """TPC-H Q18 shape: orders whose TOTAL line-item quantity exceeds
+    ``min_qty``, with their customer — the aggregate-filtered semi-join
+    (a HAVING on a child aggregate gates the parent join). Returns
+    (o_custkey, o_orderkey, o_orderdate, total_qty); quantities are
+    integral in TPC-H so total_qty is an exact int64.
+
+    Scale shape: the only all-to-all is the per-order quantity
+    aggregate, and it is combiner-fed (per-batch groupby-sum, so the
+    exchange carries distinct orderkeys, never line items). The HAVING
+    filter makes the surviving table OUTPUT-sized by construction
+    (~1% of orders at the default threshold), so it ships once via
+    ``ray.put`` into the per-worker broadcast cache and the
+    orders-side join is a MAP-side sorted probe — zero further
+    exchanges, the same plan shape as shipping_priority's broadcast
+    semi-join. For a threshold chosen so low the survivor table no
+    longer fits a worker, fall back to a hash(orderkey) co-group like
+    shipping_priority's ``plan="exchange"``.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    from .traindata import _bcast_get
+
+    lineitem = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"k": df["l_orderkey"].astype("int64"),
+                          "qty": df["l_quantity"].astype("int64")})
+        g = t.groupby("k", as_index=False)["qty"].sum()
+        return pd.DataFrame({"k": g["k"],
+                             "qty": g["qty"].astype("int64")})
+
+    totals = (lineitem.map_batches(li_partial, batch_format="pandas")
+              .groupby("k").sum("qty")
+              .map_batches(
+                  lambda df: df[df["sum(qty)"] > min_qty].rename(
+                      columns={"sum(qty)": "qty"}),
+                  batch_format="pandas")
+              .to_pandas())
+    keys = totals["k"].to_numpy(dtype="int64")
+    order = np.argsort(keys)
+    big_ref = ray.put((keys[order],
+                       totals["qty"].to_numpy(dtype="int64")[order]))
+
+    orders = ray.data.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        ks, qs = _bcast_get(big_ref)
+        ok = df["o_orderkey"].to_numpy(dtype="int64")
+        pos = np.searchsorted(ks, ok)
+        pos = np.clip(pos, 0, len(ks) - 1) if len(ks) else pos
+        hit = (len(ks) > 0) & (ks[pos] == ok) if len(ks) else \
+            np.zeros(len(ok), dtype=bool)
+        d = df[hit]
+        return pd.DataFrame({
+            "o_custkey": d["o_custkey"].astype("int64"),
+            "o_orderkey": d["o_orderkey"].astype("int64"),
+            "o_orderdate": d["o_orderdate"].dt.strftime("%Y-%m-%d"),
+            "total_qty": pd.Series(qs[pos[hit]], dtype="int64",
+                                   index=d.index)})
+
+    return orders.map_batches(probe, batch_format="pandas")

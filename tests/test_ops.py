@@ -1749,6 +1749,25 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_big_orders_replays_locally(self, ray_session):
+        """Q18-shape HAVING semi-join matches an independent pandas
+        replay (per-order integral quantity totals over the threshold)."""
+        import pyarrow.parquet as pq
+
+        from kgx.relational import big_orders
+
+        out = big_orders(SF, min_qty=150).to_pandas()
+        li = pq.read_table(SF + "/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"]).to_pandas()
+        tot = li.assign(q=li["l_quantity"].astype("int64")) \
+                .groupby("l_orderkey")["q"].sum()
+        big = tot[tot > 150]
+        assert set(out["o_orderkey"]) == set(big.index)
+        m = out.set_index("o_orderkey")["total_qty"]
+        assert (m.sort_index() == big.sort_index()).all()
+        # every surviving order appears exactly once
+        assert out["o_orderkey"].is_unique
+
     def test_clustering_coeff_replays_locally(self, ray_session):
         """Per-node (deg, n_tri) matches an independent adjacency-set
         replay of the jaccard_pairs graph, and the global identities
