@@ -27,7 +27,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from kgx import (dedup, events, multimodal, relational, simsearch,
-                     textops, traindata)
+                     sources, textops, traindata)
     from kgx import queries as q
     from kgx.components import broader_closure as _broader_closure
     from kgx.components import pagerank as _pagerank
@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": traindata.rrf_fusion,
         "ccnet_buckets": traindata.ccnet_buckets,
         "curate_corpus": traindata.curate_corpus,
+        # source formats beyond parquet (export → shards → re-ingest)
+        "ndjson_roundtrip": sources.ndjson_roundtrip,
+        "csv_roundtrip": sources.csv_roundtrip,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "bmp_pixel_stats": multimodal.bmp_pixel_stats,

@@ -1542,6 +1542,16 @@ FROM ranked GROUP BY doc_id
 # exact mirror of components.triangle_count over the jaccard_pairs edge
 # set: canonical a<b edges; triangle (x<y<z) matched once as
 # e1=(x,y), e2=(x,z), e3=(y,z)
+# NDJSON / CSV source-format roundtrips: the oracle computes the digest
+# straight from the parquet view, so a hash-match proves the export →
+# shard-files → re-ingest path byte-lossless per document
+_ROUNDTRIP_SQL = (
+    "SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_rt,"
+    " md5(text) AS text_md5 FROM documents"
+)
+DOC_ORACLES["ndjson_roundtrip"] = _ROUNDTRIP_SQL
+DOC_ORACLES["csv_roundtrip"] = _ROUNDTRIP_SQL
+
 # TPC-H Q18 shape: HAVING-filtered child aggregate gates the parent join
 DOC_ORACLES["big_orders"] = """
 WITH t AS (

@@ -1,0 +1,77 @@
+"""Source/sink format plumbing beyond Parquet: NDJSON and CSV.
+
+The reference engine ingests exactly one wire format (MARCXML —
+kgx/extract.py owns that path); a corpus pipeline additionally meets
+line-delimited JSON and CSV drops. These operators prove the full
+export → shard-files → re-ingest path on Ray Data's native readers
+(``write_json``/``read_json``, ``write_csv``/``read_csv``: one shard
+file per block, so the sink is partitioned and a re-run can resume per
+shard), and verify LOSSLESSNESS per document with an md5 over the
+round-tripped text — any escaping/quoting/dtype mangling in either
+direction changes the digest and fails the DuckDB hash comparison.
+
+Scale shape: both directions are map-only (no all-to-all anywhere);
+the md5 check streams per batch. Scratch shards go under /tmp, one
+directory per (format, sf), cleaned before each write so reruns are
+hermetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pandas as pd
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return "/tmp/kgx_src_%s_%s" % (fmt, base)
+
+
+def _digest_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype("int64"),
+        "lang": df["lang"].astype(str),
+        "n_chars_rt": df["text"].str.len().astype("int64"),
+        "text_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                     for t in df["text"].astype(str)],
+    })
+
+
+def _export(sf_dir: str, fmt: str) -> str:
+    import ray.data
+
+    out = _roundtrip_dir(sf_dir, fmt)
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["doc_id", "text", "lang"])
+    if fmt == "ndjson":
+        ds.write_json(out)
+    else:
+        ds.write_csv(out)
+    return out
+
+
+def ndjson_roundtrip(sf_dir: str):
+    """(doc_id, lang, n_chars_rt, text_md5) — documents exported to
+    line-delimited JSON shards and re-ingested with
+    ``ray.data.read_json``; the digest proves the NDJSON source/sink
+    path byte-lossless per document."""
+    import ray.data
+
+    out = _export(sf_dir, "ndjson")
+    return ray.data.read_json(out).map_batches(_digest_batch,
+                                               batch_format="pandas")
+
+
+def csv_roundtrip(sf_dir: str):
+    """(doc_id, lang, n_chars_rt, text_md5) — documents exported to CSV
+    shards and re-ingested with ``ray.data.read_csv`` (Arrow CSV:
+    quoting handles embedded delimiters/newlines); digest as above."""
+    import ray.data
+
+    out = _export(sf_dir, "csv")
+    return ray.data.read_csv(out).map_batches(_digest_batch,
+                                              batch_format="pandas")

@@ -1749,6 +1749,30 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_source_roundtrips_lossless_and_sharded(self, ray_session):
+        """NDJSON and CSV export→re-ingest reproduce every document
+        byte-exactly (md5 parity with the parquet source) and the sink
+        writes per-block shard files."""
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        from kgx.sources import csv_roundtrip, ndjson_roundtrip, \
+            _roundtrip_dir
+
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        want = {int(d): hashlib.md5(t.encode()).hexdigest()
+                for d, t in zip(docs["doc_id"], docs["text"])}
+        for fn, fmt in ((ndjson_roundtrip, "ndjson"), (csv_roundtrip,
+                                                       "csv")):
+            out = fn(SF).to_pandas()
+            got = dict(zip(out["doc_id"].astype(int), out["text_md5"]))
+            assert got == want, fmt
+            shards = os.listdir(_roundtrip_dir(SF, fmt))
+            assert len(shards) >= 1, fmt
+
     def test_big_orders_replays_locally(self, ray_session):
         """Q18-shape HAVING semi-join matches an independent pandas
         replay (per-order integral quantity totals over the threshold)."""
