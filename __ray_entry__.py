@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_stats": textops.rollup_stats,
         "freq_spectrum": textops.freq_spectrum,
         "vocab_growth": textops.vocab_growth,
+        "zscore_quality": textops.zscore_quality,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

@@ -168,6 +168,7 @@ def run_queries(sf_dir: str) -> dict:
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
         "freq_spectrum": lambda: textops.freq_spectrum(sf_dir),
         "vocab_growth": lambda: textops.vocab_growth(sf_dir),
+        "zscore_quality": lambda: textops.zscore_quality(sf_dir),
         "dedup_substrings": lambda: textops.dedup_substrings(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),

@@ -1542,6 +1542,27 @@ FROM ranked GROUP BY doc_id
 # exact mirror of components.triangle_count over the jaccard_pairs edge
 # set: canonical a<b edges; triangle (x<y<z) matched once as
 # e1=(x,y), e2=(x,z), e3=(y,z)
+# per-lang z-score normalization: integer sufficient statistics, one
+# exactly-rounded IEEE sqrt/divide/multiply tree → bit-exact floor
+DOC_ORACLES["zscore_quality"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x*x) AS BIGINT) AS s2
+  FROM t GROUP BY lang)
+SELECT t.doc_id, t.lang, t.x AS n_tokens,
+  CASE WHEN s.n*s.s2 - s.s1*s.s1 = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(1048576.0 * (CAST(s.n*t.x - s.s1 AS DOUBLE)
+                 / sqrt(CAST(s.n*s.s2 - s.s1*s.s1 AS DOUBLE))))
+            AS BIGINT)
+  END AS z_q
+FROM t JOIN s USING (lang)
+"""
+
 # NDJSON / CSV source-format roundtrips: the oracle computes the digest
 # straight from the parquet view, so a hash-match proves the export →
 # shard-files → re-ingest path byte-lossless per document

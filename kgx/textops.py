@@ -960,3 +960,56 @@ def vocab_growth(sf_dir: str, checkpoints: int = 10):
         "n_tokens": pd.Series(cum(totals), dtype="int64"),
         "n_distinct": pd.Series(cum(distinct), dtype="int64"),
     })
+
+
+def zscore_quality(sf_dir: str, q: int = 1 << 20):
+    """(doc_id, lang, n_tokens, z_q) — per-language standardization of
+    the per-doc token count (the feature-normalization step quality
+    classifiers and mixture samplers consume): z = (x − μ_lang)/σ_lang,
+    emitted floor-quantized at ``q`` so the hash comparison is exact.
+
+    Bit-exact across engines because the float tree is built ONLY from
+    exactly-representable integers and exactly-rounded IEEE ops:
+    z_q = floor(q · (n·x − S1) / sqrt(n·S2 − S1²)) with per-lang integer
+    sufficient statistics (n, S1=Σx, S2=Σx²) all below 2^53; σ=0 groups
+    (single-doc languages, constant features) pin z_q = 0.
+
+    Scale shape: the statistics come from a per-batch combiner into a
+    ≤|langs|-row hash aggregate, broadcast back via closure into one
+    map-only scoring pass — zero data-sized all-to-alls.
+    """
+    stats = (_read_documents(sf_dir, columns=["lang", "text"])
+             .map_batches(
+                 lambda df: pd.DataFrame({
+                     "lang": df["lang"].astype(str),
+                     "x": df["text"].str.split(" ").str.len()
+                     .astype("int64")})
+                 .assign(x2=lambda d: d["x"] * d["x"],
+                         n=np.int64(1))
+                 .groupby("lang", as_index=False).sum(),
+                 batch_format="pandas")
+             .groupby("lang").sum(["x", "x2", "n"]).to_pandas())
+    table = {r["lang"]: (int(r["sum(n)"]), int(r["sum(x)"]),
+                         int(r["sum(x2)"]))
+             for _, r in stats.iterrows()}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["text"].str.split(" ").str.len().to_numpy(dtype="int64")
+        langs = df["lang"].astype(str)
+        n = np.array([table[l][0] for l in langs], dtype=np.int64)
+        s1 = np.array([table[l][1] for l in langs], dtype=np.int64)
+        s2 = np.array([table[l][2] for l in langs], dtype=np.int64)
+        var_int = n * s2 - s1 * s1            # exact: < 2^53
+        num = (n * x - s1).astype(np.float64)  # exact: < 2^53
+        den = np.sqrt(var_int.astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.floor(float(q) * (num / den))
+        z = np.where(var_int == 0, 0.0, z)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": langs,
+            "n_tokens": pd.Series(x, dtype="int64", index=df.index),
+            "z_q": pd.Series(z, dtype="int64", index=df.index)})
+
+    return (_read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+            .map_batches(score, batch_format="pandas"))

@@ -1749,6 +1749,29 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_zscore_quality_statistics(self, ray_session):
+        """Quantized z-scores match a local float replay and per-lang
+        standardized columns have (approximately) zero mean and the
+        right extreme ordering."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import zscore_quality
+
+        out = zscore_quality(SF).to_pandas()
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "lang", "text"]).to_pandas()
+        x = docs["text"].str.split(" ").str.len().astype("int64")
+        z = out.set_index("doc_id")["z_q"] / (1 << 20)
+        for lang, g in docs.assign(x=x).groupby("lang"):
+            zz = z.loc[g["doc_id"]].to_numpy()
+            if g["x"].nunique() > 1:
+                assert abs(zz.mean()) < 0.01, lang
+                assert abs(zz.std() - 1.0) < 0.05, lang
+                # extreme docs map to extreme z
+                assert z.loc[g.loc[g["x"].idxmax(), "doc_id"]] == zz.max()
+            else:
+                assert (zz == 0).all(), lang
+
     def test_source_roundtrips_lossless_and_sharded(self, ray_session):
         """NDJSON and CSV export→re-ingest reproduce every document
         byte-exactly (md5 parity with the parquet source) and the sink
