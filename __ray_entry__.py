@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_token_kmv": traindata.distinct_token_kmv,
         "heavy_hitters": traindata.heavy_hitters,
         "hll_distinct": traindata.hll_distinct,
+        "hll_user_counts": traindata.hll_user_counts,
         "shard_corpus": traindata.shard_corpus,
         "bpe_train": traindata.bpe_train,
         "bpe_encode": traindata.bpe_encode,

@@ -160,6 +160,7 @@ def run_queries(sf_dir: str) -> dict:
         "gopher_filter": lambda: textops.gopher_filter(sf_dir),
         "heavy_hitters": lambda: traindata.heavy_hitters(sf_dir),
         "hll_distinct": lambda: traindata.hll_distinct(sf_dir),
+        "hll_user_counts": lambda: traindata.hll_user_counts(sf_dir),
         "shard_corpus": lambda: traindata.shard_corpus(sf_dir),
         "bpe_train": lambda: traindata.bpe_train(sf_dir),
         "bpe_encode": lambda: traindata.bpe_encode(sf_dir),

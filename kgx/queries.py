@@ -2169,6 +2169,54 @@ SELECT CAST(256 AS BIGINT) AS m,
 FROM raw
 """
 
+# grouped HLL: COUNT(DISTINCT user) GROUP BY event_type as a mergeable
+# sketch — identical register/estimator replay to hll_distinct, per group
+DOC_ORACLES["hll_user_counts"] = r"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS h
+  FROM events
+), reg AS (
+  SELECT event_type, CAST(h >> 56 AS BIGINT) AS j,
+         h & CAST(72057594037927935 AS UBIGINT) AS v
+  FROM h
+), pw AS (
+  SELECT p, CAST(1 AS UBIGINT) << CAST(p AS INTEGER) AS tp
+  FROM range(0, 56) t(p)
+), bl AS (
+  SELECT reg.event_type, reg.j, reg.v,
+         coalesce(max(pw.p) + 1, 0) AS bitlen
+  FROM reg LEFT JOIN pw ON reg.v >= pw.tp
+  GROUP BY reg.event_type, reg.j, reg.v
+), rho AS (
+  SELECT event_type, j, max(57 - bitlen) AS mj
+  FROM bl GROUP BY event_type, j
+), types AS (SELECT DISTINCT event_type FROM events),
+regs AS (
+  SELECT t.event_type, r.j, coalesce(rho.mj, 0) AS mj
+  FROM types t CROSS JOIN range(0, 256) r(j)
+  LEFT JOIN rho ON rho.event_type = t.event_type AND rho.j = r.j
+), agg AS (
+  SELECT event_type,
+         sum(CAST('18446744073709551616' AS HUGEINT)
+             // (CAST(1 AS UBIGINT) << CAST(mj AS INTEGER))) AS s,
+         CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+  FROM regs GROUP BY event_type
+), raw AS (
+  SELECT event_type, zeros,
+         CAST('2232315375841361980711845756928000' AS HUGEINT)
+           // (CAST(2570790000 AS HUGEINT) * s) AS est
+  FROM agg
+)
+SELECT event_type, CAST(256 AS BIGINT) AS m,
+       zeros AS zero_registers,
+       CAST(CASE WHEN est * 2 <= 1280 AND zeros > 0
+                 THEN CAST(floor(256.0 * ln(256.0 / zeros)) AS HUGEINT)
+                 ELSE est END AS BIGINT) AS est_distinct
+FROM raw
+"""
+
 # exact mirror of traindata.shard_corpus (seed=42, shard_size=100):
 # md5(seed:doc_id) global order, row_number rank, fixed-size shard cut
 DOC_ORACLES["shard_corpus"] = r"""

@@ -1563,3 +1563,57 @@ def decontaminate_bloom(sf_dir: str, shingle_k: int = SHINGLE_K,
                                                        dtype="int64")})
 
     return ds.map_batches(count_hits, batch_format="pandas")
+
+
+def hll_user_counts(sf_dir: str, p: int = 8):
+    """(event_type, m, zero_registers, est_distinct) — distinct USERS
+    per event type via per-group HyperLogLog registers: the
+    sketch-as-GROUPED-aggregate pattern (one COUNT(DISTINCT …) GROUP BY
+    at 100 TB without shuffling user ids — the classic analytics
+    rollup). State per group is m bytes; the per-batch combiner emits
+    local (event_type, register) maxima (≤ |types|·m rows per batch),
+    the reduce is one tiny two-key ``groupby(type, j).max()``, and the
+    exact-integer estimator (``_hll_estimate``, same harmonic-sum /
+    linear-counting branches and md5-u64 hash as ``hll_distinct``)
+    replays per group on the merged register table — so the
+    approximation itself carries an exact SQL oracle.
+    """
+    import ray.data
+
+    from .textops import token_hash64
+
+    m = 1 << p
+    ds = ray.data.read_parquet("%s/events.parquet" % sf_dir,
+                               columns=["event_type", "user_id"])
+    # exact integer bit_length for 56-bit tails: float log2 would round
+    # values ≥ 2^53 and misplace rho by one
+    pows = (np.uint64(1) << np.arange(0, 64 - p,
+                                      dtype=np.uint64)).astype(np.uint64)
+
+    def registers(df: pd.DataFrame) -> pd.DataFrame:
+        hs = np.array([token_hash64(str(int(u))) for u in df["user_id"]],
+                      dtype=np.uint64)
+        j = (hs >> np.uint64(64 - p)).astype(np.int64)
+        v = hs & np.uint64((1 << (64 - p)) - 1)
+        bitlen = np.searchsorted(pows, v, side="right")
+        rho = (64 - p) - bitlen + 1
+        t = pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "j": j, "rho": rho.astype("int64")})
+        g = t.groupby(["event_type", "j"], as_index=False)["rho"].max()
+        return g
+
+    merged = (ds.map_batches(registers, batch_format="pandas")
+              .groupby(["event_type", "j"]).max("rho").to_pandas())
+
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        regs = np.zeros(m, dtype=np.int64)
+        regs[g["j"].to_numpy(dtype="int64")] = \
+            g["max(rho)"].to_numpy(dtype="int64")
+        est, zeros = _hll_estimate(regs, m)
+        rows.append((et, m, zeros, est))
+    out = pd.DataFrame(rows, columns=["event_type", "m",
+                                      "zero_registers", "est_distinct"])
+    for c in ("m", "zero_registers", "est_distinct"):
+        out[c] = out[c].astype("int64")
+    return out
