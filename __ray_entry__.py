@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_spectrum": textops.freq_spectrum,
         "vocab_growth": textops.vocab_growth,
         "zscore_quality": textops.zscore_quality,
+        "token_entropy": textops.token_entropy,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

@@ -170,6 +170,7 @@ def run_queries(sf_dir: str) -> dict:
         "freq_spectrum": lambda: textops.freq_spectrum(sf_dir),
         "vocab_growth": lambda: textops.vocab_growth(sf_dir),
         "zscore_quality": lambda: textops.zscore_quality(sf_dir),
+        "token_entropy": lambda: textops.token_entropy(sf_dir),
         "dedup_substrings": lambda: textops.dedup_substrings(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),

@@ -1542,6 +1542,27 @@ FROM ranked GROUP BY doc_id
 # exact mirror of components.triangle_count over the jaccard_pairs edge
 # set: canonical a<b edges; triangle (x<y<z) matched once as
 # e1=(x,y), e2=(x,z), e3=(y,z)
+# per-doc Shannon entropy of the token histogram, as two per-term
+# floor-quantized integer sums (order-independent, bit-exact)
+DOC_ORACLES["token_entropy"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, t),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(floor(1048576.0 *
+               (CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))) AS BIGINT))
+           AS BIGINT) AS slogc_q
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+  CAST(floor(1048576.0 * (CAST(n_tokens AS DOUBLE)
+        * ln(CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS nlogn_q,
+  slogc_q
+FROM per
+"""
+
 # per-lang z-score normalization: integer sufficient statistics, one
 # exactly-rounded IEEE sqrt/divide/multiply tree → bit-exact floor
 DOC_ORACLES["zscore_quality"] = """

@@ -1013,3 +1013,43 @@ def zscore_quality(sf_dir: str, q: int = 1 << 20):
 
     return (_read_documents(sf_dir, columns=["doc_id", "lang", "text"])
             .map_batches(score, batch_format="pandas"))
+
+
+def token_entropy(sf_dir: str, q: int = 1 << 20):
+    """(doc_id, n_tokens, nlogn_q, slogc_q) — per-document token-
+    distribution entropy in EXACT integer components: the Shannon
+    entropy of the token histogram is
+    H = ln(N) − (Σ cᵢ·ln cᵢ)/N = (nlogn_q/N − slogc_q/N)/q up to
+    quantization, a standard diversity/quality signal (low H = highly
+    repetitive boilerplate). Emitting the two floor-quantized integer
+    sums instead of H itself makes the float work per-TERM (each term
+    floor-quantized before an order-independent integer sum) so the
+    hash comparison is bit-exact — the same trick as unigram_lm_score.
+
+    Map-only single pass: the token histogram is an in-batch polars
+    hash aggregate; nothing crosses a shuffle.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        per = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+               .drop("text").explode("t")
+               .group_by(["doc_id", "t"]).agg(pl.len().alias("c"))
+               .to_pandas())
+        c = per["c"].to_numpy(dtype="float64")
+        term = np.floor(float(q) * (c * np.log(c))).astype("int64")
+        g = (per.assign(term=term)
+             .groupby("doc_id", as_index=False)
+             .agg(n_tokens=("c", "sum"), slogc_q=("term", "sum")))
+        n = g["n_tokens"].to_numpy(dtype="float64")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "nlogn_q": np.floor(float(q) * (n * np.log(n)))
+            .astype("int64"),
+            "slogc_q": g["slogc_q"].astype("int64")})
+
+    return ds.map_batches(fn, batch_format="pandas")

