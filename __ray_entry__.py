@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": events.props_stats,
         "cohort_retention": events.cohort_retention,
         "running_totals": events.running_totals,
+        "ewma_user_value": events.ewma_user_value,
         "range_join_counts": events.range_join_counts,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,

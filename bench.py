@@ -165,6 +165,7 @@ def run_queries(sf_dir: str) -> dict:
         "bpe_train": lambda: traindata.bpe_train(sf_dir),
         "bpe_encode": lambda: traindata.bpe_encode(sf_dir),
         "running_totals": lambda: events.running_totals(sf_dir),
+        "ewma_user_value": lambda: events.ewma_user_value(sf_dir),
         "range_join_counts": lambda: events.range_join_counts(sf_dir),
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
         "freq_spectrum": lambda: textops.freq_spectrum(sf_dir),

@@ -397,3 +397,65 @@ def range_join_counts(sf_dir: str, left_type: str = "purchase",
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas"))
+
+
+def ewma_user_value(sf_dir: str):
+    """(user_id, event_id, ewma_q) — per-user exponentially-weighted
+    moving average of ``value`` with α = 1/2 in (ts, event_id) order:
+    s₁ = v₁, sᵢ = ⌊(sᵢ₋₁ + vᵢ)/2⌋ over floor(100·value) integers. The
+    genuinely NON-associative sequential scan (the per-step floor makes
+    it irreducible to a prefix sum), i.e. the decayed-engagement /
+    session-recency score every feature pipeline keeps per key.
+
+    Integer fixed-point keeps it oracle-able: ``value`` is positive in
+    this corpus so numpy floor division and DuckDB's truncating ``//``
+    agree, and the DuckDB side replays the walk with a recursive CTE
+    (the bpe_train greedy-walk trick; depth = max events per user).
+
+    Scale shape: ONE hash(user) bucket exchange (sessionize's shape);
+    inside a bucket the walk is vectorized ACROSS users — the loop runs
+    over position-within-user (≤ max events per user, ~dozens), each
+    step a vectorized update of every user's row at that position,
+    never a per-row or per-user Python loop.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                       "value"])
+    nparts = _nparts()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"],
+            "vq": np.floor(100.0 * df["value"].to_numpy(dtype="float64"))
+            .astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(df["user_id"],
+                                                  index=False)
+                       % nparts).astype("int32"),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "ewma_q": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"]) \
+               .reset_index(drop=True)
+        pos = df.groupby("user_id").cumcount().to_numpy()
+        vq = df["vq"].to_numpy(dtype="int64")
+        s = vq.copy()
+        for t in range(1, int(pos.max()) + 1 if len(pos) else 0):
+            m = np.flatnonzero(pos == t)
+            if len(m) == 0:
+                break
+            s[m] = (s[m - 1] + vq[m]) // 2
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "ewma_q": pd.Series(s, dtype="int64"),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))

@@ -1542,6 +1542,26 @@ FROM ranked GROUP BY doc_id
 # exact mirror of components.triangle_count over the jaccard_pairs edge
 # set: canonical a<b edges; triangle (x<y<z) matched once as
 # e1=(x,y), e2=(x,z), e3=(y,z)
+# α=1/2 integer EWMA per user: the per-step floor makes the scan
+# non-associative, so the oracle replays the walk with a recursive CTE
+# (depth = max events per user). value > 0 in this corpus, so DuckDB's
+# truncating // equals numpy's floor //.
+DOC_ORACLES["ewma_user_value"] = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(100.0 * value) AS BIGINT) AS vq,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+), walk AS (
+  SELECT user_id, event_id, i, vq AS s FROM ev WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.i, (w.s + e.vq) // 2
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.i = w.i + 1
+)
+SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_q FROM walk
+"""
+
 # per-doc Shannon entropy of the token histogram, as two per-term
 # floor-quantized integer sums (order-independent, bit-exact)
 DOC_ORACLES["token_entropy"] = """

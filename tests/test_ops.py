@@ -1749,6 +1749,27 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_ewma_user_value_replays_locally(self, ray_session):
+        """The distributed position-vectorized walk equals a plain
+        per-user sequential replay of s_i = (s_{i-1} + v_i) // 2."""
+        import pyarrow.parquet as pq
+
+        from kgx.events import ewma_user_value
+
+        out = ewma_user_value(SF).to_pandas().set_index("event_id")
+        ev = pq.read_table(SF + "/events.parquet").to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        import numpy as np
+        want = {}
+        for _, g in ev.groupby("user_id"):
+            s = None
+            for _, r in g.iterrows():
+                v = int(np.floor(100.0 * r["value"]))
+                s = v if s is None else (s + v) // 2
+                want[int(r["event_id"])] = s
+        got = out["ewma_q"].to_dict()
+        assert got == want
+
     def test_token_entropy_bounds_and_extremes(self, ray_session):
         """H = (nlogn_q − slogc_q)/(q·N) reconstructs per-doc entropy:
         0 ≤ H ≤ ln(N) (+quantization slack), an all-identical-token doc
