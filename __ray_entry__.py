@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": textops.vocab_growth,
         "zscore_quality": textops.zscore_quality,
         "token_entropy": textops.token_entropy,
+        "pivot_counts": textops.pivot_counts,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

@@ -168,6 +168,7 @@ def run_queries(sf_dir: str) -> dict:
         "ewma_user_value": lambda: events.ewma_user_value(sf_dir),
         "range_join_counts": lambda: events.range_join_counts(sf_dir),
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
+        "pivot_counts": lambda: textops.pivot_counts(sf_dir),
         "freq_spectrum": lambda: textops.freq_spectrum(sf_dir),
         "vocab_growth": lambda: textops.vocab_growth(sf_dir),
         "zscore_quality": lambda: textops.zscore_quality(sf_dir),

@@ -1542,6 +1542,19 @@ FROM ranked GROUP BY doc_id
 # exact mirror of components.triangle_count over the jaccard_pairs edge
 # set: canonical a<b edges; triangle (x<y<z) matched once as
 # e1=(x,y), e2=(x,z), e3=(y,z)
+# OLAP crosstab/PIVOT: conditional aggregation per (source × lang)
+DOC_ORACLES["pivot_counts"] = """
+SELECT source,
+  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+  CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM documents GROUP BY source
+"""
+
 # α=1/2 integer EWMA per user: the per-step floor makes the scan
 # non-associative, so the oracle replays the walk with a recursive CTE
 # (depth = max events per user). value > 0 in this corpus, so DuckDB's

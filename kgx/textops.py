@@ -1053,3 +1053,42 @@ def token_entropy(sf_dir: str, q: int = 1 << 20):
             "slogc_q": g["slogc_q"].astype("int64")})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def pivot_counts(sf_dir: str):
+    """(source, n_de, n_en, n_es, n_fr, n_zh, n_other) — the OLAP
+    crosstab/PIVOT: document counts per source, one column per language.
+    A pivot is just a conditional aggregation, which makes it fully
+    combiner-friendly: each batch emits its local ≤|sources|-row
+    crosstab, one small hash aggregate sums the partials — the shuffle
+    carries crosstab rows, never documents. Unknown languages fold into
+    ``n_other`` so the column set is schema-stable at any corpus.
+    """
+    ds = _read_documents(sf_dir, columns=["source", "lang"])
+    cols = ["n_%s" % l for l in _PIVOT_LANGS]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"source": df["source"].astype(str)})
+        lang = df["lang"].astype(str)
+        known = np.zeros(len(df), dtype=bool)
+        for l, c in zip(_PIVOT_LANGS, cols):
+            m = (lang == l).to_numpy()
+            out[c] = m.astype("int64")
+            known |= m
+        out["n_other"] = (~known).astype("int64")
+        return out.groupby("source", as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("source").sum(cols + ["n_other"]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ren = {"sum(%s)" % c: c for c in cols + ["n_other"]}
+        df = df.rename(columns=ren)
+        for c in cols + ["n_other"]:
+            df[c] = df[c].astype("int64")
+        return df[["source"] + cols + ["n_other"]]
+
+    return agg.map_batches(finish, batch_format="pandas")

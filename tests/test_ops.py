@@ -1749,6 +1749,24 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_pivot_counts_crosstab_identities(self, ray_session):
+        """Row sums equal per-source totals; column sums equal per-lang
+        totals — the two marginal identities of a crosstab."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import pivot_counts
+
+        out = pivot_counts(SF).to_pandas().set_index("source")
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["source", "lang"]).to_pandas()
+        per_src = docs.groupby("source").size()
+        assert (out.sum(axis=1).sort_index() == per_src.sort_index()).all()
+        per_lang = docs.groupby("lang").size()
+        for lang, n in per_lang.items():
+            col = "n_%s" % lang
+            assert col in out.columns and out[col].sum() == n
+        assert out["n_other"].sum() == 0
+
     def test_ewma_user_value_replays_locally(self, ray_session):
         """The distributed position-vectorized walk equals a plain
         per-user sequential replay of s_i = (s_{i-1} + v_i) // 2."""
