@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import label_propagation as _label_propagation
     from kgx.components import triangle_count as _triangle_count
     from kgx.components import clustering_coeff as _clustering_coeff
+    from kgx.components import degree_assortativity_sums as _assort
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _pagerank,
         "triangle_count": _triangle_count,
         "clustering_coeff": _clustering_coeff,
+        "degree_assortativity_sums": _assort,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

@@ -1016,3 +1016,76 @@ def clustering_coeff(sf_dir: str, threshold: float = 0.8,
             .union(degrees.map_batches(tag_deg, batch_format="pandas")))
     return both.groupby("bucket").map_groups(merge_node,
                                              batch_format="pandas")
+
+
+def degree_assortativity_sums(sf_dir: str, threshold: float = 0.8,
+                              num_partitions: Optional[int] = None):
+    """Single row (n_ends, s_d, s_dd, s_prod) — EXACT integer sufficient
+    statistics of degree assortativity over the near-dup pair graph:
+    summing over both orientations of every edge (so x- and y-marginals
+    coincide), Pearson's r = (M·s_prod − s_d²) / (M·s_dd − s_d²) with
+    M = n_ends = 2|E| divides out from these integers (positive r =
+    dup-cluster cores attach to cores — the scale-free-vs-clustered
+    diagnostic). Emitting the sums keeps the oracle hash bit-exact.
+
+    Same shuffle shape as triangle_count's first two exchanges: edges
+    explode to their endpoints (node-hash bucket → global degrees),
+    halves re-meet in an edge-hash bucket where both endpoint degrees
+    are known, and each partition emits ONE partial-sums row into a
+    one-row reduce. Edge-sized rows only, never node-state tables.
+    """
+    from .dedup import jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_id_a"].astype("int64")
+        b = df["doc_id_b"].astype("int64")
+        out = pd.DataFrame({
+            "node": pd.concat([a, b], ignore_index=True),
+            "other": pd.concat([b, a], ignore_index=True)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["node"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df.groupby("node")["other"].transform("size")
+        u = np.minimum(df["node"], df["other"])
+        w = np.maximum(df["node"], df["other"])
+        return pd.DataFrame({
+            "u": u.astype("int64"), "w": w.astype("int64"),
+            "node": df["node"].astype("int64"),
+            "deg": deg.astype("int64"),
+            "bucket": ((pd.util.hash_pandas_object(u, index=False)
+                        * 31 + pd.util.hash_pandas_object(w, index=False))
+                       % nparts).astype("int32")})
+
+    def edge_sums(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["node"] == df["u"]][["u", "w", "deg"]]
+        rhs = df[df["node"] == df["w"]][["u", "w", "deg"]]
+        m = lhs.merge(rhs, on=["u", "w"], suffixes=("_u", "_w"))
+        du = m["deg_u"].to_numpy(dtype="int64")
+        dw = m["deg_w"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "n_ends": pd.Series([2 * len(m)], dtype="int64"),
+            "s_d": pd.Series([int(du.sum() + dw.sum())], dtype="int64"),
+            "s_dd": pd.Series([int((du * du).sum() + (dw * dw).sum())],
+                              dtype="int64"),
+            "s_prod": pd.Series([int(2 * (du * dw).sum())],
+                                dtype="int64")})
+
+    partials = (pairs.map_batches(explode, batch_format="pandas")
+                .groupby("bucket").map_groups(attach_deg,
+                                              batch_format="pandas")
+                .groupby("bucket").map_groups(edge_sums,
+                                              batch_format="pandas"))
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            c: pd.Series([int(df[c].sum())], dtype="int64")
+            for c in ("n_ends", "s_d", "s_dd", "s_prod")})
+
+    return partials.repartition(1).map_batches(total,
+                                               batch_format="pandas")

@@ -1671,6 +1671,36 @@ FROM p e1 JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
           JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
+# degree-assortativity sufficient statistics over the same pair graph
+# (both orientations of every edge, so the two marginals coincide)
+DOC_ORACLES["degree_assortativity_sums"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), deg AS (
+  SELECT node, count(*) AS dg FROM (
+    SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+  GROUP BY node
+), ends AS (
+  SELECT da.dg AS dx, db.dg AS dy
+  FROM p JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b
+  UNION ALL
+  SELECT db.dg AS dx, da.dg AS dy
+  FROM p JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ends,
+       CAST(sum(dx) AS BIGINT) AS s_d,
+       CAST(sum(dx*dx) AS BIGINT) AS s_dd,
+       CAST(sum(dx*dy) AS BIGINT) AS s_prod
+FROM ends
+"""
+
 # per-node triangles + degree over the same pair graph: the local
 # clustering coefficient 2·n_tri/(deg·(deg−1)) divides out exactly
 DOC_ORACLES["clustering_coeff"] = """

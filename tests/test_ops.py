@@ -1749,6 +1749,29 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_degree_assortativity_replays_locally(self, ray_session):
+        """Sufficient statistics match an adjacency replay, and the
+        derived Pearson r lands in [-1, 1]."""
+        from collections import defaultdict
+
+        from kgx.components import degree_assortativity_sums
+        from kgx.dedup import jaccard_pairs
+
+        edges = jaccard_pairs(SF).to_pandas()
+        deg = defaultdict(int)
+        for a, b in zip(edges["doc_id_a"], edges["doc_id_b"]):
+            deg[int(a)] += 1; deg[int(b)] += 1
+        out = degree_assortativity_sums(SF).to_pandas().iloc[0]
+        n = s = ss = sp = 0
+        for a, b in zip(edges["doc_id_a"], edges["doc_id_b"]):
+            dx, dy = deg[int(a)], deg[int(b)]
+            n += 2; s += dx + dy; ss += dx*dx + dy*dy; sp += 2*dx*dy
+        assert (out["n_ends"], out["s_d"], out["s_dd"], out["s_prod"]) \
+            == (n, s, ss, sp)
+        num = out["n_ends"] * out["s_prod"] - out["s_d"] ** 2
+        den = out["n_ends"] * out["s_dd"] - out["s_d"] ** 2
+        assert den > 0 and -1.0 <= num / den <= 1.0
+
     def test_pivot_counts_crosstab_identities(self, ray_session):
         """Row sums equal per-source totals; column sums equal per-lang
         totals — the two marginal identities of a crosstab."""
