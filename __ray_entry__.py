@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": traindata.segment_dedup,
         "bm25_search": traindata.bm25_search,
         "rrf_fusion": traindata.rrf_fusion,
+        "hash_embed_retrieval": traindata.hash_embed_retrieval,
         "ccnet_buckets": traindata.ccnet_buckets,
         "curate_corpus": traindata.curate_corpus,
         # source formats beyond parquet (export → shards → re-ingest)

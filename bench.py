@@ -180,6 +180,8 @@ def run_queries(sf_dir: str) -> dict:
         "shipping_priority": lambda: relational.shipping_priority(sf_dir),
         "local_supplier_volume": lambda: relational.local_supplier_volume(sf_dir),
         "big_orders": lambda: relational.big_orders(sf_dir),
+        "hash_embed_retrieval":
+            lambda: traindata.hash_embed_retrieval(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -2253,6 +2253,60 @@ SELECT CAST(256 AS BIGINT) AS m,
 FROM raw
 """
 
+# composed RAG retrieval: chunk → integer feature-hashing embedding →
+# exact-int-dot top-k over other-document chunks. Dense pair space via
+# CROSS JOIN + LEFT JOIN so zero-overlap pairs (dot=0) rank identically
+# to the engine, which scores EVERY candidate.
+DOC_ORACLES["hash_embed_retrieval"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest(1, CAST(ceil((len(toks) - 8) / 56.0) AS BIGINT)) AS k
+  FROM t
+), ch AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         list_slice(toks, chunk_id * 56 + 1,
+                    least(chunk_id * 56 + 64, n)) AS ctoks
+  FROM (SELECT doc_id, toks, n,
+               unnest(generate_series(0, k - 1)) AS chunk_id
+        FROM c)
+), hh AS (
+  SELECT doc_id, chunk_id,
+         ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, chunk_id, unnest(ctoks) AS tk FROM ch)
+), sp AS (
+  SELECT doc_id, chunk_id, CAST(h % 16 AS BIGINT) AS j,
+         sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS val
+  FROM hh GROUP BY doc_id, chunk_id, j
+), pairs AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         a.doc_id AS n_doc, a.chunk_id AS n_chunk
+  FROM ch q JOIN ch a ON a.doc_id != q.doc_id
+  WHERE q.doc_id % 97 = 0
+), d0 AS (
+  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+         s.doc_id AS n_doc, s.chunk_id AS n_chunk,
+         CAST(sum(q.val * s.val) AS BIGINT) AS dot
+  FROM sp q JOIN sp s ON q.j = s.j AND s.doc_id != q.doc_id
+  WHERE q.doc_id % 97 = 0
+  GROUP BY q.doc_id, q.chunk_id, s.doc_id, s.chunk_id
+), dots AS (
+  SELECT p.q_doc, p.q_chunk, p.n_doc, p.n_chunk,
+         COALESCE(d0.dot, 0) AS dot
+  FROM pairs p LEFT JOIN d0 ON d0.q_doc = p.q_doc
+   AND d0.q_chunk = p.q_chunk AND d0.n_doc = p.n_doc
+   AND d0.n_chunk = p.n_chunk
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_doc, q_chunk
+             ORDER BY dot DESC, n_doc, n_chunk) AS rank
+  FROM dots
+)
+SELECT q_doc, q_chunk, n_doc, n_chunk, CAST(dot AS BIGINT) AS dot,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
 # grouped HLL: COUNT(DISTINCT user) GROUP BY event_type as a mergeable
 # sketch — identical register/estimator replay to hll_distinct, per group
 DOC_ORACLES["hll_user_counts"] = r"""

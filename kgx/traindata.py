@@ -1600,16 +1600,27 @@ def hll_user_counts(sf_dir: str, p: int = 8):
         t = pd.DataFrame({"event_type": df["event_type"].astype(str),
                           "j": j, "rho": rho.astype("int64")})
         g = t.groupby(["event_type", "j"], as_index=False)["rho"].max()
+        # bucketed co-group reduce on hash(event_type): Ray's native
+        # multi-key sort aggregate measured 14 s where this exchange
+        # takes ~1 s at sf0.1/32
+        g["bucket"] = (pd.util.hash_pandas_object(
+            g["event_type"], index=False) % 16).astype("int32")
         return g
 
+    def merge_regs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "j"], as_index=False)["rho"].max()
+        return g[["event_type", "j", "rho"]]
+
     merged = (ds.map_batches(registers, batch_format="pandas")
-              .groupby(["event_type", "j"]).max("rho").to_pandas())
+              .groupby("bucket").map_groups(merge_regs,
+                                            batch_format="pandas")
+              .to_pandas())
 
     rows = []
     for et, g in merged.groupby("event_type"):
         regs = np.zeros(m, dtype=np.int64)
         regs[g["j"].to_numpy(dtype="int64")] = \
-            g["max(rho)"].to_numpy(dtype="int64")
+            g["rho"].to_numpy(dtype="int64")
         est, zeros = _hll_estimate(regs, m)
         rows.append((et, m, zeros, est))
     out = pd.DataFrame(rows, columns=["event_type", "m",
@@ -1617,3 +1628,131 @@ def hll_user_counts(sf_dir: str, p: int = 8):
     for c in ("m", "zero_registers", "est_distinct"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def _hash_embed(texts, dim: int = 16):
+    """Feature-hashing chunk embedding (Weinberger et al. 2009, the
+    hashing trick): e_j = Σ_tokens sign(h)·[h mod dim = j] over md5-u64
+    token hashes, sign from bit ⌈log2 dim⌉ — ALL integer, so dot-product
+    scores are exact and SQL-replayable. Returns int64 (n, dim)."""
+    from .textops import token_hash64
+
+    out = np.zeros((len(texts), dim), dtype=np.int64)
+    for r, t in enumerate(texts):
+        for tok in t.split(" "):
+            h = token_hash64(tok)
+            j = h % dim
+            out[r, j] += 1 if (h // dim) % 2 == 0 else -1
+    return out
+
+
+def hash_embed_retrieval(sf_dir: str, dim: int = 16, k: int = 5,
+                         query_mod: int = 97, chunk_tokens: int = 64,
+                         overlap: int = 8):
+    """(q_doc, q_chunk, n_doc, n_chunk, dot, rank) — the composed RAG
+    retrieval stack with NO pretrained model: chunk every document
+    (``chunk_documents`` semantics), embed each chunk with the integer
+    feature-hashing trick (``_hash_embed`` — token md5-u64 → signed
+    count in bucket h mod dim), and retrieve the top-``k`` most similar
+    OTHER-document chunks for every chunk of the query docs
+    (doc_id % ``query_mod`` = 0) by exact integer dot product. Because
+    embeddings and scores are integers end-to-end, the whole pipeline —
+    chunking, featurization, retrieval ranking — carries one exact SQL
+    oracle (no float tree to mirror at all).
+
+    Scale shape: chunking + embedding are MAP-ONLY (chunks never leave
+    the batch that created them); the bounded query matrix broadcasts
+    once via ``ray.put`` into the per-worker cache; scoring is one
+    vectorized int matmul per batch with a per-batch per-query top-k
+    combiner, so the only exchange is the final ≤ n_queries·k·n_batches
+    partial-row reduce (the bm25_search shape).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    stride = chunk_tokens - overlap
+
+    def chunk_frame(doc_ids, texts) -> pd.DataFrame:
+        d_out, c_out, t_out = [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            toks = text.split(" ")
+            n = len(toks)
+            kk = max(1, -(-(n - overlap) // stride))
+            for i in range(kk):
+                start = i * stride
+                end = min(start + chunk_tokens, n)
+                d_out.append(int(doc_id))
+                c_out.append(i)
+                t_out.append(" ".join(toks[start:end]))
+        return pd.DataFrame({"doc_id": pd.Series(d_out, dtype="int64"),
+                             "chunk_id": pd.Series(c_out, dtype="int64"),
+                             "chunk_text": t_out})
+
+    # bounded query side: chunks + embeddings of the query docs, built
+    # driver-side from a pruned read and broadcast once
+    tbl = pq.read_table("%s/documents.parquet" % sf_dir,
+                        columns=["doc_id", "text"])
+    ids = np.asarray(tbl.column("doc_id"))
+    mask = ids % query_mod == 0
+    qchunks = chunk_frame(ids[mask],
+                          np.asarray(tbl.column("text"))[mask])
+    Q = _hash_embed(qchunks["chunk_text"].tolist(), dim)
+    q_ref = ray.put((qchunks["doc_id"].to_numpy(dtype="int64"),
+                     qchunks["chunk_id"].to_numpy(dtype="int64"), Q))
+
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qd, qc, Qm = _bcast_get(q_ref)
+        ch = chunk_frame(df["doc_id"].to_numpy(),
+                         df["text"].to_numpy())
+        E = _hash_embed(ch["chunk_text"].tolist(), dim)
+        dots = Qm @ E.T  # (n_queries, n_chunks) exact int64
+        cd = ch["doc_id"].to_numpy()
+        cc = ch["chunk_id"].to_numpy()
+        rows = []
+        for qi in range(len(qd)):
+            valid = cd != qd[qi]
+            if not valid.any():
+                continue
+            row = dots[qi]
+            k2 = min(k, int(valid.sum()))
+            cand = np.flatnonzero(valid)
+            # partial top-k with the exact final tie rule
+            order = np.lexsort((cc[cand], cd[cand], -row[cand]))
+            pick = cand[order[:k2]]
+            for j in pick:
+                rows.append((qd[qi], qc[qi], cd[j], cc[j], row[j]))
+        return pd.DataFrame(rows, columns=["q_doc", "q_chunk", "n_doc",
+                                           "n_chunk", "dot"]) \
+            .astype("int64")
+
+    partial = ds.map_batches(score, batch_format="pandas")
+
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["q_doc"] * 1000003 + df["q_chunk"]
+        return df.assign(bucket=(pd.util.hash_pandas_object(
+            key, index=False) % nparts).astype("int32"))
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["q_doc", "q_chunk"], sort=False):
+            g = g.sort_values(["dot", "n_doc", "n_chunk"],
+                              ascending=[False, True, True]).head(k)
+            g = g.assign(rank=pd.Series(range(1, len(g) + 1),
+                                        dtype="int64", index=g.index))
+            out.append(g[["q_doc", "q_chunk", "n_doc", "n_chunk",
+                          "dot", "rank"]])
+        if not out:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["q_doc", "q_chunk", "n_doc",
+                                           "n_chunk", "dot", "rank"]})
+        return pd.concat(out, ignore_index=True)
+
+    return (partial.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(reduce_bucket,
+                                          batch_format="pandas"))

@@ -1749,6 +1749,49 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_hash_embed_retrieval_replays_locally(self, ray_session):
+        """The distributed broadcast-scored top-k equals a local numpy
+        replay of chunk → hash-embed → int-dot ranking."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import _hash_embed, hash_embed_retrieval
+
+        out = hash_embed_retrieval(SF).to_pandas()
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        # local chunking replay (chunk 64 / overlap 8 / stride 56)
+        rows = []
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            toks = t.split(" ")
+            n = len(toks)
+            kk = max(1, -(-(n - 8) // 56))
+            for i in range(kk):
+                rows.append((int(d), i,
+                             " ".join(toks[i*56:min(i*56+64, n)])))
+        import pandas as pd
+        ch = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "txt"])
+        E = _hash_embed(ch["txt"].tolist())
+        qm = ch["doc_id"] % 97 == 0
+        want = []
+        for qi in np.flatnonzero(qm.to_numpy()):
+            dots = E[qi] @ E.T
+            m = (ch["doc_id"] != ch["doc_id"].iloc[qi]).to_numpy()
+            cand = np.flatnonzero(m)
+            order = np.lexsort((ch["chunk_id"].to_numpy()[cand],
+                                ch["doc_id"].to_numpy()[cand],
+                                -dots[cand]))
+            for r, j in enumerate(cand[order[:5]], 1):
+                want.append((int(ch["doc_id"].iloc[qi]),
+                             int(ch["chunk_id"].iloc[qi]),
+                             int(ch["doc_id"].iloc[j]),
+                             int(ch["chunk_id"].iloc[j]),
+                             int(dots[j]), r))
+        got = sorted(map(tuple, out[["q_doc", "q_chunk", "n_doc",
+                                     "n_chunk", "dot", "rank"]]
+                         .itertuples(index=False)))
+        assert got == sorted(want)
+
     def test_degree_assortativity_replays_locally(self, ray_session):
         """Sufficient statistics match an adjacency replay, and the
         derived Pearson r lands in [-1, 1]."""
