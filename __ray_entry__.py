@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_quality": textops.zscore_quality,
         "token_entropy": textops.token_entropy,
         "pivot_counts": textops.pivot_counts,
+        "normalize_text": textops.normalize_text,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

@@ -169,6 +169,7 @@ def run_queries(sf_dir: str) -> dict:
         "range_join_counts": lambda: events.range_join_counts(sf_dir),
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
         "pivot_counts": lambda: textops.pivot_counts(sf_dir),
+        "normalize_text": lambda: textops.normalize_text(sf_dir),
         "freq_spectrum": lambda: textops.freq_spectrum(sf_dir),
         "vocab_growth": lambda: textops.vocab_growth(sf_dir),
         "zscore_quality": lambda: textops.zscore_quality(sf_dir),

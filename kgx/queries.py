@@ -1575,6 +1575,20 @@ WITH RECURSIVE ev AS (
 SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_q FROM walk
 """
 
+# text canonicalization: ASCII-explicit classes so re and RE2 agree;
+# the md5 proves byte-identical normalization across engines
+DOC_ORACLES["normalize_text"] = """
+SELECT doc_id,
+  CAST(length(n) AS BIGINT) AS n_chars_norm,
+  md5(n) AS norm_md5
+FROM (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text),
+                                       '[^a-z0-9 ]', ' ', 'g'),
+                        ' +', ' ', 'g'), ' ') AS n
+  FROM documents)
+"""
+
 # per-doc Shannon entropy of the token histogram, as two per-term
 # floor-quantized integer sums (order-independent, bit-exact)
 DOC_ORACLES["token_entropy"] = """

@@ -1092,3 +1092,31 @@ def pivot_counts(sf_dir: str):
         return df[["source"] + cols + ["n_other"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def normalize_text(sf_dir: str):
+    """(doc_id, n_chars_norm, norm_md5) — corpus text canonicalization
+    (the pre-dedup/pre-tokenization cleanup pass): lowercase, strip
+    non-alphanumeric characters to spaces, collapse whitespace runs,
+    trim. Emitting the md5 of the normalized text (not the text) keeps
+    the row fixed-width — at 100 TB the digest is what downstream exact
+    dedup consumes anyway. Map-only, vectorized pandas str ops; the
+    character classes are ASCII-explicit so Python re and DuckDB RE2
+    provably agree (the quality_ratios constraint).
+    """
+    import hashlib
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df["text"].str.lower()
+             .str.replace(r"[^a-z0-9 ]", " ", regex=True)
+             .str.replace(r" +", " ", regex=True)
+             .str.strip())
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars_norm": s.str.len().astype("int64"),
+            "norm_md5": [hashlib.md5(t.encode()).hexdigest() for t in s],
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1749,6 +1749,26 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_normalize_text_canonicalization(self, ray_session):
+        """Normalization is idempotent-shaped: digests match a local
+        replay, lengths shrink or hold, and output charset is clean."""
+        import hashlib
+        import re
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import normalize_text
+
+        out = normalize_text(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            n = re.sub(r" +", " ",
+                       re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+            assert out.loc[int(d), "norm_md5"] == \
+                hashlib.md5(n.encode()).hexdigest()
+            assert out.loc[int(d), "n_chars_norm"] == len(n) <= len(t)
+
     def test_hash_embed_retrieval_replays_locally(self, ray_session):
         """The distributed broadcast-scored top-k equals a local numpy
         replay of chunk → hash-embed → int-dot ranking."""
