@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": events.cohort_retention,
         "running_totals": events.running_totals,
         "ewma_user_value": events.ewma_user_value,
+        "value_percentiles": events.value_percentiles,
+        "hourly_active_users": events.hourly_active_users,
         "range_join_counts": events.range_join_counts,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,

@@ -166,6 +166,9 @@ def run_queries(sf_dir: str) -> dict:
         "bpe_encode": lambda: traindata.bpe_encode(sf_dir),
         "running_totals": lambda: events.running_totals(sf_dir),
         "ewma_user_value": lambda: events.ewma_user_value(sf_dir),
+        "value_percentiles": lambda: events.value_percentiles(sf_dir),
+        "hourly_active_users":
+            lambda: events.hourly_active_users(sf_dir),
         "range_join_counts": lambda: events.range_join_counts(sf_dir),
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
         "pivot_counts": lambda: textops.pivot_counts(sf_dir),

@@ -459,3 +459,75 @@ def ewma_user_value(sf_dir: str):
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas"))
+
+
+def value_percentiles(sf_dir: str, qs=(0.5, 0.95, 0.99)):
+    """(event_type, q_pct, value_cents) — EXACT per-event-type p50/p95/
+    p99 of the event value (the classic ops/latency metric), discrete
+    percentile semantics (smallest value with cumulative count ≥
+    ceil(q·N), DuckDB's ``quantile_disc``). Values quantize losslessly
+    to integer cents (floor(100·v) — one exactly-rounded multiply) so
+    the bounded-integer-domain histogram combiner applies: the shuffle
+    carries (type, cents) histogram rows, never events — the
+    token_quantiles shape on the events table.
+    """
+    import math
+
+    ds = _read_events(sf_dir, columns=["event_type", "value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(100.0 * df["value"].to_numpy(dtype="float64")) \
+            .astype("int64")
+        g = (pd.DataFrame({"event_type": df["event_type"].astype(str),
+                           "c": c})
+             .groupby(["event_type", "c"], as_index=False).size())
+        return pd.DataFrame({"event_type": g["event_type"],
+                             "c": g["c"].astype("int64"),
+                             "cnt": g["size"].astype("int64")})
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("c", as_index=False)["cnt"].sum()
+             .sort_values("c").reset_index(drop=True))
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["c"].to_numpy()
+        total = int(cum[-1])
+        rows = [(df["event_type"].iloc[0], int(round(q * 100)),
+                 int(vals[np.searchsorted(cum, math.ceil(q * total))]))
+                for q in qs]
+        return pd.DataFrame(rows, columns=["event_type", "q_pct",
+                                           "value_cents"])
+
+    return (ds.map_batches(hist, batch_format="pandas")
+            .groupby("event_type").map_groups(quant,
+                                              batch_format="pandas"))
+
+
+def hourly_active_users(sf_dir: str, num_partitions=None):
+    """(hour, n_active) — EXACT distinct users per hourly tumbling
+    window, the DAU/HAU engagement metric (COUNT(DISTINCT) per window).
+    The per-batch combiner emits distinct (hour, user) pairs — events
+    collapse to at most one row per user per hour BEFORE the shuffle —
+    and one hour-hash bucket co-group finishes the exact nunique; the
+    exchange never carries raw events.
+    """
+    ds = _read_events(sf_dir, columns=["ts", "user_id"])
+    nparts = num_partitions or _nparts()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (df["ts"].to_numpy().astype("datetime64[h]")
+                .astype("int64"))
+        g = (pd.DataFrame({"hour": hour,
+                           "user_id": df["user_id"].astype("int64")})
+             .drop_duplicates())
+        g["bucket"] = (pd.util.hash_pandas_object(g["hour"], index=False)
+                       % nparts).astype("int32")
+        return g
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df[["hour", "user_id"]].drop_duplicates()
+             .groupby("hour", as_index=False).size())
+        return pd.DataFrame({"hour": g["hour"].astype("int64"),
+                             "n_active": g["size"].astype("int64")})
+
+    return (ds.map_batches(pairs, batch_format="pandas")
+            .groupby("bucket").map_groups(reduce, batch_format="pandas"))

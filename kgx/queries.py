@@ -1575,6 +1575,26 @@ WITH RECURSIVE ev AS (
 SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_q FROM walk
 """
 
+# exact per-type value percentiles (integer cents, quantile_disc rule)
+DOC_ORACLES["value_percentiles"] = """
+WITH e AS (
+  SELECT event_type, CAST(floor(100.0 * value) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type,
+  unnest([50, 95, 99]) AS q_pct,
+  unnest([quantile_disc(c, 0.50), quantile_disc(c, 0.95),
+          quantile_disc(c, 0.99)]) AS value_cents
+FROM e GROUP BY event_type
+"""
+
+# exact COUNT(DISTINCT user) per hourly tumbling window (DAU/HAU)
+DOC_ORACLES["hourly_active_users"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM events GROUP BY 1
+"""
+
 # text canonicalization: ASCII-explicit classes so re and RE2 agree;
 # the md5 proves byte-identical normalization across engines
 DOC_ORACLES["normalize_text"] = """

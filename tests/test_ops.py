@@ -1749,6 +1749,32 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_value_percentiles_and_hau_replay_locally(self, ray_session):
+        """Percentiles match pandas quantile(interpolation='higher'-ish
+        discrete rule) and HAU matches a local nunique per hour."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.events import hourly_active_users, value_percentiles
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas()
+        out = value_percentiles(SF).to_pandas()
+        import math
+        for (et, qp), g in out.groupby(["event_type", "q_pct"]):
+            c = np.sort(np.floor(
+                100.0 * ev.loc[ev["event_type"] == et, "value"]
+                .to_numpy(dtype="float64")).astype("int64"))
+            want = int(c[math.ceil(qp / 100 * len(c)) - 1])
+            assert int(g["value_cents"].iloc[0]) == want, (et, qp)
+        hau = hourly_active_users(SF).to_pandas().set_index("hour")
+        hours = (ev["ts"].to_numpy().astype("datetime64[h]")
+                 .astype("int64"))
+        import pandas as pd
+        want_h = (pd.DataFrame({"h": hours, "u": ev["user_id"]})
+                  .groupby("h")["u"].nunique())
+        assert (hau["n_active"].sort_index().to_numpy()
+                == want_h.sort_index().to_numpy()).all()
+
     def test_normalize_text_canonicalization(self, ray_session):
         """Normalization is idempotent-shaped: digests match a local
         replay, lengths shrink or hold, and output charset is clean."""
