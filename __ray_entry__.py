@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_stats": multimodal.payload_stats,
         "bmp_pixel_stats": multimodal.bmp_pixel_stats,
         "wav_pcm_stats": multimodal.wav_pcm_stats,
+        "y4m_frame_stats": multimodal.y4m_frame_stats,
         "payload_features": multimodal.payload_features,
         "payload_features_vals": multimodal.payload_features_vals,
         "payload_resize": multimodal.payload_resize,

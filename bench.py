@@ -103,7 +103,8 @@ def run_headline(num_pages: int, out_dir: str, warmup: bool = True,
 
 
 def run_queries(sf_dir: str) -> dict:
-    from kgx import dedup, events, relational, simsearch, textops, traindata
+    from kgx import (dedup, events, multimodal, relational, simsearch,
+                     textops, traindata)
     from kgx import queries as q
     from kgx.components import clustering_coeff as _clustering_coeff
     from kgx.components import kcore as _kcore
@@ -173,6 +174,7 @@ def run_queries(sf_dir: str) -> dict:
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
         "pivot_counts": lambda: textops.pivot_counts(sf_dir),
         "normalize_text": lambda: textops.normalize_text(sf_dir),
+        "y4m_frame_stats": lambda: multimodal.y4m_frame_stats(sf_dir),
         "freq_spectrum": lambda: textops.freq_spectrum(sf_dir),
         "vocab_growth": lambda: textops.vocab_growth(sf_dir),
         "zscore_quality": lambda: textops.zscore_quality(sf_dir),

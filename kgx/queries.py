@@ -1575,6 +1575,28 @@ WITH RECURSIVE ev AS (
 SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_q FROM walk
 """
 
+# REAL video decode end-to-end: frame f of the Cmono Y4M stream covers
+# payload bytes [f·128, (f+1)·128) zero-padded; ASCII ⇒ codepoint==byte
+DOC_ORACLES["y4m_frame_stats"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+fr AS (
+  SELECT doc_id, text, n, greatest(1, (n + 127) // 128) AS nf FROM d),
+s AS (
+  SELECT doc_id, text, n,
+         unnest(generate_series(0, (nf + 3) // 4 - 1)) * 4 AS frame_idx
+  FROM fr),
+ch AS (
+  SELECT doc_id, frame_idx,
+         ascii(substr(text, frame_idx * 128 + i, 1)) AS v
+  FROM (SELECT doc_id, text, frame_idx,
+               unnest(generate_series(
+                   1, least(128, n - frame_idx * 128))) AS i
+        FROM s))
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sum(v) AS BIGINT) AS luma_sum
+FROM ch GROUP BY doc_id, frame_idx
+"""
+
 # exact per-type value percentiles (integer cents, quantile_disc rule)
 DOC_ORACLES["value_percentiles"] = """
 WITH e AS (

@@ -1749,6 +1749,30 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_y4m_roundtrip_and_parser_strictness(self, ray_session):
+        """encode→decode roundtrips byte-exactly (with zero padding),
+        the parser walks FRAME markers with parameters, and non-mono
+        streams are rejected."""
+        import numpy as np
+        import pytest
+
+        from kgx.multimodal import decode_y4m, encode_y4m
+
+        data = bytes(range(200))
+        frames = decode_y4m(encode_y4m(data, width=16, height=8))
+        assert frames.shape == (2, 8, 16)
+        flat = frames.reshape(-1).tobytes()
+        assert flat[:200] == data and flat[200:] == b"\x00" * 56
+        # FRAME markers may carry parameters up to the newline
+        stream = (b"YUV4MPEG2 W2 H2 F25:1 Cmono\n"
+                  + b"FRAME Xcustom\n" + bytes([1, 2, 3, 4]))
+        f = decode_y4m(stream)
+        assert f.shape == (1, 2, 2) and f.sum() == 10
+        with pytest.raises(ValueError):
+            decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n\x00\x00\x00\x00\x00\x00")
+        with pytest.raises(ValueError):
+            decode_y4m(b"NOTY4M W2 H2\n")
+
     def test_value_percentiles_and_hau_replay_locally(self, ray_session):
         """Percentiles match pandas quantile(interpolation='higher'-ish
         discrete rule) and HAU matches a local nunique per hour."""
