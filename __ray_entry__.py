@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,
         "jaccard_pairs": dedup.jaccard_pairs,
+        "jaccard_pairs_sim": dedup.jaccard_pairs_sim,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "near_dup_dedup": dedup.near_dup_dedup,
         "near_dup_dedup_lsh": lambda sf: dedup.near_dup_dedup(sf, use_lsh=True),

@@ -848,3 +848,58 @@ def winnow_fingerprints(sf_dir: str, k: int = 4, w: int = 4):
         })
 
     return ds.map_batches(fps, batch_format="pandas")
+
+
+def jaccard_pairs_sim(sf_dir: str, threshold: float = 0.8,
+                      num_partitions: Optional[int] = None,
+                      q: int = 1 << 20):
+    """(doc_id_a, doc_id_b, sim_q) — ``jaccard_pairs`` WITH the exact
+    similarity attached, floor-quantized from pure integers
+    (sim_q = (q·|A∩B|) // |A∪B| — no float anywhere), which is what a
+    WEIGHTED near-dup graph needs (threshold sweeps, weighted
+    clustering, MST-style diagnostics) and what makes the value
+    bit-exact against SQL.
+
+    Same scale shape as ``jaccard_pairs``: first-token blocks coarsened
+    into hash partitions, exact O(n²) verify per block (route
+    hyper-common first tokens through the LSH-escalated variant when
+    they appear; this op keeps the exact path because the weighted
+    graph's edge set must equal the blocked ground truth).
+    """
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        block = df["text"].str.split(" ").str[0]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text": df["text"],
+            "block": block,
+            "part": (pd.util.hash_pandas_object(block, index=False)
+                     % nparts).astype("int32"),
+        })
+
+    def verify_part(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for _, g in df.groupby("block", sort=False):
+            ids = g["doc_id"].tolist()
+            sets = [set(t.split(" ")) for t in g["text"]]
+            for i, j in itertools.combinations(range(len(ids)), 2):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i]) + len(sets[j]) - inter
+                if union and inter / union >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append((q * inter) // union)
+        return pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype="int64"),
+                             "doc_id_b": pd.Series(out_b, dtype="int64"),
+                             "sim_q": pd.Series(out_s, dtype="int64")})
+
+    return (ds.map_batches(add_block, batch_format="pandas")
+            .groupby("part").map_groups(verify_part,
+                                        batch_format="pandas"))

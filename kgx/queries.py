@@ -1575,6 +1575,23 @@ WITH RECURSIVE ev AS (
 SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_q FROM walk
 """
 
+# weighted near-dup pairs: exact Jaccard floor-quantized from pure
+# integers (q·|A∩B| // |A∪B|) — bit-exact with zero float mirroring
+DOC_ORACLES["jaccard_pairs_sim"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+  CAST((1048576 * len(list_intersect(a.toks, b.toks)))
+       // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+       AS BIGINT) AS sim_q
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= 0.8
+"""
+
 # REAL video decode end-to-end: frame f of the Cmono Y4M stream covers
 # payload bytes [f·128, (f+1)·128) zero-padded; ASCII ⇒ codepoint==byte
 DOC_ORACLES["y4m_frame_stats"] = """

@@ -1749,6 +1749,29 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_jaccard_pairs_sim_consistency(self, ray_session):
+        """Weighted pairs carry the same edge set as jaccard_pairs, and
+        every sim_q matches a set replay with sim_q/q >= threshold."""
+        from kgx.dedup import jaccard_pairs, jaccard_pairs_sim
+
+        import pyarrow.parquet as pq
+
+        plain = jaccard_pairs(SF).to_pandas()
+        sim = jaccard_pairs_sim(SF).to_pandas()
+        key = ["doc_id_a", "doc_id_b"]
+        assert sorted(map(tuple, plain[key].to_numpy())) == \
+            sorted(map(tuple, sim[key].to_numpy()))
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        toks = {int(d): set(t.split(" "))
+                for d, t in zip(docs["doc_id"], docs["text"])}
+        q = 1 << 20
+        for a, b, s in sim.itertuples(index=False):
+            i = len(toks[a] & toks[b])
+            u = len(toks[a] | toks[b])
+            assert s == (q * i) // u
+            assert s >= int(0.8 * q) - 1
+
     def test_y4m_roundtrip_and_parser_strictness(self, ray_session):
         """encode→decode roundtrips byte-exactly (with zero padding),
         the parser walks FRAME markers with parameters, and non-mono
