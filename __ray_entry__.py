@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": relational.shipping_priority,
         "local_supplier_volume": relational.local_supplier_volume,
         "big_orders": relational.big_orders,
+        "customer_order_counts": relational.customer_order_counts,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -188,6 +188,8 @@ def run_queries(sf_dir: str) -> dict:
         "big_orders": lambda: relational.big_orders(sf_dir),
         "hash_embed_retrieval":
             lambda: traindata.hash_embed_retrieval(sf_dir),
+        "customer_order_counts":
+            lambda: relational.customer_order_counts(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -1575,6 +1575,14 @@ WITH RECURSIVE ev AS (
 SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_q FROM walk
 """
 
+# LEFT OUTER aggregate: every customer, zero-filled order counts
+DOC_ORACLES["customer_order_counts"] = """
+SELECT c.c_custkey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
 # weighted near-dup pairs: exact Jaccard floor-quantized from pure
 # integers (q·|A∩B| // |A∪B|) — bit-exact with zero float mirroring
 DOC_ORACLES["jaccard_pairs_sim"] = """

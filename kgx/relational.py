@@ -535,3 +535,58 @@ def big_orders(sf_dir: str, min_qty: int = 250):
                                    index=d.index)})
 
     return orders.map_batches(probe, batch_format="pandas")
+
+
+def customer_order_counts(sf_dir: str, num_partitions=None):
+    """(c_custkey, n_orders) for EVERY customer, including the ones with
+    zero orders — the LEFT OUTER aggregate (and its anti-join corollary:
+    filter n_orders = 0), the relational shape inner-join pipelines
+    silently get wrong. Returns exact int64 counts.
+
+    Scale shape: orders pre-aggregate per custkey inside each batch
+    (combiner — the exchange carries distinct custkeys, never orders),
+    then ONE hash(custkey) co-group unions the customer keys with the
+    count partials and left-merges inside the bucket, zero-filling
+    customers no order row reached. No broadcast needed: both sides
+    partition on the same key.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+                                     columns=["c_custkey"])
+    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+                                   columns=["o_custkey"])
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "n": np.int64(0), "side": np.int8(0),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("o_custkey", as_index=False).size()
+             .rename(columns={"o_custkey": "k", "size": "n"}))
+        k = g["k"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "n": g["n"].astype("int64"), "side": np.int8(1),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cust = df[df["side"] == 0][["k"]].drop_duplicates()
+        cnt = (df[df["side"] == 1].groupby("k", as_index=False)["n"]
+               .sum())
+        m = cust.merge(cnt, on="k", how="left")
+        return pd.DataFrame({
+            "c_custkey": m["k"].astype("int64"),
+            "n_orders": m["n"].fillna(0).astype("int64")})
+
+    both = (customer.map_batches(c_rows, batch_format="pandas")
+            .union(orders.map_batches(o_partial, batch_format="pandas")))
+    return both.groupby("bucket").map_groups(merge, batch_format="pandas")

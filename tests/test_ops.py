@@ -1749,6 +1749,25 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_customer_order_counts_outer_semantics(self, ray_session):
+        """Every customer appears exactly once; totals match the orders
+        table; zero-order customers (the anti-join set) are preserved."""
+        import pyarrow.parquet as pq
+
+        from kgx.relational import customer_order_counts
+
+        out = customer_order_counts(SF).to_pandas()
+        cust = pq.read_table(SF + "/customer.parquet",
+                             columns=["c_custkey"]).to_pandas()
+        orders = pq.read_table(SF + "/orders.parquet",
+                               columns=["o_custkey"]).to_pandas()
+        assert sorted(out["c_custkey"]) == sorted(cust["c_custkey"])
+        assert out["n_orders"].sum() == len(orders)
+        vc = orders["o_custkey"].value_counts()
+        m = out.set_index("c_custkey")["n_orders"]
+        for ck in cust["c_custkey"]:
+            assert m[ck] == int(vc.get(ck, 0))
+
     def test_jaccard_pairs_sim_consistency(self, ray_session):
         """Weighted pairs carry the same edge set as jaccard_pairs, and
         every sim_q matches a set replay with sim_q/q >= threshold."""
