@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import triangle_count as _triangle_count
     from kgx.components import clustering_coeff as _clustering_coeff
     from kgx.components import degree_assortativity_sums as _assort
+    from kgx.components import msf_boruvka as _msf
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _triangle_count,
         "clustering_coeff": _clustering_coeff,
         "degree_assortativity_sums": _assort,
+        "msf_boruvka": _msf,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

@@ -1575,6 +1575,42 @@ WITH RECURSIVE ev AS (
 SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_q FROM walk
 """
 
+# minimum spanning forest of the weighted near-dup graph. The edge
+# order (sim_q DESC, a, b) is total, so the MSF is unique and Kruskal's
+# cut property characterizes it edge-by-edge: e ∈ MSF iff its endpoints
+# are NOT connected using strictly earlier-ranked edges (recursive-CTE
+# reachability per edge; dup components are small cliques, so the
+# reach table stays tiny).
+DOC_ORACLES["msf_boruvka"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), p0 AS (
+  SELECT a.doc_id AS ea, b.doc_id AS eb,
+    CAST((1048576 * len(list_intersect(a.toks, b.toks)))
+         // (len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks))) AS BIGINT) AS sim_q
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), p AS (
+  SELECT ea, eb, sim_q,
+         row_number() OVER (ORDER BY sim_q DESC, ea, eb) AS rn
+  FROM p0
+), reach AS (
+  SELECT rn AS eid, ea AS node FROM p
+  UNION
+  SELECT r.eid,
+         CASE WHEN e.ea = r.node THEN e.eb ELSE e.ea END AS node
+  FROM reach r JOIN p e
+    ON (e.ea = r.node OR e.eb = r.node) AND e.rn < r.eid
+)
+SELECT ea AS doc_id_a, eb AS doc_id_b, sim_q FROM p
+WHERE NOT EXISTS (SELECT 1 FROM reach r
+                  WHERE r.eid = p.rn AND r.node = p.eb)
+"""
+
 # LEFT OUTER aggregate: every customer, zero-filled order counts
 DOC_ORACLES["customer_order_counts"] = """
 SELECT c.c_custkey,

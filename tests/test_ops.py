@@ -1749,6 +1749,56 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_msf_boruvka_equals_kruskal_and_spans(self, ray_session):
+        """Distributed Borůvka equals a local Kruskal replay (the total
+        edge order makes the MSF unique), is acyclic (|E| = |V| − #comp)
+        and spans exactly the pair graph's components."""
+        from collections import defaultdict
+
+        from kgx.components import msf_boruvka
+        from kgx.dedup import jaccard_pairs_sim
+
+        edges = jaccard_pairs_sim(SF).to_pandas()
+        out = msf_boruvka(SF).to_pandas()
+        e = edges.sort_values(["sim_q", "doc_id_a", "doc_id_b"],
+                              ascending=[False, True, True])
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                x = parent[x]
+            return x
+
+        want = []
+        for a, b, s in e.itertuples(index=False):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                want.append((int(a), int(b), int(s)))
+        got = sorted(map(tuple, out[["doc_id_a", "doc_id_b", "sim_q"]]
+                         .itertuples(index=False)))
+        assert got == sorted(want)
+        nodes = set(edges["doc_id_a"]) | set(edges["doc_id_b"])
+        comps = len({find(int(n)) for n in nodes})
+        assert len(out) == len(nodes) - comps
+        # spanning: MSF connectivity equals full-graph connectivity
+        adj = defaultdict(set)
+        for a, b, _ in got:
+            adj[a].add(b); adj[b].add(a)
+        seen, n_msf_comps = set(), 0
+        for n in nodes:
+            if n in seen:
+                continue
+            n_msf_comps += 1
+            stack = [n]
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                stack.extend(adj[x] - seen)
+        assert n_msf_comps == comps
+
     def test_customer_order_counts_outer_semantics(self, ray_session):
         """Every customer appears exactly once; totals match the orders
         table; zero-order customers (the anti-join set) are preserved."""
