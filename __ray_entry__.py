@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": simsearch.knn_ivfpq,
         "knn_ivf": simsearch.knn_ivf,
         "kmeans_clusters": simsearch.kmeans_clusters,
+        "kmeans_lloyd": simsearch.kmeans_lloyd,
         "pq_codes": simsearch.pq_codes,
         # sameAs-chain resolution (iterative hash-partitioned union-find)
         "sameas_components": _sameas_components,

@@ -148,6 +148,7 @@ def run_queries(sf_dir: str) -> dict:
         "knn_ivf": lambda: simsearch.knn_ivf(sf_dir),
         "knn_ivfpq": lambda: simsearch.knn_ivfpq(sf_dir),
         "kmeans_clusters": lambda: simsearch.kmeans_clusters(sf_dir),
+        "kmeans_lloyd": lambda: simsearch.kmeans_lloyd(sf_dir),
         "semantic_dedup": lambda: dedup.semantic_dedup(sf_dir),
         "decontaminate": lambda: traindata.decontaminate(sf_dir),
         "decontaminate_bloom": lambda: traindata.decontaminate_bloom(sf_dir),

@@ -1575,6 +1575,60 @@ WITH RECURSIVE ev AS (
 SELECT user_id, event_id, CAST(s AS BIGINT) AS ewma_q FROM walk
 """
 
+# distributed Lloyd k-means, FULL training loop replayed: coordinates
+# floor-quantized once so every distance / member sum / centroid update
+# is exact integer arithmetic; two unrolled rounds + final assignment.
+# floor(CAST(s AS DOUBLE)/cnt) is the true floor: denominators ≤ row
+# count keep rational spacing (1/cnt) far above double rounding error.
+DOC_ORACLES["kmeans_lloyd"] = """
+WITH v AS (
+  SELECT vec_id, i - 1 AS j,
+         CAST(floor(1024.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
+), init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), c0 AS (
+  SELECT init.c, v.j, v.x FROM init JOIN v USING (vec_id)
+), d1 AS (
+  SELECT v.vec_id, c0.c, sum((v.x - c0.x) * (v.x - c0.x)) AS dd
+  FROM v JOIN c0 ON v.j = c0.j GROUP BY v.vec_id, c0.c
+), a1 AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dd, c) AS rk FROM d1) WHERE rk = 1
+), s1 AS (
+  SELECT a1.c, v.j, sum(v.x) AS s, count(*) AS cnt
+  FROM a1 JOIN v USING (vec_id) GROUP BY a1.c, v.j
+), c1 AS (
+  SELECT c0.c, c0.j,
+         COALESCE(CAST(floor(CAST(s1.s AS DOUBLE) / s1.cnt) AS BIGINT),
+                  c0.x) AS x
+  FROM c0 LEFT JOIN s1 ON s1.c = c0.c AND s1.j = c0.j
+), d2 AS (
+  SELECT v.vec_id, c1.c, sum((v.x - c1.x) * (v.x - c1.x)) AS dd
+  FROM v JOIN c1 ON v.j = c1.j GROUP BY v.vec_id, c1.c
+), a2 AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+           ORDER BY dd, c) AS rk FROM d2) WHERE rk = 1
+), s2 AS (
+  SELECT a2.c, v.j, sum(v.x) AS s, count(*) AS cnt
+  FROM a2 JOIN v USING (vec_id) GROUP BY a2.c, v.j
+), c2 AS (
+  SELECT c1.c, c1.j,
+         COALESCE(CAST(floor(CAST(s2.s AS DOUBLE) / s2.cnt) AS BIGINT),
+                  c1.x) AS x
+  FROM c1 LEFT JOIN s2 ON s2.c = c1.c AND s2.j = c1.j
+), d3 AS (
+  SELECT v.vec_id, c2.c, sum((v.x - c2.x) * (v.x - c2.x)) AS dd
+  FROM v JOIN c2 ON v.j = c2.j GROUP BY v.vec_id, c2.c
+)
+SELECT vec_id, c AS cluster FROM (
+  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+         ORDER BY dd, c) AS rk FROM d3) WHERE rk = 1
+"""
+
 # minimum spanning forest of the weighted near-dup graph. The edge
 # order (sim_q DESC, a, b) is total, so the MSF is unique and Kruskal's
 # cut property characterizes it edge-by-edge: e ∈ MSF iff its endpoints

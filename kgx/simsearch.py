@@ -672,3 +672,96 @@ def pq_codes(sf_dir: str, m: int = 8, ksub: int = 16):
     ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def kmeans_lloyd(sf_dir: str, k: int = 8, rounds: int = 2,
+                 scale: int = 1 << 10):
+    """(vec_id, cluster) — DISTRIBUTED Lloyd k-means training in exact
+    integer arithmetic: coordinates quantize once to
+    ``floor(scale·x)`` int64, so every distance, member sum and
+    centroid update is exact and the WHOLE training loop — not just one
+    assignment — carries a bit-exact unrolled-CTE SQL oracle. (The
+    other quantizers here train on a bounded driver sample;
+    this is the full-corpus iterative-ML loop.)
+
+    Init = the ``k`` lowest-vec_id vectors (deterministic). Each round:
+    centroids broadcast via closure into a map-only pass that assigns
+    every vector (vectorized integer ‖v−c‖², ties to the lowest
+    cluster) and emits per-batch per-(cluster, dim) partial sums — a
+    combiner whose output is ≤ k·(d+1) rows per batch regardless of
+    data size — merged driver-side (model-sized state, like the sketch
+    ops); update is elementwise floor(S/cnt), empty clusters keep their
+    centroid. Output is the final assignment under the trained
+    centroids. Zero data-sized all-to-alls; ``rounds``+1 corpus passes.
+    """
+    import ray.data
+
+    def load_batches():
+        return ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+                                     columns=["vec_id", "embedding"])
+
+    def quantize(df: pd.DataFrame):
+        V = np.array(df["embedding"].tolist(), dtype=np.float64)
+        return (df["vec_id"].to_numpy(dtype="int64"),
+                np.floor(float(scale) * V).astype(np.int64))
+
+    # deterministic init: k lowest vec_ids, cluster index by vec_id rank
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("%s/embeddings.parquet" % sf_dir,
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    order = np.argsort(ids)[:k]
+    C = np.floor(float(scale) * np.array(
+        [tbl.column("embedding")[int(i)].as_py() for i in order],
+        dtype=np.float64)).astype(np.int64)
+    d = C.shape[1]
+
+    def assign(Vq: np.ndarray, Cm: np.ndarray) -> np.ndarray:
+        d2 = ((Vq * Vq).sum(axis=1)[:, None]
+              - 2 * (Vq @ Cm.T)
+              + (Cm * Cm).sum(axis=1)[None, :])
+        return np.argmin(d2, axis=1).astype(np.int64)  # ties → lowest c
+
+    for _ in range(rounds):
+        Cm = C.copy()
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            _, Vq = quantize(df)
+            a = assign(Vq, Cm)
+            S = np.zeros((k, d), dtype=np.int64)
+            np.add.at(S, a, Vq)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            cs = np.repeat(np.arange(k, dtype=np.int64), d)
+            js = np.tile(np.arange(d, dtype=np.int64), k)
+            out = pd.DataFrame({"c": cs, "j": js, "s": S.ravel()})
+            return pd.concat([out, pd.DataFrame(
+                {"c": np.arange(k, dtype=np.int64),
+                 "j": np.int64(-1), "s": cnt})], ignore_index=True)
+
+        agg = (load_batches()
+               .map_batches(partials, batch_format="pandas")
+               .to_pandas()
+               .groupby(["c", "j"], as_index=False)["s"].sum())
+        cnts = agg[agg["j"] == -1].set_index("c")["s"]
+        sums = agg[agg["j"] >= 0]
+        for c in range(k):
+            n = int(cnts.get(c, 0))
+            if n == 0:
+                continue
+            row = sums[sums["c"] == c].sort_values("j")["s"] \
+                .to_numpy(dtype="int64")
+            C[c] = row // n  # floor division, exact
+
+        del Cm
+
+    Cf = C.copy()
+
+    def final_assign(df: pd.DataFrame) -> pd.DataFrame:
+        vid, Vq = quantize(df)
+        return pd.DataFrame({
+            "vec_id": pd.Series(vid, dtype="int64"),
+            "cluster": pd.Series(assign(Vq, Cf), dtype="int64")})
+
+    return load_batches().map_batches(final_assign,
+                                      batch_format="pandas")

@@ -1749,6 +1749,44 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_kmeans_lloyd_replays_locally(self, ray_session):
+        """The distributed integer Lloyd loop equals a single-process
+        numpy replay, and the integer k-means objective is non-increasing
+        across the replayed rounds."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.simsearch import kmeans_lloyd
+
+        out = kmeans_lloyd(SF).to_pandas().sort_values("vec_id")
+        tbl = pq.read_table(SF + "/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        V = np.floor(1024.0 * np.array(tbl.column("embedding").to_pylist(),
+                                       dtype=np.float64)).astype(np.int64)
+        order = np.argsort(ids)
+        C = V[order[:8]].copy()
+
+        def assign(Vq, Cm):
+            d2 = ((Vq*Vq).sum(1)[:, None] - 2*(Vq@Cm.T)
+                  + (Cm*Cm).sum(1)[None, :])
+            return np.argmin(d2, axis=1), d2
+
+        objs = []
+        for _ in range(2):
+            a, d2 = assign(V, C)
+            objs.append(int(d2[np.arange(len(V)), a].sum()))
+            for c in range(8):
+                m = a == c
+                if m.any():
+                    C[c] = V[m].sum(axis=0) // int(m.sum())
+        a, d2 = assign(V, C)
+        objs.append(int(d2[np.arange(len(V)), a].sum()))
+        assert objs[0] >= objs[-1]  # Lloyd monotonicity (quantized)
+        want = dict(zip(ids.tolist(), a.tolist()))
+        got = dict(zip(out["vec_id"], out["cluster"]))
+        assert got == want
+
     def test_msf_boruvka_equals_kruskal_and_spans(self, ray_session):
         """Distributed Borůvka equals a local Kruskal replay (the total
         edge order makes the MSF unique), is acyclic (|E| = |V| − #comp)
