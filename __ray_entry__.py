@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textops.token_counts,
         "token_counts_bpe": textops.token_counts_bpe,
         "top_terms": textops.top_terms,
+        "top_terms_by_lang": textops.top_terms_by_lang,
         "quality": textops.quality,
         "quality_ratios": textops.quality_ratios,
         "gopher_filter": textops.gopher_filter,

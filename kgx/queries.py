@@ -1732,6 +1732,20 @@ SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour,
 FROM events GROUP BY 1
 """
 
+# grouped top-k over a global aggregate: per-language term ranking
+DOC_ORACLES["top_terms_by_lang"] = """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY lang, tok),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+           ORDER BY n DESC, tok) AS rank FROM c)
+SELECT lang, tok, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+"""
+
 # text canonicalization: ASCII-explicit classes so re and RE2 agree;
 # the md5 proves byte-identical normalization across engines
 DOC_ORACLES["normalize_text"] = """

@@ -1120,3 +1120,63 @@ def normalize_text(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def top_terms_by_lang(sf_dir: str, k: int = 10,
+                      num_partitions: Optional[int] = None):
+    """(lang, tok, n, rank) — the k most frequent tokens PER LANGUAGE
+    (grouped top-k over a global aggregate — per-group vocabularies for
+    lang-specific tokenizers/stopword lists). Ties by token, so the
+    ranking is total and deterministic.
+
+    Scale shape: per-batch (lang, tok) value_counts combiner (shuffle
+    carries per-block vocabulary rows, never token occurrences), one
+    hash(lang, tok)-bucket co-group completes exact counts, then a
+    per-lang top-k combiner feeds a tiny final reduce — ≤ nparts·k rows
+    per language cross the last exchange, never the vocabulary.
+    """
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+    ds = _read_documents(sf_dir, columns=["lang", "text"])
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[["lang"]].copy()
+        ex["tok"] = df["text"].str.split(" ")
+        ex = ex.explode("tok")
+        g = (ex.groupby(["lang", "tok"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        g["bucket"] = ((pd.util.hash_pandas_object(g["lang"], index=False)
+                        * 31 + pd.util.hash_pandas_object(g["tok"],
+                                                          index=False))
+                       % nparts).astype("int32")
+        return g
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # exact counts (every (lang, tok) copy landed here), then a
+        # per-lang partial top-k so only candidate rows continue
+        g = df.groupby(["lang", "tok"], as_index=False)["n"].sum()
+        g = (g.sort_values(["lang", "n", "tok"],
+                           ascending=[True, False, True])
+             .groupby("lang", sort=False).head(k))
+        g["n"] = g["n"].astype("int64")
+        return g[["lang", "tok", "n"]]
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.sort_values(["n", "tok"],
+                              ascending=[False, True]).head(k)
+            g = g.assign(rank=pd.Series(range(1, len(g) + 1),
+                                        dtype="int64", index=g.index))
+            out.append(g[["lang", "tok", "n", "rank"]])
+        return pd.concat(out, ignore_index=True)
+
+    return (ds.map_batches(local_counts, batch_format="pandas")
+            .groupby("bucket").map_groups(partial_topk,
+                                          batch_format="pandas")
+            .repartition(1)
+            .map_batches(final_topk, batch_format="pandas"))

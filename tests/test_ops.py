@@ -1749,6 +1749,27 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_top_terms_by_lang_replays_locally(self, ray_session):
+        """Per-lang top-k equals a local value_counts replay with the
+        (n DESC, tok) tie rule."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import top_terms_by_lang
+
+        out = top_terms_by_lang(SF).to_pandas()
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["lang", "text"]).to_pandas()
+        ex = docs.assign(tok=docs["text"].str.split(" ")) \
+                 .explode("tok")
+        for lang, g in ex.groupby("lang"):
+            c = (g.groupby("tok").size().reset_index(name="n")
+                 .sort_values(["n", "tok"], ascending=[False, True])
+                 .head(10).reset_index(drop=True))
+            sub = (out[out["lang"] == lang].sort_values("rank")
+                   .reset_index(drop=True))
+            assert list(sub["tok"]) == list(c["tok"]), lang
+            assert list(sub["n"]) == list(c["n"]), lang
+
     def test_kmeans_lloyd_replays_locally(self, ray_session):
         """The distributed integer Lloyd loop equals a single-process
         numpy replay, and the integer k-means objective is non-increasing
