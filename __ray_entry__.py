@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,
         "winnow_fingerprints": dedup.winnow_fingerprints,
+        "fingerprint_overlap_pairs": dedup.fingerprint_overlap_pairs,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_graph": simsearch.knn_graph,

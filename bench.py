@@ -141,6 +141,8 @@ def run_queries(sf_dir: str) -> dict:
         "bm25_search": lambda: traindata.bm25_search(sf_dir),
         "ccnet_buckets": lambda: traindata.ccnet_buckets(sf_dir),
         "winnow_fingerprints": lambda: dedup.winnow_fingerprints(sf_dir),
+        "fingerprint_overlap_pairs":
+            lambda: dedup.fingerprint_overlap_pairs(sf_dir),
         "pq_codes": lambda: simsearch.pq_codes(sf_dir),
         "cohort_retention": lambda: events.cohort_retention(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),

@@ -903,3 +903,71 @@ def jaccard_pairs_sim(sf_dir: str, threshold: float = 0.8,
     return (ds.map_batches(add_block, batch_format="pandas")
             .groupby("part").map_groups(verify_part,
                                         batch_format="pandas"))
+
+
+def fingerprint_overlap_pairs(sf_dir: str, k: int = 4, w: int = 4,
+                              min_shared: int = 2, max_df: int = 32,
+                              num_partitions: Optional[int] = None):
+    """(doc_id_a, doc_id_b, n_shared) — the MOSS similarity REPORT
+    (Schleimer et al. 2003 §4): document pairs sharing at least
+    ``min_shared`` distinct winnowing fingerprints, with the shared
+    count. Fingerprints present in more than ``max_df`` documents are
+    dropped first — exactly MOSS's "too common = boilerplate/template"
+    rule, and the bound that keeps the per-fingerprint pair expansion
+    quadratic only in ``max_df``, never in corpus size.
+
+    Scale shape: fingerprints are map-only (``winnow_fingerprints``);
+    ONE hash(fp) co-group sees every holder of its fingerprints, so the
+    document-frequency filter and the pair expansion (≤ max_df² rows
+    per fingerprint) happen locally with a per-bucket pair-count
+    combiner; a second hash(pair) exchange sums the counts and applies
+    the ``min_shared`` filter. Shuffles carry fingerprint/pair rows
+    only — never documents.
+    """
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+    fps = winnow_fingerprints(sf_dir, k=k, w=w)
+
+    def distinct_fp(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["doc_id", "fp"]].drop_duplicates()
+        return g.assign(bucket=(pd.util.hash_pandas_object(
+            g["fp"], index=False) % nparts).astype("int32"))
+
+    def pairs_per_fp(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_n = [], [], []
+        g = df[["doc_id", "fp"]].drop_duplicates()
+        pair_counts: dict = {}
+        for _, grp in g.groupby("fp", sort=False):
+            docs = np.sort(grp["doc_id"].unique())
+            if len(docs) < 2 or len(docs) > max_df:
+                continue
+            ii, jj = np.triu_indices(len(docs), k=1)
+            for a, b in zip(docs[ii], docs[jj]):
+                key = (int(a), int(b))
+                pair_counts[key] = pair_counts.get(key, 0) + 1
+        for (a, b), n in pair_counts.items():
+            out_a.append(a); out_b.append(b); out_n.append(n)
+        out = pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype="int64"),
+                            "doc_id_b": pd.Series(out_b, dtype="int64"),
+                            "n_shared": pd.Series(out_n, dtype="int64")})
+        out["bucket"] = ((pd.util.hash_pandas_object(out["doc_id_a"],
+                                                     index=False)
+                          * 31 + pd.util.hash_pandas_object(
+                              out["doc_id_b"], index=False))
+                         % nparts).astype("int32")
+        return out
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+             ["n_shared"].sum())
+        g = g[g["n_shared"] >= min_shared]
+        return g.astype("int64")
+
+    return (fps.map_batches(distinct_fp, batch_format="pandas")
+            .groupby("bucket").map_groups(pairs_per_fp,
+                                          batch_format="pandas")
+            .groupby("bucket").map_groups(reduce_pairs,
+                                          batch_format="pandas"))

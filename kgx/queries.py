@@ -1371,6 +1371,21 @@ WITH toks AS (
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
 """
 
+# MOSS similarity report on the same winnowing chain: doc pairs sharing
+# ≥2 fingerprints, boilerplate fingerprints (df > 32) dropped first
+DOC_ORACLES["fingerprint_overlap_pairs"] = \
+    DOC_ORACLES["winnow_fingerprints"].replace(
+        "SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel",
+        """, fpd AS (SELECT DISTINCT doc_id, fp FROM sel),
+dfc AS (SELECT fp, count(*) AS nd FROM fpd GROUP BY fp),
+keep AS (SELECT fpd.doc_id, fpd.fp
+         FROM fpd JOIN dfc USING (fp) WHERE dfc.nd BETWEEN 2 AND 32),
+pr AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+       FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_id_a, doc_id_b, n_shared FROM pr WHERE n_shared >= 2""")
+
 # traindata.ccnet_buckets: the unigram_lm_score CTE (identical integer
 # weights), per-token normalization by integer floor division, dyadic
 # per-lang quartile cutpoints via quantile_disc (== the engine's

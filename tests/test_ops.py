@@ -1749,6 +1749,32 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_fingerprint_overlap_pairs_replays_locally(self, ray_session):
+        """The MOSS report equals a local replay over the (already
+        independently oracled) winnowing fingerprints."""
+        from collections import Counter
+
+        from kgx.dedup import fingerprint_overlap_pairs, \
+            winnow_fingerprints
+
+        fps = winnow_fingerprints(SF).to_pandas()
+        fpd = fps[["doc_id", "fp"]].drop_duplicates()
+        df = fpd.groupby("fp")["doc_id"].apply(list)
+        cnt = Counter()
+        for docs in df:
+            docs = sorted(set(docs))
+            if len(docs) < 2 or len(docs) > 32:
+                continue
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    cnt[(docs[i], docs[j])] += 1
+        want = {k: v for k, v in cnt.items() if v >= 2}
+        out = fingerprint_overlap_pairs(SF).to_pandas()
+        got = {(int(a), int(b)): int(n) for a, b, n in
+               out[["doc_id_a", "doc_id_b", "n_shared"]]
+               .itertuples(index=False)}
+        assert got == want
+
     def test_top_terms_by_lang_replays_locally(self, ray_session):
         """Per-lang top-k equals a local value_counts replay with the
         (n DESC, tok) tie rule."""
