@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_user_value": events.ewma_user_value,
         "value_percentiles": events.value_percentiles,
         "hourly_active_users": events.hourly_active_users,
+        "moving_sum_3": events.moving_sum_3,
+        "latest_event_per_user": events.latest_event_per_user,
         "range_join_counts": events.range_join_counts,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,

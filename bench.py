@@ -176,6 +176,9 @@ def run_queries(sf_dir: str) -> dict:
         "value_percentiles": lambda: events.value_percentiles(sf_dir),
         "hourly_active_users":
             lambda: events.hourly_active_users(sf_dir),
+        "moving_sum_3": lambda: events.moving_sum_3(sf_dir),
+        "latest_event_per_user":
+            lambda: events.latest_event_per_user(sf_dir),
         "range_join_counts": lambda: events.range_join_counts(sf_dir),
         "rollup_stats": lambda: textops.rollup_stats(sf_dir),
         "pivot_counts": lambda: textops.pivot_counts(sf_dir),

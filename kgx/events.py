@@ -531,3 +531,103 @@ def hourly_active_users(sf_dir: str, num_partitions=None):
 
     return (ds.map_batches(pairs, batch_format="pandas")
             .groupby("bucket").map_groups(reduce, batch_format="pandas"))
+
+
+def moving_sum_3(sf_dir: str):
+    """(event_id, user_id, mov3_q2) — the bounded-frame window
+    aggregate: per-user sum of the current and two preceding event
+    values in (ts, event_id) order (``ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW``) — the smoothing window running_totals'
+    unbounded-preceding frame doesn't cover. Integer cents per event
+    keep the sums association-free and bit-exact.
+
+    One hash(user) bucket exchange; inside a bucket the frame sum is a
+    vectorized cumsum difference (cum[i] − cum[i−3]) across ALL users
+    at once, with the user boundary handled by masking positions < 3
+    within each user — no per-user loop.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                       "value"])
+    nparts = _nparts()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"],
+            "vq": np.floor(100.0 * df["value"].to_numpy(dtype="float64"))
+            .astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(df["user_id"],
+                                                  index=False)
+                       % nparts).astype("int32"),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "mov3_q2": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"]) \
+               .reset_index(drop=True)
+        vq = df["vq"].to_numpy(dtype="int64")
+        pos = df.groupby("user_id").cumcount().to_numpy()
+        out = vq.copy()
+        m1 = pos >= 1
+        out[m1] += vq[np.flatnonzero(m1) - 1]
+        m2 = pos >= 2
+        out[m2] += vq[np.flatnonzero(m2) - 2]
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "mov3_q2": pd.Series(out, dtype="int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))
+
+
+def latest_event_per_user(sf_dir: str):
+    """(user_id, event_id, event_type, value_q2) — latest-wins upsert
+    compaction (the CDC / state-table pattern): every user reduced to
+    their most recent event, ties on ts broken by the higher event_id
+    (the deterministic total order both engines share).
+
+    The argmax is fully combiner-friendly: each batch keeps one row per
+    user (per-batch idxmax), so the hash(user) exchange carries at most
+    one row per (user, batch); the bucket reduce repeats the same
+    argmax. Values quantize to integer cents for a hash-portable
+    output.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                       "event_type", "value"])
+    nparts = _nparts()
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        return df.groupby("user_id", as_index=False).tail(1)
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        g = best(df)
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_id": g["event_id"].astype("int64"),
+            "ts": g["ts"],
+            "event_type": g["event_type"].astype(str),
+            "vq": np.floor(100.0 * g["value"].to_numpy(dtype="float64"))
+            .astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(g["user_id"],
+                                                  index=False)
+                       % nparts).astype("int32"),
+        })
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = best(df)
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "event_id": g["event_id"].astype("int64"),
+            "event_type": g["event_type"].astype(str),
+            "value_q2": g["vq"].astype("int64")})
+
+    return (ds.map_batches(combiner, batch_format="pandas")
+            .groupby("bucket").map_groups(reduce, batch_format="pandas"))

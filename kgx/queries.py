@@ -1570,6 +1570,25 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# bounded-frame window: 3-event moving sum per user (integer cents)
+DOC_ORACLES["moving_sum_3"] = """
+SELECT event_id, user_id,
+  CAST(sum(CAST(floor(100.0 * value) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS mov3_q2
+FROM events
+"""
+
+# CDC latest-wins compaction: one row per user, (ts, event_id) argmax
+DOC_ORACLES["latest_event_per_user"] = """
+SELECT user_id, event_id, event_type,
+       CAST(floor(100.0 * value) AS BIGINT) AS value_q2
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rk FROM events)
+WHERE rk = 1
+"""
+
 # α=1/2 integer EWMA per user: the per-step floor makes the scan
 # non-associative, so the oracle replays the walk with a recursive CTE
 # (depth = max events per user). value > 0 in this corpus, so DuckDB's

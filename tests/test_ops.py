@@ -1749,6 +1749,29 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_moving_sum_and_latest_event_replay_locally(self, ray_session):
+        """Bounded-frame window + latest-wins compaction match pandas
+        rolling/idxmax replays."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.events import latest_event_per_user, moving_sum_3
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        ev["vq"] = np.floor(100.0 * ev["value"]).astype("int64")
+        want = ev.groupby("user_id")["vq"] \
+            .rolling(3, min_periods=1).sum().reset_index(drop=True)
+        got = moving_sum_3(SF).to_pandas().set_index("event_id")
+        m = dict(zip(ev["event_id"], want.astype("int64")))
+        assert got["mov3_q2"].to_dict() == m
+        last = ev.groupby("user_id").tail(1)
+        lat = latest_event_per_user(SF).to_pandas() \
+            .set_index("user_id").sort_index()
+        assert list(lat.index) == sorted(last["user_id"])
+        assert lat["event_id"].to_dict() == \
+            dict(zip(last["user_id"], last["event_id"]))
+
     def test_fingerprint_overlap_pairs_replays_locally(self, ray_session):
         """The MOSS report equals a local replay over the (already
         independently oracled) winnowing fingerprints."""
