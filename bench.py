@@ -125,6 +125,7 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_exact": lambda: dedup.dedup_exact(sf_dir),
         "minhash_lsh": lambda: dedup.minhash_lsh_pairs(sf_dir),
         "jaccard_pairs": lambda: dedup.jaccard_pairs(sf_dir),
+        "jaccard_pairs_sim": lambda: dedup.jaccard_pairs_sim(sf_dir),
         "embedding_near_dup_lsh": lambda: dedup.embedding_near_dup_lsh(sf_dir),
         "knn_bruteforce": lambda: simsearch.knn_bruteforce(sf_dir),
         "knn_graph": lambda: simsearch.knn_graph(sf_dir),

@@ -1093,7 +1093,8 @@ def degree_assortativity_sums(sf_dir: str, threshold: float = 0.8,
 
 def msf_boruvka(sf_dir: str, threshold: float = 0.8,
                 max_rounds: int = 12,
-                num_partitions: Optional[int] = None):
+                num_partitions: Optional[int] = None,
+                small_graph_threshold: int = 2_000_000):
     """(doc_id_a, doc_id_b, sim_q) — the MINIMUM SPANNING FOREST of the
     weighted near-dup graph (``jaccard_pairs_sim`` edges; weight 1−J,
     i.e. edges totally ordered by (sim_q DESC, a, b)): the backbone a
@@ -1130,10 +1131,38 @@ def msf_boruvka(sf_dir: str, threshold: float = 0.8,
             "doc_id_b": pd.Series([], dtype="int64"),
             "sim_q": pd.Series([], dtype="int64")}))
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return empty_out()
 
     cols = ["doc_id_a", "doc_id_b", "sim_q"]
+
+    if n_edges <= small_graph_threshold:
+        # single-task Kruskal fast path (the _local_components /
+        # kcore discipline): the total order makes the MSF unique, so
+        # this is pinned row-identical to the distributed rounds
+        # (tests/test_ops.py); pass 0 to force the Borůvka loop
+        def kruskal(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["sim_q", "doc_id_a", "doc_id_b"],
+                                ascending=[False, True, True])
+            parent: dict = {}
+
+            def find(x: int) -> int:
+                while parent.get(x, x) != x:
+                    x = parent[x]
+                return x
+
+            keep = []
+            for i, (a, b, _) in enumerate(
+                    df[cols].itertuples(index=False)):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                    keep.append(i)
+            return df.iloc[keep][cols].reset_index(drop=True)
+
+        return edges.repartition(1).map_batches(
+            kruskal, batch_format="pandas", batch_size=None)
 
     def attach(ds, key_col: str, out_col: str, labels, carry):
         """One hash(node) co-group: edge rows keyed by ``key_col`` meet

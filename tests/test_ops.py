@@ -1886,6 +1886,12 @@ class TestWindowAndRollup:
         got = sorted(map(tuple, out[["doc_id_a", "doc_id_b", "sim_q"]]
                          .itertuples(index=False)))
         assert got == sorted(want)
+        # the distributed Borůvka rounds produce the identical forest
+        # (small_graph_threshold=0 forces them past the Kruskal gate)
+        dist = msf_boruvka(SF, small_graph_threshold=0).to_pandas()
+        got_d = sorted(map(tuple, dist[["doc_id_a", "doc_id_b", "sim_q"]]
+                           .itertuples(index=False)))
+        assert got_d == got
         nodes = set(edges["doc_id_a"]) | set(edges["doc_id_b"])
         comps = len({find(int(n)) for n in nodes})
         assert len(out) == len(nodes) - comps
