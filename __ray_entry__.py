@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": textops.gopher_filter,
         "lang_counts": textops.lang_counts,
         "lang_id": textops.lang_id,
+        "langid_confusion": textops.langid_confusion,
         "fingerprint": textops.fingerprint,
         "repetition_stats": textops.repetition_stats,
         "dup_ngram_stats": textops.dup_ngram_stats,

@@ -132,6 +132,7 @@ def run_queries(sf_dir: str) -> dict:
         "token_counts": lambda: textops.token_counts(sf_dir),
         "top_terms": lambda: textops.top_terms(sf_dir),
         "top_terms_by_lang": lambda: textops.top_terms_by_lang(sf_dir),
+        "langid_confusion": lambda: textops.langid_confusion(sf_dir),
         "repetition_stats": lambda: textops.repetition_stats(sf_dir),
         "dup_ngram_stats": lambda: textops.dup_ngram_stats(sf_dir),
         "unigram_lm_score": lambda: textops.unigram_lm_score(sf_dir),

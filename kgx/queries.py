@@ -1766,6 +1766,14 @@ SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour,
 FROM events GROUP BY 1
 """
 
+# classifier-evaluation confusion matrix: the lang_id oracle chain
+# (nested WITH in a derived table) joined back to the labels
+DOC_ORACLES["langid_confusion"] = (
+    "WITH pred AS (" + DOC_ORACLES["lang_id"] + ") "
+    "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n "
+    "FROM pred p JOIN documents d USING (doc_id) "
+    "GROUP BY d.lang, p.lang_pred")
+
 # grouped top-k over a global aggregate: per-language term ranking
 DOC_ORACLES["top_terms_by_lang"] = """
 WITH t AS (

@@ -1180,3 +1180,30 @@ def top_terms_by_lang(sf_dir: str, k: int = 10,
                                           batch_format="pandas")
             .repartition(1)
             .map_batches(final_topk, batch_format="pandas"))
+
+
+def langid_confusion(sf_dir: str):
+    """(lang, lang_pred, n) — the classifier-evaluation CONFUSION MATRIX
+    of the heuristic language identifier against the labeled ``lang``
+    column (the accuracy/precision/recall table every model-scoring
+    pipeline ends with — all three divide out exactly from these
+    integer cells). Map-only classification with a per-batch crosstab
+    combiner; the shuffle carries ≤ |langs|² cells per batch, never
+    documents.
+    """
+    ds = _read_documents(sf_dir, columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (pd.DataFrame({
+                "lang": df["lang"].astype(str),
+                "lang_pred": [classify_lang(t) for t in df["text"]]})
+             .groupby(["lang", "lang_pred"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["lang", "lang_pred"]).sum("n"))
+    return out.map_batches(
+        lambda df: df.rename(columns={"sum(n)": "n"})
+        .astype({"n": "int64"}), batch_format="pandas")

@@ -1749,6 +1749,31 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_langid_confusion_identities(self, ray_session):
+        """Cell counts sum to the corpus size, row sums equal per-lang
+        doc counts, and every cell matches a local classify_lang replay
+        (the synthetic corpus's lang labels are template-assigned, so
+        diagonal dominance is NOT expected here — classifier accuracy
+        on real sentences is pinned in test_lang_id_accuracy)."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import classify_lang, langid_confusion
+
+        out = langid_confusion(SF).to_pandas()
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["lang", "text"]).to_pandas()
+        assert out["n"].sum() == len(docs)
+        per_lang = docs.groupby("lang").size()
+        rows = out.groupby("lang")["n"].sum()
+        assert (rows.sort_index() == per_lang.sort_index()).all()
+        import pandas as pd
+        want = (pd.DataFrame({
+            "lang": docs["lang"],
+            "lang_pred": [classify_lang(t) for t in docs["text"]]})
+            .groupby(["lang", "lang_pred"]).size())
+        got = out.set_index(["lang", "lang_pred"])["n"]
+        assert got.sort_index().to_dict() == want.sort_index().to_dict()
+
     def test_moving_sum_and_latest_event_replay_locally(self, ray_session):
         """Bounded-frame window + latest-wins compaction match pandas
         rolling/idxmax replays."""
