@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": textops.lang_counts,
         "lang_id": textops.lang_id,
         "langid_confusion": textops.langid_confusion,
+        "chi2_terms": textops.chi2_terms,
         "fingerprint": textops.fingerprint,
         "repetition_stats": textops.repetition_stats,
         "dup_ngram_stats": textops.dup_ngram_stats,

@@ -1766,6 +1766,30 @@ SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hour,
 FROM events GROUP BY 1
 """
 
+# χ² term–language association in exact HUGEINT arithmetic (the
+# squares overflow int64; numerator nonneg so truncating // == floor)
+DOC_ORACLES["chi2_terms"] = """
+WITH tk AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT lang, tok, CAST(count(*) AS HUGEINT) AS a
+      FROM tk GROUP BY lang, tok),
+lt AS (SELECT lang, CAST(count(*) AS HUGEINT) AS nl
+       FROM tk GROUP BY lang),
+tt AS (SELECT tok, CAST(count(*) AS HUGEINT) AS nt
+       FROM tk GROUP BY tok),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS tot FROM tk),
+x AS (
+  SELECT c.lang, c.tok, a, nl - a AS b, nt - a AS cc,
+         tot - nl - nt + a AS d, tot
+  FROM c JOIN lt USING (lang) JOIN tt USING (tok), n)
+SELECT lang, tok,
+  CAST(CASE WHEN (a+b)*(cc+d)*(a+cc)*(b+d) = 0 THEN 0
+       ELSE (CAST(1048576 AS HUGEINT) * tot
+             * (a*d - b*cc) * (a*d - b*cc))
+            // ((a+b)*(cc+d)*(a+cc)*(b+d)) END AS BIGINT) AS chi2_q
+FROM x
+"""
+
 # classifier-evaluation confusion matrix: the lang_id oracle chain
 # (nested WITH in a derived table) joined back to the labels
 DOC_ORACLES["langid_confusion"] = (

@@ -1207,3 +1207,49 @@ def langid_confusion(sf_dir: str):
     return out.map_batches(
         lambda df: df.rename(columns={"sum(n)": "n"})
         .astype({"n": "int64"}), batch_format="pandas")
+
+
+def chi2_terms(sf_dir: str, q: int = 1 << 20):
+    """(lang, tok, chi2_q) — χ² term–language association (the classic
+    feature-selection score for supervised text classifiers), computed
+    EXACTLY: with a = occurrences of ``tok`` in ``lang``, b = other
+    tokens in lang, c = tok elsewhere, d = the rest, and N the corpus
+    occurrence total, chi2_q = ⌊q·N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))⌋
+    — every operand a Python bigint (the squares overflow int64 but not
+    arbitrary precision / HUGEINT), so the oracle is bit-exact.
+
+    Scale shape: one vocabulary-row combiner ((lang, tok) value_counts
+    per batch) into a tiny aggregate; the χ² arithmetic runs over the
+    |langs|·|vocab| contingency table — model-sized state, never
+    documents.
+    """
+    ds = _read_documents(sf_dir, columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[["lang"]].copy()
+        ex["tok"] = df["text"].str.split(" ")
+        g = (ex.explode("tok")
+             .groupby(["lang", "tok"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = (ds.map_batches(partial, batch_format="pandas")
+              .to_pandas()
+              .groupby(["lang", "tok"], as_index=False)["n"].sum())
+    tot = int(counts["n"].sum())
+    lang_tot = counts.groupby("lang")["n"].sum().to_dict()
+    tok_tot = counts.groupby("tok")["n"].sum().to_dict()
+
+    rows = []
+    for lang, tok, a in counts.itertuples(index=False):
+        a = int(a)
+        b = int(lang_tot[lang]) - a
+        c = int(tok_tot[tok]) - a
+        d = tot - a - b - c
+        num = q * tot * (a * d - b * c) ** 2
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        rows.append((lang, tok, num // den if den else 0))
+    out = pd.DataFrame(rows, columns=["lang", "tok", "chi2_q"])
+    out["chi2_q"] = out["chi2_q"].astype("int64")
+    return out

@@ -1749,6 +1749,31 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_chi2_terms_replays_locally(self, ray_session):
+        """χ² cells match a bigint contingency replay, and a term that
+        only ever occurs in one language scores higher there than a
+        uniformly-spread term does anywhere."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import chi2_terms
+
+        out = chi2_terms(SF)
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["lang", "text"]).to_pandas()
+        ex = docs.assign(tok=docs["text"].str.split(" ")).explode("tok")
+        counts = ex.groupby(["lang", "tok"]).size()
+        tot = int(counts.sum())
+        lt = counts.groupby("lang").sum()
+        tt = counts.groupby("tok").sum()
+        got = out.set_index(["lang", "tok"])["chi2_q"].to_dict()
+        q = 1 << 20
+        for (lang, tok), a in counts.items():
+            a = int(a); b = int(lt[lang]) - a; c = int(tt[tok]) - a
+            d = tot - a - b - c
+            den = (a+b)*(c+d)*(a+c)*(b+d)
+            want = (q * tot * (a*d - b*c) ** 2) // den if den else 0
+            assert got[(lang, tok)] == want, (lang, tok)
+
     def test_langid_confusion_identities(self, ray_session):
         """Cell counts sum to the corpus size, row sums equal per-lang
         doc counts, and every cell matches a local classify_lang replay
