@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,
+        "dedup_normalized": dedup.dedup_normalized,
         "jaccard_pairs": dedup.jaccard_pairs,
         "jaccard_pairs_sim": dedup.jaccard_pairs_sim,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,

@@ -123,6 +123,7 @@ def run_queries(sf_dir: str) -> dict:
         "kg_expand": lambda: q.kg_expand(sf_dir),
         "kg_incremental": lambda: q.kg_incremental(sf_dir),
         "dedup_exact": lambda: dedup.dedup_exact(sf_dir),
+        "dedup_normalized": lambda: dedup.dedup_normalized(sf_dir),
         "minhash_lsh": lambda: dedup.minhash_lsh_pairs(sf_dir),
         "jaccard_pairs": lambda: dedup.jaccard_pairs(sf_dir),
         "jaccard_pairs_sim": lambda: dedup.jaccard_pairs_sim(sf_dir),

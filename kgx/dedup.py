@@ -971,3 +971,46 @@ def fingerprint_overlap_pairs(sf_dir: str, k: int = 4, w: int = 4,
                                           batch_format="pandas")
             .groupby("bucket").map_groups(reduce_pairs,
                                           batch_format="pandas"))
+
+
+def dedup_normalized(sf_dir: str, num_partitions: Optional[int] = None):
+    """(doc_id,) survivors of exact dedup on the CANONICALIZED text
+    (``textops.normalize_text``: lowercase / punctuation strip /
+    whitespace collapse) — the standard first dedup pass that catches
+    the case/punctuation/spacing variants byte-exact dedup misses;
+    keeper = min doc_id per normalized form.
+
+    Scale shape: normalization + md5 are map-only; the exchange carries
+    fixed-width (digest, doc_id) rows bucketed on hash(digest) — the
+    dedup_exact shape on the normalized digest.
+    """
+    import hashlib
+
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    nparts = num_partitions
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df["text"].str.lower()
+             .str.replace(r"[^a-z0-9 ]", " ", regex=True)
+             .str.replace(r" +", " ", regex=True)
+             .str.strip())
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "h": [hashlib.md5(t.encode()).hexdigest() for t in s]})
+        # per-batch combiner: one candidate per digest per batch
+        out = out.groupby("h", as_index=False)["doc_id"].min()
+        out["bucket"] = (pd.util.hash_pandas_object(out["h"], index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", as_index=False)["doc_id"].min()
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64")})
+
+    return (ds.map_batches(digest, batch_format="pandas")
+            .groupby("bucket").map_groups(keep_min,
+                                          batch_format="pandas"))

@@ -1707,6 +1707,18 @@ FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey
 """
 
+# exact dedup on the canonicalized form (normalize_text's regexes)
+DOC_ORACLES["dedup_normalized"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text),
+                                       '[^a-z0-9 ]', ' ', 'g'),
+                        ' +', ' ', 'g'), ' ') AS n
+  FROM documents)
+GROUP BY n
+"""
+
 # weighted near-dup pairs: exact Jaccard floor-quantized from pure
 # integers (q·|A∩B| // |A∪B|) — bit-exact with zero float mirroring
 DOC_ORACLES["jaccard_pairs_sim"] = """

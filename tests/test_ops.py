@@ -1749,6 +1749,37 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_dedup_normalized_collapses_variants(self, ray_session):
+        """Case/punctuation/spacing variants collapse to the min doc_id
+        (constructed corpus), and on the SF corpus survivors equal a
+        local min-per-digest replay."""
+        import hashlib
+        import os
+        import re
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import dedup_normalized
+
+        tmp = "/tmp/kgx_norm_dedup_test"
+        os.makedirs(tmp, exist_ok=True)
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["Hello,  World!", "hello world", "other doc",
+                     "HELLO <world>"],
+        }).to_parquet(tmp + "/documents.parquet")
+        got = sorted(dedup_normalized(tmp).to_pandas()["doc_id"])
+        assert got == [0, 2]
+        out = sorted(dedup_normalized(SF).to_pandas()["doc_id"])
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        norm = docs["text"].map(lambda t: re.sub(
+            r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip())
+        dig = norm.map(lambda n: hashlib.md5(n.encode()).hexdigest())
+        want = sorted(docs.assign(h=dig).groupby("h")["doc_id"].min())
+        assert out == want
+
     def test_chi2_terms_replays_locally(self, ray_session):
         """χ² cells match a bigint contingency replay, and a term that
         only ever occurs in one language scores higher there than a
