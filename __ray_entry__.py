@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _label_propagation,
         # events / windows
         "sessionize": events.sessionize,
+        "session_table": events.session_table,
         "event_type_hourly": events.event_type_hourly,
         "events_asof": events.events_asof,
         "sliding_window_counts": events.sliding_window_counts,

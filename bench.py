@@ -194,6 +194,7 @@ def run_queries(sf_dir: str) -> dict:
         "token_entropy": lambda: textops.token_entropy(sf_dir),
         "dedup_substrings": lambda: textops.dedup_substrings(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
+        "session_table": lambda: events.session_table(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
         "shipping_priority": lambda: relational.shipping_priority(sf_dir),

@@ -631,3 +631,54 @@ def latest_event_per_user(sf_dir: str):
 
     return (ds.map_batches(combiner, batch_format="pandas")
             .groupby("bucket").map_groups(reduce, batch_format="pandas"))
+
+
+def session_table(sf_dir: str, gap_minutes: int = _GAP_MINUTES):
+    """(user_id, session_idx, start_us, end_us, n_events) — the
+    materialized SESSION TABLE (one row per session with bounds and
+    size), the join-ready artifact downstream funnel/attribution work
+    consumes; ``sessionize`` only reports per-user counts. A session
+    breaks when the gap since the user's previous event exceeds
+    ``gap_minutes`` (strict, µs-exact); timestamps surface as epoch µs
+    int64 so the row hashes engine-portably.
+
+    One hash(user) bucket exchange; inside a bucket the break flags,
+    session indices (per-user cumsum) and the (user, session) aggregate
+    are all vectorized across every user at once.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "user_id", "ts"])
+    nparts = _nparts()
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(pd.util.hash_pandas_object(df["user_id"], index=False)
+                    % nparts).astype("int32"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "session_idx", "start_us", "end_us",
+                "n_events"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        df = df.sort_values(["user_id", "ts", "event_id"]) \
+               .reset_index(drop=True)
+        tus = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        same = df["user_id"].eq(df["user_id"].shift()).to_numpy()
+        prev = np.roll(tus, 1)
+        brk = same & ((tus - prev) > gap_us)
+        sidx = pd.Series(brk.astype("int64")) \
+            .groupby(df["user_id"].to_numpy()).cumsum()
+        g = (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                           "session_idx": sidx.astype("int64"),
+                           "tus": tus})
+             .groupby(["user_id", "session_idx"], as_index=False)
+             .agg(start_us=("tus", "min"), end_us=("tus", "max"),
+                  n_events=("tus", "size")))
+        for c in cols:
+            g[c] = g[c].astype("int64")
+        return g[cols]
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))

@@ -1570,6 +1570,27 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# materialized session table: break flags via lag, session index via
+# cumulative window sum, µs-exact bounds
+DOC_ORACLES["session_table"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, tus,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS sidx
+  FROM o)
+SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+       CAST(min(tus) AS BIGINT) AS start_us,
+       CAST(max(tus) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sidx
+"""
+
 # bounded-frame window: 3-event moving sum per user (integer cents)
 DOC_ORACLES["moving_sum_3"] = """
 SELECT event_id, user_id,

@@ -1749,6 +1749,28 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_session_table_consistent_with_sessionize(self, ray_session):
+        """The session table's per-user session counts and event totals
+        equal sessionize's, sessions are disjoint in time per user, and
+        intra-session gaps never exceed the threshold."""
+        from kgx.events import session_table, sessionize
+
+        st = session_table(SF).to_pandas()
+        sz = sessionize(SF).to_pandas().set_index("user_id")
+        per_user = st.groupby("user_id").agg(
+            n_sessions=("session_idx", "nunique"),
+            n_events=("n_events", "sum"))
+        for u, row in per_user.iterrows():
+            assert row["n_sessions"] == sz.loc[u, "n_sessions"], u
+            assert row["n_events"] == sz.loc[u, "n_events"], u
+        for u, g in st.groupby("user_id"):
+            g = g.sort_values("session_idx")
+            assert (g["start_us"] <= g["end_us"]).all()
+            # consecutive sessions separated by MORE than the gap
+            nxt = g["start_us"].shift(-1).dropna()
+            assert (nxt.to_numpy() - g["end_us"].to_numpy()[:-1]
+                    > 1800 * 1_000_000).all(), u
+
     def test_dedup_normalized_collapses_variants(self, ray_session):
         """Case/punctuation/spacing variants collapse to the min doc_id
         (constructed corpus), and on the SF corpus survivors equal a
