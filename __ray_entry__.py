@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / windows
         "sessionize": events.sessionize,
         "session_table": events.session_table,
+        "max_concurrent_sessions": events.max_concurrent_sessions,
         "event_type_hourly": events.event_type_hourly,
         "events_asof": events.events_asof,
         "sliding_window_counts": events.sliding_window_counts,

@@ -195,6 +195,8 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_substrings": lambda: textops.dedup_substrings(sf_dir),
         "sessionize": lambda: events.sessionize(sf_dir),
         "session_table": lambda: events.session_table(sf_dir),
+        "max_concurrent_sessions":
+            lambda: events.max_concurrent_sessions(sf_dir),
         "events_asof": lambda: events.events_asof(sf_dir),
         "lineitem_summary": lambda: relational.lineitem_summary(sf_dir),
         "shipping_priority": lambda: relational.shipping_priority(sf_dir),

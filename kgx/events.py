@@ -682,3 +682,77 @@ def session_table(sf_dir: str, gap_minutes: int = _GAP_MINUTES):
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas"))
+
+
+def max_concurrent_sessions(sf_dir: str, gap_minutes: int = _GAP_MINUTES):
+    """(hour, max_concurrent) — the SWEEP-LINE interval query: peak
+    session concurrency per hour over ``session_table``'s intervals
+    (the capacity-planning metric). Each session contributes +1 at
+    start_us and −1 at end_us+1 (inclusive ends); concurrency is the
+    running sum over the global (t, delta, user, session) order, and
+    each hour reports the maximum post-delta value among its own sweep
+    points (hours with no boundary events are constant and omitted).
+
+    Scale shape — a global ordered scan WITHOUT a global sort
+    materialization (the shard_corpus counting-sort trick on the time
+    axis): delta rows are session-sized (2 per session); a per-hour
+    delta-sum combiner (tiny) gives every hour's carry-in by cumulative
+    sum of an hours-sized table; ONE hour co-group then computes the
+    within-hour running sums locally and adds the broadcast carry-in.
+    """
+    import ray
+
+    sess = session_table(sf_dir, gap_minutes)
+    nparts = _nparts()
+    hour_us = 3_600_000_000
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        a = pd.DataFrame({"t": df["start_us"].astype("int64"),
+                          "dd": np.int64(1),
+                          "u": df["user_id"].astype("int64"),
+                          "s": df["session_idx"].astype("int64")})
+        b = pd.DataFrame({"t": (df["end_us"] + 1).astype("int64"),
+                          "dd": np.int64(-1),
+                          "u": df["user_id"].astype("int64"),
+                          "s": df["session_idx"].astype("int64")})
+        out = pd.concat([a, b], ignore_index=True)
+        out["hour"] = (out["t"] // hour_us).astype("int64")
+        return out
+
+    dl = sess.map_batches(deltas, batch_format="pandas").materialize()
+
+    # pass A: per-hour delta sums (combiner) → carry-in by cumsum
+    def hour_sums(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("hour", as_index=False)["dd"].sum()
+        return pd.DataFrame({"hour": g["hour"].astype("int64"),
+                             "dsum": g["dd"].astype("int64")})
+
+    hs = (dl.map_batches(hour_sums, batch_format="pandas")
+          .to_pandas().groupby("hour", as_index=False)["dsum"].sum()
+          .sort_values("hour"))
+    carry = dict(zip(hs["hour"],
+                     hs["dsum"].cumsum().shift(fill_value=0)))
+    carry_ref = ray.put(carry)
+
+    # pass B: one hour co-group — local sweep + broadcast carry-in
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(pd.util.hash_pandas_object(
+            df["hour"], index=False) % nparts).astype("int32"))
+
+    def sweep_hours(df: pd.DataFrame) -> pd.DataFrame:
+        from kgx.traindata import _bcast_get
+
+        cin = _bcast_get(carry_ref)
+        df = df.sort_values(["t", "dd", "u", "s"]).reset_index(drop=True)
+        out_h, out_m = [], []
+        for hour, g in df.groupby("hour", sort=False):
+            run = int(cin.get(int(hour), 0)) + g["dd"].cumsum()
+            out_h.append(int(hour))
+            out_m.append(int(run.max()))
+        return pd.DataFrame({"hour": pd.Series(out_h, dtype="int64"),
+                             "max_concurrent": pd.Series(out_m,
+                                                         dtype="int64")})
+
+    return (dl.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(sweep_hours,
+                                          batch_format="pandas"))

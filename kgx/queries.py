@@ -1591,6 +1591,20 @@ SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
 FROM s GROUP BY user_id, sidx
 """
 
+# sweep-line interval concurrency over the session table: +1/−1 deltas,
+# one global-order running sum, per-hour max of post-delta values
+DOC_ORACLES["max_concurrent_sessions"] = (
+    "WITH sess AS (" + DOC_ORACLES["session_table"] + "), "
+    "d AS (SELECT user_id, session_idx, start_us AS t, 1 AS dd FROM sess"
+    " UNION ALL"
+    " SELECT user_id, session_idx, end_us + 1, -1 FROM sess), "
+    "r AS (SELECT t, dd,"
+    " sum(dd) OVER (ORDER BY t, dd, user_id, session_idx) AS conc"
+    " FROM d) "
+    "SELECT CAST(t // 3600000000 AS BIGINT) AS hour,"
+    " CAST(max(conc) AS BIGINT) AS max_concurrent "
+    "FROM r GROUP BY 1")
+
 # bounded-frame window: 3-event moving sum per user (integer cents)
 DOC_ORACLES["moving_sum_3"] = """
 SELECT event_id, user_id,

@@ -1749,6 +1749,29 @@ class TestWindowAndRollup:
         assert df["n_types"].sum() == toks.nunique()
         assert (df["k"] * df["n_types"]).sum() == len(toks)
 
+    def test_max_concurrent_sessions_replays_locally(self, ray_session):
+        """The distributed sweep (carry-in + per-hour local scan) equals
+        a single-process global sweep over the same session intervals."""
+        from kgx.events import max_concurrent_sessions, session_table
+
+        sess = session_table(SF).to_pandas()
+        deltas = []
+        for u, s, a, b in sess[["user_id", "session_idx", "start_us",
+                                "end_us"]].itertuples(index=False):
+            deltas.append((a, 1, u, s))
+            deltas.append((b + 1, -1, u, s))
+        deltas.sort()
+        run, want = 0, {}
+        for t, dd, _, _ in deltas:
+            run += dd
+            h = t // 3_600_000_000
+            want[h] = max(want.get(h, run), run)
+        got = (max_concurrent_sessions(SF).to_pandas()
+               .set_index("hour")["max_concurrent"].to_dict())
+        assert got == want
+        # sanity: peak concurrency never exceeds the live user count
+        assert max(got.values()) <= sess["user_id"].nunique()
+
     def test_session_table_consistent_with_sessionize(self, ray_session):
         """The session table's per-user session counts and event totals
         equal sessionize's, sessions are disjoint in time per user, and
