@@ -756,3 +756,59 @@ def max_concurrent_sessions(sf_dir: str, gap_minutes: int = _GAP_MINUTES):
     return (dl.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(sweep_hours,
                                           batch_format="pandas"))
+
+
+def markov_transitions(sf_dir: str):
+    """(prev_type, next_type, n) — the first-order Markov transition
+    counts over each user's time-ordered event stream (the sequence-
+    model / clickstream-mining primitive; row order within a user is
+    (ts, event_id), the deterministic total order both engines share).
+
+    Consecutiveness needs a user's full stream co-located, so the one
+    exchange ships raw (user, ts, id, type) rows hash(user)-bucketed —
+    same shape as sessionize. Inside a bucket every user is processed
+    at once: one sort, one shift, a boolean same-user mask, then a
+    crosstab-sized groupby; the per-bucket output is at most
+    |types|² rows, so the final reduce is a tiny hash aggregate.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                       "event_type"])
+    nparts = _nparts()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"],
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"].astype(str),
+            "bucket": (pd.util.hash_pandas_object(
+                df["user_id"].astype("int64"), index=False)
+                % nparts).astype("int32")})
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        same = df["user_id"].to_numpy() == np.roll(
+            df["user_id"].to_numpy(), 1)
+        same[0] = False
+        prev = np.roll(df["event_type"].to_numpy(), 1)
+        t = pd.DataFrame({"prev_type": prev[same],
+                          "next_type": df["event_type"].to_numpy()[same]})
+        g = t.groupby(["prev_type", "next_type"], as_index=False).size()
+        return pd.DataFrame({"prev_type": g["prev_type"].astype(str),
+                             "next_type": g["next_type"].astype(str),
+                             "n": g["size"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    partials = (ds.map_batches(add_bucket, batch_format="pandas")
+                .groupby("bucket").map_groups(transitions,
+                                              batch_format="pandas"))
+    # |types|² keys — native hash aggregate is fine at this cardinality
+    out = partials.groupby(["prev_type", "next_type"]).aggregate(Sum("n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"prev_type": df["prev_type"].astype(str),
+                             "next_type": df["next_type"].astype(str),
+                             "n": df["sum(n)"].astype("int64")})
+
+    return out.map_batches(finish, batch_format="pandas")

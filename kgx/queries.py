@@ -2897,3 +2897,18 @@ kept AS (
 SELECT d.doc_id, coalesce(k.txt, '') AS text_dedup
 FROM documents d LEFT JOIN kept k USING (doc_id)
 """
+
+
+# first-order Markov transition counts over each user's time-ordered
+# stream; (ts, event_id) is the shared deterministic total order
+DOC_ORACLES["markov_transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""

@@ -2470,3 +2470,27 @@ class TestWindowAndRollup:
         # the rewrite bites on this corpus (templated docs share spans)
         assert any(got[d] != " ".join(t) for d, t in toks.items())
         assert any(got[d] == " ".join(t) for d, t in toks.items())
+
+
+class TestMarkovTransitions:
+    def test_transitions_replay_locally(self, ray_session):
+        """Global transition counts equal a per-user shift replay, and
+        the marginal identity holds: sum of transitions = events - users
+        (each user's stream of k events yields k-1 transitions)."""
+        import pyarrow.parquet as pq
+
+        from kgx.events import markov_transitions
+
+        ev = pq.read_table(SF + "/events.parquet",
+                           columns=["event_id", "user_id", "ts",
+                                    "event_type"]).to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        prev = ev.groupby("user_id")["event_type"].shift()
+        loc = ev.assign(prev_type=prev).dropna(subset=["prev_type"])
+        want = (loc.groupby(["prev_type", "event_type"]).size()
+                .to_dict())
+        out = markov_transitions(SF).to_pandas()
+        got = {(p, n): int(c) for p, n, c in
+               out[["prev_type", "next_type", "n"]].itertuples(index=False)}
+        assert got == want
+        assert out["n"].sum() == len(ev) - ev["user_id"].nunique()
