@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": relational.local_supplier_volume,
         "big_orders": relational.big_orders,
         "customer_order_counts": relational.customer_order_counts,
+        "cooccurrence_pairs": relational.cooccurrence_pairs,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -2912,3 +2912,16 @@ SELECT prev_type, event_type AS next_type,
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
 """
+
+
+# market-basket co-occurrence: part pairs bought together in >= 2
+# distinct orders
+DOC_ORACLES["cooccurrence_pairs"] = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+"""

@@ -590,3 +590,63 @@ def customer_order_counts(sf_dir: str, num_partitions=None):
     both = (customer.map_batches(c_rows, batch_format="pandas")
             .union(orders.map_batches(o_partial, batch_format="pandas")))
     return both.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def cooccurrence_pairs(sf_dir: str, min_orders: int = 2,
+                       num_partitions=None):
+    """(part_a, part_b, n_orders) for part pairs co-purchased in at
+    least ``min_orders`` distinct orders — the market-basket
+    co-occurrence graph (the apriori-style frequent-pair primitive).
+
+    Scale shape: two exchanges, both combiner-fed. (1) distinct
+    (orderkey, partkey) rows bucket on hash(orderkey) — pair expansion
+    happens INSIDE the bucket where one order's items are co-located,
+    bounded by C(basket,2) per order (baskets are small by domain).
+    (2) the per-bucket pair-count partials bucket on hash(pair) for the
+    final sum + HAVING filter; pair cardinality is ~10^5 at sf0.01 so
+    Ray's native aggregate is avoided (CLAUDE.md gotcha) — the reduce
+    is a bucketed co-group.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+                               columns=["l_orderkey", "l_partkey"])
+
+    def distinct_items(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates()
+        k = g["l_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "o": k, "p": g["l_partkey"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def expand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["o", "p"]].drop_duplicates()
+        m = g.merge(g, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        c = m.groupby(["p_x", "p_y"], as_index=False).size()
+        h = pd.util.hash_pandas_object(
+            c["p_x"] * np.int64(1000003) + c["p_y"], index=False)
+        return pd.DataFrame({
+            "pa": c["p_x"].astype("int64"),
+            "pb": c["p_y"].astype("int64"),
+            "n": c["size"].astype("int64"),
+            "bucket2": (h % nparts).astype("int32")})
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pa", "pb"], as_index=False)["n"].sum()
+        g = g[g["n"] >= min_orders]
+        return pd.DataFrame({"part_a": g["pa"].astype("int64"),
+                             "part_b": g["pb"].astype("int64"),
+                             "n_orders": g["n"].astype("int64")})
+
+    return (li.map_batches(distinct_items, batch_format="pandas")
+            .groupby("bucket").map_groups(expand_pairs,
+                                          batch_format="pandas")
+            .groupby("bucket2").map_groups(reduce_pairs,
+                                           batch_format="pandas"))

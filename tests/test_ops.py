@@ -2494,3 +2494,28 @@ class TestMarkovTransitions:
                out[["prev_type", "next_type", "n"]].itertuples(index=False)}
         assert got == want
         assert out["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+class TestCooccurrencePairs:
+    def test_pairs_replay_locally(self, ray_session):
+        """Frequent co-purchase pairs equal a local distinct self-join
+        replay; symmetry invariant part_a < part_b holds."""
+        from collections import Counter
+        from itertools import combinations
+
+        import pyarrow.parquet as pq
+
+        from kgx.relational import cooccurrence_pairs
+
+        li = pq.read_table(SF + "/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"]).to_pandas()
+        cnt = Counter()
+        for _, g in li.drop_duplicates().groupby("l_orderkey"):
+            for a, b in combinations(sorted(g["l_partkey"]), 2):
+                cnt[(a, b)] += 1
+        want = {k: v for k, v in cnt.items() if v >= 2}
+        out = cooccurrence_pairs(SF).to_pandas()
+        assert (out["part_a"] < out["part_b"]).all()
+        got = {(int(a), int(b)): int(n) for a, b, n in
+               out[["part_a", "part_b", "n_orders"]].itertuples(index=False)}
+        assert got == want
