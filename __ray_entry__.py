@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_orders": relational.big_orders,
         "customer_order_counts": relational.customer_order_counts,
         "cooccurrence_pairs": relational.cooccurrence_pairs,
+        "late_orders_by_priority": relational.late_orders_by_priority,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -2925,3 +2925,15 @@ FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
 GROUP BY part_a, part_b
 HAVING count(*) >= 2
 """
+
+
+# TPC-H Q4 shape: EXISTS(line item shipped > 60 days after order date),
+# rewritten on the engine side as a per-order MAX semi-join
+DOC_ORACLES["late_orders_by_priority"] = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""

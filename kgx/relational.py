@@ -650,3 +650,73 @@ def cooccurrence_pairs(sf_dir: str, min_orders: int = 2,
                                           batch_format="pandas")
             .groupby("bucket2").map_groups(reduce_pairs,
                                            batch_format="pandas"))
+
+
+def late_orders_by_priority(sf_dir: str, late_days: int = 60,
+                            num_partitions=None):
+    """(o_orderpriority, n_late) — orders where SOME line item shipped
+    more than ``late_days`` after the order date, counted by priority:
+    the EXISTS correlated-subquery shape (TPC-H Q4), rewritten as an
+    aggregate semi-join (EXISTS over a monotone predicate ≡ a per-order
+    MAX crossing the threshold).
+
+    Scale shape: the lineitem side pre-aggregates max(shipdate) per
+    orderkey inside each batch (combiner — the exchange carries
+    distinct orderkeys), orders co-partition on the same hash(orderkey)
+    bucket, and the per-bucket merge emits priority-count partials, so
+    the final reduce is a |priorities|-row hash aggregate.
+    """
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+                               columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+             .rename(columns={"l_orderkey": "k", "l_shipdate": "max_ship"}))
+        k = g["k"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "max_ship": g["max_ship"],
+            "odate": pd.NaT, "prio": "",
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "max_ship": pd.NaT,
+            "odate": df["o_orderdate"],
+            "prio": df["o_orderpriority"].astype(str),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        li_side = (df[df["max_ship"].notna()]
+                   .groupby("k", as_index=False)["max_ship"].max())
+        o_side = df[df["odate"].notna()][["k", "odate", "prio"]]
+        m = o_side.merge(li_side, on="k", how="inner")
+        late = m[(m["max_ship"] - m["odate"])
+                 > pd.Timedelta(days=late_days)]
+        g = late.groupby("prio", as_index=False).size()
+        return pd.DataFrame({"o_orderpriority": g["prio"].astype(str),
+                             "n": g["size"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    partials = (li.map_batches(li_partial, batch_format="pandas")
+                .union(orders.map_batches(o_rows, batch_format="pandas"))
+                .groupby("bucket").map_groups(cogroup,
+                                              batch_format="pandas"))
+    out = partials.groupby("o_orderpriority").aggregate(Sum("n"))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"].astype(str),
+            "n_late": df["sum(n)"].astype("int64")}),
+        batch_format="pandas")

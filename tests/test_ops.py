@@ -2519,3 +2519,25 @@ class TestCooccurrencePairs:
         got = {(int(a), int(b)): int(n) for a, b, n in
                out[["part_a", "part_b", "n_orders"]].itertuples(index=False)}
         assert got == want
+
+
+class TestLateOrders:
+    def test_exists_semantics_replay(self, ray_session):
+        """EXISTS(line shipped >60d late) equals the per-order max
+        replay; count totals match orders with any late line."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import late_orders_by_priority
+
+        li = pq.read_table(SF + "/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"]).to_pandas()
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        mx = li.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+        m = o.merge(mx, left_on="o_orderkey", right_on="l_orderkey")
+        late = m[(m["l_shipdate"] - m["o_orderdate"])
+                 > pd.Timedelta(days=60)]
+        want = late.groupby("o_orderpriority").size().to_dict()
+        out = late_orders_by_priority(SF).to_pandas()
+        got = dict(zip(out["o_orderpriority"], out["n_late"].astype(int)))
+        assert got == want
