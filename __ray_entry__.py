@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": relational.customer_order_counts,
         "cooccurrence_pairs": relational.cooccurrence_pairs,
         "late_orders_by_priority": relational.late_orders_by_priority,
+        "no_orders_customers": relational.no_orders_customers,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

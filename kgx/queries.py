@@ -2937,3 +2937,24 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o.o_orderpriority
 """
+
+
+# TPC-H Q22 shape: above-positive-average balance + NOT EXISTS order,
+# regrouped by nation; cents via floor(100x+0.5), threshold multiplied
+# out (bal·n > sum) so the comparison is pure integer
+DOC_ORACLES["no_orders_customers"] = """
+WITH q AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer),
+t AS (SELECT sum(bal) AS s, count(*) AS n FROM q WHERE bal > 0)
+SELECT CAST(q.c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(q.bal) AS BIGINT) AS sum_bal_q2
+FROM q, t
+WHERE q.bal * t.n > t.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = q.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY q.c_nationkey
+"""

@@ -720,3 +720,100 @@ def late_orders_by_priority(sf_dir: str, late_days: int = 60,
             "o_orderpriority": df["o_orderpriority"].astype(str),
             "n_late": df["sum(n)"].astype("int64")}),
         batch_format="pandas")
+
+
+def no_orders_customers(sf_dir: str, since: str = "2000-06-01",
+                        num_partitions=None):
+    """(nationkey, n_cust, sum_bal_q2) — customers with an
+    above-average positive account balance and NO order since the
+    ``since`` cutoff (lapsed high-value customers), aggregated by
+    nation: the TPC-H Q22 shape (scalar-subquery threshold +
+    NOT EXISTS anti-join + re-aggregate). The recency predicate keeps
+    the anti-join non-vacuous on a corpus where every customer has
+    SOME order.
+
+    Exact integer arithmetic end-to-end: balances quantize to cents via
+    floor(100·x + 0.5) (round-half-up, mirrored in the SQL), and the
+    "above average" test multiplies out the division —
+    bal_q2 · n_pos > sum_pos — so no float ever crosses engines.
+
+    Scale shape: the threshold needs only two scalars, computed by a
+    per-batch combiner and reduced driver-side (output-sized). The
+    anti-join is ONE hash(custkey) co-group — orders pre-aggregate to
+    distinct custkeys per batch (combiner), customers carry their
+    attributes; survivors emit per-nation partials so the final reduce
+    is a |nations|-row hash aggregate. No broadcast: both sides
+    partition on the same key, and the survivor set never materializes
+    driver-side.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+                                     columns=cust_cols)
+
+    def q2(x) -> np.ndarray:
+        return np.floor(100.0 * np.asarray(x, dtype="float64")
+                        + 0.5).astype("int64")
+
+    # scalar threshold: sum + count of positive balances (2-int reduce)
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bal = q2(df["c_acctbal"])
+        pos = bal[bal > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    t = customer.map_batches(pos_partial, batch_format="pandas").to_pandas()
+    sum_pos, n_pos = int(t["s"].sum()), int(t["n"].sum())
+
+    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+                                   columns=["o_custkey", "o_orderdate"])
+    cutoff = pd.Timestamp(since)
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        bal = q2(df["c_acctbal"])
+        keep = bal * n_pos > sum_pos
+        d = df[keep]
+        k = d["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "nat": d["c_nationkey"].astype("int64"),
+            "bal": bal[keep], "side": np.int8(0),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def o_keys(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_orderdate"] >= cutoff]
+        k = pd.Series(d["o_custkey"].unique()).astype("int64")
+        return pd.DataFrame({
+            "k": k, "nat": np.int64(0), "bal": np.int64(0),
+            "side": np.int8(1),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        has_order = set(df.loc[df["side"] == 1, "k"])
+        c = df[df["side"] == 0]
+        c = c[~c["k"].isin(has_order)]
+        g = c.groupby("nat", as_index=False).agg(
+            n_cust=("k", "size"), sum_bal=("bal", "sum"))
+        return pd.DataFrame({"nationkey": g["nat"].astype("int64"),
+                             "n_cust": g["n_cust"].astype("int64"),
+                             "sum_bal": g["sum_bal"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    partials = (customer.map_batches(c_rows, batch_format="pandas")
+                .union(orders.map_batches(o_keys, batch_format="pandas"))
+                .groupby("bucket").map_groups(anti, batch_format="pandas"))
+    out = partials.groupby("nationkey").aggregate(
+        Sum("n_cust"), Sum("sum_bal"))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "nationkey": df["nationkey"].astype("int64"),
+            "n_cust": df["sum(n_cust)"].astype("int64"),
+            "sum_bal_q2": df["sum(sum_bal)"].astype("int64")}),
+        batch_format="pandas")

@@ -2541,3 +2541,32 @@ class TestLateOrders:
         out = late_orders_by_priority(SF).to_pandas()
         got = dict(zip(out["o_orderpriority"], out["n_late"].astype(int)))
         assert got == want
+
+
+class TestNoOrdersCustomers:
+    def test_q22_replay_locally(self, ray_session):
+        """Threshold + anti-join + regroup equals a local replay in
+        exact integer cents."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import no_orders_customers
+
+        c = pq.read_table(SF + "/customer.parquet").to_pandas()
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        bal = np.floor(100.0 * c["c_acctbal"] + 0.5).astype("int64")
+        pos = bal[bal > 0]
+        s, n = int(pos.sum()), len(pos)
+        recent = set(o.loc[o["o_orderdate"] >= pd.Timestamp("2000-06-01"),
+                           "o_custkey"])
+        keep = (bal * n > s) & ~c["c_custkey"].isin(recent)
+        d = c[keep].assign(bal=bal[keep])
+        want = d.groupby("c_nationkey").agg(
+            n_cust=("c_custkey", "size"), sum_bal=("bal", "sum"))
+        out = no_orders_customers(SF).to_pandas() \
+            .set_index("nationkey").sort_index()
+        assert out["n_cust"].to_dict() == \
+            {int(k): int(v) for k, v in want["n_cust"].items()}
+        assert out["sum_bal_q2"].to_dict() == \
+            {int(k): int(v) for k, v in want["sum_bal"].items()}
