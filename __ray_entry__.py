@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_pairs": relational.cooccurrence_pairs,
         "late_orders_by_priority": relational.late_orders_by_priority,
         "no_orders_customers": relational.no_orders_customers,
+        "top_supplier": relational.top_supplier,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

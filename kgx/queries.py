@@ -2958,3 +2958,19 @@ WHERE q.bal * t.n > t.s
                     AND o.o_orderdate >= TIMESTAMP '2000-06-01')
 GROUP BY q.c_nationkey
 """
+
+
+# TPC-H Q15 shape: max-of-aggregate and the suppliers achieving it, in
+# exact integer revenue units cents·(100−disc%)
+DOC_ORACLES["top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey AS k,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         AS rev
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.rev AS BIGINT) AS total_revenue_u
+FROM supplier s JOIN rev r ON r.k = s.s_suppkey
+WHERE r.rev = (SELECT max(rev) FROM rev)
+"""

@@ -817,3 +817,75 @@ def no_orders_customers(sf_dir: str, since: str = "2000-06-01",
             "n_cust": df["sum(n_cust)"].astype("int64"),
             "sum_bal_q2": df["sum(sum_bal)"].astype("int64")}),
         batch_format="pandas")
+
+
+def top_supplier(sf_dir: str, num_partitions=None):
+    """(s_suppkey, s_name, total_revenue_u) — the supplier(s) achieving
+    the maximum total revenue: the TPC-H Q15 shape (aggregate → scalar
+    MAX of the aggregate → equality join back). Revenue is exact
+    integer units: cents · (100 − discount%), both factors quantized
+    floor(100·x + 0.5), so the argmax is engine-portable.
+
+    Scale shape: revenue pre-aggregates per suppkey inside each batch
+    (combiner — the exchange carries distinct suppkeys, never line
+    items), one hash(suppkey) co-group produces the supplier-sized
+    revenue table (materialized once: it is dimension-table-sized by
+    construction), the scalar max reduces from per-bucket partials, and
+    the winner set — OUTPUT-sized, usually one row — probes the
+    supplier dimension map-side via closure. No all-to-all after the
+    first exchange.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(100.0 * df["l_extendedprice"].to_numpy("float64")
+                         + 0.5).astype("int64")
+        disc = np.floor(100.0 * df["l_discount"].to_numpy("float64")
+                        + 0.5).astype("int64")
+        t = pd.DataFrame({"k": df["l_suppkey"].astype("int64"),
+                          "rev": cents * (100 - disc)})
+        g = t.groupby("k", as_index=False)["rev"].sum()
+        return pd.DataFrame({
+            "k": g["k"].astype("int64"), "rev": g["rev"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")})
+
+    def reduce_rev(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False)["rev"].sum()
+        return pd.DataFrame({"k": g["k"].astype("int64"),
+                             "rev": g["rev"].astype("int64")})
+
+    agg = (li.map_batches(partial, batch_format="pandas")
+           .groupby("bucket").map_groups(reduce_rev,
+                                         batch_format="pandas")
+           .materialize())  # supplier-dimension-sized, reused twice
+    maxv = int(agg.max("rev"))
+
+    def winners_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["rev"] == maxv]
+
+    win = agg.map_batches(winners_only, batch_format="pandas").to_pandas()
+    win_rev = dict(zip(win["k"].astype("int64"),
+                       win["rev"].astype("int64")))
+
+    supplier = ray.data.read_parquet("%s/supplier.parquet" % sf_dir,
+                                     columns=["s_suppkey", "s_name"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["s_suppkey"].isin(win_rev)]
+        return pd.DataFrame({
+            "s_suppkey": d["s_suppkey"].astype("int64"),
+            "s_name": d["s_name"].astype(str),
+            "total_revenue_u": d["s_suppkey"].map(win_rev)
+            .astype("int64")})
+
+    return supplier.map_batches(probe, batch_format="pandas")

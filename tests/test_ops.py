@@ -2570,3 +2570,27 @@ class TestNoOrdersCustomers:
             {int(k): int(v) for k, v in want["n_cust"].items()}
         assert out["sum_bal_q2"].to_dict() == \
             {int(k): int(v) for k, v in want["sum_bal"].items()}
+
+
+class TestTopSupplier:
+    def test_q15_replay_locally(self, ray_session):
+        """Max-of-aggregate winners equal a local integer-revenue
+        replay (ALL ties included)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import top_supplier
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        cents = np.floor(100.0 * li["l_extendedprice"] + 0.5).astype("int64")
+        disc = np.floor(100.0 * li["l_discount"] + 0.5).astype("int64")
+        rev = (li.assign(rev=cents * (100 - disc))
+               .groupby("l_suppkey")["rev"].sum())
+        winners = set(rev[rev == rev.max()].index)
+        out = top_supplier(SF).to_pandas()
+        assert set(out["s_suppkey"]) == winners
+        assert (out["total_revenue_u"] == int(rev.max())).all()
+        sup = pq.read_table(SF + "/supplier.parquet").to_pandas()
+        names = dict(zip(sup["s_suppkey"], sup["s_name"]))
+        assert all(names[k] == n for k, n in
+                   zip(out["s_suppkey"], out["s_name"]))
