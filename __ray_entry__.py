@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_orders_by_priority": relational.late_orders_by_priority,
         "no_orders_customers": relational.no_orders_customers,
         "top_supplier": relational.top_supplier,
+        "top_supplier_per_part": relational.top_supplier_per_part,
+        "promo_revenue": relational.promo_revenue,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -2974,3 +2974,42 @@ SELECT s.s_suppkey, s.s_name,
 FROM supplier s JOIN rev r ON r.k = s.s_suppkey
 WHERE r.rev = (SELECT max(rev) FROM rev)
 """
+
+
+# per-part argmax-of-aggregate: the supplier shipping the most total
+# quantity, ties to the smaller suppkey
+DOC_ORACLES["top_supplier_per_part"] = """
+WITH g AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+r AS (
+  SELECT p, s, q,
+         row_number() OVER (PARTITION BY p ORDER BY q DESC, s) AS rn
+  FROM g)
+SELECT p AS p_partkey, s AS top_suppkey, q AS total_qty
+FROM r WHERE rn = 1
+"""
+
+# TPC-H Q14 shape: PROMO revenue share in exact integer units; the
+# ratio floor-divides non-negative integers so both engines agree
+DOC_ORACLES["promo_revenue"] = """
+WITH rev AS (
+  SELECT l.l_partkey,
+         sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+         AS rev
+  FROM lineitem l GROUP BY l.l_partkey),
+j AS (
+  SELECT r.rev, (p.p_type LIKE 'PROMO%') AS is_promo
+  FROM rev r JOIN part p ON p.p_partkey = r.l_partkey),
+s AS (
+  SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+           AS promo_rev_u,
+         CAST(sum(rev) AS BIGINT) AS total_rev_u
+  FROM j)
+SELECT promo_rev_u, total_rev_u,
+       CAST(1000000 * promo_rev_u // total_rev_u AS BIGINT)
+         AS promo_ratio_q6
+FROM s
+"""

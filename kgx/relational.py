@@ -889,3 +889,122 @@ def top_supplier(sf_dir: str, num_partitions=None):
             .astype("int64")})
 
     return supplier.map_batches(probe, batch_format="pandas")
+
+
+def top_supplier_per_part(sf_dir: str, num_partitions=None):
+    """(p_partkey, top_suppkey, total_qty) — for every part, the
+    supplier that shipped the most total quantity (ties broken by the
+    smaller suppkey): the per-group argmax-of-aggregate (TPC-H Q2's
+    correlated-min shape, on the lineitem link).
+
+    Scale shape: one combiner-fed exchange. Per-batch groupby on
+    (partkey, suppkey) collapses line items to pair partials, the
+    hash(partkey) co-group finishes the sum and takes the per-part
+    argmax vectorized (one sort + head(1) across every part in the
+    bucket) — never a per-part UDF dispatch.
+    """
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"p": df["l_partkey"].astype("int64"),
+                          "s": df["l_suppkey"].astype("int64"),
+                          "q": df["l_quantity"].astype("int64")})
+        g = t.groupby(["p", "s"], as_index=False)["q"].sum()
+        return pd.DataFrame({
+            "p": g["p"], "s": g["s"], "q": g["q"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(g["p"], index=False)
+                       % nparts).astype("int32")})
+
+    def argmax_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p", "s"], as_index=False)["q"].sum()
+        g = g.sort_values(["p", "q", "s"],
+                          ascending=[True, False, True])
+        top = g.groupby("p", as_index=False).head(1)
+        return pd.DataFrame({"p_partkey": top["p"].astype("int64"),
+                             "top_suppkey": top["s"].astype("int64"),
+                             "total_qty": top["q"].astype("int64")})
+
+    return (li.map_batches(partial, batch_format="pandas")
+            .groupby("bucket").map_groups(argmax_part,
+                                          batch_format="pandas"))
+
+
+def promo_revenue(sf_dir: str):
+    """One row (promo_rev_u, total_rev_u, promo_ratio_q6) — the share
+    of revenue from PROMO-type parts: the TPC-H Q14 shape (fact ⋈
+    dimension + conditional aggregation to a scalar ratio). Revenue in
+    exact integer units cents·(100−disc%); the ratio is the integer
+    floor of 10⁶·promo/total (both non-negative, so floor division
+    agrees across engines).
+
+    Scale shape: lineitem pre-aggregates revenue per partkey inside
+    each batch (combiner — the exchange carries distinct partkeys, not
+    line items), the part side ships (partkey, is_promo) flags, one
+    hash(partkey) co-group emits 2-int partials per bucket, and the
+    driver folds the bucket partials (output-sized). Returns pandas —
+    the result is a scalar row.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+                                 columns=["p_partkey", "p_type"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(100.0 * df["l_extendedprice"].to_numpy("float64")
+                         + 0.5).astype("int64")
+        disc = np.floor(100.0 * df["l_discount"].to_numpy("float64")
+                        + 0.5).astype("int64")
+        t = pd.DataFrame({"k": df["l_partkey"].astype("int64"),
+                          "rev": cents * (100 - disc)})
+        g = t.groupby("k", as_index=False)["rev"].sum()
+        return pd.DataFrame({
+            "k": g["k"], "rev": g["rev"].astype("int64"),
+            "promo": np.int8(-1),
+            "bucket": (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")})
+
+    def p_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "rev": np.int64(0),
+            "promo": df["p_type"].str.startswith("PROMO")
+            .astype("int8"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df[df["promo"] < 0].groupby("k", as_index=False)
+               ["rev"].sum())
+        flags = df[df["promo"] >= 0][["k", "promo"]]
+        m = rev.merge(flags, on="k", how="inner")
+        promo = int(m.loc[m["promo"] == 1, "rev"].sum())
+        total = int(m["rev"].sum())
+        return pd.DataFrame({"promo": [promo], "total": [total]})
+
+    parts = (li.map_batches(li_partial, batch_format="pandas")
+             .union(part.map_batches(p_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(cogroup,
+                                           batch_format="pandas")
+             .to_pandas())
+    promo_u = int(parts["promo"].sum())
+    total_u = int(parts["total"].sum())
+    return pd.DataFrame({
+        "promo_rev_u": pd.Series([promo_u], dtype="int64"),
+        "total_rev_u": pd.Series([total_u], dtype="int64"),
+        "promo_ratio_q6": pd.Series([10**6 * promo_u // total_u],
+                                    dtype="int64")})

@@ -2594,3 +2594,48 @@ class TestTopSupplier:
         names = dict(zip(sup["s_suppkey"], sup["s_name"]))
         assert all(names[k] == n for k, n in
                    zip(out["s_suppkey"], out["s_name"]))
+
+
+class TestArgmaxAndPromo:
+    def test_top_supplier_per_part_replay(self, ray_session):
+        """Per-part argmax equals a local replay with the
+        (qty DESC, suppkey ASC) tie rule."""
+        import pyarrow.parquet as pq
+
+        from kgx.relational import top_supplier_per_part
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        g = (li.assign(q=li["l_quantity"].astype("int64"))
+             .groupby(["l_partkey", "l_suppkey"], as_index=False)["q"]
+             .sum()
+             .sort_values(["l_partkey", "q", "l_suppkey"],
+                          ascending=[True, False, True]))
+        top = g.groupby("l_partkey", as_index=False).head(1)
+        out = top_supplier_per_part(SF).to_pandas() \
+            .sort_values("p_partkey").reset_index(drop=True)
+        assert list(out["p_partkey"]) == list(top["l_partkey"])
+        assert list(out["top_suppkey"]) == list(top["l_suppkey"])
+        assert list(out["total_qty"]) == list(top["q"])
+
+    def test_promo_revenue_identities(self, ray_session):
+        """Scalar ratio row: promo ≤ total, ratio = floor(1e6·p/t),
+        and totals equal the local integer replay."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import promo_revenue
+
+        out = promo_revenue(SF)
+        p, t, r = (int(out["promo_rev_u"][0]), int(out["total_rev_u"][0]),
+                   int(out["promo_ratio_q6"][0]))
+        assert 0 <= p <= t and r == 10**6 * p // t
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        pt = pq.read_table(SF + "/part.parquet").to_pandas()
+        cents = np.floor(100.0 * li["l_extendedprice"] + 0.5).astype("int64")
+        disc = np.floor(100.0 * li["l_discount"] + 0.5).astype("int64")
+        li = li.assign(rev=cents * (100 - disc)).merge(
+            pt[["p_partkey", "p_type"]],
+            left_on="l_partkey", right_on="p_partkey")
+        assert t == int(li["rev"].sum())
+        assert p == int(li.loc[li["p_type"].str.startswith("PROMO"),
+                               "rev"].sum())
