@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": relational.top_supplier,
         "top_supplier_per_part": relational.top_supplier_per_part,
         "promo_revenue": relational.promo_revenue,
+        "parts_supplier_counts": relational.parts_supplier_counts,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

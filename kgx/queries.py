@@ -3013,3 +3013,15 @@ SELECT promo_rev_u, total_rev_u,
          AS promo_ratio_q6
 FROM s
 """
+
+
+# TPC-H Q16 shape: distinct acceptable suppliers per (brand, size),
+# NOT IN the negative-balance exclusion list
+DOC_ORACLES["parts_supplier_counts"] = """
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+"""

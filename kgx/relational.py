@@ -1008,3 +1008,87 @@ def promo_revenue(sf_dir: str):
         "total_rev_u": pd.Series([total_u], dtype="int64"),
         "promo_ratio_q6": pd.Series([10**6 * promo_u // total_u],
                                     dtype="int64")})
+
+
+def parts_supplier_counts(sf_dir: str, num_partitions=None):
+    """(p_brand, p_size, supplier_cnt) — how many distinct acceptable
+    suppliers serve each (brand, size) of part: the TPC-H Q16 shape
+    (COUNT DISTINCT over a join, minus a NOT IN supplier exclusion
+    list).
+
+    Scale shape: the exclusion list (suppliers with negative balance)
+    is dimension-derived and tiny — it ships once by closure and
+    filters MAP-side (for a pathological exclusion set, swap to a
+    hash(suppkey) co-group). Line items collapse to distinct
+    (partkey, suppkey) pairs per batch (combiner), one hash(partkey)
+    co-group attaches brand/size and emits distinct
+    (brand, size, suppkey) rows, and a second exchange on
+    hash(brand, size) makes the distinct count exact — every row of a
+    group lands in one bucket, deduped vectorized before counting.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    sup = pq_.read_table("%s/supplier.parquet" % sf_dir,
+                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    excluded = frozenset(
+        sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype("int64"))
+
+    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+                               columns=["l_partkey", "l_suppkey"])
+    part = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+                                 columns=["p_partkey", "p_brand",
+                                          "p_size"])
+
+    def li_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates()
+        g = g[~g["l_suppkey"].isin(excluded)]
+        k = g["l_partkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "s": g["l_suppkey"].astype("int64"),
+            "brand": "", "size": np.int64(-1),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def p_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "s": np.int64(-1),
+            "brand": df["p_brand"].astype(str),
+            "size": df["p_size"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[df["s"] >= 0][["k", "s"]].drop_duplicates()
+        attrs = df[df["s"] < 0][["k", "brand", "size"]]
+        m = pairs.merge(attrs, on="k", how="inner")
+        g = m[["brand", "size", "s"]].drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            g["brand"] + "\x1f" + g["size"].astype(str), index=False)
+        return pd.DataFrame({
+            "brand": g["brand"].astype(str),
+            "size": g["size"].astype("int64"),
+            "s": g["s"].astype("int64"),
+            "bucket2": (h % nparts).astype("int32")})
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df[["brand", "size", "s"]].drop_duplicates()
+             .rename(columns={"size": "psize"}))
+        g = (d.groupby(["brand", "psize"], as_index=False)
+             .agg(supplier_cnt=("s", "size")))
+        return pd.DataFrame({
+            "p_brand": g["brand"].astype(str),
+            "p_size": g["psize"].astype("int64"),
+            "supplier_cnt": g["supplier_cnt"].astype("int64")})
+
+    return (li.map_batches(li_pairs, batch_format="pandas")
+            .union(part.map_batches(p_rows, batch_format="pandas"))
+            .groupby("bucket").map_groups(attach, batch_format="pandas")
+            .groupby("bucket2").map_groups(count_distinct,
+                                           batch_format="pandas"))

@@ -2639,3 +2639,27 @@ class TestArgmaxAndPromo:
         assert t == int(li["rev"].sum())
         assert p == int(li.loc[li["p_type"].str.startswith("PROMO"),
                                "rev"].sum())
+
+
+class TestPartsSupplierCounts:
+    def test_q16_replay_locally(self, ray_session):
+        """Distinct-supplier counts with exclusion equal a local
+        merge + nunique replay."""
+        import pyarrow.parquet as pq
+
+        from kgx.relational import parts_supplier_counts
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        pt = pq.read_table(SF + "/part.parquet").to_pandas()
+        sup = pq.read_table(SF + "/supplier.parquet").to_pandas()
+        bad = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"])
+        m = (li[~li["l_suppkey"].isin(bad)]
+             .merge(pt[["p_partkey", "p_brand", "p_size"]],
+                    left_on="l_partkey", right_on="p_partkey"))
+        want = (m.groupby(["p_brand", "p_size"])["l_suppkey"]
+                .nunique().to_dict())
+        out = parts_supplier_counts(SF).to_pandas()
+        got = {(b, int(s)): int(n) for b, s, n in
+               out[["p_brand", "p_size", "supplier_cnt"]]
+               .itertuples(index=False)}
+        assert got == want
