@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": textops.token_entropy,
         "pivot_counts": textops.pivot_counts,
         "normalize_text": textops.normalize_text,
+        "linreg_tokens": textops.linreg_tokens,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

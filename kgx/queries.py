@@ -3025,3 +3025,29 @@ WHERE l.l_suppkey NOT IN
       (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_size
 """
+
+
+# OLS from integer sufficient statistics; token count = spaces + 1;
+# HUGEINT keeps the normal-equation products exact, // truncates in
+# both engines (the Python side sign-splits to match)
+DOC_ORACLES["linreg_tokens"] = """
+WITH s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(n_chars) AS HUGEINT) AS sx,
+         CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+              AS HUGEINT) AS sy,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+           AS sxx,
+         CAST(sum(CAST(n_chars AS HUGEINT)
+                  * (length(text) - length(replace(text, ' ', '')) + 1))
+              AS HUGEINT) AS sxy
+  FROM documents)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(sx AS BIGINT) AS sx,
+       CAST(sy AS BIGINT) AS sy, CAST(sxx AS BIGINT) AS sxx,
+       CAST(sxy AS BIGINT) AS sxy,
+       CAST(1000000 * (n * sxy - sx * sy)
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_q6,
+       CAST(1000000 * (sy * sxx - sx * sxy)
+            // (n * sxx - sx * sx) AS BIGINT) AS intercept_q6
+FROM s
+"""

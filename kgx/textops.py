@@ -1253,3 +1253,52 @@ def chi2_terms(sf_dir: str, q: int = 1 << 20):
     out = pd.DataFrame(rows, columns=["lang", "tok", "chi2_q"])
     out["chi2_q"] = out["chi2_q"].astype("int64")
     return out
+
+
+def linreg_tokens(sf_dir: str):
+    """One row (n_docs, sx, sy, sxx, sxy, slope_q6, intercept_q6) —
+    ordinary least squares of tokens-per-doc (y) against chars-per-doc
+    (x), fitted from EXACT integer sufficient statistics: the
+    sufficient-statistics pattern every distributed ML fit reduces to
+    (means/covariances shrink to a handful of scalars; the model solves
+    closed-form driver-side from output-sized partials).
+
+    Map-only: each batch emits one 5-int partial row (no shuffle at
+    all); the driver folds partials in arbitrary-precision Python ints,
+    so the closed-form solve is overflow-proof at any scale. slope and
+    intercept quantize by TRUNCATING division toward zero — DuckDB's
+    ``//`` truncates while Python's floors, so the sign-split mirrors
+    the SQL exactly (CLAUDE.md gotcha).
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["text", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(dtype="int64")
+        y = (df["text"].str.count(" ").to_numpy(dtype="int64") + 1)
+        return pd.DataFrame({
+            "n": [len(df)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [int((x * x).sum())], "sxy": [int((x * y).sum())]})
+
+    t = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n, sx, sy = int(t["n"].sum()), int(t["sx"].sum()), int(t["sy"].sum())
+    sxx, sxy = int(t["sxx"].sum()), int(t["sxy"].sum())
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero (DuckDB // semantics; Python // floors)
+        s = -1 if (a < 0) != (b < 0) else 1
+        return s * (abs(a) // abs(b))
+
+    den = n * sxx - sx * sx
+    slope_q6 = tdiv(10**6 * (n * sxy - sx * sy), den)
+    intercept_q6 = tdiv(10**6 * (sy * sxx - sx * sxy), den)
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "sx": pd.Series([sx], dtype="int64"),
+        "sy": pd.Series([sy], dtype="int64"),
+        "sxx": pd.Series([sxx], dtype="int64"),
+        "sxy": pd.Series([sxy], dtype="int64"),
+        "slope_q6": pd.Series([slope_q6], dtype="int64"),
+        "intercept_q6": pd.Series([intercept_q6], dtype="int64")})

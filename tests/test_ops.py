@@ -2663,3 +2663,23 @@ class TestPartsSupplierCounts:
                out[["p_brand", "p_size", "supplier_cnt"]]
                .itertuples(index=False)}
         assert got == want
+
+
+class TestLinregTokens:
+    def test_ols_matches_numpy(self, ray_session):
+        """The integer-quantized closed form agrees with numpy's
+        float lstsq fit to within one quantization step."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.textops import linreg_tokens
+
+        out = linreg_tokens(SF)
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        x = d["n_chars"].to_numpy(dtype="float64")
+        y = (d["text"].str.count(" ") + 1).to_numpy(dtype="float64")
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(int(out["slope_q6"][0]) - 10**6 * slope) < 10.0
+        assert abs(int(out["intercept_q6"][0]) - 10**6 * intercept) < 10.0
+        assert int(out["n_docs"][0]) == len(d)
+        assert int(out["sy"][0]) == int(y.sum())
