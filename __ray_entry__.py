@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": textops.pivot_counts,
         "normalize_text": textops.normalize_text,
         "linreg_tokens": textops.linreg_tokens,
+        "oov_rate": textops.oov_rate,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

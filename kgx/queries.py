@@ -3051,3 +3051,24 @@ SELECT CAST(n AS BIGINT) AS n_docs, CAST(sx AS BIGINT) AS sx,
             // (n * sxx - sx * sx) AS BIGINT) AS intercept_q6
 FROM s
 """
+
+
+# tokenizer coverage: OOV rate of the odd-doc_id split against the
+# even-doc_id vocabulary, per lang
+DOC_ORACLES["oov_rate"] = """
+WITH tr AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 2 = 0),
+ev AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 2 = 1),
+g AS (
+  SELECT e.lang, count(*) AS n_tokens,
+         sum(CASE WHEN t.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM ev e LEFT JOIN tr t ON t.tok = e.tok
+  GROUP BY e.lang)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(1000000 * n_oov // n_tokens AS BIGINT) AS oov_q6
+FROM g
+"""

@@ -1302,3 +1302,74 @@ def linreg_tokens(sf_dir: str):
         "sxy": pd.Series([sxy], dtype="int64"),
         "slope_q6": pd.Series([slope_q6], dtype="int64"),
         "intercept_q6": pd.Series([intercept_q6], dtype="int64")})
+
+
+def oov_rate(sf_dir: str, num_partitions=None):
+    """(lang, n_tokens, n_oov, oov_q6) — out-of-vocabulary rate of a
+    held-out split against a vocabulary trained on the other split
+    (doc_id parity defines the deterministic train/eval split): the
+    tokenizer-coverage check every corpus/tokenizer pairing needs
+    before training. oov_q6 is the integer floor of 10⁶·oov/total.
+
+    Scale shape: both sides collapse to vocabulary-row combiners
+    before the one exchange — train batches emit distinct tokens, eval
+    batches emit (token, lang, n) counts — so the hash(token) co-group
+    carries vocabularies, never token occurrences. Equal tokens hash to
+    the same bucket, making the membership test exact; the per-bucket
+    output is per-lang partials, reduced by a |langs|-row hash
+    aggregate.
+    """
+    import numpy as np
+    import ray
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def sides(df: pd.DataFrame) -> pd.DataFrame:
+        even = df["doc_id"] % 2 == 0
+        toks = df["text"].str.split(" ")
+        tr = toks[even].explode().dropna().drop_duplicates()
+        train = pd.DataFrame({"tok": tr.astype(str), "lang": "",
+                              "n": np.int64(0), "side": np.int8(0)})
+        ev = (pd.DataFrame({"lang": df.loc[~even, "lang"].astype(str),
+                            "tok": toks[~even]})
+              .explode("tok"))
+        ev["tok"] = ev["tok"].astype(str)
+        g = ev.groupby(["tok", "lang"], as_index=False).size()
+        evs = pd.DataFrame({"tok": g["tok"], "lang": g["lang"],
+                            "n": g["size"].astype("int64"),
+                            "side": np.int8(1)})
+        out = pd.concat([train, evs], ignore_index=True)
+        out["bucket"] = (pd.util.hash_pandas_object(out["tok"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = set(df.loc[df["side"] == 0, "tok"])
+        ev = df[df["side"] == 1]
+        oov = ~ev["tok"].isin(vocab)
+        g = (ev.assign(oov_n=ev["n"].where(oov, 0))
+             .groupby("lang", as_index=False)
+             .agg(n_tokens=("n", "sum"), n_oov=("oov_n", "sum")))
+        return pd.DataFrame({"lang": g["lang"].astype(str),
+                             "n_tokens": g["n_tokens"].astype("int64"),
+                             "n_oov": g["n_oov"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    partials = (ds.map_batches(sides, batch_format="pandas")
+                .groupby("bucket").map_groups(cogroup,
+                                              batch_format="pandas"))
+    out = partials.groupby("lang").aggregate(Sum("n_tokens"),
+                                             Sum("n_oov"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["sum(n_tokens)"].astype("int64")
+        no = df["sum(n_oov)"].astype("int64")
+        return pd.DataFrame({
+            "lang": df["lang"].astype(str), "n_tokens": nt, "n_oov": no,
+            "oov_q6": (10**6 * no // nt).astype("int64")})
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -2683,3 +2683,29 @@ class TestLinregTokens:
         assert abs(int(out["intercept_q6"][0]) - 10**6 * intercept) < 10.0
         assert int(out["n_docs"][0]) == len(d)
         assert int(out["sy"][0]) == int(y.sum())
+
+
+class TestOovRate:
+    def test_oov_replay_locally(self, ray_session):
+        """Per-lang OOV counts equal a local split/set replay."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import oov_rate
+
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        vocab = set()
+        for t in d.loc[d["doc_id"] % 2 == 0, "text"]:
+            vocab.update(t.split(" "))
+        want = {}
+        for lang, text in d.loc[d["doc_id"] % 2 == 1,
+                                ["lang", "text"]].itertuples(index=False):
+            toks = text.split(" ")
+            nt, no = want.get(lang, (0, 0))
+            want[lang] = (nt + len(toks),
+                          no + sum(1 for t in toks if t not in vocab))
+        out = oov_rate(SF).to_pandas()
+        got = {l: (int(nt), int(no)) for l, nt, no in
+               out[["lang", "n_tokens", "n_oov"]].itertuples(index=False)}
+        assert got == want
+        assert (out["oov_q6"] ==
+                10**6 * out["n_oov"] // out["n_tokens"]).all()
