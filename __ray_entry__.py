@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed_retrieval": traindata.hash_embed_retrieval,
         "ccnet_buckets": traindata.ccnet_buckets,
         "curate_corpus": traindata.curate_corpus,
+        "naive_bayes_langid": traindata.naive_bayes_langid,
         # source formats beyond parquet (export → shards → re-ingest)
         "ndjson_roundtrip": sources.ndjson_roundtrip,
         "csv_roundtrip": sources.csv_roundtrip,

@@ -3072,3 +3072,44 @@ SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(1000000 * n_oov // n_tokens AS BIGINT) AS oov_q6
 FROM g
 """
+
+
+# multinomial Naive Bayes language ID replayed end-to-end in SQL:
+# train counts on the even split, score the odd split with
+# floor(1e6·ln(·)) integer logs (shared libm — dsir precedent), ties
+# to the lexicographically smallest lang
+DOC_ORACLES["naive_bayes_langid"] = """
+WITH tr AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 2 = 0),
+cnt AS (SELECT lang, tok, count(*) AS n FROM tr GROUP BY lang, tok),
+tot AS (SELECT lang, count(*) AS tot FROM tr GROUP BY lang),
+voc AS (SELECT count(DISTINCT tok) AS v FROM tr),
+pri AS (SELECT lang, count(*) AS nd FROM documents
+        WHERE doc_id % 2 = 0 GROUP BY lang),
+ev AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 2 = 1),
+evc AS (SELECT doc_id, tok, count(*) AS n FROM ev
+        GROUP BY doc_id, tok),
+sc AS (
+  SELECT e.doc_id, t.lang,
+         sum(e.n * (CAST(floor(1000000 * ln(coalesce(c.n, 0) + 1))
+                         AS BIGINT)
+                    - CAST(floor(1000000 * ln(t.tot + v.v)) AS BIGINT)))
+           AS s
+  FROM evc e
+  CROSS JOIN tot t CROSS JOIN voc v
+  LEFT JOIN cnt c ON c.lang = t.lang AND c.tok = e.tok
+  GROUP BY e.doc_id, t.lang),
+fin AS (
+  SELECT s.doc_id, s.lang,
+         s.s + CAST(floor(1000000 * ln(p.nd)) AS BIGINT) AS score
+  FROM sc s JOIN pri p ON p.lang = s.lang),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM fin)
+SELECT doc_id, lang AS nb_pred FROM r WHERE rn = 1
+"""

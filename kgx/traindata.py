@@ -1756,3 +1756,121 @@ def hash_embed_retrieval(sf_dir: str, dim: int = 16, k: int = 5,
     return (partial.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(reduce_bucket,
                                           batch_format="pandas"))
+
+
+def naive_bayes_langid(sf_dir: str, q: int = 10**6,
+                       num_partitions=None):
+    """(doc_id, nb_pred) — multinomial Naive Bayes language ID: TRAIN
+    on the even-doc_id split (Laplace-smoothed per-(lang, token)
+    counts, per-lang totals, doc priors), BROADCAST the
+    vocabulary-sized model once via ``ray.put``, and SCORE the odd
+    split map-side — the canonical "model fits, data doesn't"
+    train/apply pattern.
+
+    Scoring is engine-portable integers: every log is
+    ``floor(q·math.log(integer))`` — Python ``math.log`` and DuckDB
+    ``ln`` are the same libm call on identical integer-valued doubles
+    (the dsir_weights precedent), so
+    score(c) = qln(n_docs_c) + Σ_t n_t·qln(cnt_{t,c}+1)
+             − N_doc·qln(tot_c+V)
+    is bit-identical in both engines; argmax ties break to the
+    lexicographically smallest lang in both.
+
+    Scale shape: training is one combiner-fed hash(token) co-group
+    (the exchange carries (lang, token) vocabulary rows, never token
+    occurrences); priors/totals reduce from per-batch scalars; the
+    apply pass is map-only against the per-worker cached model matrix
+    with a vectorized explode → index-lookup → per-doc matrix sum.
+    """
+    import math
+
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    docs = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                                 columns=["doc_id", "text", "lang"])
+
+    def train_partials(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[df["doc_id"] % 2 == 0]
+        e = (pd.DataFrame({"lang": tr["lang"].astype(str),
+                           "tok": tr["text"].str.split(" ")})
+             .explode("tok"))
+        g = e.groupby(["lang", "tok"], as_index=False).size()
+        return pd.DataFrame({
+            "lang": g["lang"], "tok": g["tok"].astype(str),
+            "n": g["size"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(g["tok"], index=False)
+                       % nparts).astype("int32")})
+
+    def train_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "tok"], as_index=False)["n"].sum()
+        return pd.DataFrame({"lang": g["lang"].astype(str),
+                             "tok": g["tok"].astype(str),
+                             "n": g["n"].astype("int64")})
+
+    model = (docs.map_batches(train_partials, batch_format="pandas")
+             .groupby("bucket").map_groups(train_reduce,
+                                           batch_format="pandas")
+             .to_pandas())  # vocabulary-sized by construction
+
+    def prior_partials(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[df["doc_id"] % 2 == 0]
+        g = tr.groupby("lang", as_index=False).size()
+        return pd.DataFrame({"lang": g["lang"].astype(str),
+                             "nd": g["size"].astype("int64")})
+
+    pri = (docs.map_batches(prior_partials, batch_format="pandas")
+           .to_pandas().groupby("lang", as_index=False)["nd"].sum())
+
+    langs = sorted(pri["lang"])
+    lidx = {l: i for i, l in enumerate(langs)}
+    L = len(langs)
+    vocab = model["tok"].unique()
+    V = len(vocab)
+    tidx = pd.Series(np.arange(V, dtype="int64"), index=vocab)
+
+    def qln(x: int) -> int:
+        return math.floor(q * math.log(x))
+
+    # M[tok, lang] = qln(cnt+1); absent pairs stay qln(1) = 0
+    M = np.zeros((V, L), dtype="int64")
+    M[tidx[model["tok"]].to_numpy(),
+      model["lang"].map(lidx).to_numpy()] = [
+        qln(int(n) + 1) for n in model["n"]]
+    tot = model.groupby("lang")["n"].sum()
+    denom = np.array([qln(int(tot.get(l, 0)) + V) for l in langs],
+                     dtype="int64")
+    prior = np.array(
+        [qln(int(pri.loc[pri["lang"] == l, "nd"].iloc[0]))
+         for l in langs], dtype="int64")
+    model_ref = ray.put((tidx, M, denom, prior))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tix, mm, dn, pr = _bcast_get(model_ref)
+        ev = df[df["doc_id"] % 2 == 1]
+        if ev.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "nb_pred": pd.Series([], dtype=str)})
+        e = (pd.DataFrame({"doc_id": ev["doc_id"].astype("int64"),
+                           "tok": ev["text"].str.split(" ")})
+             .explode("tok"))
+        g = e.groupby(["doc_id", "tok"], as_index=False).size()
+        ix = tix.reindex(g["tok"]).fillna(-1).to_numpy(dtype="int64")
+        n = g["size"].to_numpy(dtype="int64")
+        contrib = np.where(ix[:, None] >= 0,
+                           mm[np.clip(ix, 0, None)], 0) * n[:, None]
+        cf = pd.DataFrame(contrib, index=g["doc_id"])
+        sums = cf.groupby(level=0).sum()
+        ntot = pd.Series(n, index=g["doc_id"]).groupby(level=0).sum()
+        scores = (pr[None, :] + sums.to_numpy()
+                  - ntot.to_numpy()[:, None] * dn[None, :])
+        pred = [langs[i] for i in scores.argmax(axis=1)]
+        return pd.DataFrame({"doc_id": sums.index.astype("int64"),
+                             "nb_pred": pd.Series(pred, dtype=str,
+                                                  index=sums.index)})
+
+    return docs.map_batches(score, batch_format="pandas")

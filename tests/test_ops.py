@@ -2709,3 +2709,23 @@ class TestOovRate:
         assert got == want
         assert (out["oov_q6"] ==
                 10**6 * out["n_oov"] // out["n_tokens"]).all()
+
+
+class TestNaiveBayesLangid:
+    def test_nb_predicts_odd_split_above_chance(self, ray_session):
+        """Predictions cover exactly the odd split, draw only train
+        langs, and beat uniform chance (the synthetic corpus's text
+        depends on lang only weakly, so the pin is conservative)."""
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import naive_bayes_langid
+
+        out = naive_bayes_langid(SF).to_pandas()
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        odd = set(d.loc[d["doc_id"] % 2 == 1, "doc_id"])
+        assert set(out["doc_id"]) == odd
+        train_langs = set(d.loc[d["doc_id"] % 2 == 0, "lang"])
+        assert set(out["nb_pred"]) <= train_langs
+        m = out.merge(d[["doc_id", "lang"]], on="doc_id")
+        acc = (m["nb_pred"] == m["lang"]).mean()
+        assert acc > 1.0 / len(train_langs)
