@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import clustering_coeff as _clustering_coeff
     from kgx.components import degree_assortativity_sums as _assort
     from kgx.components import msf_boruvka as _msf
+    from kgx.components import bfs_distances as _bfs
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _clustering_coeff,
         "degree_assortativity_sums": _assort,
         "msf_boruvka": _msf,
+        "bfs_distances": _bfs,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

@@ -1252,3 +1252,158 @@ def msf_boruvka(sf_dir: str, threshold: float = 0.8,
             num_partitions=nparts).materialize()
 
     return mst if mst is not None else empty_out()
+
+
+def bfs_levels(edges, seeds, num_partitions: Optional[int] = None,
+               small_graph_threshold: int = 2_000_000,
+               max_rounds: int = 16):
+    """Dataset[(src:int64, dst:int64)] + seed node list →
+    Dataset[(node, dist)] — multi-source level-synchronous BFS hop
+    distances (unreached nodes are absent). The caller symmetrizes if
+    the traversal is undirected.
+
+    Edge lists at or below ``small_graph_threshold`` take a single-task
+    deque fast path (pass 0 to force the distributed loop) — the same
+    gate as connected_components/pagerank_ranks; the two paths are
+    pinned row-identical by test.
+
+    Scale shape (distributed path): the edge table buckets on
+    hash(src) ONCE and is materialized; each level re-ships only the
+    frontier (1 int64 per newly-reached node) through (1) a src-bucket
+    co-group emitting per-bucket-deduped neighbor candidates and (2) a
+    hash(node) anti-join against the visited set, which stays
+    partitioned and output-sized. Rounds = eccentricity of the seed
+    set, each 2 exchanges of frontier-sized rows — the edge list never
+    re-shuffles. Raises if ``max_rounds`` levels do not converge (the
+    SQL oracle's walk bound must dominate the true eccentricity).
+    """
+    import ray.data
+
+    edges = edges.materialize()
+    if edges.count() <= small_graph_threshold:
+        from collections import deque
+
+        e = edges.to_pandas()
+        adj: dict = {}
+        for a, b in zip(e["src"].astype("int64"),
+                        e["dst"].astype("int64")):
+            adj.setdefault(int(a), []).append(int(b))
+        dist = {int(s): 0 for s in seeds}
+        q = deque(sorted(dist))
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        out = pd.DataFrame(sorted(dist.items()),
+                           columns=["node", "dist"])
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": out["node"].astype("int64"),
+                          "dist": out["dist"].astype("int64")}))
+
+    nparts = num_partitions or _nparts()
+
+    def e_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": df["src"].astype("int64"),
+                            "dst": df["dst"].astype("int64"),
+                            "side": np.int8(0)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["src"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    eb = edges.map_batches(e_bucket, batch_format="pandas").materialize()
+
+    def f_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": df["node"].astype("int64"),
+                            "dst": np.int64(0), "side": np.int8(1)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["src"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        fr = df[df["side"] == 1][["src"]].drop_duplicates()
+        e = df[df["side"] == 0]
+        m = e.merge(fr, on="src")
+        out = m[["dst"]].drop_duplicates()
+        return pd.DataFrame({"node": out["dst"].astype("int64")})
+
+    def v_bucket(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"node": df["node"].astype("int64"),
+                                "dist": (df["dist"] if "dist" in df
+                                         else 0 * df["node"])
+                                .astype("int64"),
+                                "side": np.int8(side)})
+            out["bucket"] = (pd.util.hash_pandas_object(
+                out["node"], index=False) % nparts).astype("int32")
+            return out
+        return fn
+
+    import ray.data as rd
+
+    dist = rd.from_pandas(pd.DataFrame({
+        "node": pd.Series(sorted(int(s) for s in seeds),
+                          dtype="int64"),
+        "dist": np.int64(0)}))
+    frontier = dist
+    for r in range(1, max_rounds + 1):
+        cand = (eb.union(frontier.map_batches(f_rows,
+                                              batch_format="pandas"))
+                .groupby("bucket").map_groups(expand,
+                                              batch_format="pandas"))
+
+        def unseen(df: pd.DataFrame, r=r) -> pd.DataFrame:
+            seen = set(df.loc[df["side"] == 0, "node"])
+            c = df[df["side"] == 1][["node"]].drop_duplicates()
+            c = c[~c["node"].isin(seen)]
+            return pd.DataFrame({"node": c["node"].astype("int64"),
+                                 "dist": np.int64(r)})
+
+        new = (dist.map_batches(v_bucket(0), batch_format="pandas")
+               .union(cand.map_batches(
+                   lambda df: df.assign(dist=np.int64(0)),
+                   batch_format="pandas")
+                   .map_batches(v_bucket(1), batch_format="pandas"))
+               .groupby("bucket").map_groups(unseen,
+                                             batch_format="pandas")
+               .materialize())
+        if new.count() == 0:
+            return dist
+        dist = dist.union(new).repartition(nparts).materialize()
+        frontier = new
+    raise RuntimeError("bfs_levels: no convergence in %d rounds"
+                       % max_rounds)
+
+
+def bfs_distances(sf_dir: str, seed_mod: int = 97, k: int = 5,
+                  small_graph_threshold: int = 2_000_000):
+    """(vec_id, dist) — multi-source BFS hop distance from the seed
+    vectors (vec_id % seed_mod == 0) over the SYMMETRIZED exact k-NN
+    graph: the graph-traversal primitive (label spreading, semantic
+    neighborhoods, hub distance) composed on top of ``knn_graph``'s
+    independently-oracled edge set.
+    """
+    import pyarrow.parquet as pq_
+
+    from .simsearch import knn_graph
+
+    edges = knn_graph(sf_dir, k=k).map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame({"src": df["vec_id"].astype("int64"),
+                          "dst": df["neighbor_id"].astype("int64")}),
+            pd.DataFrame({"src": df["neighbor_id"].astype("int64"),
+                          "dst": df["vec_id"].astype("int64")})],
+            ignore_index=True),
+        batch_format="pandas")
+    ids = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                         columns=["vec_id"]).column("vec_id").to_pylist()
+    seeds = [v for v in ids if v % seed_mod == 0]
+    out = bfs_levels(edges, seeds,
+                     small_graph_threshold=small_graph_threshold)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"vec_id": df["node"].astype("int64"),
+                                 "dist": df["dist"].astype("int64")}),
+        batch_format="pandas")

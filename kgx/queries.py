@@ -3113,3 +3113,31 @@ r AS (
   FROM fin)
 SELECT doc_id, lang AS nb_pred FROM r WHERE rn = 1
 """
+
+
+# multi-source BFS over the symmetrized exact k-NN graph (the knn_graph
+# edge CTE verbatim); the walk bound 16 dominates the true eccentricity
+# (engine asserts convergence within the same bound), so min(d) is the
+# exact hop distance
+DOC_ORACLES["bfs_distances"] = """
+WITH RECURSIVE s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),
+r AS (
+  SELECT vid, nid,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY sim DESC, nid) AS rk
+  FROM s),
+e AS (
+  SELECT vid AS a, nid AS b FROM r WHERE rk <= 5
+  UNION
+  SELECT nid AS a, vid AS b FROM r WHERE rk <= 5),
+walk AS (
+  SELECT vec_id AS node, 0 AS d FROM embeddings WHERE vec_id % 97 = 0
+  UNION
+  SELECT e.b AS node, w.d + 1 AS d
+  FROM walk w JOIN e ON e.a = w.node WHERE w.d < 16)
+SELECT node AS vec_id, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""

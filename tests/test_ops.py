@@ -2729,3 +2729,37 @@ class TestNaiveBayesLangid:
         m = out.merge(d[["doc_id", "lang"]], on="doc_id")
         acc = (m["nb_pred"] == m["lang"]).mean()
         assert acc > 1.0 / len(train_langs)
+
+
+class TestBfsDistances:
+    def test_bfs_paths_agree_and_replay(self, ray_session):
+        """Single-task gate and the distributed level loop are
+        row-identical, and both equal a local deque BFS replay over the
+        symmetrized knn edges."""
+        from collections import deque
+
+        from kgx.components import bfs_distances
+        from kgx.simsearch import knn_graph
+
+        fast = bfs_distances(SF).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        dist = bfs_distances(SF, small_graph_threshold=0).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert fast.equals(dist)
+
+        e = knn_graph(SF).to_pandas()
+        adj: dict = {}
+        for a, b in zip(e["vec_id"], e["neighbor_id"]):
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        seeds = sorted(v for v in adj if v % 97 == 0)
+        d = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        got = dict(zip(fast["vec_id"], fast["dist"]))
+        assert got == d
