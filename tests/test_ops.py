@@ -2416,7 +2416,7 @@ class TestWindowAndRollup:
 
         from kgx.relational import local_supplier_volume
 
-        out = local_supplier_volume(SF).to_pandas()
+        out = local_supplier_volume(SF)
         t = {n: pq.read_table(f"{SF}/{n}.parquet").to_pandas()
              for n in ["region", "nation", "customer", "orders",
                        "lineitem", "supplier"]}
