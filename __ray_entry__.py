@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_per_part": relational.top_supplier_per_part,
         "promo_revenue": relational.promo_revenue,
         "parts_supplier_counts": relational.parts_supplier_counts,
+        "skyline_parts": relational.skyline_parts,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

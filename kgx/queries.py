@@ -3141,3 +3141,20 @@ walk AS (
 SELECT node AS vec_id, CAST(min(d) AS BIGINT) AS dist
 FROM walk GROUP BY node
 """
+
+
+# 2-D skyline (Pareto frontier): minimize price, maximize size; equal
+# points are mutually non-dominating
+DOC_ORACLES["skyline_parts"] = """
+WITH q AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_q2,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT a.p_partkey, a.price_q2, a.p_size
+FROM q a
+WHERE NOT EXISTS (
+  SELECT 1 FROM q b
+  WHERE b.price_q2 <= a.price_q2 AND b.p_size >= a.p_size
+    AND (b.price_q2 < a.price_q2 OR b.p_size > a.p_size))
+"""

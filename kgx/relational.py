@@ -1093,3 +1093,63 @@ def parts_supplier_counts(sf_dir: str, num_partitions=None):
             .groupby("bucket").map_groups(attach, batch_format="pandas")
             .groupby("bucket2").map_groups(count_distinct,
                                            batch_format="pandas"))
+
+
+def _local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D skyline (minimize price_q2, maximize p_size) of
+    one frame; duplicates of a skyline point all survive (no strict
+    dominance between equals — mirrors the SQL NOT EXISTS rule)."""
+    import numpy as np
+
+    d = df.sort_values(["price_q2", "p_size", "p_partkey"],
+                       ascending=[True, False, True]).reset_index(drop=True)
+    size = d["p_size"].to_numpy(dtype="int64")
+    price = d["price_q2"].to_numpy(dtype="int64")
+    # running max size over STRICTLY cheaper prefix: group rows by
+    # price, shift the group-wise running max down one price level
+    cummax = np.maximum.accumulate(size)
+    first_of_price = np.ones(len(d), dtype=bool)
+    first_of_price[1:] = price[1:] != price[:-1]
+    grp_start = np.maximum.accumulate(
+        np.where(first_of_price, np.arange(len(d)), 0))
+    prev_max = np.full(len(d), np.iinfo("int64").min, dtype="int64")
+    nz = grp_start > 0
+    prev_max[nz] = cummax[grp_start[nz] - 1]
+    # same-price prefix max (sorted size-desc, so it's the group head)
+    head_size = size[grp_start]
+    dominated = (prev_max >= size) | (head_size > size)
+    return d[~dominated]
+
+
+def skyline_parts(sf_dir: str):
+    """(p_partkey, price_q2, p_size) — the Pareto frontier of parts
+    (cheapest price vs largest size): the SKYLINE operator. A point
+    survives iff nothing is at-least-as-good in both dimensions and
+    strictly better in one; equal points are mutually non-dominating
+    and all survive.
+
+    Scale shape: skyline-of-skylines is exact (a dominated point can
+    never eliminate anything a surviving dominator would not), so each
+    batch reduces to its local frontier (combiner) and the driver folds
+    the concatenated local frontiers — output-sized for correlated
+    dimensions (anti-correlated worst cases need a partition-by-price-
+    range second level; documented, not needed here). Zero shuffles.
+    """
+    import numpy as np
+    import ray.data
+
+    ds = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+                               columns=["p_partkey", "p_retailprice",
+                                        "p_size"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        q = pd.DataFrame({
+            "p_partkey": df["p_partkey"].astype("int64"),
+            "price_q2": np.floor(100.0 * df["p_retailprice"]
+                                 .to_numpy("float64") + 0.5)
+            .astype("int64"),
+            "p_size": df["p_size"].astype("int64")})
+        return _local_skyline(q)
+
+    t = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return _local_skyline(t).reset_index(drop=True)

@@ -2763,3 +2763,25 @@ class TestBfsDistances:
                     q.append(v)
         got = dict(zip(fast["vec_id"], fast["dist"]))
         assert got == d
+
+
+class TestSkylineParts:
+    def test_skyline_replay_locally(self, ray_session):
+        """The distributed skyline-of-skylines equals a brute-force
+        O(n²) dominance replay."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import skyline_parts
+
+        p = pq.read_table(SF + "/part.parquet").to_pandas()
+        price = np.floor(100.0 * p["p_retailprice"] + 0.5).astype("int64")
+        size = p["p_size"].astype("int64")
+        keep = []
+        for i in range(len(p)):
+            dom = ((price <= price[i]) & (size >= size[i])
+                   & ((price < price[i]) | (size > size[i]))).any()
+            if not dom:
+                keep.append(int(p["p_partkey"].iloc[i]))
+        out = skyline_parts(SF)
+        assert sorted(out["p_partkey"]) == sorted(keep)
