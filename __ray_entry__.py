@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": events.latest_event_per_user,
         "range_join_counts": events.range_join_counts,
         "markov_transitions": events.markov_transitions,
+        "user_paths": events.user_paths,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

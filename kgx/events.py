@@ -812,3 +812,42 @@ def markov_transitions(sf_dir: str):
                              "n": df["sum(n)"].astype("int64")})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def user_paths(sf_dir: str):
+    """(user_id, path, n_events) — each user's full time-ordered
+    event-type journey as a '>'-joined string (the clickstream
+    path-analysis / ordered collect_list shape); order is (ts,
+    event_id), the deterministic total order both engines share.
+
+    One hash(user) exchange of raw (user, ts, id, type) rows — ordered
+    reassembly needs a user's events co-located, same shape as
+    sessionize. Inside a bucket one sort serves every user and the
+    join is a vectorized groupby-agg; path length is bounded by a
+    user's own event count.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                       "event_type"])
+    nparts = _nparts()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"],
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"].astype(str),
+            "bucket": (pd.util.hash_pandas_object(
+                df["user_id"].astype("int64"), index=False)
+                % nparts).astype("int32")})
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", as_index=False).agg(
+            path=("event_type", ">".join),
+            n_events=("event_id", "size"))
+        return pd.DataFrame({"user_id": g["user_id"].astype("int64"),
+                             "path": g["path"].astype(str),
+                             "n_events": g["n_events"].astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(paths, batch_format="pandas"))

@@ -3158,3 +3158,12 @@ WHERE NOT EXISTS (
   WHERE b.price_q2 <= a.price_q2 AND b.p_size >= a.p_size
     AND (b.price_q2 < a.price_q2 OR b.p_size > a.p_size))
 """
+
+
+# ordered collect_list: each user's full event-type journey
+DOC_ORACLES["user_paths"] = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""

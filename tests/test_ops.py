@@ -2785,3 +2785,21 @@ class TestSkylineParts:
                 keep.append(int(p["p_partkey"].iloc[i]))
         out = skyline_parts(SF)
         assert sorted(out["p_partkey"]) == sorted(keep)
+
+
+class TestUserPaths:
+    def test_paths_replay_locally(self, ray_session):
+        """Ordered path strings equal a per-user sorted-join replay,
+        and path length matches n_events."""
+        import pyarrow.parquet as pq
+
+        from kgx.events import user_paths
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas() \
+            .sort_values(["user_id", "ts", "event_id"])
+        want = (ev.groupby("user_id")["event_type"]
+                .apply(">".join).to_dict())
+        out = user_paths(SF).to_pandas()
+        got = dict(zip(out["user_id"], out["path"]))
+        assert got == want
+        assert (out["path"].str.count(">") + 1 == out["n_events"]).all()
