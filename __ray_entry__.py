@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": textops.normalize_text,
         "linreg_tokens": textops.linreg_tokens,
         "oov_rate": textops.oov_rate,
+        "doc_rank_by_length": textops.doc_rank_by_length,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

@@ -3167,3 +3167,13 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
 """
+
+
+# exact per-lang RANK by length, computed without a global sort
+DOC_ORACLES["doc_rank_by_length"] = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars)
+            AS BIGINT) AS rnk,
+       CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+FROM documents
+"""

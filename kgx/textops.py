@@ -1373,3 +1373,47 @@ def oov_rate(sf_dir: str, num_partitions=None):
             "oov_q6": (10**6 * no // nt).astype("int64")})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def doc_rank_by_length(sf_dir: str):
+    """(doc_id, lang, n_chars, rnk, n_lang) — every document's exact
+    RANK() within its language by length, WITHOUT a global sort: the
+    counting-sort ranking trick. Pass 1 reduces the corpus to a
+    per-(lang, length) histogram (combiner — the exchange carries
+    histogram rows, never documents; lengths are a bounded vocabulary);
+    the cumulative strictly-smaller counts per lang broadcast via
+    closure and pass 2 assigns rank = #smaller + 1 map-side (ties share
+    the min rank, mirroring SQL RANK). Scale shape: one tiny aggregate
+    plus one map-only pass — no document ever crosses the wire.
+    """
+    import numpy as np
+    import ray.data
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["lang", "n_chars"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pd.DataFrame({"lang": g["lang"].astype(str),
+                             "n_chars": g["n_chars"].astype("int64"),
+                             "n": g["n"].astype("int64")})
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby(["lang", "n_chars"], as_index=False)["n"].sum()
+         .sort_values(["lang", "n_chars"]))
+    h["cum"] = h.groupby("lang")["n"].cumsum() - h["n"]  # strictly smaller
+    totals = h.groupby("lang")["n"].sum().to_dict()
+    smaller = {(l, int(c)): int(v) for l, c, v in
+               zip(h["lang"], h["n_chars"], h["cum"])}
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        keys = list(zip(df["lang"], df["n_chars"].astype("int64")))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"].astype(str),
+            "n_chars": df["n_chars"].astype("int64"),
+            "rnk": pd.Series([smaller[k] + 1 for k in keys],
+                             dtype="int64", index=df.index),
+            "n_lang": df["lang"].map(totals).astype("int64")})
+
+    return ds.map_batches(rank, batch_format="pandas")

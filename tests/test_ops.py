@@ -2803,3 +2803,21 @@ class TestUserPaths:
         got = dict(zip(out["user_id"], out["path"]))
         assert got == want
         assert (out["path"].str.count(">") + 1 == out["n_events"]).all()
+
+
+class TestDocRankByLength:
+    def test_rank_replay_locally(self, ray_session):
+        """Counting-sort ranks equal pandas rank(method='min') per
+        lang; rank bounds and tie-sharing hold."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import doc_rank_by_length
+
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        want = (d.groupby("lang")["n_chars"].rank(method="min")
+                .astype("int64"))
+        out = doc_rank_by_length(SF).to_pandas().set_index("doc_id")
+        got = out.loc[d["doc_id"], "rnk"].to_numpy()
+        assert (got == want.to_numpy()).all()
+        assert (out.groupby("lang")["n_lang"].first()
+                == d.groupby("lang").size()).all()
