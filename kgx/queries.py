@@ -3177,3 +3177,19 @@ SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
 FROM documents
 """
+
+
+# vector-column GROUP BY: per-label component sums of floor(1024·x)
+# quantized embeddings (exact integers; centroid = sum_q / n)
+DOC_ORACLES["label_centroids"] = """
+WITH x AS (
+  SELECT label, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(i - 1 AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(1024.0 * CAST(embedding[i] AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n
+FROM x GROUP BY label, i
+"""

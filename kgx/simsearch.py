@@ -765,3 +765,50 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, rounds: int = 2,
 
     return load_batches().map_batches(final_assign,
                                       batch_format="pandas")
+
+
+def label_centroids(sf_dir: str, scale: int = 1 << 10):
+    """(label, dim, sum_q, n) — per-label embedding sums in exact
+    integers (the vector-column GROUP BY: class centroids up to the
+    trivial division, prototype vectors, per-class drift monitoring).
+    Components quantize once to floor(scale·x) int64 (the kmeans_lloyd
+    rule), so per-label sums are order-independent and engine-portable;
+    the caller divides sum_q/n for the centroid.
+
+    Scale shape: map-only combiner — each batch collapses to at most
+    |labels|·d partial rows (one vectorized matrix groupby-add), then a
+    |labels|·d-key native hash aggregate; no embedding ever crosses the
+    exchange.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+                               columns=["embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.array(df["embedding"].tolist(), dtype=np.float64)
+        Q = np.floor(float(scale) * V).astype(np.int64)
+        lab = df["label"].to_numpy(dtype="int64")
+        labs = np.unique(lab)
+        d = Q.shape[1]
+        rows = []
+        for l in labs:
+            m = lab == l
+            s = Q[m].sum(axis=0)
+            rows.append(pd.DataFrame({
+                "label": np.int64(l), "dim": np.arange(d, dtype="int64"),
+                "sum_q": s.astype("int64"),
+                "n": np.int64(int(m.sum()))}))
+        return pd.concat(rows, ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["label", "dim"]).aggregate(Sum("sum_q"), Sum("n")))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "label": df["label"].astype("int64"),
+            "dim": df["dim"].astype("int64"),
+            "sum_q": df["sum(sum_q)"].astype("int64"),
+            "n": df["sum(n)"].astype("int64")}),
+        batch_format="pandas")

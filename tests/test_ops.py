@@ -2821,3 +2821,23 @@ class TestDocRankByLength:
         assert (got == want.to_numpy()).all()
         assert (out.groupby("lang")["n_lang"].first()
                 == d.groupby("lang").size()).all()
+
+
+class TestLabelCentroids:
+    def test_centroid_sums_replay(self, ray_session):
+        """Per-label quantized component sums equal a numpy replay;
+        counts are constant across dims of one label."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.simsearch import label_centroids
+
+        t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+        V = np.floor(1024.0 * np.array(t["embedding"].tolist(),
+                                       dtype=np.float64)).astype("int64")
+        out = label_centroids(SF).to_pandas()
+        for lab in sorted(t["label"].unique()):
+            s = V[t["label"].to_numpy() == lab].sum(axis=0)
+            o = out[out["label"] == lab].sort_values("dim")
+            assert (o["sum_q"].to_numpy() == s).all()
+            assert (o["n"] == (t["label"] == lab).sum()).all()
