@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": relational.promo_revenue,
         "parts_supplier_counts": relational.parts_supplier_counts,
         "skyline_parts": relational.skyline_parts,
+        "profile_columns": relational.profile_columns,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -3193,3 +3193,33 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(count(*) AS BIGINT) AS n
 FROM x GROUP BY label, i
 """
+
+
+# schema profiling of orders: per-column rows / nulls / exact distinct
+DOC_ORACLES["profile_columns"] = """
+SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+UNION ALL SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+UNION ALL SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+UNION ALL SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+"""

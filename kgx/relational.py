@@ -1153,3 +1153,68 @@ def skyline_parts(sf_dir: str):
 
     t = ds.map_batches(local, batch_format="pandas").to_pandas()
     return _local_skyline(t).reset_index(drop=True)
+
+
+def profile_columns(sf_dir: str, num_partitions=None):
+    """(col, n_rows, n_null, n_distinct) — the schema-profiling pass
+    (the first thing run against any new 100 TB drop): per-column row
+    count, null count, and EXACT distinct cardinality for every column
+    of ``orders``.
+
+    Scale shape: row/null counts fold from per-batch scalars
+    (output-sized). Distincts: each batch emits its per-column distinct
+    value set as (col, val-as-string) rows (combiner), one
+    hash(col, val) co-group dedups globally and emits per-column
+    partial counts, and the final reduce is a |columns|-row hash
+    aggregate — the exchange carries distinct values, never rows. For
+    ultra-wide high-cardinality columns, swap the value string for its
+    16-byte digest (the dedup_exact trick) to fix the row width.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    ds = ray.data.read_parquet("%s/orders.parquet" % sf_dir)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in df.columns:
+            rows.append((c, len(df), int(df[c].isna().sum())))
+        return pd.DataFrame(rows, columns=["col", "n_rows", "n_null"])
+
+    base = (ds.map_batches(counts, batch_format="pandas").to_pandas()
+            .groupby("col", as_index=False)[["n_rows", "n_null"]].sum())
+
+    def distinct_vals(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in df.columns:
+            u = df[c].dropna().unique()
+            s = pd.Series(u).astype(str)
+            frames.append(pd.DataFrame({"col": c, "val": s}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["col"] + "\x1f" + out["val"], index=False)
+            % nparts).astype("int32")
+        return out
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df[["col", "val"]].drop_duplicates()
+             .groupby("col", as_index=False).size())
+        return pd.DataFrame({"col": g["col"].astype(str),
+                             "nd": g["size"].astype("int64")})
+
+    nd = (ds.map_batches(distinct_vals, batch_format="pandas")
+          .groupby("bucket").map_groups(count_partial,
+                                        batch_format="pandas")
+          .to_pandas().groupby("col", as_index=False)["nd"].sum())
+
+    out = base.merge(nd, on="col", how="left")
+    return pd.DataFrame({
+        "col": out["col"].astype(str),
+        "n_rows": out["n_rows"].astype("int64"),
+        "n_null": out["n_null"].astype("int64"),
+        "n_distinct": out["nd"].fillna(0).astype("int64")}) \
+        .sort_values("col").reset_index(drop=True)

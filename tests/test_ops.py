@@ -2841,3 +2841,19 @@ class TestLabelCentroids:
             o = out[out["label"] == lab].sort_values("dim")
             assert (o["sum_q"].to_numpy() == s).all()
             assert (o["n"] == (t["label"] == lab).sum()).all()
+
+
+class TestProfileColumns:
+    def test_profile_replay_locally(self, ray_session):
+        """Per-column profile equals pandas count/isna/nunique."""
+        import pyarrow.parquet as pq
+
+        from kgx.relational import profile_columns
+
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        out = profile_columns(SF).set_index("col")
+        assert set(out.index) == set(o.columns)
+        for c in o.columns:
+            assert out.loc[c, "n_rows"] == len(o)
+            assert out.loc[c, "n_null"] == int(o[c].isna().sum())
+            assert out.loc[c, "n_distinct"] == o[c].nunique()
