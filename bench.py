@@ -111,6 +111,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import kcore as _kcore
     from kgx.components import label_propagation as _label_propagation
     from kgx.components import pagerank as _pagerank
+    from kgx.components import bfs_distances as _bfs_distances
 
     def consume(ds):
         # stream-consume without driver materialization
@@ -206,6 +207,30 @@ def run_queries(sf_dir: str) -> dict:
             lambda: traindata.hash_embed_retrieval(sf_dir),
         "customer_order_counts":
             lambda: relational.customer_order_counts(sf_dir),
+        "markov_transitions": lambda: events.markov_transitions(sf_dir),
+        "user_paths": lambda: events.user_paths(sf_dir),
+        "cooccurrence_pairs":
+            lambda: relational.cooccurrence_pairs(sf_dir),
+        "late_orders_by_priority":
+            lambda: relational.late_orders_by_priority(sf_dir),
+        "no_orders_customers":
+            lambda: relational.no_orders_customers(sf_dir),
+        "top_supplier": lambda: relational.top_supplier(sf_dir),
+        "top_supplier_per_part":
+            lambda: relational.top_supplier_per_part(sf_dir),
+        "promo_revenue": lambda: relational.promo_revenue(sf_dir),
+        "parts_supplier_counts":
+            lambda: relational.parts_supplier_counts(sf_dir),
+        "skyline_parts": lambda: relational.skyline_parts(sf_dir),
+        "profile_columns": lambda: relational.profile_columns(sf_dir),
+        "linreg_tokens": lambda: textops.linreg_tokens(sf_dir),
+        "oov_rate": lambda: textops.oov_rate(sf_dir),
+        "doc_rank_by_length":
+            lambda: textops.doc_rank_by_length(sf_dir),
+        "naive_bayes_langid":
+            lambda: traindata.naive_bayes_langid(sf_dir),
+        "bfs_distances": lambda: _bfs_distances(sf_dir),
+        "label_centroids": lambda: simsearch.label_centroids(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole
