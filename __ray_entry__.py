@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import degree_assortativity_sums as _assort
     from kgx.components import msf_boruvka as _msf
     from kgx.components import bfs_distances as _bfs
+    from kgx.components import bipartite_conflicts as _bipartite
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity_sums": _assort,
         "msf_boruvka": _msf,
         "bfs_distances": _bfs,
+        "bipartite_conflicts": _bipartite,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

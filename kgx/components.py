@@ -1407,3 +1407,54 @@ def bfs_distances(sf_dir: str, seed_mod: int = 97, k: int = 5,
         lambda df: pd.DataFrame({"vec_id": df["node"].astype("int64"),
                                  "dist": df["dist"].astype("int64")}),
         batch_format="pandas")
+
+
+def bipartite_conflicts(sf_dir: str, seed_mod: int = 97, k: int = 5):
+    """One row (n_edges, n_conflicts) — the odd-cycle diagnostic over
+    the symmetrized k-NN graph: after a multi-source BFS 2-coloring
+    (parity of the hop distance), every edge joining two SAME-parity
+    reached nodes witnesses an odd cycle; n_conflicts = 0 iff the
+    reached subgraph is bipartite. Composes ``bfs_distances`` (its own
+    oracle is independently checked) with one map-side parity probe.
+
+    Scale shape: the distance table is node-sized and broadcasts via
+    ``ray.put`` into a per-worker cache; the undirected edge list
+    streams map-only through the parity check with per-batch 2-int
+    partials — no extra exchange beyond what the BFS already paid.
+    Each undirected edge is counted once (a < b).
+    """
+    import ray
+
+    from .simsearch import knn_graph
+    from .traindata import _bcast_get
+
+    dist = bfs_distances(sf_dir, seed_mod=seed_mod, k=k).to_pandas()
+    parity = dict(zip(dist["vec_id"].astype("int64"),
+                      (dist["dist"] % 2).astype("int64")))
+    par_ref = ray.put(parity)
+
+    edges = knn_graph(sf_dir, k=k)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        par = _bcast_get(par_ref)
+        a = np.minimum(df["vec_id"].to_numpy("int64"),
+                       df["neighbor_id"].to_numpy("int64"))
+        b = np.maximum(df["vec_id"].to_numpy("int64"),
+                       df["neighbor_id"].to_numpy("int64"))
+        t = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        pa = t["a"].map(par)
+        pb = t["b"].map(par)
+        both = pa.notna() & pb.notna()
+        conf = both & (pa == pb)
+        return pd.DataFrame({"a": t["a"], "b": t["b"],
+                             "conflict": conf.astype("int64")})
+
+    # per-batch dedup above is only a combiner; the knn graph can emit
+    # the same undirected edge from both endpoints in different
+    # batches, so finish with one exact dedup over fixed-width keys
+    t = edges.map_batches(probe, batch_format="pandas").to_pandas()
+    t = t.drop_duplicates(subset=["a", "b"])
+    return pd.DataFrame({
+        "n_edges": pd.Series([len(t)], dtype="int64"),
+        "n_conflicts": pd.Series([int(t["conflict"].sum())],
+                                 dtype="int64")})

@@ -3223,3 +3223,37 @@ UNION ALL SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
             AS BIGINT),
        CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
 """
+
+
+# odd-cycle diagnostic: BFS-parity 2-coloring conflicts over the
+# symmetrized k-NN graph (composes the bfs_distances walk CTE)
+DOC_ORACLES["bipartite_conflicts"] = """
+WITH RECURSIVE s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),
+r AS (
+  SELECT vid, nid,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY sim DESC, nid) AS rk
+  FROM s),
+e AS (
+  SELECT vid AS a, nid AS b FROM r WHERE rk <= 5
+  UNION
+  SELECT nid AS a, vid AS b FROM r WHERE rk <= 5),
+walk AS (
+  SELECT vec_id AS node, 0 AS d FROM embeddings WHERE vec_id % 97 = 0
+  UNION
+  SELECT e.b AS node, w.d + 1 AS d
+  FROM walk w JOIN e ON e.a = w.node WHERE w.d < 16),
+dist AS (
+  SELECT node, min(d) AS d FROM walk GROUP BY node),
+und AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN da.d % 2 = db.d % 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_conflicts
+FROM und u
+LEFT JOIN dist da ON da.node = u.a
+LEFT JOIN dist db ON db.node = u.b
+"""

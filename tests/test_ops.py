@@ -2857,3 +2857,23 @@ class TestProfileColumns:
             assert out.loc[c, "n_rows"] == len(o)
             assert out.loc[c, "n_null"] == int(o[c].isna().sum())
             assert out.loc[c, "n_distinct"] == o[c].nunique()
+
+
+class TestBipartiteConflicts:
+    def test_conflicts_replay_locally(self, ray_session):
+        """Edge/conflict counts equal a local BFS-parity replay over
+        the deduped undirected knn edges."""
+        from kgx.components import bfs_distances, bipartite_conflicts
+        from kgx.simsearch import knn_graph
+
+        e = knn_graph(SF).to_pandas()
+        und = set()
+        for a, b in zip(e["vec_id"], e["neighbor_id"]):
+            und.add((min(int(a), int(b)), max(int(a), int(b))))
+        d = bfs_distances(SF).to_pandas()
+        par = dict(zip(d["vec_id"], d["dist"] % 2))
+        conf = sum(1 for a, b in und
+                   if a in par and b in par and par[a] == par[b])
+        out = bipartite_conflicts(SF)
+        assert int(out["n_edges"][0]) == len(und)
+        assert int(out["n_conflicts"][0]) == conf
