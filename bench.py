@@ -112,6 +112,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import label_propagation as _label_propagation
     from kgx.components import pagerank as _pagerank
     from kgx.components import bfs_distances as _bfs_distances
+    from kgx.components import bipartite_conflicts as _bipartite
 
     def consume(ds):
         # stream-consume without driver materialization
@@ -231,6 +232,7 @@ def run_queries(sf_dir: str) -> dict:
             lambda: traindata.naive_bayes_langid(sf_dir),
         "bfs_distances": lambda: _bfs_distances(sf_dir),
         "label_centroids": lambda: simsearch.label_centroids(sf_dir),
+        "bipartite_conflicts": lambda: _bipartite(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -801,14 +801,13 @@ def label_centroids(sf_dir: str, scale: int = 1 << 10):
                 "n": np.int64(int(m.sum()))}))
         return pd.concat(rows, ignore_index=True)
 
-    from ray.data.aggregate import Sum
-
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["label", "dim"]).aggregate(Sum("sum_q"), Sum("n")))
-    return out.map_batches(
-        lambda df: pd.DataFrame({
-            "label": df["label"].astype("int64"),
-            "dim": df["dim"].astype("int64"),
-            "sum_q": df["sum(sum_q)"].astype("int64"),
-            "n": df["sum(n)"].astype("int64")}),
-        batch_format="pandas")
+    # partials are ≤ |labels|·d rows per batch — fold driver-side:
+    # Ray's native multi-key aggregate is pathological even at 640
+    # keys (measured 9.7 s vs 0.7 s at sf0.1/32; CLAUDE.md gotcha)
+    t = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = t.groupby(["label", "dim"], as_index=False)[["sum_q", "n"]].sum()
+    return pd.DataFrame({
+        "label": g["label"].astype("int64"),
+        "dim": g["dim"].astype("int64"),
+        "sum_q": g["sum_q"].astype("int64"),
+        "n": g["n"].astype("int64")})

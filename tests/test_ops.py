@@ -2835,7 +2835,7 @@ class TestLabelCentroids:
         t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
         V = np.floor(1024.0 * np.array(t["embedding"].tolist(),
                                        dtype=np.float64)).astype("int64")
-        out = label_centroids(SF).to_pandas()
+        out = label_centroids(SF)
         for lab in sorted(t["label"].unique()):
             s = V[t["label"].to_numpy() == lab].sum(axis=0)
             o = out[out["label"] == lab].sort_values("dim")
