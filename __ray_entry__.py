@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_counts": events.range_join_counts,
         "markov_transitions": events.markov_transitions,
         "user_paths": events.user_paths,
+        "ab_test_zstat": events.ab_test_zstat,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

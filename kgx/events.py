@@ -851,3 +851,54 @@ def user_paths(sf_dir: str):
 
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(paths, batch_format="pandas"))
+
+
+def ab_test_zstat(sf_dir: str, q: int = 10**6):
+    """One row (n_a, s1_a, s2_a, n_b, s1_b, s2_b, z_q6) — the two-sample
+    Welch z-statistic comparing event values between the A/B arms
+    (user_id parity): the experiment-analysis primitive, reduced to six
+    integer sufficient statistics (the linreg_tokens pattern).
+
+    Map-only 6-int per-batch partials (zero shuffles), exact Python-int
+    driver fold; the z float tree is built in ONE fixed order from the
+    integer stats — int→double conversion and each IEEE op are
+    identical in numpy and DuckDB, so floor(q·z) is bit-portable:
+    z = (s1a/na − s1b/nb) /
+        sqrt(((s2a − s1a·s1a/na)/(na−1))/na +
+             ((s2b − s1b·s1b/nb)/(nb−1))/nb)
+    """
+    ds = _read_events(sf_dir, columns=["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(100.0 * df["value"].to_numpy("float64")
+                         + 0.5).astype("int64")
+        a = (df["user_id"].to_numpy("int64") % 2) == 0
+        return pd.DataFrame({
+            "n_a": [int(a.sum())], "s1_a": [int(cents[a].sum())],
+            "s2_a": [int((cents[a] * cents[a]).sum())],
+            "n_b": [int((~a).sum())], "s1_b": [int(cents[~a].sum())],
+            "s2_b": [int((cents[~a] * cents[~a]).sum())]})
+
+    t = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    na, s1a, s2a = int(t["n_a"].sum()), int(t["s1_a"].sum()), \
+        int(t["s2_a"].sum())
+    nb, s1b, s2b = int(t["n_b"].sum()), int(t["s1_b"].sum()), \
+        int(t["s2_b"].sum())
+    # fixed-order IEEE tree, mirrored literally in the SQL oracle
+    ma = float(s1a) / float(na)
+    mb = float(s1b) / float(nb)
+    va = (float(s2a) - float(s1a) * float(s1a) / float(na)) \
+        / float(na - 1)
+    vb = (float(s2b) - float(s1b) * float(s1b) / float(nb)) \
+        / float(nb - 1)
+    import math
+
+    z = (ma - mb) / math.sqrt(va / float(na) + vb / float(nb))
+    return pd.DataFrame({
+        "n_a": pd.Series([na], dtype="int64"),
+        "s1_a": pd.Series([s1a], dtype="int64"),
+        "s2_a": pd.Series([s2a], dtype="int64"),
+        "n_b": pd.Series([nb], dtype="int64"),
+        "s1_b": pd.Series([s1b], dtype="int64"),
+        "s2_b": pd.Series([s2b], dtype="int64"),
+        "z_q6": pd.Series([math.floor(float(q) * z)], dtype="int64")})

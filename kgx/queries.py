@@ -3257,3 +3257,40 @@ FROM und u
 LEFT JOIN dist da ON da.node = u.a
 LEFT JOIN dist db ON db.node = u.b
 """
+
+
+# Welch two-sample z between user_id-parity arms from six integer
+# sufficient statistics; the float tree order mirrors events.py
+# literally so floor(1e6·z) is bit-portable
+DOC_ORACLES["ab_test_zstat"] = """
+WITH c AS (
+  SELECT user_id % 2 = 0 AS arm_a,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm_a THEN cents ELSE 0 END) AS BIGINT)
+           AS s1_a,
+         CAST(sum(CASE WHEN arm_a THEN cents * cents ELSE 0 END)
+              AS BIGINT) AS s2_a,
+         CAST(sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm_a THEN 0 ELSE cents END) AS BIGINT)
+           AS s1_b,
+         CAST(sum(CASE WHEN arm_a THEN 0 ELSE cents * cents END)
+              AS BIGINT) AS s2_b
+  FROM c)
+SELECT n_a, s1_a, s2_a, n_b, s1_b, s2_b,
+       CAST(floor(1000000.0 * (
+         (CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt(
+             ((CAST(s2_a AS DOUBLE)
+               - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)
+                 / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE))
+             / CAST(n_a AS DOUBLE)
+             + ((CAST(s2_b AS DOUBLE)
+                 - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE)
+                   / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))
+             / CAST(n_b AS DOUBLE)))) AS BIGINT) AS z_q6
+FROM s
+"""
