@@ -2877,3 +2877,29 @@ class TestBipartiteConflicts:
         out = bipartite_conflicts(SF)
         assert int(out["n_edges"][0]) == len(und)
         assert int(out["n_conflicts"][0]) == conf
+
+
+class TestAbTestZstat:
+    def test_welch_matches_scipyless_replay(self, ray_session):
+        """Sufficient statistics equal a local replay and floor(1e6·z)
+        matches the same float tree computed from them."""
+        import math
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.events import ab_test_zstat
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas()
+        cents = np.floor(100.0 * ev["value"] + 0.5).astype("int64")
+        a = (ev["user_id"] % 2) == 0
+        out = ab_test_zstat(SF)
+        na, nb = int(a.sum()), int((~a).sum())
+        assert int(out["n_a"][0]) == na and int(out["n_b"][0]) == nb
+        s1a, s2a = int(cents[a].sum()), int((cents[a]**2).sum())
+        s1b, s2b = int(cents[~a].sum()), int((cents[~a]**2).sum())
+        assert (int(out["s1_a"][0]), int(out["s2_a"][0])) == (s1a, s2a)
+        va = (s2a - s1a * s1a / na) / (na - 1)
+        vb = (s2b - s1b * s1b / nb) / (nb - 1)
+        z = (s1a / na - s1b / nb) / math.sqrt(va / na + vb / nb)
+        assert int(out["z_q6"][0]) == math.floor(1e6 * z)
