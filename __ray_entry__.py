@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions": events.markov_transitions,
         "user_paths": events.user_paths,
         "ab_test_zstat": events.ab_test_zstat,
+        "late_events": events.late_events,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

@@ -234,6 +234,7 @@ def run_queries(sf_dir: str) -> dict:
         "label_centroids": lambda: simsearch.label_centroids(sf_dir),
         "bipartite_conflicts": lambda: _bipartite(sf_dir),
         "ab_test_zstat": lambda: events.ab_test_zstat(sf_dir),
+        "late_events": lambda: events.late_events(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

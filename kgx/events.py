@@ -902,3 +902,93 @@ def ab_test_zstat(sf_dir: str, q: int = 10**6):
         "s1_b": pd.Series([s1b], dtype="int64"),
         "s2_b": pd.Series([s2b], dtype="int64"),
         "z_q6": pd.Series([math.floor(float(q) * z)], dtype="int64")})
+
+
+def late_events(sf_dir: str, delay_sec: int = 300,
+                num_partitions=None):
+    """(event_type, n_late, n_total) — watermark / late-data
+    accounting, the streaming-ingestion semantics a batch engine must
+    reproduce for backfills: events ARRIVE in a deterministic md5
+    permutation of event_id (simulating network reordering — the
+    corpus itself is fully ordered, so identity order would be
+    degenerate), the watermark is the running max event-time over
+    strictly earlier arrivals, and an event is late when its event
+    time trails the watermark by more than ``delay_sec``.
+
+    A GLOBAL ordered scan without a global sort (the
+    max_concurrent_sessions carry-in trick on the arrival axis): the
+    arrival key's top bits range-partition events; each bucket sorts
+    locally and cummaxes; per-bucket max event-times form an
+    output-sized prefix table whose carry-in broadcasts back; the late
+    flags and per-type counts vectorize inside each bucket. One
+    exchange total.
+    """
+    import hashlib
+
+    ds = _read_events(sf_dir, columns=["event_id", "ts", "event_type"])
+    nparts = num_partitions or _nparts()
+
+    def key_of(ids: pd.Series) -> np.ndarray:
+        return np.array(
+            [int(hashlib.md5(("arr:%d" % i).encode()).hexdigest()[:16],
+                 16) for i in ids], dtype="uint64")
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        k = key_of(df["event_id"].astype("int64"))
+        return pd.DataFrame({
+            "k": k, "event_id": df["event_id"].astype("int64"),
+            "us": (df["ts"] - pd.Timestamp(0))
+            // pd.Timedelta(microseconds=1),
+            "event_type": df["event_type"].astype(str),
+            # range partition on the arrival key (order-preserving)
+            "bucket": pd.Series(
+                k // np.uint64((1 << 64) // nparts + 1),
+                index=df.index).astype("int32")})
+
+    kds = ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    # output-sized prefix table: per-bucket max event time
+    def bmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False)["us"].max()
+        return pd.DataFrame({"bucket": g["bucket"].astype("int32"),
+                             "mx": g["us"].astype("int64")})
+
+    pref = (kds.map_batches(bmax, batch_format="pandas").to_pandas()
+            .groupby("bucket", as_index=False)["mx"].max()
+            .sort_values("bucket"))
+    carry = {}
+    run = None
+    for b, m in zip(pref["bucket"], pref["mx"]):
+        carry[int(b)] = run
+        run = int(m) if run is None else max(run, int(m))
+
+    delay_us = delay_sec * 10**6
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "event_id"]).reset_index(drop=True)
+        us = df["us"].to_numpy("int64")
+        cm = np.maximum.accumulate(us)
+        wm = np.empty(len(us), dtype="float64")
+        wm[0] = np.nan
+        wm[1:] = cm[:-1]
+        cin = carry.get(int(df["bucket"].iloc[0]))
+        if cin is not None:
+            wm = np.where(np.isnan(wm), float(cin),
+                          np.maximum(wm, float(cin)))
+        late = ~np.isnan(wm) & (us.astype("float64")
+                                < wm - float(delay_us))
+        g = (df.assign(late=late.astype("int64"))
+             .groupby("event_type", as_index=False)
+             .agg(n_late=("late", "sum"), n_total=("late", "size")))
+        return pd.DataFrame({
+            "event_type": g["event_type"].astype(str),
+            "n_late": g["n_late"].astype("int64"),
+            "n_total": g["n_total"].astype("int64")})
+
+    t = (kds.groupby("bucket").map_groups(scan, batch_format="pandas")
+         .to_pandas().groupby("event_type", as_index=False)
+         [["n_late", "n_total"]].sum())
+    return pd.DataFrame({
+        "event_type": t["event_type"].astype(str),
+        "n_late": t["n_late"].astype("int64"),
+        "n_total": t["n_total"].astype("int64")})

@@ -3294,3 +3294,27 @@ SELECT n_a, s1_a, s2_a, n_b, s1_b, s2_b,
              / CAST(n_b AS DOUBLE)))) AS BIGINT) AS z_q6
 FROM s
 """
+
+
+# watermark / late-data accounting over a deterministic md5 arrival
+# permutation: watermark = running max event time over strictly
+# earlier arrivals; late when trailing it by > 300 s
+DOC_ORACLES["late_events"] = """
+WITH a AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)),
+                         1, 16))::UBIGINT AS k,
+         event_id
+  FROM events),
+w AS (
+  SELECT event_type, us,
+         max(us) OVER (ORDER BY k, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS wm
+  FROM a)
+SELECT event_type,
+       CAST(sum(CASE WHEN us < wm - 300000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM w GROUP BY event_type
+"""

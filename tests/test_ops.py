@@ -2903,3 +2903,37 @@ class TestAbTestZstat:
         vb = (s2b - s1b * s1b / nb) / (nb - 1)
         z = (s1a / na - s1b / nb) / math.sqrt(va / na + vb / nb)
         assert int(out["z_q6"][0]) == math.floor(1e6 * z)
+
+
+class TestLateEvents:
+    def test_watermark_replay_locally(self, ray_session):
+        """Late counts equal a local single-thread watermark replay
+        over the md5 arrival order, and both classes are populated."""
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.events import late_events
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas()
+        ev["k"] = [int(hashlib.md5(("arr:%d" % i).encode())
+                       .hexdigest()[:16], 16)
+                   for i in ev["event_id"]]
+        ev["us"] = (ev["ts"] - pd.Timestamp(0)) \
+            // pd.Timedelta(microseconds=1)
+        ev = ev.sort_values(["k", "event_id"]).reset_index(drop=True)
+        us = ev["us"].to_numpy("int64")
+        wm = np.empty(len(us))
+        wm[0] = -np.inf
+        wm[1:] = np.maximum.accumulate(us)[:-1]
+        late = us < wm - 300 * 10**6
+        want = (ev.assign(late=late).groupby("event_type")
+                .agg(n_late=("late", "sum"), n_total=("late", "size")))
+        out = late_events(SF).set_index("event_type")
+        assert out["n_late"].to_dict() == \
+            {k: int(v) for k, v in want["n_late"].items()}
+        assert out["n_total"].to_dict() == \
+            {k: int(v) for k, v in want["n_total"].items()}
+        assert 0 < out["n_late"].sum() < out["n_total"].sum()
