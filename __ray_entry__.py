@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linreg_tokens": textops.linreg_tokens,
         "oov_rate": textops.oov_rate,
         "doc_rank_by_length": textops.doc_rank_by_length,
+        "division_tokens": textops.division_tokens,
+        "cube_stats": textops.cube_stats,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

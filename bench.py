@@ -235,6 +235,8 @@ def run_queries(sf_dir: str) -> dict:
         "bipartite_conflicts": lambda: _bipartite(sf_dir),
         "ab_test_zstat": lambda: events.ab_test_zstat(sf_dir),
         "late_events": lambda: events.late_events(sf_dir),
+        "division_tokens": lambda: textops.division_tokens(sf_dir),
+        "cube_stats": lambda: textops.cube_stats(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -3318,3 +3318,24 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_total
 FROM w GROUP BY event_type
 """
+
+
+# relational DIVISION (FOR ALL): tokens present in every language
+DOC_ORACLES["division_tokens"] = """
+WITH p AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok, lang
+  FROM documents)
+SELECT tok FROM p
+GROUP BY tok
+HAVING count(DISTINCT lang) = (SELECT count(DISTINCT lang)
+                               FROM documents)
+"""
+
+# OLAP CUBE over (lang, source); '*' marks the rolled-up level
+DOC_ORACLES["cube_stats"] = """
+SELECT coalesce(lang, '*') AS lang, coalesce(source, '*') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""

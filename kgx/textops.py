@@ -1417,3 +1417,96 @@ def doc_rank_by_length(sf_dir: str):
             "n_lang": df["lang"].map(totals).astype("int64")})
 
     return ds.map_batches(rank, batch_format="pandas")
+
+
+def division_tokens(sf_dir: str, num_partitions=None):
+    """(tok) — tokens that occur in EVERY language of the corpus:
+    relational DIVISION (the FOR-ALL join, the one relational shape
+    plain join/aggregate pipelines get wrong). Division reduces to
+    "count of distinct divisors per candidate == |divisor set|".
+
+    Scale shape: per-batch distinct (token, lang) pairs (vocabulary-row
+    combiner), ONE hash(token) co-group where each token's lang set is
+    complete — count distinct langs vectorized, keep == |langs|. The
+    divisor cardinality comes from a tiny per-batch lang-set union.
+    """
+    import ray
+
+    ds = _read_documents(sf_dir, columns=["text", "lang"])
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        e = (pd.DataFrame({"lang": df["lang"].astype(str),
+                           "tok": df["text"].str.split(" ")})
+             .explode("tok"))
+        g = e.drop_duplicates()
+        return pd.DataFrame({
+            "tok": g["tok"].astype(str), "lang": g["lang"],
+            "bucket": (pd.util.hash_pandas_object(g["tok"],
+                                                  index=False)
+                       % nparts).astype("int32")})
+
+    # divisor set: the distinct langs (config-sized)
+    langs = (ds.map_batches(
+        lambda df: pd.DataFrame({"lang": df["lang"].unique()}),
+        batch_format="pandas").to_pandas()["lang"].unique())
+    n_langs = len(langs)
+
+    def divide(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df[["tok", "lang"]].drop_duplicates()
+             .groupby("tok", as_index=False).size())
+        keep = g[g["size"] == n_langs]
+        return pd.DataFrame({"tok": keep["tok"].astype(str)})
+
+    return (ds.map_batches(pairs, batch_format="pandas")
+            .groupby("bucket").map_groups(divide,
+                                          batch_format="pandas"))
+
+
+def cube_stats(sf_dir: str):
+    """(lang, source, n_docs, sum_chars) over GROUP BY CUBE(lang,
+    source) — all four grouping sets (detail, per-lang, per-source,
+    grand total) with a '*' sentinel for the rolled-up level: the OLAP
+    CUBE materialization (rollup_stats covers the hierarchy; this is
+    the full lattice).
+
+    Scale shape: the per-batch combiner emits every grouping-set row
+    pre-aggregated in ONE pass (≤ 4·|lang×source| rows per batch), so
+    the exchange carries cube cells, never documents; one small hash
+    aggregate finishes.
+    """
+    ds = _read_documents(sf_dir, columns=["lang", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({"lang": df["lang"].astype(str),
+                             "source": df["source"].astype(str),
+                             "n_chars": df["n_chars"].astype("int64")})
+        frames = []
+        for gl, gs in ((True, True), (True, False), (False, True),
+                       (False, False)):
+            t = base.copy()
+            if not gl:
+                t["lang"] = "*"
+            if not gs:
+                t["source"] = "*"
+            g = t.groupby(["lang", "source"], as_index=False).agg(
+                n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["lang", "source"])
+           .aggregate(Sum("n_docs"), Sum("sum_chars")))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "lang": df["lang"].astype(str),
+            "source": df["source"].astype(str),
+            "n_docs": df["sum(n_docs)"].astype("int64"),
+            "sum_chars": df["sum(sum_chars)"].astype("int64")}),
+        batch_format="pandas")

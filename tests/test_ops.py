@@ -2937,3 +2937,36 @@ class TestLateEvents:
         assert out["n_total"].to_dict() == \
             {k: int(v) for k, v in want["n_total"].items()}
         assert 0 < out["n_late"].sum() < out["n_total"].sum()
+
+
+class TestDivisionAndCube:
+    def test_division_replay_locally(self, ray_session):
+        """FOR-ALL division equals a local set-intersection replay."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import division_tokens
+
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        per_lang = {}
+        for lang, text in d[["lang", "text"]].itertuples(index=False):
+            per_lang.setdefault(lang, set()).update(text.split(" "))
+        want = set.intersection(*per_lang.values())
+        out = division_tokens(SF).to_pandas()
+        assert set(out["tok"]) == want
+
+    def test_cube_identities(self, ray_session):
+        """CUBE cells satisfy the lattice identities: detail sums to
+        each margin, margins sum to the grand total."""
+        from kgx.textops import cube_stats
+
+        c = cube_stats(SF).to_pandas()
+        grand = c[(c["lang"] == "*") & (c["source"] == "*")]
+        detail = c[(c["lang"] != "*") & (c["source"] != "*")]
+        bylang = c[(c["lang"] != "*") & (c["source"] == "*")]
+        bysrc = c[(c["lang"] == "*") & (c["source"] != "*")]
+        for col in ["n_docs", "sum_chars"]:
+            assert detail[col].sum() == int(grand[col].iloc[0])
+            assert bylang[col].sum() == int(grand[col].iloc[0])
+            assert bysrc[col].sum() == int(grand[col].iloc[0])
+        g = detail.groupby("lang")["n_docs"].sum().to_dict()
+        assert g == dict(zip(bylang["lang"], bylang["n_docs"]))
