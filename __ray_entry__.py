@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import msf_boruvka as _msf
     from kgx.components import bfs_distances as _bfs
     from kgx.components import bipartite_conflicts as _bipartite
+    from kgx.components import scc as _scc
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msf_boruvka": _msf,
         "bfs_distances": _bfs,
         "bipartite_conflicts": _bipartite,
+        "scc": _scc,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

@@ -113,6 +113,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import pagerank as _pagerank
     from kgx.components import bfs_distances as _bfs_distances
     from kgx.components import bipartite_conflicts as _bipartite
+    from kgx.components import scc as _scc
 
     def consume(ds):
         # stream-consume without driver materialization
@@ -233,6 +234,7 @@ def run_queries(sf_dir: str) -> dict:
         "bfs_distances": lambda: _bfs_distances(sf_dir),
         "label_centroids": lambda: simsearch.label_centroids(sf_dir),
         "bipartite_conflicts": lambda: _bipartite(sf_dir),
+        "scc": lambda: _scc(sf_dir),
         "ab_test_zstat": lambda: events.ab_test_zstat(sf_dir),
         "late_events": lambda: events.late_events(sf_dir),
         "division_tokens": lambda: textops.division_tokens(sf_dir),

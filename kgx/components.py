@@ -1458,3 +1458,190 @@ def bipartite_conflicts(sf_dir: str, seed_mod: int = 97, k: int = 5):
         "n_edges": pd.Series([len(t)], dtype="int64"),
         "n_conflicts": pd.Series([int(t["conflict"].sum())],
                                  dtype="int64")})
+
+
+def _kosaraju(e: pd.DataFrame) -> pd.DataFrame:
+    """Single-task iterative Kosaraju SCC over (src, dst) int64 edges.
+    Returns (node, scc_id) with scc_id = min node id of the component.
+    Deterministic: adjacency sorted, stack-based DFS."""
+    nodes = sorted(set(e["src"]).union(e["dst"]))
+    fwd: dict = {v: [] for v in nodes}
+    rev: dict = {v: [] for v in nodes}
+    for a, b in zip(e["src"], e["dst"]):
+        fwd[int(a)].append(int(b))
+        rev[int(b)].append(int(a))
+    for v in nodes:
+        fwd[v].sort()
+        rev[v].sort()
+    seen = set()
+    order = []
+    for s in nodes:
+        if s in seen:
+            continue
+        stack = [(s, iter(fwd[s]))]
+        seen.add(s)
+        while stack:
+            v, it = stack[-1]
+            adv = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(fwd[w])))
+                    adv = True
+                    break
+            if not adv:
+                order.append(v)
+                stack.pop()
+    comp: dict = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        members = []
+        stack2 = [s]
+        comp[s] = s
+        while stack2:
+            v = stack2.pop()
+            members.append(v)
+            for w in rev[v]:
+                if w not in comp:
+                    comp[w] = s
+                    stack2.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    out = pd.DataFrame(sorted(comp.items()), columns=["node", "scc_id"])
+    return out.astype({"node": "int64", "scc_id": "int64"})
+
+
+def scc(sf_dir: str, k: int = 5,
+        small_graph_threshold: int = 2_000_000,
+        num_partitions: Optional[int] = None):
+    """(vec_id, scc_id) — strongly connected components of the DIRECTED
+    exact k-NN graph (edge u→v iff v is a top-k neighbor of u);
+    scc_id = min member id, the deterministic canonical label.
+
+    Edge lists at or below ``small_graph_threshold`` take a single-task
+    iterative Kosaraju gate (pass 0 to force the distributed path); the
+    two paths are pinned row-identical by test.
+
+    Distributed path — forward–backward min-label elimination: each
+    round computes F = min label able to REACH each node along forward
+    edges and B = min label REACHABLE from it (two directed min-label
+    propagations to fixpoint, each built from the same 2-exchange
+    rounds as pagerank: edge table bucketed once per elimination round,
+    label vector re-ships per propagation step); nodes with F == B form
+    exactly the SCC of that label (the global minimum remaining node
+    always qualifies, so every round retires ≥ 1 component — typically
+    almost all of them in round one); assigned nodes and their edges
+    drop out and the next round runs on the residue. The elimination
+    loop's all-to-alls carry only node-sized label rows; the edge table
+    re-buckets once per round on the shrinking residue.
+    """
+    import ray.data
+
+    from .simsearch import knn_graph
+
+    edges = knn_graph(sf_dir, k=k).map_batches(
+        lambda df: pd.DataFrame({"src": df["vec_id"].astype("int64"),
+                                 "dst": df["neighbor_id"]
+                                 .astype("int64")}),
+        batch_format="pandas").materialize()
+
+    if edges.count() <= small_graph_threshold:
+        out = _kosaraju(edges.to_pandas())
+        return ray.data.from_pandas(out.rename(
+            columns={"node": "vec_id"}))
+
+    nparts = num_partitions or _nparts()
+
+    # node universe: node-sized (the only driver-side artifact, same
+    # class as bfs_distances' seed list / dist broadcast)
+    uniq = (edges.map_batches(
+        lambda df: pd.DataFrame({"node": pd.unique(
+            np.concatenate([df["src"].to_numpy("int64"),
+                            df["dst"].to_numpy("int64")]))}),
+        batch_format="pandas").to_pandas())
+    remaining = pd.DataFrame({
+        "node": pd.Series(sorted(uniq["node"].unique()), dtype="int64")})
+    assigned = []
+
+    def minprop(ed, nodes: pd.DataFrame, forward: bool) -> pd.Series:
+        src, dst = ("src", "dst") if forward else ("dst", "src")
+        lbl = pd.Series(nodes["node"].to_numpy("int64"),
+                        index=nodes["node"].to_numpy("int64"))
+        cur = ray.data.from_pandas(pd.DataFrame({
+            "node": lbl.index.to_numpy("int64"),
+            "lbl": lbl.to_numpy("int64")}))
+        while True:
+            def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({
+                    "key": df[src].astype("int64"),
+                    "val": df[dst].astype("int64"),
+                    "side": np.int8(0)})
+                out["bucket"] = (pd.util.hash_pandas_object(
+                    out["key"], index=False) % nparts).astype("int32")
+                return out
+
+            def tag_l(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({
+                    "key": df["node"].astype("int64"),
+                    "val": df["lbl"].astype("int64"),
+                    "side": np.int8(1)})
+                out["bucket"] = (pd.util.hash_pandas_object(
+                    out["key"], index=False) % nparts).astype("int32")
+                return out
+
+            def msgs(df: pd.DataFrame) -> pd.DataFrame:
+                ee = df[df["side"] == 0][["key", "val"]]
+                ll = df[df["side"] == 1][["key", "val"]] \
+                    .rename(columns={"val": "lbl"})
+                m = ee.merge(ll, on="key")
+                g = m.groupby("val", as_index=False)["lbl"].min()
+                return pd.DataFrame({"node": g["val"].astype("int64"),
+                                     "lbl": g["lbl"].astype("int64")})
+
+            def merge_min(df: pd.DataFrame) -> pd.DataFrame:
+                g = df.groupby("node", as_index=False)["lbl"].min()
+                return g
+
+            def nb(df: pd.DataFrame) -> pd.DataFrame:
+                return df.assign(bucket=(pd.util.hash_pandas_object(
+                    df["node"], index=False) % nparts).astype("int32"))
+
+            upd = (ed.map_batches(tag_e, batch_format="pandas")
+                   .union(cur.map_batches(tag_l, batch_format="pandas"))
+                   .groupby("bucket").map_groups(msgs,
+                                                 batch_format="pandas"))
+            new = (cur.union(upd)
+                   .map_batches(nb, batch_format="pandas")
+                   .groupby("bucket").map_groups(merge_min,
+                                                 batch_format="pandas")
+                   .repartition(nparts).materialize())
+            new_pd = new.to_pandas().set_index("node")["lbl"]
+            old = lbl.sort_index()
+            new_s = new_pd.sort_index()
+            if old.equals(new_s):
+                return new_s
+            lbl = new_s
+            cur = ray.data.from_pandas(pd.DataFrame({
+                "node": lbl.index.to_numpy("int64"),
+                "lbl": lbl.to_numpy("int64")}))
+
+    while len(remaining):
+        rem_set = frozenset(int(v) for v in remaining["node"])
+
+        def residue(df: pd.DataFrame, rem=rem_set) -> pd.DataFrame:
+            return df[df["src"].isin(rem) & df["dst"].isin(rem)]
+
+        sub = edges.map_batches(residue,
+                                batch_format="pandas").materialize()
+        F = minprop(sub, remaining, forward=True)
+        B = minprop(sub, remaining, forward=False)
+        done = F[F == B]
+        got = pd.DataFrame({"vec_id": done.index.to_numpy("int64"),
+                            "scc_id": done.to_numpy("int64")})
+        assigned.append(got)
+        remaining = remaining[~remaining["node"].isin(set(done.index))]
+    out = (pd.concat(assigned, ignore_index=True)
+           .sort_values("vec_id").reset_index(drop=True))
+    return ray.data.from_pandas(out)

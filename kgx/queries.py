@@ -3339,3 +3339,34 @@ SELECT coalesce(lang, '*') AS lang, coalesce(source, '*') AS source,
 FROM documents
 GROUP BY CUBE (lang, source)
 """
+
+
+# strongly connected components of the DIRECTED k-NN graph: mutual
+# reachability via an unbounded (src,node)-pair closure (finite, UNION
+# dedups), scc_id = min mutually-reachable node (self included)
+DOC_ORACLES["scc"] = """
+WITH RECURSIVE s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),
+r0 AS (
+  SELECT vid, nid,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY sim DESC, nid) AS rk
+  FROM s),
+e AS (SELECT vid AS a, nid AS b FROM r0 WHERE rk <= 5),
+reach AS (
+  SELECT a AS src, b AS node FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.node),
+mutual AS (
+  SELECT r1.src AS u, r1.node AS v
+  FROM reach r1 JOIN reach r2
+    ON r2.src = r1.node AND r2.node = r1.src),
+allp AS (
+  SELECT vec_id AS u, vec_id AS v FROM embeddings
+  UNION ALL
+  SELECT u, v FROM mutual)
+SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS scc_id
+FROM allp GROUP BY u
+"""

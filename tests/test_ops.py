@@ -2970,3 +2970,43 @@ class TestDivisionAndCube:
             assert bysrc[col].sum() == int(grand[col].iloc[0])
         g = detail.groupby("lang")["n_docs"].sum().to_dict()
         assert g == dict(zip(bylang["lang"], bylang["n_docs"]))
+
+
+class TestScc:
+    def test_scc_paths_agree_and_invariants(self, ray_session):
+        """Kosaraju gate and the forward-backward elimination loop are
+        row-identical; labels are canonical member minima and members
+        of a sampled SCC are mutually reachable."""
+        from collections import deque
+
+        from kgx.components import scc
+        from kgx.simsearch import knn_graph
+
+        fast = scc(SF).to_pandas().sort_values("vec_id") \
+            .reset_index(drop=True)
+        dist = scc(SF, small_graph_threshold=0).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert fast.equals(dist)
+        g = fast.groupby("scc_id")["vec_id"].agg(list)
+        for sid, members in g.items():
+            assert min(members) == sid
+        e = knn_graph(SF).to_pandas()
+        adj = {}
+        for a, b in zip(e["vec_id"], e["neighbor_id"]):
+            adj.setdefault(int(a), []).append(int(b))
+
+        def reaches(s, t):
+            seen, q = {s}, deque([s])
+            while q:
+                u = q.popleft()
+                if u == t:
+                    return True
+                for w in adj.get(u, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        q.append(w)
+            return s == t
+
+        big = max(g.items(), key=lambda kv: len(kv[1]))[1][:8]
+        for u in big:
+            assert reaches(u, big[0]) and reaches(big[0], u)
