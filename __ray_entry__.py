@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_paths": events.user_paths,
         "ab_test_zstat": events.ab_test_zstat,
         "late_events": events.late_events,
+        "daily_type_delta": events.daily_type_delta,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_supplier_counts": relational.parts_supplier_counts,
         "skyline_parts": relational.skyline_parts,
         "profile_columns": relational.profile_columns,
+        "wait_chain_suppliers": relational.wait_chain_suppliers,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

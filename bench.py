@@ -239,6 +239,9 @@ def run_queries(sf_dir: str) -> dict:
         "late_events": lambda: events.late_events(sf_dir),
         "division_tokens": lambda: textops.division_tokens(sf_dir),
         "cube_stats": lambda: textops.cube_stats(sf_dir),
+        "wait_chain_suppliers":
+            lambda: relational.wait_chain_suppliers(sf_dir),
+        "daily_type_delta": lambda: events.daily_type_delta(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -992,3 +992,37 @@ def late_events(sf_dir: str, delay_sec: int = 300,
         "event_type": t["event_type"].astype(str),
         "n_late": t["n_late"].astype("int64"),
         "n_total": t["n_total"].astype("int64")})
+
+
+def daily_type_delta(sf_dir: str):
+    """(event_type, day, rev_q2, delta_q2) — daily value totals per
+    event type with the day-over-day change (lag over an AGGREGATE:
+    the reporting-pipeline window-on-rollup shape; delta is NULL-free —
+    the first present day per type reports 0, mirroring
+    coalesce(lag)). Days are epoch days; values exact integer cents.
+
+    Scale shape: per-batch (type, day) combiner so the exchange
+    carries daily cells; the aggregated series is tiny
+    (|types|·|days|), so the lag computes driver-side on the
+    output-sized frame.
+    """
+    ds = _read_events(sf_dir, columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "day": ((df["ts"] - pd.Timestamp(0))
+                    // pd.Timedelta(days=1)).astype("int64"),
+            "v": np.floor(100.0 * df["value"].to_numpy("float64")
+                          + 0.5).astype("int64")})
+        return t.groupby(["event_type", "day"], as_index=False)["v"].sum()
+
+    t = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby(["event_type", "day"], as_index=False)["v"].sum()
+         .sort_values(["event_type", "day"]).reset_index(drop=True))
+    prev = t.groupby("event_type")["v"].shift()
+    return pd.DataFrame({
+        "event_type": t["event_type"].astype(str),
+        "day": t["day"].astype("int64"),
+        "rev_q2": t["v"].astype("int64"),
+        "delta_q2": (t["v"] - prev.fillna(t["v"])).astype("int64")})

@@ -3370,3 +3370,35 @@ allp AS (
 SELECT u AS vec_id, CAST(min(v) AS BIGINT) AS scc_id
 FROM allp GROUP BY u
 """
+
+
+# TPC-H Q21 shape: sole late shipper on multi-supplier orders
+DOC_ORACLES["wait_chain_suppliers"] = """
+WITH l AS (
+  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+         max(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2)
+SELECT a.sk AS s_suppkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM l a
+WHERE a.late
+  AND EXISTS (SELECT 1 FROM l b WHERE b.ok = a.ok AND b.sk != a.sk)
+  AND NOT EXISTS (SELECT 1 FROM l c
+                  WHERE c.ok = a.ok AND c.sk != a.sk AND c.late)
+GROUP BY a.sk
+"""
+
+# lag over an aggregate: day-over-day revenue change per event type
+DOC_ORACLES["daily_type_delta"] = """
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev
+  FROM events GROUP BY 1, 2)
+SELECT event_type, CAST(day AS BIGINT) AS day,
+       CAST(rev AS BIGINT) AS rev_q2,
+       CAST(rev - coalesce(lag(rev) OVER (PARTITION BY event_type
+                                          ORDER BY day), rev)
+            AS BIGINT) AS delta_q2
+FROM d
+"""

@@ -1218,3 +1218,81 @@ def profile_columns(sf_dir: str, num_partitions=None):
         "n_null": out["n_null"].astype("int64"),
         "n_distinct": out["nd"].fillna(0).astype("int64")}) \
         .sort_values("col").reset_index(drop=True)
+
+
+def wait_chain_suppliers(sf_dir: str, late_days: int = 90,
+                         num_partitions=None):
+    """(s_suppkey, n_orders) — suppliers who were the SOLE late shipper
+    on multi-supplier orders, counted per supplier: the TPC-H Q21
+    shape, the nastiest standard correlated query (EXISTS another
+    supplier on the order AND NOT EXISTS another LATE supplier).
+
+    Scale shape: ONE hash(orderkey) exchange. The lineitem combiner
+    collapses to distinct (orderkey, suppkey, late-flag-partial) rows
+    (late = any line > late_days after the order date, so per-batch OR
+    partials merge by max); orders co-partition on the same key;
+    inside a bucket the EXISTS pair turns into two vectorized
+    per-order aggregates (n_suppliers, n_late_suppliers) and the
+    qualifying rows emit per-supplier count partials into a
+    dimension-sized final aggregate via a second tiny exchange.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+                               columns=["l_orderkey", "l_suppkey",
+                                        "l_shipdate"])
+    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+                                   columns=["o_orderkey",
+                                            "o_orderdate"])
+
+    def li_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["l_orderkey", "l_suppkey"], as_index=False)
+             ["l_shipdate"].max())
+        k = g["l_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "s": g["l_suppkey"].astype("int64"),
+            "ship": g["l_shipdate"], "odate": pd.NaT,
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "s": np.int64(-1), "ship": pd.NaT,
+            "odate": df["o_orderdate"],
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = (df[df["s"] >= 0]
+                 .groupby(["k", "s"], as_index=False)["ship"].max())
+        od = df[df["s"] < 0][["k", "odate"]]
+        m = pairs.merge(od, on="k", how="inner")
+        m["late"] = (m["ship"] - m["odate"]) \
+            > pd.Timedelta(days=late_days)
+        agg = m.groupby("k").agg(n_supp=("s", "size"),
+                                 n_late=("late", "sum"))
+        m = m.join(agg, on="k")
+        keep = m[m["late"] & (m["n_supp"] > 1) & (m["n_late"] == 1)]
+        g = keep.groupby("s", as_index=False).size()
+        return pd.DataFrame({"s": g["s"].astype("int64"),
+                             "n": g["size"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+
+    partials = (li.map_batches(li_rows, batch_format="pandas")
+                .union(orders.map_batches(o_rows,
+                                          batch_format="pandas"))
+                .groupby("bucket").map_groups(cogroup,
+                                              batch_format="pandas"))
+    out = partials.groupby("s").aggregate(Sum("n"))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "s_suppkey": df["s"].astype("int64"),
+            "n_orders": df["sum(n)"].astype("int64")}),
+        batch_format="pandas")

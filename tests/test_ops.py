@@ -3010,3 +3010,42 @@ class TestScc:
         big = max(g.items(), key=lambda kv: len(kv[1]))[1][:8]
         for u in big:
             assert reaches(u, big[0]) and reaches(big[0], u)
+
+
+class TestQ21AndDailyDelta:
+    def test_wait_chain_replay_locally(self, ray_session):
+        """Sole-late-shipper counts equal a local per-order replay."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import wait_chain_suppliers
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        m = li.merge(o[["o_orderkey", "o_orderdate"]],
+                     left_on="l_orderkey", right_on="o_orderkey")
+        m["late"] = (m["l_shipdate"] - m["o_orderdate"]) \
+            > pd.Timedelta(days=90)
+        pairs = (m.groupby(["l_orderkey", "l_suppkey"], as_index=False)
+                 ["late"].max())
+        agg = pairs.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_late=("late", "sum"))
+        pairs = pairs.join(agg, on="l_orderkey")
+        keep = pairs[pairs["late"] & (pairs["n_supp"] > 1)
+                     & (pairs["n_late"] == 1)]
+        want = keep.groupby("l_suppkey").size().to_dict()
+        out = wait_chain_suppliers(SF).to_pandas()
+        got = dict(zip(out["s_suppkey"], out["n_orders"].astype(int)))
+        assert got == want
+
+    def test_daily_delta_identities(self, ray_session):
+        """First day per type has delta 0; deltas telescope to
+        last − first."""
+        from kgx.events import daily_type_delta
+
+        t = daily_type_delta(SF)
+        for _, g in t.groupby("event_type"):
+            g = g.sort_values("day")
+            assert int(g["delta_q2"].iloc[0]) == 0
+            assert int(g["delta_q2"].sum()) == \
+                int(g["rev_q2"].iloc[-1]) - int(g["rev_q2"].iloc[0])
