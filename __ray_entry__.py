@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import bfs_distances as _bfs
     from kgx.components import bipartite_conflicts as _bipartite
     from kgx.components import scc as _scc
+    from kgx.components import kg_subtree_sizes as _subtree
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_by_length": textops.doc_rank_by_length,
         "division_tokens": textops.division_tokens,
         "cube_stats": textops.cube_stats,
+        "unpivot_quality": textops.unpivot_quality,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -122,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_distances": _bfs,
         "bipartite_conflicts": _bipartite,
         "scc": _scc,
+        "kg_subtree_sizes": _subtree,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

@@ -114,6 +114,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import bfs_distances as _bfs_distances
     from kgx.components import bipartite_conflicts as _bipartite
     from kgx.components import scc as _scc
+    from kgx.components import kg_subtree_sizes as _subtree
 
     def consume(ds):
         # stream-consume without driver materialization
@@ -242,6 +243,8 @@ def run_queries(sf_dir: str) -> dict:
         "wait_chain_suppliers":
             lambda: relational.wait_chain_suppliers(sf_dir),
         "daily_type_delta": lambda: events.daily_type_delta(sf_dir),
+        "kg_subtree_sizes": lambda: _subtree(sf_dir),
+        "unpivot_quality": lambda: textops.unpivot_quality(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -1645,3 +1645,40 @@ def scc(sf_dir: str, k: int = 5,
     out = (pd.concat(assigned, ignore_index=True)
            .sort_values("vec_id").reset_index(drop=True))
     return ray.data.from_pandas(out)
+
+
+def kg_subtree_sizes(sf_dir: str, num_partitions: Optional[int] = None):
+    """(ancestor, n_descendants) — hierarchy aggregation over the KG
+    broader chain: how many concepts sit (transitively) under each
+    ancestor — the subtree-size / category-rollup query every taxonomy
+    UI and coverage report needs. Composes the independently-oracled
+    transitive closure with one combiner-fed count.
+
+    Scale shape: the closure's (doc_id, ancestor) pairs pre-count per
+    ancestor inside each batch (combiner), then one hash(ancestor)
+    bucket co-group finishes — the exchange carries ancestor partials,
+    never pairs; ancestor cardinality is node-sized, so no group holds
+    more than its bucket share.
+    """
+    import ray
+
+    nparts = num_partitions or _nparts()
+    closure = broader_closure(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ancestor", as_index=False).size()
+        return pd.DataFrame({
+            "ancestor": g["ancestor"].astype("int64"),
+            "n": g["size"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(
+                g["ancestor"].astype("int64"), index=False)
+                % nparts).astype("int32")})
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ancestor", as_index=False)["n"].sum()
+        return pd.DataFrame({"ancestor": g["ancestor"].astype("int64"),
+                             "n_descendants": g["n"].astype("int64")})
+
+    return (closure.map_batches(partial, batch_format="pandas")
+            .groupby("bucket").map_groups(reduce,
+                                          batch_format="pandas"))

@@ -3402,3 +3402,24 @@ SELECT event_type, CAST(day AS BIGINT) AS day,
             AS BIGINT) AS delta_q2
 FROM d
 """
+
+
+# hierarchy aggregation: transitive subtree sizes over the broader
+# chain (composes the kg_broader_closure CTE)
+DOC_ORACLES["kg_subtree_sizes"] = _ANC_CTE + """
+SELECT a AS ancestor, CAST(count(*) AS BIGINT) AS n_descendants
+FROM anc GROUP BY a
+"""
+
+# UNPIVOT/melt of the quality metrics into long form
+DOC_ORACLES["unpivot_quality"] = """
+SELECT doc_id, 'n_chars' AS metric,
+       CAST(length(text) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT doc_id, 'n_tokens',
+       CAST(len(string_split(text, ' ')) AS BIGINT) FROM documents
+UNION ALL
+SELECT doc_id, 'n_uniq_tokens',
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+FROM documents
+"""

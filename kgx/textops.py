@@ -1510,3 +1510,27 @@ def cube_stats(sf_dir: str):
             "n_docs": df["sum(n_docs)"].astype("int64"),
             "sum_chars": df["sum(sum_chars)"].astype("int64")}),
         batch_format="pandas")
+
+
+def unpivot_quality(sf_dir: str):
+    """(doc_id, metric, value) — UNPIVOT/melt of the per-doc quality
+    metrics into long form (the OLAP inverse of pivot_counts; what
+    metric stores and feature pipelines ingest). Map-only: each batch
+    melts locally, no shuffle; metric order is schema-stable.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        wide = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars": df["text"].str.len().astype("int64"),
+            "n_tokens": toks.str.len().astype("int64"),
+            "n_uniq_tokens": pd.Series([len(set(t)) for t in toks],
+                                       dtype="int64", index=df.index)})
+        out = wide.melt(id_vars=["doc_id"], var_name="metric",
+                        value_name="value")
+        return out.astype({"doc_id": "int64", "metric": str,
+                           "value": "int64"})
+
+    return ds.map_batches(melt, batch_format="pandas")

@@ -3049,3 +3049,39 @@ class TestQ21AndDailyDelta:
             assert int(g["delta_q2"].iloc[0]) == 0
             assert int(g["delta_q2"].sum()) == \
                 int(g["rev_q2"].iloc[-1]) - int(g["rev_q2"].iloc[0])
+
+
+class TestSubtreeAndUnpivot:
+    def test_subtree_sizes_replay(self, ray_session):
+        """Subtree sizes equal a local chain-walk replay, and the root
+        counts every other node."""
+        import pyarrow.parquet as pq
+
+        from kgx.components import kg_subtree_sizes
+
+        ids = pq.read_table(SF + "/documents.parquet",
+                            columns=["doc_id"]).to_pandas()["doc_id"]
+        want = {}
+        for d in ids:
+            v = int(d)
+            while v > 0:
+                v //= 2
+                want[v] = want.get(v, 0) + 1
+        out = kg_subtree_sizes(SF).to_pandas()
+        got = dict(zip(out["ancestor"], out["n_descendants"]))
+        assert got == want
+        assert got[0] == len(ids) - 1
+
+    def test_unpivot_long_form(self, ray_session):
+        """Melt emits exactly 3 rows per doc and values re-pivot to the
+        wide metrics."""
+        from kgx.textops import quality, unpivot_quality
+
+        long = unpivot_quality(SF).to_pandas()
+        wide = quality(SF).to_pandas()
+        assert len(long) == 3 * len(wide)
+        p = long.pivot(index="doc_id", columns="metric",
+                       values="value")
+        w = wide.set_index("doc_id")
+        for c in ["n_chars", "n_tokens", "n_uniq_tokens"]:
+            assert p[c].sort_index().equals(w[c].sort_index())
