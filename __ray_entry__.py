@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": dedup.semantic_dedup,
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "fingerprint_overlap_pairs": dedup.fingerprint_overlap_pairs,
+        "typo_pairs": dedup.typo_pairs,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_graph": simsearch.knn_graph,

@@ -1014,3 +1014,86 @@ def dedup_normalized(sf_dir: str, num_partitions: Optional[int] = None):
     return (ds.map_batches(digest, batch_format="pandas")
             .groupby("bucket").map_groups(keep_min,
                                           batch_format="pandas"))
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Unit-cost edit distance ≤ 1 (exact, mirrors levenshtein ≤ 1)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return True
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # exactly one substitution allowed
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion: advance past the single mismatch
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def typo_pairs(sf_dir: str, num_partitions=None):
+    """(name_a, name_b) — all pairs of customer names within edit
+    distance 1: the fuzzy/entity-matching string-similarity JOIN, via
+    SymSpell deletion-neighborhood blocking (Garbe) instead of the
+    O(V²) cross product — two names within one edit ALWAYS share a
+    member of {self} ∪ {one-char deletions}, so candidates come from
+    ONE hash(variant) co-group and only candidates pay the exact
+    verify.
+
+    Scale shape: the vocabulary is dimension-sized (distinct-value
+    combiner first); each name expands to len+1 variant rows (bounded
+    by key length); pairs sharing several variants dedup globally in a
+    second fixed-width hash(pair) exchange. The exact ≤1 check runs
+    per CANDIDATE, not per pair of the cross product.
+    """
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    ds = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+                               columns=["c_name"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        names = pd.Series(df["c_name"].unique()).astype(str)
+        rows_v, rows_n = [], []
+        for n in names:
+            rows_v.append(n)
+            rows_n.append(n)
+            for i in range(len(n)):
+                rows_v.append(n[:i] + n[i + 1:])
+                rows_n.append(n)
+        out = pd.DataFrame({"variant": rows_v, "name": rows_n})
+        out["bucket"] = (pd.util.hash_pandas_object(out["variant"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["variant", "name"]].drop_duplicates()
+        m = d.merge(d, on="variant")
+        m = m[m["name_x"] < m["name_y"]]
+        m = m[["name_x", "name_y"]].drop_duplicates()
+        ok = [_ed_le1(a, b) for a, b in
+              zip(m["name_x"], m["name_y"])]
+        m = m[pd.Series(ok, index=m.index)]
+        h = pd.util.hash_pandas_object(m["name_x"] + "\x1f"
+                                       + m["name_y"], index=False)
+        return pd.DataFrame({"name_a": m["name_x"].astype(str),
+                             "name_b": m["name_y"].astype(str),
+                             "bucket2": (h % nparts).astype("int32")})
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["name_a", "name_b"]].drop_duplicates()
+        return pd.DataFrame({"name_a": g["name_a"].astype(str),
+                             "name_b": g["name_b"].astype(str)})
+
+    return (ds.map_batches(variants, batch_format="pandas")
+            .groupby("bucket").map_groups(candidates,
+                                          batch_format="pandas")
+            .groupby("bucket2").map_groups(dedup_pairs,
+                                           batch_format="pandas"))

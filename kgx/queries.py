@@ -3423,3 +3423,12 @@ SELECT doc_id, 'n_uniq_tokens',
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
 FROM documents
 """
+
+
+# string-similarity join: customer-name pairs within edit distance 1
+# (engine: SymSpell deletion-neighborhood blocking + exact verify)
+DOC_ORACLES["typo_pairs"] = """
+WITH v AS (SELECT DISTINCT c_name AS n FROM customer)
+SELECT a.n AS name_a, b.n AS name_b
+FROM v a JOIN v b ON a.n < b.n AND levenshtein(a.n, b.n) <= 1
+"""

@@ -3085,3 +3085,32 @@ class TestSubtreeAndUnpivot:
         w = wide.set_index("doc_id")
         for c in ["n_chars", "n_tokens", "n_uniq_tokens"]:
             assert p[c].sort_index().equals(w[c].sort_index())
+
+
+class TestTypoPairs:
+    def test_ed1_helper_cases(self, ray_session):
+        from kgx.dedup import _ed_le1
+
+        assert _ed_le1("bolt", "belt")      # substitution
+        assert _ed_le1("bolt", "bolts")     # insertion
+        assert _ed_le1("bolt", "blt")       # deletion
+        assert _ed_le1("bolt", "bolt")      # equal
+        assert not _ed_le1("bolt", "beet")  # two substitutions
+        assert not _ed_le1("bolt", "boltss")
+
+    def test_pairs_replay_locally(self, ray_session):
+        """SymSpell blocking + verify equals the brute-force distance
+        replay over the full vocabulary."""
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import _ed_le1, typo_pairs
+
+        names = sorted(pq.read_table(SF + "/customer.parquet",
+                                     columns=["c_name"])
+                       .to_pandas()["c_name"].unique())
+        want = {(a, b) for i, a in enumerate(names)
+                for b in names[i + 1:] if _ed_le1(a, b)}
+        out = typo_pairs(SF).to_pandas()
+        got = {(a, b) for a, b in
+               out[["name_a", "name_b"]].itertuples(index=False)}
+        assert got == want
