@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "division_tokens": textops.division_tokens,
         "cube_stats": textops.cube_stats,
         "unpivot_quality": textops.unpivot_quality,
+        "mad_chars": textops.mad_chars,
         "dedup_substrings": textops.dedup_substrings,
         # dedup family
         "dedup_exact": dedup.dedup_exact,

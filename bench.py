@@ -246,6 +246,7 @@ def run_queries(sf_dir: str) -> dict:
         "kg_subtree_sizes": lambda: _subtree(sf_dir),
         "unpivot_quality": lambda: textops.unpivot_quality(sf_dir),
         "typo_pairs": lambda: dedup.typo_pairs(sf_dir),
+        "mad_chars": lambda: textops.mad_chars(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

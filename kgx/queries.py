@@ -3432,3 +3432,16 @@ WITH v AS (SELECT DISTINCT c_name AS n FROM customer)
 SELECT a.n AS name_a, b.n AS name_b
 FROM v a JOIN v b ON a.n < b.n AND levenshtein(a.n, b.n) <= 1
 """
+
+
+# robust statistics: exact per-lang lower median + MAD of doc length
+DOC_ORACLES["mad_chars"] = """
+WITH m AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang)
+SELECT d.lang, CAST(m.med AS BIGINT) AS median_chars,
+       CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT)
+         AS mad_chars
+FROM documents d JOIN m ON m.lang = d.lang
+GROUP BY d.lang, m.med
+"""

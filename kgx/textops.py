@@ -1534,3 +1534,55 @@ def unpivot_quality(sf_dir: str):
                            "value": "int64"})
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def mad_chars(sf_dir: str):
+    """(lang, median_chars, mad_chars) — exact per-lang median and
+    median absolute deviation of document length: the robust outlier
+    statistics (the MAD-based length filter quality pipelines prefer
+    over mean/σ). Median rule = lower median (element at 0-indexed
+    rank (n−1)//2), matching DuckDB ``quantile_disc(0.5)``.
+
+    Scale shape: ONE corpus pass — the per-(lang, length) histogram
+    combiner (the doc_rank_by_length exchange); both medians derive
+    driver-side from that output-sized histogram, because the
+    |x − med| histogram is a pure fold of the length histogram. No
+    second pass, no sort.
+    """
+    import ray.data
+
+    ds = _read_documents(sf_dir, columns=["lang", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["lang", "n_chars"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pd.DataFrame({"lang": g["lang"].astype(str),
+                             "n_chars": g["n_chars"].astype("int64"),
+                             "n": g["n"].astype("int64")})
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby(["lang", "n_chars"], as_index=False)["n"].sum())
+
+    def lower_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        target = (cnts.sum() - 1) // 2 + 1  # 1-based rank
+        cum = np.cumsum(cnts)
+        return int(vals[np.searchsorted(cum, target)])
+
+    rows = []
+    for lang, g in h.groupby("lang"):
+        v = g["n_chars"].to_numpy("int64")
+        c = g["n"].to_numpy("int64")
+        med = lower_median(v, c)
+        dev = np.abs(v - med)
+        dd = pd.DataFrame({"d": dev, "c": c}).groupby(
+            "d", as_index=False)["c"].sum()
+        mad = lower_median(dd["d"].to_numpy("int64"),
+                           dd["c"].to_numpy("int64"))
+        rows.append((lang, med, mad))
+    out = pd.DataFrame(rows, columns=["lang", "median_chars",
+                                      "mad_chars"])
+    return out.astype({"lang": str, "median_chars": "int64",
+                       "mad_chars": "int64"}).sort_values("lang") \
+        .reset_index(drop=True)

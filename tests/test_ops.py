@@ -3114,3 +3114,23 @@ class TestTypoPairs:
         got = {(a, b) for a, b in
                out[["name_a", "name_b"]].itertuples(index=False)}
         assert got == want
+
+
+class TestMadChars:
+    def test_mad_replay_locally(self, ray_session):
+        """Histogram-derived median/MAD equal a sorted-array replay
+        with the lower-median rule."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.textops import mad_chars
+
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        out = mad_chars(SF).set_index("lang")
+        for lang, g in d.groupby("lang"):
+            s = np.sort(g["n_chars"].to_numpy("int64"))
+            med = int(s[(len(s) - 1) // 2])
+            dev = np.sort(np.abs(s - med))
+            mad = int(dev[(len(dev) - 1) // 2])
+            assert int(out.loc[lang, "median_chars"]) == med
+            assert int(out.loc[lang, "mad_chars"]) == mad
