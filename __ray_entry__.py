@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "fingerprint_overlap_pairs": dedup.fingerprint_overlap_pairs,
         "typo_pairs": dedup.typo_pairs,
+        "dedup_keep_best": dedup.dedup_keep_best,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_graph": simsearch.knn_graph,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_zstat": events.ab_test_zstat,
         "late_events": events.late_events,
         "daily_type_delta": events.daily_type_delta,
+        "winsorize_values": events.winsorize_values,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
@@ -168,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": relational.skyline_parts,
         "profile_columns": relational.profile_columns,
         "wait_chain_suppliers": relational.wait_chain_suppliers,
+        "table_checksums": relational.table_checksums,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

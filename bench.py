@@ -247,6 +247,9 @@ def run_queries(sf_dir: str) -> dict:
         "unpivot_quality": lambda: textops.unpivot_quality(sf_dir),
         "typo_pairs": lambda: dedup.typo_pairs(sf_dir),
         "mad_chars": lambda: textops.mad_chars(sf_dir),
+        "dedup_keep_best": lambda: dedup.dedup_keep_best(sf_dir),
+        "winsorize_values": lambda: events.winsorize_values(sf_dir),
+        "table_checksums": lambda: relational.table_checksums(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,
     # so without this the FIRST battery query would be charged the whole

@@ -1097,3 +1097,62 @@ def typo_pairs(sf_dir: str, num_partitions=None):
                                           batch_format="pandas")
             .groupby("bucket2").map_groups(dedup_pairs,
                                            batch_format="pandas"))
+
+
+def dedup_keep_best(sf_dir: str, num_partitions=None):
+    """(doc_id) — exact dedup on the canonicalized text with a QUALITY
+    survivorship policy: within a duplicate group keep the LONGEST
+    original document (ties → min doc_id), not the arbitrary min-id —
+    the survivorship rule real curation pipelines need (keep the
+    richest capture of a page, not the first-crawled one).
+
+    Same scale shape as dedup_normalized (map-side digest + per-batch
+    argmax combiner, one fixed-width hash(digest) exchange); only the
+    survivor rule differs: argmax (n_chars, −doc_id) merges per batch
+    and again in the bucket reduce.
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["doc_id", "text", "n_chars"])
+
+    import re as _re
+
+    drop = _re.compile(r"[^a-z0-9 ]")
+    squash = _re.compile(r" +")
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        # argmax (n_chars DESC, doc_id ASC) per digest, vectorized
+        df = df.sort_values(["digest", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("digest", as_index=False).head(1)
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df["text"].str.lower()
+                .str.replace(drop, " ", regex=True)
+                .str.replace(squash, " ", regex=True)
+                .str.strip(" "))
+        t = pd.DataFrame({
+            "digest": [hashlib.md5(s.encode()).hexdigest()[:16]
+                       for s in norm],
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars": df["n_chars"].astype("int64")})
+        g = best(t)
+        g["bucket"] = (pd.util.hash_pandas_object(g["digest"],
+                                                  index=False)
+                       % nparts).astype("int32")
+        return g
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = best(df)
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64")})
+
+    return (ds.map_batches(combiner, batch_format="pandas")
+            .groupby("bucket").map_groups(reduce,
+                                          batch_format="pandas"))

@@ -1026,3 +1026,48 @@ def daily_type_delta(sf_dir: str):
         "day": t["day"].astype("int64"),
         "rev_q2": t["v"].astype("int64"),
         "delta_q2": (t["v"] - prev.fillna(t["v"])).astype("int64")})
+
+
+def winsorize_values(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """(event_id, value_q2, value_wins_q2) — winsorization: clip event
+    values to the exact [p05, p95] band (the robust-preprocessing step
+    before averaging heavy-tailed metrics). Percentile rule =
+    ``quantile_disc`` (value at 1-based rank ceil(q·n)), computed
+    exactly from the integer-cents histogram — no sort, no sampling.
+
+    Scale shape: one histogram combiner (the value_percentiles
+    exchange, output-sized), cut points broadcast by closure into a
+    map-only clip pass.
+    """
+    ds = _read_events(sf_dir, columns=["event_id", "value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(100.0 * df["value"].to_numpy("float64")
+                     + 0.5).astype("int64")
+        g = pd.Series(c).value_counts().sort_index()
+        return pd.DataFrame({"cents": g.index.astype("int64"),
+                             "n": g.to_numpy("int64")})
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby("cents", as_index=False)["n"].sum()
+         .sort_values("cents"))
+    cum = h["n"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = h["cents"].to_numpy("int64")
+
+    def qdisc(q: float) -> int:
+        target = int(np.ceil(q * n))
+        return int(vals[np.searchsorted(cum, target)])
+
+    plo, phi = qdisc(lo), qdisc(hi)
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(100.0 * df["value"].to_numpy("float64")
+                     + 0.5).astype("int64")
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "value_q2": pd.Series(c, dtype="int64", index=df.index),
+            "value_wins_q2": pd.Series(np.clip(c, plo, phi),
+                                       dtype="int64", index=df.index)})
+
+    return ds.map_batches(clip, batch_format="pandas")

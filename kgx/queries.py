@@ -3445,3 +3445,62 @@ SELECT d.lang, CAST(m.med AS BIGINT) AS median_chars,
 FROM documents d JOIN m ON m.lang = d.lang
 GROUP BY d.lang, m.med
 """
+
+
+# survivorship-policy dedup: per canonical form keep the LONGEST doc,
+# ties to min doc_id (normalization mirrors dedup_normalized)
+DOC_ORACLES["dedup_keep_best"] = """
+WITH n AS (
+  SELECT doc_id, n_chars,
+    trim(regexp_replace(regexp_replace(lower(text),
+                                       '[^a-z0-9 ]', ' ', 'g'),
+                        ' +', ' ', 'g'), ' ') AS norm
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY norm
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM n)
+SELECT doc_id FROM r WHERE rn = 1
+"""
+
+
+# winsorization to the exact [p05, p95] integer-cents band
+DOC_ORACLES["winsorize_values"] = """
+WITH c AS (
+  SELECT event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+q AS (
+  SELECT quantile_disc(cents, 0.05) AS plo,
+         quantile_disc(cents, 0.95) AS phi
+  FROM c)
+SELECT c.event_id, c.cents AS value_q2,
+       CAST(least(greatest(c.cents, q.plo), q.phi) AS BIGINT)
+         AS value_wins_q2
+FROM c, q
+"""
+
+# order-independent table fingerprints: sum of row md5-u64 mod 2^64,
+# reduced mod 2^63 for a signed, hash-portable column
+DOC_ORACLES["table_checksums"] = """
+WITH o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      AS VARCHAR)), 1, 16))::UBIGINT::HUGEINT)
+              % 9223372036854775808 AS BIGINT) AS checksum
+  FROM orders),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(('0x' || substr(md5(
+                 CAST(c_custkey AS VARCHAR) || '|' ||
+                 CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                      AS VARCHAR)), 1, 16))::UBIGINT::HUGEINT)
+              % 9223372036854775808 AS BIGINT) AS checksum
+  FROM customer)
+SELECT 'customer' AS tbl, n_rows, checksum FROM c
+UNION ALL
+SELECT 'orders', n_rows, checksum FROM o
+"""

@@ -1296,3 +1296,52 @@ def wait_chain_suppliers(sf_dir: str, late_days: int = 90,
             "s_suppkey": df["s"].astype("int64"),
             "n_orders": df["sum(n)"].astype("int64")}),
         batch_format="pandas")
+
+
+def table_checksums(sf_dir: str):
+    """(tbl, n_rows, checksum) — order-independent integrity
+    fingerprints of the orders and customer tables: checksum =
+    Σ md5-u64(canonical row string) mod 2⁶⁴, the anti-entropy /
+    replication-verification primitive (two sites compare one row per
+    table instead of shipping data). Map-only scalar combiners; the
+    canonical row string is the '|'-joined key and integer-cents
+    columns, reproduced verbatim in the SQL.
+    """
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    out_rows = []
+    MOD = 1 << 64
+
+    def run(tbl: str, build) -> None:
+        ds = ray.data.read_parquet("%s/%s.parquet" % (sf_dir, tbl))
+
+        def partial(df: pd.DataFrame, build=build) -> pd.DataFrame:
+            s = build(df)
+            acc = 0
+            for row in s:
+                acc += int(hashlib.md5(row.encode()).hexdigest()[:16],
+                           16)
+            # reduce mod 2^63 per batch: partials stay valid int64 and
+            # modular addition distributes over the driver fold
+            return pd.DataFrame({"n": [len(s)], "c": [acc % (1 << 63)]})
+
+        t = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        out_rows.append((tbl, int(t["n"].sum()),
+                         sum(int(x) for x in t["c"]) % (1 << 63)))
+
+    run("orders", lambda df: (
+        df["o_orderkey"].astype("int64").astype(str) + "|"
+        + np.floor(100.0 * df["o_totalprice"].to_numpy("float64")
+                   + 0.5).astype("int64").astype(str)).tolist())
+    run("customer", lambda df: (
+        df["c_custkey"].astype("int64").astype(str) + "|"
+        + np.floor(100.0 * df["c_acctbal"].to_numpy("float64")
+                   + 0.5).astype("int64").astype(str)).tolist())
+
+    out = pd.DataFrame(out_rows, columns=["tbl", "n_rows", "checksum"])
+    return out.astype({"tbl": str, "n_rows": "int64",
+                       "checksum": "int64"}) \
+        .sort_values("tbl").reset_index(drop=True)

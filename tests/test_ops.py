@@ -3134,3 +3134,67 @@ class TestMadChars:
             mad = int(dev[(len(dev) - 1) // 2])
             assert int(out.loc[lang, "median_chars"]) == med
             assert int(out.loc[lang, "mad_chars"]) == mad
+
+
+class TestSurvivorshipWinsorChecksum:
+    def test_dedup_keep_best_policy(self, ray_session):
+        """Survivor per normalized group is the longest doc (ties to
+        min id), replayed locally."""
+        import pyarrow.parquet as pq
+        import re
+
+        from kgx.dedup import dedup_keep_best
+
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        norm = (d["text"].str.lower()
+                .str.replace(re.compile(r"[^a-z0-9 ]"), " ", regex=True)
+                .str.replace(re.compile(r" +"), " ", regex=True)
+                .str.strip(" "))
+        t = d.assign(norm=norm).sort_values(
+            ["norm", "n_chars", "doc_id"],
+            ascending=[True, False, True])
+        want = set(t.groupby("norm").head(1)["doc_id"])
+        got = set(dedup_keep_best(SF).to_pandas()["doc_id"])
+        assert got == want
+
+    def test_winsorize_band(self, ray_session):
+        """Clipped values sit inside the exact [p05, p95] band and
+        agree with numpy clipping at the quantile_disc cutpoints."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.events import winsorize_values
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas()
+        c = np.sort(np.floor(100.0 * ev["value"] + 0.5).astype("int64"))
+        n = len(c)
+        plo = int(c[int(np.ceil(0.05 * n)) - 1])
+        phi = int(c[int(np.ceil(0.95 * n)) - 1])
+        out = winsorize_values(SF).to_pandas()
+        assert out["value_wins_q2"].min() >= plo
+        assert out["value_wins_q2"].max() <= phi
+        assert (out["value_wins_q2"]
+                == out["value_q2"].clip(plo, phi)).all()
+
+    def test_table_checksums_detect_changes(self, ray_session):
+        """Checksums replay locally and flip under any row change."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import table_checksums
+
+        out = table_checksums(SF).set_index("tbl")
+        d = pq.read_table(SF + "/orders.parquet").to_pandas()
+        s = (d["o_orderkey"].astype("int64").astype(str) + "|"
+             + np.floor(100.0 * d["o_totalprice"] + 0.5)
+             .astype("int64").astype(str))
+        acc = sum(int(hashlib.md5(r.encode()).hexdigest()[:16], 16)
+                  for r in s) % (1 << 63)
+        assert int(out.loc["orders", "checksum"]) == acc
+        assert int(out.loc["orders", "n_rows"]) == len(d)
+        # any single-row perturbation flips the sum
+        first = int(hashlib.md5(s.iloc[0].encode()).hexdigest()[:16],
+                    16)
+        assert (acc - first) % (1 << 63) != acc
