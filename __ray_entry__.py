@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": events.late_events,
         "daily_type_delta": events.daily_type_delta,
         "winsorize_values": events.winsorize_values,
+        "gini_values": events.gini_values,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

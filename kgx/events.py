@@ -1071,3 +1071,45 @@ def winsorize_values(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
                                        dtype="int64", index=df.index)})
 
     return ds.map_batches(clip, batch_format="pandas")
+
+
+def gini_values(sf_dir: str):
+    """One row (n, sum_q2, gini_q6) — the exact Gini coefficient of
+    event values (inequality / concentration diagnostics for spend or
+    token distributions): G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    1-based ranks of the ascending sort — computed WITHOUT a sort from
+    the integer-cents histogram (ties share consecutive ranks, and
+    equal values make Σ i·xᵢ independent of tie order: per value v
+    with count c starting at rank r, the contribution is
+    v·(c·r + c·(c−1)/2)). Pure integers; gini_q6 floor-divides the
+    non-negative numerator.
+
+    Scale shape: one histogram combiner (output-sized), driver fold in
+    arbitrary-precision ints — no sort, no second pass.
+    """
+    ds = _read_events(sf_dir, columns=["value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(100.0 * df["value"].to_numpy("float64")
+                     + 0.5).astype("int64")
+        g = pd.Series(c).value_counts().sort_index()
+        return pd.DataFrame({"cents": g.index.astype("int64"),
+                             "n": g.to_numpy("int64")})
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby("cents", as_index=False)["n"].sum()
+         .sort_values("cents"))
+    n = 0
+    s = 0
+    sw = 0  # Σ rank·x over the ascending order, ties rank-consecutive
+    for v, c in zip(h["cents"], h["n"]):
+        v, c = int(v), int(c)
+        r = n + 1  # first rank of this run
+        sw += v * (c * r + c * (c - 1) // 2)
+        n += c
+        s += v * c
+    gini_q6 = (10**6 * (2 * sw - (n + 1) * s)) // (n * s)
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "sum_q2": pd.Series([s], dtype="int64"),
+        "gini_q6": pd.Series([gini_q6], dtype="int64")})

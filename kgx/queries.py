@@ -3504,3 +3504,25 @@ SELECT 'customer' AS tbl, n_rows, checksum FROM c
 UNION ALL
 SELECT 'orders', n_rows, checksum FROM o
 """
+
+
+# exact Gini coefficient of event values from 1-based ascending ranks
+# (tie order irrelevant to Σ i·xᵢ); pure integer, HUGEINT-safe
+DOC_ORACLES["gini_values"] = """
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents) AS rk
+  FROM c),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s,
+         CAST(sum(CAST(rk AS HUGEINT) * cents) AS HUGEINT) AS sw
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_q2,
+       CAST((1000000 * (2 * sw - (n + 1) * s)) // (n * s) AS BIGINT)
+         AS gini_q6
+FROM s
+"""

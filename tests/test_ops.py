@@ -3198,3 +3198,24 @@ class TestSurvivorshipWinsorChecksum:
         first = int(hashlib.md5(s.iloc[0].encode()).hexdigest()[:16],
                     16)
         assert (acc - first) % (1 << 63) != acc
+
+
+class TestGiniValues:
+    def test_gini_replay_and_bounds(self, ray_session):
+        """Histogram Gini equals the sorted-rank replay and sits in
+        [0, 1)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.events import gini_values
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas()
+        c = np.sort(np.floor(100.0 * ev["value"] + 0.5).astype("int64"))
+        n = len(c)
+        sw = int((np.arange(1, n + 1, dtype=object) * c).sum())
+        s = int(c.sum())
+        want = (10**6 * (2 * sw - (n + 1) * s)) // (n * s)
+        out = gini_values(SF)
+        assert int(out["gini_q6"][0]) == want
+        assert 0 <= want < 10**6
+        assert int(out["n"][0]) == n and int(out["sum_q2"][0]) == s
