@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_type_delta": events.daily_type_delta,
         "winsorize_values": events.winsorize_values,
         "gini_values": events.gini_values,
+        "interarrival_percentiles": events.interarrival_percentiles,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

@@ -250,6 +250,8 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_keep_best": lambda: dedup.dedup_keep_best(sf_dir),
         "winsorize_values": lambda: events.winsorize_values(sf_dir),
         "gini_values": lambda: events.gini_values(sf_dir),
+        "interarrival_percentiles":
+            lambda: events.interarrival_percentiles(sf_dir),
         "table_checksums": lambda: relational.table_checksums(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,

@@ -1113,3 +1113,67 @@ def gini_values(sf_dir: str):
         "n": pd.Series([n], dtype="int64"),
         "sum_q2": pd.Series([s], dtype="int64"),
         "gini_q6": pd.Series([gini_q6], dtype="int64")})
+
+
+def interarrival_percentiles(sf_dir: str, qs=(0.5, 0.95)):
+    """(event_type, p50_us, p95_us) — exact percentiles of the
+    inter-arrival gap (µs since the same user's previous event of the
+    SAME type): the latency/engagement distribution per event family.
+    Percentile rule = quantile_disc (1-based rank ceil(q·n)).
+
+    Scale shape: the gaps need per-(user, type) streams co-located —
+    one hash(user) exchange (the sessionize shape); inside a bucket
+    one sort + shift serves every (user, type) pair, and the bucket
+    emits a (type, gap) HISTOGRAM (combiner), so the second pass is an
+    output-sized driver fold — no sort at any scale. Gap values are
+    µs-exact integers.
+    """
+    ds = _read_events(sf_dir, columns=["user_id", "ts", "event_id",
+                                       "event_type"])
+    nparts = _nparts()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "ts": df["ts"],
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"].astype(str),
+            "bucket": (pd.util.hash_pandas_object(
+                df["user_id"].astype("int64"), index=False)
+                % nparts).astype("int32")})
+
+    def gaps_hist(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts",
+                             "event_id"])
+        same = (df["user_id"].eq(df["user_id"].shift())
+                & df["event_type"].eq(df["event_type"].shift()))
+        gap = ((df["ts"] - df["ts"].shift())
+               // pd.Timedelta(microseconds=1))
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "gap": gap})[same.to_numpy()]
+        g = (t.groupby(["event_type", "gap"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pd.DataFrame({"event_type": g["event_type"].astype(str),
+                             "gap": g["gap"].astype("int64"),
+                             "n": g["n"].astype("int64")})
+
+    h = (ds.map_batches(add_bucket, batch_format="pandas")
+         .groupby("bucket").map_groups(gaps_hist,
+                                       batch_format="pandas")
+         .to_pandas()
+         .groupby(["event_type", "gap"], as_index=False)["n"].sum())
+
+    rows = []
+    for et, g in h.groupby("event_type"):
+        g = g.sort_values("gap")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["gap"].to_numpy("int64")
+        ps = [int(vals[np.searchsorted(cum, int(np.ceil(q * n)))])
+              for q in qs]
+        rows.append((et, *ps))
+    out = pd.DataFrame(rows, columns=["event_type", "p50_us",
+                                      "p95_us"])
+    return out.astype({"event_type": str, "p50_us": "int64",
+                       "p95_us": "int64"}).sort_values("event_type") \
+        .reset_index(drop=True)

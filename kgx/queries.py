@@ -3526,3 +3526,20 @@ SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_q2,
          AS gini_q6
 FROM s
 """
+
+
+# exact per-type inter-arrival percentiles (gap since the same user's
+# previous event of the same type)
+DOC_ORACLES["interarrival_percentiles"] = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(gap, 0.95) AS BIGINT) AS p95_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+"""

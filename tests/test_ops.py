@@ -3219,3 +3219,29 @@ class TestGiniValues:
         assert int(out["gini_q6"][0]) == want
         assert 0 <= want < 10**6
         assert int(out["n"][0]) == n and int(out["sum_q2"][0]) == s
+
+
+class TestInterarrival:
+    def test_gap_percentiles_replay(self, ray_session):
+        """Histogram percentiles equal a sorted-gap replay per type."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.events import interarrival_percentiles
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas() \
+            .sort_values(["user_id", "event_type", "ts", "event_id"])
+        same = (ev["user_id"].eq(ev["user_id"].shift())
+                & ev["event_type"].eq(ev["event_type"].shift()))
+        import pandas as pd
+        gap = (ev["ts"] - ev["ts"].shift()) \
+            // pd.Timedelta(microseconds=1)
+        t = ev.assign(gap=gap)[same.to_numpy()]
+        out = interarrival_percentiles(SF).set_index("event_type")
+        for et, g in t.groupby("event_type"):
+            s = np.sort(g["gap"].to_numpy("int64"))
+            n = len(s)
+            p50 = int(s[int(np.ceil(0.5 * n)) - 1])
+            p95 = int(s[int(np.ceil(0.95 * n)) - 1])
+            assert int(out.loc[et, "p50_us"]) == p50
+            assert int(out.loc[et, "p95_us"]) == p95
