@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_values": events.winsorize_values,
         "gini_values": events.gini_values,
         "interarrival_percentiles": events.interarrival_percentiles,
+        "cumulative_users_by_day": events.cumulative_users_by_day,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": relational.profile_columns,
         "wait_chain_suppliers": relational.wait_chain_suppliers,
         "table_checksums": relational.table_checksums,
+        "nation_revenue_share": relational.nation_revenue_share,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -252,6 +252,10 @@ def run_queries(sf_dir: str) -> dict:
         "gini_values": lambda: events.gini_values(sf_dir),
         "interarrival_percentiles":
             lambda: events.interarrival_percentiles(sf_dir),
+        "nation_revenue_share":
+            lambda: relational.nation_revenue_share(sf_dir),
+        "cumulative_users_by_day":
+            lambda: events.cumulative_users_by_day(sf_dir),
         "table_checksums": lambda: relational.table_checksums(sf_dir),
     }
     # the exchange headline never spins up Ray Data's streaming executor,

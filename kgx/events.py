@@ -1177,3 +1177,44 @@ def interarrival_percentiles(sf_dir: str, qs=(0.5, 0.95)):
     return out.astype({"event_type": str, "p50_us": "int64",
                        "p95_us": "int64"}).sort_values("event_type") \
         .reset_index(drop=True)
+
+
+def cumulative_users_by_day(sf_dir: str):
+    """(day, n_new, n_cumulative) — daily new users and the cumulative
+    distinct-user count (the growth-curve / running COUNT(DISTINCT)
+    window, which naive pipelines recompute per day at O(days·users)):
+    each user reduces to their FIRST-seen day (per-batch argmin
+    combiner → one hash(user) co-group), days histogram to new-user
+    counts, and the cumulative sum folds driver-side over the
+    output-sized day series.
+    """
+    ds = _read_events(sf_dir, columns=["user_id", "ts"])
+    nparts = _nparts()
+
+    def first_seen(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day": ((df["ts"] - pd.Timestamp(0))
+                    // pd.Timedelta(days=1)).astype("int64")})
+        g = t.groupby("user_id", as_index=False)["day"].min()
+        return pd.DataFrame({
+            "user_id": g["user_id"], "day": g["day"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(g["user_id"],
+                                                  index=False)
+                       % nparts).astype("int32")})
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["day"].min()
+        d = g.groupby("day", as_index=False).size()
+        return pd.DataFrame({"day": d["day"].astype("int64"),
+                             "n_new": d["size"].astype("int64")})
+
+    t = (ds.map_batches(first_seen, batch_format="pandas")
+         .groupby("bucket").map_groups(reduce, batch_format="pandas")
+         .to_pandas().groupby("day", as_index=False)["n_new"].sum()
+         .sort_values("day"))
+    return pd.DataFrame({
+        "day": t["day"].astype("int64"),
+        "n_new": t["n_new"].astype("int64"),
+        "n_cumulative": t["n_new"].cumsum().astype("int64")}) \
+        .reset_index(drop=True)

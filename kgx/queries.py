@@ -3543,3 +3543,33 @@ SELECT event_type,
 FROM g WHERE gap IS NOT NULL
 GROUP BY event_type
 """
+
+
+# percent-of-total: each nation's revenue share in integer millionths
+DOC_ORACLES["nation_revenue_share"] = """
+WITH r AS (
+  SELECT c.c_nationkey AS nat,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey),
+t AS (SELECT sum(rev) AS total FROM r)
+SELECT n.n_name, CAST(r.rev AS BIGINT) AS rev_q2,
+       CAST(1000000 * r.rev // t.total AS BIGINT) AS share_q6
+FROM r JOIN nation n ON n.n_nationkey = r.nat, t
+"""
+
+# running COUNT(DISTINCT): daily new users (first-seen day) + the
+# cumulative curve
+DOC_ORACLES["cumulative_users_by_day"] = """
+WITH f AS (
+  SELECT user_id,
+         min(epoch_us(ts) // 86400000000) AS day
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT day, count(*) AS n_new FROM f GROUP BY day)
+SELECT CAST(day AS BIGINT) AS day, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_cumulative
+FROM d
+"""

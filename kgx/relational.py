@@ -1345,3 +1345,76 @@ def table_checksums(sf_dir: str):
     return out.astype({"tbl": str, "n_rows": "int64",
                        "checksum": "int64"}) \
         .sort_values("tbl").reset_index(drop=True)
+
+
+def nation_revenue_share(sf_dir: str, num_partitions=None):
+    """(n_name, rev_q2, share_q6) — each nation's share of total
+    revenue (the percent-of-total / ratio_to_report window): customer
+    nation attribution over orders, exact integer cents, share =
+    floor(10⁶·rev/total).
+
+    Scale shape: orders pre-aggregate revenue per custkey (combiner),
+    ONE hash(custkey) co-group attaches the customer's nation and
+    emits ≤|nations| partials per bucket; the grand total is the sum
+    of the same partials, so the share computes in the output-sized
+    driver fold — no second pass.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    nt = pq_.read_table("%s/nation.parquet" % sf_dir,
+                        columns=["n_nationkey", "n_name"])
+    nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
+                          nt.column("n_name").to_pylist()))
+
+    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+                                   columns=["o_custkey",
+                                            "o_totalprice"])
+    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+                                     columns=["c_custkey",
+                                              "c_nationkey"])
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "k": df["o_custkey"].astype("int64"),
+            "rev": np.floor(100.0 * df["o_totalprice"]
+                            .to_numpy("float64") + 0.5)
+            .astype("int64")})
+        g = t.groupby("k", as_index=False)["rev"].sum()
+        return pd.DataFrame({
+            "k": g["k"], "rev": g["rev"].astype("int64"),
+            "nat": np.int64(-1),
+            "bucket": (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")})
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "rev": np.int64(0),
+            "nat": df["c_nationkey"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df[df["nat"] < 0].groupby("k", as_index=False)["rev"].sum()
+        cust = df[df["nat"] >= 0][["k", "nat"]]
+        m = rev.merge(cust, on="k", how="inner")
+        g = m.groupby("nat", as_index=False)["rev"].sum()
+        return pd.DataFrame({"nat": g["nat"].astype("int64"),
+                             "rev": g["rev"].astype("int64")})
+
+    t = (orders.map_batches(o_partial, batch_format="pandas")
+         .union(customer.map_batches(c_rows, batch_format="pandas"))
+         .groupby("bucket").map_groups(cogroup, batch_format="pandas")
+         .to_pandas().groupby("nat", as_index=False)["rev"].sum())
+    total = int(t["rev"].sum())
+    return pd.DataFrame({
+        "n_name": t["nat"].map(nation_map).astype(str),
+        "rev_q2": t["rev"].astype("int64"),
+        "share_q6": (10**6 * t["rev"] // total).astype("int64")}) \
+        .sort_values("n_name").reset_index(drop=True)

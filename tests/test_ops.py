@@ -3245,3 +3245,42 @@ class TestInterarrival:
             p95 = int(s[int(np.ceil(0.95 * n)) - 1])
             assert int(out.loc[et, "p50_us"]) == p50
             assert int(out.loc[et, "p95_us"]) == p95
+
+
+class TestShareAndGrowth:
+    def test_revenue_share_replay(self, ray_session):
+        """Shares replay locally and sum to ≈ 1e6 (floor slack)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import nation_revenue_share
+
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        c = pq.read_table(SF + "/customer.parquet").to_pandas()
+        n = pq.read_table(SF + "/nation.parquet").to_pandas()
+        m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        m["rev"] = np.floor(100.0 * m["o_totalprice"] + 0.5) \
+            .astype("int64")
+        g = m.groupby("c_nationkey")["rev"].sum()
+        names = dict(zip(n["n_nationkey"], n["n_name"]))
+        want = {names[k]: int(v) for k, v in g.items()}
+        out = nation_revenue_share(SF)
+        assert dict(zip(out["n_name"], out["rev_q2"])) == want
+        total = sum(want.values())
+        assert (out["share_q6"]
+                == [10**6 * want[x] // total for x in out["n_name"]]) \
+            .all()
+        assert 10**6 - len(want) <= out["share_q6"].sum() <= 10**6
+
+    def test_cumulative_users_identity(self, ray_session):
+        """n_cumulative telescopes n_new and ends at the distinct-user
+        count."""
+        import pyarrow.parquet as pq
+
+        from kgx.events import cumulative_users_by_day
+
+        ev = pq.read_table(SF + "/events.parquet").to_pandas()
+        out = cumulative_users_by_day(SF)
+        assert int(out["n_new"].sum()) == ev["user_id"].nunique()
+        assert (out["n_cumulative"] == out["n_new"].cumsum()).all()
+        assert out["day"].is_monotonic_increasing
