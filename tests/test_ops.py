@@ -3034,7 +3034,7 @@ class TestQ21AndDailyDelta:
         keep = pairs[pairs["late"] & (pairs["n_supp"] > 1)
                      & (pairs["n_late"] == 1)]
         want = keep.groupby("l_suppkey").size().to_dict()
-        out = wait_chain_suppliers(SF).to_pandas()
+        out = wait_chain_suppliers(SF)
         got = dict(zip(out["s_suppkey"], out["n_orders"].astype(int)))
         assert got == want
 
