@@ -190,7 +190,8 @@ def connected_components(edges, max_iters: int = 20,
 
 
 def transitive_closure(edges, max_iters: int = 30,
-                       num_partitions: Optional[int] = None):
+                       num_partitions: Optional[int] = None,
+                       small_graph_threshold: int = 2_000_000):
     """Dataset[(a, b)] → Dataset[(a, b)] of all pairs with a path a→…→b.
 
     Path-doubling iterate-until-fixpoint (the reference's ``--skosify``
@@ -200,7 +201,30 @@ def transitive_closure(edges, max_iters: int = 30,
     rounds instead of ``depth``. All exchanges are reduce-side kv joins
     (hash-bucket co-group, no Dataset.join); the per-round ``count()`` is
     free because the path set is materialized.
+
+    Edge lists at or below ``small_graph_threshold`` take a single-task
+    pandas path-doubling gate (pass 0 to force the distributed loop) —
+    the same gate as connected_components/pagerank/bfs/scc; pinned
+    row-identical by test. The distributed rounds cost ~4 co-grouped
+    exchanges each, pure orchestration below millions of edges
+    (measured 15.2 → 2.8 s on kg_subtree_sizes at sf0.1/32).
     """
+    import ray.data
+
+    edges = edges.materialize()
+    if edges.count() <= small_graph_threshold:
+        p = edges.to_pandas().drop_duplicates(subset=["a", "b"])
+        for _ in range(max_iters):
+            step = p.merge(p, left_on="b", right_on="a",
+                           suffixes=("", "_r"))
+            step = pd.DataFrame({"a": step["a"], "b": step["b_r"]})
+            new = (pd.concat([p, step], ignore_index=True)
+                   .drop_duplicates(subset=["a", "b"]))
+            if len(new) == len(p):
+                break
+            p = new
+        return ray.data.from_pandas(p.reset_index(drop=True))
+
     nparts = num_partitions or _nparts()
 
     def dedup_pairs(ds):

@@ -3284,3 +3284,25 @@ class TestShareAndGrowth:
         assert int(out["n_new"].sum()) == ev["user_id"].nunique()
         assert (out["n_cumulative"] == out["n_new"].cumsum()).all()
         assert out["day"].is_monotonic_increasing
+
+
+class TestClosureGate:
+    def test_gate_equals_distributed(self, ray_session):
+        """Single-task path-doubling gate and the distributed loop
+        produce identical closures (int and string node ids)."""
+        import pandas as pd
+        import ray.data
+
+        from kgx.components import transitive_closure
+
+        e = ray.data.from_pandas(pd.DataFrame({
+            "a": ["u1", "u2", "u3", "u5"],
+            "b": ["u2", "u3", "u4", "u6"]}))
+        fast = transitive_closure(e).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        dist = transitive_closure(e, small_graph_threshold=0) \
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert fast.equals(dist)
+        got = {(a, b) for a, b in fast.itertuples(index=False)}
+        assert ("u1", "u4") in got and ("u5", "u6") in got
+        assert ("u1", "u6") not in got
