@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_overlap_pairs": dedup.fingerprint_overlap_pairs,
         "typo_pairs": dedup.typo_pairs,
         "dedup_keep_best": dedup.dedup_keep_best,
+        "dup_group_spectrum": dedup.dup_group_spectrum,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_graph": simsearch.knn_graph,

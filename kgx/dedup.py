@@ -1156,3 +1156,55 @@ def dedup_keep_best(sf_dir: str, num_partitions=None):
     return (ds.map_batches(combiner, batch_format="pandas")
             .groupby("bucket").map_groups(reduce,
                                           batch_format="pandas"))
+
+
+def dup_group_spectrum(sf_dir: str, num_partitions=None):
+    """(group_size, n_groups) — the duplicate-group size spectrum over
+    the canonicalized text form (how much of the corpus is singletons
+    vs k-way duplicates — the first diagnostic before choosing a dedup
+    budget). Count-of-counts, the freq_spectrum shape on digest groups.
+
+    Scale shape: map-side digest + per-batch (digest, n) combiner, one
+    hash(digest) exchange finishes group sizes and emits a per-bucket
+    size histogram, so the driver folds an output-sized spectrum.
+    """
+    import hashlib
+    import re as _re
+
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["text"])
+    drop = _re.compile(r"[^a-z0-9 ]")
+    squash = _re.compile(r" +")
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df["text"].str.lower()
+                .str.replace(drop, " ", regex=True)
+                .str.replace(squash, " ", regex=True)
+                .str.strip(" "))
+        t = pd.Series([hashlib.md5(s.encode()).hexdigest()[:16]
+                       for s in norm])
+        g = t.value_counts()
+        out = pd.DataFrame({"digest": g.index, "n": g.to_numpy()})
+        out["bucket"] = (pd.util.hash_pandas_object(out["digest"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def spectrum(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("digest")["n"].sum()
+        h = sizes.value_counts()
+        return pd.DataFrame({"group_size": h.index.astype("int64"),
+                             "n_groups": h.to_numpy("int64")})
+
+    t = (ds.map_batches(combiner, batch_format="pandas")
+         .groupby("bucket").map_groups(spectrum, batch_format="pandas")
+         .to_pandas().groupby("group_size", as_index=False)
+         ["n_groups"].sum().sort_values("group_size"))
+    return t.astype({"group_size": "int64", "n_groups": "int64"}) \
+        .reset_index(drop=True)

