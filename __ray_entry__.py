@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wait_chain_suppliers": relational.wait_chain_suppliers,
         "table_checksums": relational.table_checksums,
         "nation_revenue_share": relational.nation_revenue_share,
+        "above_avg_orders": relational.above_avg_orders,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -255,6 +255,7 @@ def run_queries(sf_dir: str) -> dict:
             lambda: events.interarrival_percentiles(sf_dir),
         "nation_revenue_share":
             lambda: relational.nation_revenue_share(sf_dir),
+        "above_avg_orders": lambda: relational.above_avg_orders(sf_dir),
         "cumulative_users_by_day":
             lambda: events.cumulative_users_by_day(sf_dir),
         "table_checksums": lambda: relational.table_checksums(sf_dir),

@@ -3588,3 +3588,20 @@ SELECT CAST(group_size AS BIGINT) AS group_size,
        CAST(count(*) AS BIGINT) AS n_groups
 FROM g GROUP BY group_size
 """
+
+
+# correlated scalar-per-group filter: orders above the customer's own
+# average, with the division multiplied out (cents·n > sum)
+DOC_ORACLES["above_avg_orders"] = """
+WITH c AS (
+  SELECT o_custkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+a AS (SELECT k, count(*) AS n, sum(cents) AS s FROM c GROUP BY k)
+SELECT c.k AS o_custkey,
+       CAST(sum(CASE WHEN c.cents * a.n > a.s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM c JOIN a ON a.k = c.k
+GROUP BY c.k
+"""

@@ -1423,3 +1423,59 @@ def nation_revenue_share(sf_dir: str, num_partitions=None):
         "rev_q2": t["rev"].astype("int64"),
         "share_q6": (10**6 * t["rev"] // total).astype("int64")}) \
         .sort_values("n_name").reset_index(drop=True)
+
+
+def above_avg_orders(sf_dir: str, num_partitions=None):
+    """(o_custkey, n_above, n_orders) — per customer, how many of
+    their orders exceed their OWN average order value: the correlated
+    scalar-per-group filter (HAVING-against-own-aggregate), resolved
+    in pure integers by multiplying the average out —
+    price_cents · n_orders > sum_cents. Customers with one order
+    report 0 (nothing exceeds its own average).
+
+    Scale shape: ONE hash(custkey) exchange of per-batch partials
+    carrying (custkey, n, sum_cents, and the batch's raw
+    (custkey, cents) rows needed for the comparison) — the comparison
+    needs each order against its customer's global aggregate, so raw
+    order rows co-locate with their aggregate in the same bucket; the
+    per-bucket pass is two vectorized groupbys and a join-free map
+    lookup.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+                                   columns=["o_custkey",
+                                            "o_totalprice"])
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k,
+            "cents": np.floor(100.0 * df["o_totalprice"]
+                              .to_numpy("float64") + 0.5)
+            .astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("k").agg(n=("cents", "size"),
+                                  s=("cents", "sum"))
+        n = agg["n"].reindex(df["k"]).to_numpy("int64")
+        s = agg["s"].reindex(df["k"]).to_numpy("int64")
+        above = df["cents"].to_numpy("int64") * n > s
+        g = (df.assign(above=above.astype("int64"))
+             .groupby("k", as_index=False)
+             .agg(n_above=("above", "sum"), n_orders=("above", "size")))
+        return pd.DataFrame({
+            "o_custkey": g["k"].astype("int64"),
+            "n_above": g["n_above"].astype("int64"),
+            "n_orders": g["n_orders"].astype("int64")})
+
+    return (orders.map_batches(rows, batch_format="pandas")
+            .groupby("bucket").map_groups(cogroup,
+                                          batch_format="pandas"))

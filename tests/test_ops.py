@@ -3330,3 +3330,29 @@ class TestDupGroupSpectrum:
         got = dict(zip(out["group_size"], out["n_groups"]))
         assert got == dict(sizes)
         assert sum(s * n for s, n in got.items()) == len(d)
+
+
+class TestAboveAvgOrders:
+    def test_correlated_filter_replay(self, ray_session):
+        """Counts equal a local integer replay; single-order customers
+        report 0 above-average orders."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import above_avg_orders
+
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        cents = np.floor(100.0 * o["o_totalprice"] + 0.5).astype("int64")
+        t = o.assign(cents=cents)
+        agg = t.groupby("o_custkey").agg(n=("cents", "size"),
+                                         s=("cents", "sum"))
+        m = t.join(agg, on="o_custkey")
+        m["above"] = m["cents"] * m["n"] > m["s"]
+        want = m.groupby("o_custkey").agg(
+            n_above=("above", "sum"), n_orders=("above", "size"))
+        out = above_avg_orders(SF).to_pandas() \
+            .set_index("o_custkey").sort_index()
+        assert out["n_above"].to_dict() == \
+            {int(k): int(v) for k, v in want["n_above"].items()}
+        single = out[out["n_orders"] == 1]
+        assert (single["n_above"] == 0).all()
