@@ -249,6 +249,7 @@ def run_queries(sf_dir: str) -> dict:
         "mad_chars": lambda: textops.mad_chars(sf_dir),
         "dedup_keep_best": lambda: dedup.dedup_keep_best(sf_dir),
         "dup_group_spectrum": lambda: dedup.dup_group_spectrum(sf_dir),
+        "containment_pairs": lambda: dedup.containment_pairs(sf_dir),
         "winsorize_values": lambda: events.winsorize_values(sf_dir),
         "gini_values": lambda: events.gini_values(sf_dir),
         "interarrival_percentiles":

@@ -1208,3 +1208,59 @@ def dup_group_spectrum(sf_dir: str, num_partitions=None):
          ["n_groups"].sum().sort_values("group_size"))
     return t.astype({"group_size": "int64", "n_groups": "int64"}) \
         .reset_index(drop=True)
+
+
+def containment_pairs(sf_dir: str, threshold: float = 0.8,
+                      num_partitions: Optional[int] = None,
+                      q: int = 1 << 20):
+    """(doc_id_src, doc_id_dst, cont_q) — ASYMMETRIC near-dup: ordered
+    pairs where src's token set is ≥``threshold`` CONTAINED in dst
+    (containment = |A∩B|/|A|, Broder's other resemblance measure —
+    what quote/excerpt/boilerplate-subset detection needs when Jaccard
+    misses a small doc swallowed by a big one). cont_q floor-quantizes
+    from pure integers; self-pairs excluded; both directions emitted
+    when both qualify.
+
+    Same blocking scale shape as ``jaccard_pairs_sim`` (first-token
+    blocks coarsened into hash partitions, exact verify per block) —
+    with the same stated blocking caveat and LSH escape hatch.
+    """
+    import itertools
+
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(4, int(ray.cluster_resources()
+                                    .get("CPU", 8)))
+    nparts = num_partitions
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def add_block(df: pd.DataFrame) -> pd.DataFrame:
+        block = df["text"].str.split(" ").str[0]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "text": df["text"],
+            "block": block,
+            "part": (pd.util.hash_pandas_object(block, index=False)
+                     % nparts).astype("int32")})
+
+    def verify_part(df: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_d, out_c = [], [], []
+        for _, g in df.groupby("block", sort=False):
+            ids = g["doc_id"].tolist()
+            sets = [set(t.split(" ")) for t in g["text"]]
+            for i, j in itertools.combinations(range(len(ids)), 2):
+                inter = len(sets[i] & sets[j])
+                for a, b in ((i, j), (j, i)):
+                    la = len(sets[a])
+                    if la and inter / la >= threshold:
+                        out_s.append(ids[a])
+                        out_d.append(ids[b])
+                        out_c.append((q * inter) // la)
+        return pd.DataFrame({
+            "doc_id_src": pd.Series(out_s, dtype="int64"),
+            "doc_id_dst": pd.Series(out_d, dtype="int64"),
+            "cont_q": pd.Series(out_c, dtype="int64")})
+
+    return (ds.map_batches(add_block, batch_format="pandas")
+            .groupby("part").map_groups(verify_part,
+                                        batch_format="pandas"))

@@ -3605,3 +3605,17 @@ SELECT c.k AS o_custkey,
 FROM c JOIN a ON a.k = c.k
 GROUP BY c.k
 """
+
+
+# asymmetric containment pairs (|A∩B|/|A| ≥ 0.8) on first-token blocks
+DOC_ORACLES["containment_pairs"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+         string_split(text, ' ')[1] AS blk FROM documents)
+SELECT a.doc_id AS doc_id_src, b.doc_id AS doc_id_dst,
+       CAST((1048576 * len(list_intersect(a.toks, b.toks)))
+            // len(a.toks) AS BIGINT) AS cont_q
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id != b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(a.toks) >= 0.8
+"""

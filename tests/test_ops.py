@@ -3356,3 +3356,36 @@ class TestAboveAvgOrders:
             {int(k): int(v) for k, v in want["n_above"].items()}
         single = out[out["n_orders"] == 1]
         assert (single["n_above"] == 0).all()
+
+
+class TestContainmentPairs:
+    def test_containment_replay_and_asymmetry(self, ray_session):
+        """Ordered pairs equal a local replay; containment is a
+        superset of the symmetric Jaccard edges (J ≥ t ⇒ both
+        containments ≥ t)."""
+        from itertools import combinations
+
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import containment_pairs, jaccard_pairs_sim
+
+        d = pq.read_table(SF + "/documents.parquet").to_pandas()
+        sets = {int(i): set(t.split(" ")) for i, t in
+                zip(d["doc_id"], d["text"])}
+        blocks = {}
+        for i, t in zip(d["doc_id"], d["text"]):
+            blocks.setdefault(t.split(" ")[0], []).append(int(i))
+        want = set()
+        for ids in blocks.values():
+            for i, j in combinations(sorted(ids), 2):
+                inter = len(sets[i] & sets[j])
+                for a, b in ((i, j), (j, i)):
+                    if inter / len(sets[a]) >= 0.8:
+                        want.add((a, b))
+        out = containment_pairs(SF).to_pandas()
+        got = {(int(a), int(b)) for a, b in
+               out[["doc_id_src", "doc_id_dst"]].itertuples(index=False)}
+        assert got == want
+        jac = jaccard_pairs_sim(SF).to_pandas()
+        for a, b in jac[["doc_id_a", "doc_id_b"]].itertuples(index=False):
+            assert (int(a), int(b)) in got and (int(b), int(a)) in got
