@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source formats beyond parquet (export → shards → re-ingest)
         "ndjson_roundtrip": sources.ndjson_roundtrip,
         "csv_roundtrip": sources.csv_roundtrip,
+        "arrow_ipc_roundtrip": sources.arrow_ipc_roundtrip,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "bmp_pixel_stats": multimodal.bmp_pixel_stats,

@@ -104,7 +104,7 @@ def run_headline(num_pages: int, out_dir: str, warmup: bool = True,
 
 def run_queries(sf_dir: str) -> dict:
     from kgx import (dedup, events, multimodal, relational, simsearch,
-                     textops, traindata)
+                     sources, textops, traindata)
     from kgx import queries as q
     from kgx.components import clustering_coeff as _clustering_coeff
     from kgx.components import msf_boruvka as _msf_boruvka
@@ -250,6 +250,8 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_keep_best": lambda: dedup.dedup_keep_best(sf_dir),
         "dup_group_spectrum": lambda: dedup.dup_group_spectrum(sf_dir),
         "containment_pairs": lambda: dedup.containment_pairs(sf_dir),
+        "arrow_ipc_roundtrip":
+            lambda: sources.arrow_ipc_roundtrip(sf_dir),
         "winsorize_values": lambda: events.winsorize_values(sf_dir),
         "gini_values": lambda: events.gini_values(sf_dir),
         "interarrival_percentiles":

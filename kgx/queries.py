@@ -3619,3 +3619,14 @@ FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id != b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / len(a.toks) >= 0.8
 """
+
+
+# Arrow IPC (Feather v2) roundtrip: digest from the parquet view — a
+# hash-match proves the export → shards → custom-source ingest path
+# byte-lossless per document
+DOC_ORACLES["arrow_ipc_roundtrip"] = """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5
+FROM documents
+"""

@@ -75,3 +75,53 @@ def csv_roundtrip(sf_dir: str):
     out = _export(sf_dir, "csv")
     return ray.data.read_csv(out).map_batches(_digest_batch,
                                               batch_format="pandas")
+
+
+def arrow_ipc_roundtrip(sf_dir: str):
+    """(doc_id, lang, n_chars_rt, text_md5) — documents exported to
+    Arrow IPC (Feather v2) shard files and re-ingested: Ray Data has
+    no native IPC reader, so the ingest side demonstrates the CUSTOM
+    SOURCE pattern — ``read_binary_files`` streams whole shard files
+    as bytes and a map-only decode (``pyarrow.ipc``) turns each into
+    its batch, zero-copy from the buffer. Export is map-only too: each
+    block writes one .arrow shard (partitioned, resumable — the same
+    layout contract as the NDJSON/CSV sinks); shard names derive from
+    the block's doc_id range, so reruns are hermetic.
+    """
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc
+    import ray.data
+
+    out = _roundtrip_dir(sf_dir, "ipc")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                               columns=["doc_id", "text", "lang"])
+
+    def write_shard(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_pylist()
+        name = "shard-%020d-%020d.arrow" % (min(ids), max(ids))
+        path = os.path.join(out, name)
+        with pa.OSFile(path, "wb") as f:
+            with pa.ipc.new_file(f, tbl.schema) as w:
+                w.write_table(tbl)
+        return pa.table({"path": [path],
+                         "n": [tbl.num_rows]})
+
+    manifest = ds.map_batches(write_shard,
+                              batch_format="pyarrow").to_pandas()
+    assert int(manifest["n"].sum()) > 0
+
+    files = ray.data.read_binary_files(out)
+
+    def decode(tbl: pa.Table) -> pd.DataFrame:
+        frames = []
+        for buf in tbl.column("bytes"):
+            reader = pa.ipc.open_file(io.BytesIO(buf.as_py()))
+            frames.append(reader.read_all().to_pandas())
+        return _digest_batch(pd.concat(frames, ignore_index=True))
+
+    return files.map_batches(decode, batch_format="pyarrow")

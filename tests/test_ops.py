@@ -3389,3 +3389,25 @@ class TestContainmentPairs:
         jac = jaccard_pairs_sim(SF).to_pandas()
         for a, b in jac[["doc_id_a", "doc_id_b"]].itertuples(index=False):
             assert (int(a), int(b)) in got and (int(b), int(a)) in got
+
+
+class TestArrowIpcRoundtrip:
+    def test_ipc_roundtrip_lossless(self, ray_session):
+        """Feather shards re-ingest losslessly: digests equal the
+        direct-parquet digests and shard files exist on disk."""
+        import glob
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from kgx.sources import _roundtrip_dir, arrow_ipc_roundtrip
+
+        out = arrow_ipc_roundtrip(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        d = pq.read_table(SF + "/documents.parquet").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(out["doc_id"]) == list(d["doc_id"])
+        want = [hashlib.md5(t.encode()).hexdigest() for t in d["text"]]
+        assert list(out["text_md5"]) == want
+        shards = glob.glob(_roundtrip_dir(SF, "ipc") + "/*.arrow")
+        assert len(shards) >= 1
