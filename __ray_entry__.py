@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksums": relational.table_checksums,
         "nation_revenue_share": relational.nation_revenue_share,
         "above_avg_orders": relational.above_avg_orders,
+        "forecast_revenue": relational.forecast_revenue,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "order_count_distribution": relational.order_count_distribution,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

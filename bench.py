@@ -259,6 +259,11 @@ def run_queries(sf_dir: str) -> dict:
         "nation_revenue_share":
             lambda: relational.nation_revenue_share(sf_dir),
         "above_avg_orders": lambda: relational.above_avg_orders(sf_dir),
+        "forecast_revenue": lambda: relational.forecast_revenue(sf_dir),
+        "small_qty_revenue":
+            lambda: relational.small_qty_revenue(sf_dir),
+        "order_count_distribution":
+            lambda: relational.order_count_distribution(sf_dir),
         "cumulative_users_by_day":
             lambda: events.cumulative_users_by_day(sf_dir),
         "table_checksums": lambda: relational.table_checksums(sf_dir),

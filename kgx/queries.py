@@ -3630,3 +3630,46 @@ SELECT doc_id, lang,
        md5(text) AS text_md5
 FROM documents
 """
+
+
+# TPC-H Q6 shape: filtered scalar aggregate; discount band compared on
+# the rounded integer percent so both engines filter identical integers
+DOC_ORACLES["forecast_revenue"] = """
+SELECT CAST(COALESCE(sum(cents * pct), 0) AS BIGINT) AS revenue_q4
+FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS pct
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_quantity < 24)
+WHERE pct BETWEEN 5 AND 7
+"""
+
+
+# TPC-H Q17 shape: correlated per-part 20%-of-average filter with the
+# fraction multiplied out (5·qty·n < sum); non-negative numerator so
+# DuckDB's truncating // equals Python's floor //
+DOC_ORACLES["small_qty_revenue"] = """
+WITH l AS (
+  SELECT l_partkey AS k, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem),
+a AS (SELECT k, count(*) AS n, sum(qty) AS s FROM l GROUP BY k)
+SELECT CAST(COALESCE(sum(l.cents), 0) // 7 AS BIGINT)
+       AS rev_per_year_cents
+FROM l JOIN a ON a.k = l.k
+WHERE 5 * l.qty * a.n < a.s
+"""
+
+
+# TPC-H Q13 shape: customers-per-order-count spectrum including the
+# zero-order customers (the LEFT JOIN half)
+DOC_ORACLES["order_count_distribution"] = """
+WITH c AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM c GROUP BY n
+"""

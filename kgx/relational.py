@@ -1479,3 +1479,147 @@ def above_avg_orders(sf_dir: str, num_partitions=None):
     return (orders.map_batches(rows, batch_format="pandas")
             .groupby("bucket").map_groups(cogroup,
                                           batch_format="pandas"))
+
+
+def forecast_revenue(sf_dir: str):
+    """One-row (revenue_q4) — TPC-H Q6 shape: the pure filtered scalar
+    aggregate (no join, no groupby). The shipdate window and quantity
+    predicates are PUSHED INTO THE PARQUET READ (``filter=`` → row-group
+    pruning; at 100 TB only qualifying row groups leave storage); the
+    discount band filters on the rounded integer percent so the engine
+    and the SQL oracle compare identical integers. Revenue is
+    Σ cents·disc_pct (units of 10^-4 dollars) folded from map-only
+    per-batch one-row partials — ZERO shuffles at any scale.
+    """
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    flt = ((pc.field("l_shipdate")
+            >= datetime.datetime(1996, 1, 1))
+           & (pc.field("l_shipdate")
+              < datetime.datetime(1997, 1, 1))
+           & (pc.field("l_quantity") < 24.0))
+    ds = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_extendedprice", "l_discount"],
+        filter=flt)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pct = np.floor(100.0 * df["l_discount"].to_numpy("float64")
+                       + 0.5).astype("int64")
+        cents = np.floor(100.0 * df["l_extendedprice"]
+                         .to_numpy("float64") + 0.5).astype("int64")
+        m = (pct >= 5) & (pct <= 7)
+        return pd.DataFrame({"rev": [int((cents[m] * pct[m]).sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"revenue_q4": [int(parts["rev"].sum())]})
+
+
+def small_qty_revenue(sf_dir: str, num_partitions=None):
+    """One-row (rev_per_year_cents) — TPC-H Q17 shape: the correlated
+    per-group FRACTION-of-average filter (quantity below 20% of the
+    part's own average), with the fraction multiplied out into pure
+    integers: qty < sum/(5n) ⇔ 5·qty·n < sum. Like above_avg_orders,
+    raw rows must meet their group's aggregate, so ONE hash(partkey)
+    exchange ships fixed-width (partkey, qty, cents) rows and each
+    bucket reduces to a single partial; the yearly average divides the
+    folded total by 7 in integer cents on both sides.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_partkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k,
+            "qty": df["l_quantity"].to_numpy("float64").astype("int64"),
+            "cents": np.floor(100.0 * df["l_extendedprice"]
+                              .to_numpy("float64") + 0.5).astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("k").agg(n=("qty", "size"), s=("qty", "sum"))
+        n = agg["n"].reindex(df["k"]).to_numpy("int64")
+        s = agg["s"].reindex(df["k"]).to_numpy("int64")
+        m = 5 * df["qty"].to_numpy("int64") * n < s
+        return pd.DataFrame(
+            {"rev": [int(df["cents"].to_numpy("int64")[m].sum())]})
+
+    parts = (li.map_batches(rows, batch_format="pandas")
+             .groupby("bucket").map_groups(cogroup, batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame(
+        {"rev_per_year_cents": [int(parts["rev"].sum()) // 7]})
+
+
+def order_count_distribution(sf_dir: str, num_partitions=None):
+    """(n_orders, n_customers) — TPC-H Q13 shape: the distribution of
+    customers by how many orders they placed, INCLUDING the zero-order
+    customers (the LEFT-JOIN half that a plain orders groupby misses).
+
+    Scale shape: orders pre-aggregate to per-custkey counts in-batch
+    (combiner — the exchange carries distinct customers, never order
+    rows); customer keys ride the same ONE hash(custkey) co-group where
+    missing counts zero-fill; each bucket emits its count-of-counts
+    partial, so the driver folds output-sized spectra (≤ max-orders-
+    per-customer rows per bucket), never customer rows.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+                                   columns=["o_custkey"])
+    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+                                     columns=["c_custkey"])
+
+    def o_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        k = g["o_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "n": g["size"].astype("int64"),
+            "is_c": np.int64(0),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "n": np.int64(0), "is_c": np.int64(1),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df[df["is_c"] == 0].groupby("k")["n"].sum()
+        cust = df[df["is_c"] == 1]["k"]
+        n = cnt.reindex(cust).fillna(0).astype("int64")
+        spec = n.value_counts()
+        return pd.DataFrame({
+            "n_orders": spec.index.to_numpy("int64"),
+            "n_customers": spec.to_numpy("int64")})
+
+    parts = (orders.map_batches(o_partial, batch_format="pandas")
+             .union(customer.map_batches(c_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(cogroup, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("n_orders", as_index=False)["n_customers"].sum()
+    return pd.DataFrame({
+        "n_orders": out["n_orders"].astype("int64"),
+        "n_customers": out["n_customers"].astype("int64")}) \
+        .sort_values("n_orders").reset_index(drop=True)

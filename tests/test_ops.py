@@ -3411,3 +3411,72 @@ class TestArrowIpcRoundtrip:
         assert list(out["text_md5"]) == want
         shards = glob.glob(_roundtrip_dir(SF, "ipc") + "/*.arrow")
         assert len(shards) >= 1
+
+
+class TestForecastRevenue:
+    def test_q6_replay(self, ray_session):
+        """Matches a local integer replay with the same predicates."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import forecast_revenue
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        pct = np.floor(100.0 * li["l_discount"] + 0.5).astype("int64")
+        cents = np.floor(
+            100.0 * li["l_extendedprice"] + 0.5).astype("int64")
+        m = ((li["l_shipdate"] >= "1996-01-01")
+             & (li["l_shipdate"] < "1997-01-01")
+             & (li["l_quantity"] < 24)
+             & (pct >= 5) & (pct <= 7))
+        want = int((cents[m] * pct[m]).sum())
+        out = forecast_revenue(SF)
+        assert int(out["revenue_q4"].iloc[0]) == want
+        assert want > 0  # the window actually selects rows at sf0.001
+
+
+class TestSmallQtyRevenue:
+    def test_q17_replay(self, ray_session):
+        """Matches a local replay of the multiplied-out fraction
+        filter; the filter strictly shrinks revenue."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgx.relational import small_qty_revenue
+
+        import pandas as pd
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        t = pd.DataFrame({
+            "k": li["l_partkey"].astype("int64"),
+            "qty": li["l_quantity"].astype("int64"),
+            "cents": np.floor(100.0 * li["l_extendedprice"] + 0.5)
+            .astype("int64")})
+        agg = t.groupby("k").agg(n=("qty", "size"), s=("qty", "sum"))
+        m = t.join(agg, on="k")
+        keep = 5 * m["qty"] * m["n"] < m["s"]
+        want = int(m["cents"][keep].sum()) // 7
+        out = small_qty_revenue(SF)
+        assert int(out["rev_per_year_cents"].iloc[0]) == want
+        assert keep.sum() < len(m)
+
+
+class TestOrderCountDistribution:
+    def test_q13_spectrum_identities(self, ray_session):
+        """Spectrum equals a local LEFT-JOIN replay; masses add up to
+        the customer count and the zero bucket equals the anti-join."""
+        import pyarrow.parquet as pq
+
+        from kgx.relational import order_count_distribution
+
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        c = pq.read_table(SF + "/customer.parquet").to_pandas()
+        cnt = o.groupby("o_custkey").size()
+        n = cnt.reindex(c["c_custkey"]).fillna(0).astype("int64")
+        want = n.value_counts().to_dict()
+        out = order_count_distribution(SF)
+        got = dict(zip(out["n_orders"], out["n_customers"]))
+        assert got == {int(k): int(v) for k, v in want.items()}
+        assert sum(got.values()) == len(c)
+        zero = len(set(c["c_custkey"]) - set(o["o_custkey"]))
+        assert got.get(0, 0) == zero
