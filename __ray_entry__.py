@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": relational.forecast_revenue,
         "small_qty_revenue": relational.small_qty_revenue,
         "order_count_distribution": relational.order_count_distribution,
+        "important_parts": relational.important_parts,
+        "ship_delay_priority": relational.ship_delay_priority,
+        "returned_top_customers": relational.returned_top_customers,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

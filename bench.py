@@ -264,6 +264,11 @@ def run_queries(sf_dir: str) -> dict:
             lambda: relational.small_qty_revenue(sf_dir),
         "order_count_distribution":
             lambda: relational.order_count_distribution(sf_dir),
+        "important_parts": lambda: relational.important_parts(sf_dir),
+        "ship_delay_priority":
+            lambda: relational.ship_delay_priority(sf_dir),
+        "returned_top_customers":
+            lambda: relational.returned_top_customers(sf_dir),
         "cumulative_users_by_day":
             lambda: events.cumulative_users_by_day(sf_dir),
         "table_checksums": lambda: relational.table_checksums(sf_dir),

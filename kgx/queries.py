@@ -3673,3 +3673,62 @@ SELECT CAST(n AS BIGINT) AS n_orders,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM c GROUP BY n
 """
+
+
+# TPC-H Q11 shape: per-part value with HAVING against a global scalar;
+# v·2000 > total rewritten v > total//2000 (int64-safe map-side)
+DOC_ORACLES["important_parts"] = """
+WITH v AS (
+  SELECT l_partkey AS k,
+         sum(CAST(l_quantity AS BIGINT) *
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT sum(v) AS total FROM v)
+SELECT v.k AS p_partkey, CAST(v.v AS BIGINT) AS value_cents
+FROM v, t WHERE v.v > t.total // 2000
+"""
+
+
+# TPC-H Q12 shape: per-line shipping-delay band × order priority;
+# the delay clamps at 0 BEFORE division so floor == truncate
+DOC_ORACLES["ship_delay_priority"] = """
+WITH j AS (
+  SELECT least(greatest(epoch_us(l.l_shipdate)
+                        - epoch_us(o.o_orderdate), 0)
+               // 86400000000 // 30, 4) AS band,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT CAST(band AS BIGINT) AS delay_band,
+       CAST(sum(hi) AS BIGINT) AS n_high_lines,
+       CAST(sum(1 - hi) AS BIGINT) AS n_low_lines
+FROM j GROUP BY band
+"""
+
+
+# TPC-H Q10 shape: returned-item revenue per customer in 1996 Q1,
+# global top-20 under the (rev DESC, custkey) total order
+DOC_ORACLES["returned_top_customers"] = """
+WITH r AS (
+  SELECT l_orderkey AS k,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+             (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+         AS rev
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+c AS (
+  SELECT o.o_custkey AS ck, sum(r.rev) AS rev
+  FROM r JOIN orders o ON o.o_orderkey = r.k
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o.o_custkey),
+ranked AS (
+  SELECT c.ck, c.rev, cu.c_name, cu.c_acctbal, cu.c_nationkey,
+         row_number() OVER (ORDER BY c.rev DESC, c.ck) AS rn
+  FROM c JOIN customer cu ON cu.c_custkey = c.ck)
+SELECT ck AS c_custkey, c_name,
+       CAST(rev AS BIGINT) AS rev_q4,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+       n.n_name
+FROM ranked JOIN nation n ON n.n_nationkey = ranked.c_nationkey
+WHERE rn <= 20
+"""

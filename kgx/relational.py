@@ -1623,3 +1623,263 @@ def order_count_distribution(sf_dir: str, num_partitions=None):
         "n_orders": out["n_orders"].astype("int64"),
         "n_customers": out["n_customers"].astype("int64")}) \
         .sort_values("n_orders").reset_index(drop=True)
+
+
+def important_parts(sf_dir: str, num_partitions=None):
+    """(p_partkey, value_cents) for parts whose lineitem value exceeds
+    1/2000 of the corpus total — TPC-H Q11 shape: HAVING against a
+    GLOBAL scalar aggregate. The output is bounded by construction
+    (≤ 2000 rows can each exceed total/2000), so the expensive side is
+    the per-part aggregate, not the filter.
+
+    Scale shape: per-batch per-part value partials (combiner) through
+    ONE hash(partkey) exchange give exact per-part values as a Dataset;
+    the global total folds from map-only one-row partials over that
+    part-sized aggregate (a second pass over parts, never line items);
+    the threshold broadcasts via closure into a map-side filter. The
+    v·2000 > total comparison is rewritten v > total//2000 so the
+    map-side compare stays in int64 at any corpus size.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(100.0 * df["l_extendedprice"]
+                         .to_numpy("float64") + 0.5).astype("int64")
+        qty = df["l_quantity"].to_numpy("float64").astype("int64")
+        t = pd.DataFrame({"k": df["l_partkey"].astype("int64"),
+                          "v": cents * qty})
+        g = t.groupby("k", as_index=False)["v"].sum()
+        return pd.DataFrame({
+            "k": g["k"], "v": g["v"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False)["v"].sum()
+        return pd.DataFrame({"k": g["k"].astype("int64"),
+                             "v": g["v"].astype("int64")})
+
+    values = (li.map_batches(partial, batch_format="pandas")
+              .groupby("bucket").map_groups(cogroup,
+                                            batch_format="pandas")
+              .materialize())
+    totals = values.map_batches(
+        lambda df: pd.DataFrame({"t": [int(df["v"].sum())]}),
+        batch_format="pandas").to_pandas()
+    thresh = int(totals["t"].sum()) // 2000
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["v"] > thresh]
+        return pd.DataFrame({"p_partkey": m["k"].astype("int64"),
+                             "value_cents": m["v"].astype("int64")})
+
+    return values.map_batches(keep, batch_format="pandas")
+
+
+def ship_delay_priority(sf_dir: str, num_partitions=None):
+    """(delay_band, n_high_lines, n_low_lines) — TPC-H Q12 shape
+    (lineitem ⋈ orders with the measure split by order priority),
+    banded by shipping delay: band = min(max(days,0)//30, 4), where
+    days = (l_shipdate − o_orderdate) in whole days. Clamping at 0
+    BEFORE the division keeps numpy floor-division and SQL truncating
+    division identical.
+
+    Scale shape: ONE hash(orderkey) co-group — lineitem ships
+    fixed-width (orderkey, ship_us) rows (per-line delays can't
+    pre-aggregate), orders ship (orderkey, order_us, hi_flag); each
+    bucket merges vectorized and emits a ≤ 5×2-cell crosstab partial;
+    the driver folds band-count partials (output-sized).
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+                               columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    DAY_US = 86400 * 10**6
+
+    def l_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k,
+            "us": df["l_shipdate"].astype("datetime64[us]")
+            .astype("int64"),
+            "hi": np.int8(-1),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k,
+            "us": df["o_orderdate"].astype("datetime64[us]")
+            .astype("int64"),
+            "hi": df["o_orderpriority"]
+            .isin(["1-URGENT", "2-HIGH"]).astype("int8"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df[df["hi"] < 0][["k", "us"]]
+        ords = df[df["hi"] >= 0][["k", "us", "hi"]] \
+            .rename(columns={"us": "ous"})
+        m = lines.merge(ords, on="k", how="inner")
+        delta = np.maximum(
+            m["us"].to_numpy("int64") - m["ous"].to_numpy("int64"), 0)
+        band = np.minimum(delta // DAY_US // 30, 4)
+        hi = m["hi"].to_numpy("int64")
+        t = pd.DataFrame({"band": band, "hi": hi})
+        g = t.groupby("band", as_index=False).agg(
+            n_hi=("hi", "sum"), n=("hi", "size"))
+        return pd.DataFrame({
+            "band": g["band"].astype("int64"),
+            "n_hi": g["n_hi"].astype("int64"),
+            "n_lo": (g["n"] - g["n_hi"]).astype("int64")})
+
+    parts = (li.map_batches(l_rows, batch_format="pandas")
+             .union(orders.map_batches(o_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(cogroup,
+                                           batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("band", as_index=False).sum()
+    return pd.DataFrame({
+        "delay_band": g["band"].astype("int64"),
+        "n_high_lines": g["n_hi"].astype("int64"),
+        "n_low_lines": g["n_lo"].astype("int64")}) \
+        .sort_values("delay_band").reset_index(drop=True)
+
+
+def returned_top_customers(sf_dir: str, num_partitions=None, k: int = 20):
+    """Top-20 customers by returned-item revenue in 1996 Q1 — TPC-H
+    Q10 shape: fact filter ⋈ orders (date window pushed into the
+    parquet read) ⋈ customer ⋈ nation, global top-k. Revenue is exact
+    integer units cents·(100−disc%); the (rev DESC, c_custkey) total
+    order makes the top-k deterministic.
+
+    Scale shape: lineitem filters returnflag='R' map-side and
+    pre-aggregates revenue per orderkey in-batch (combiner); a
+    hash(orderkey) co-group with the date-filtered orders re-keys
+    revenue to custkey (combined again); a second hash(custkey)
+    co-group attaches the customer row and emits a per-BUCKET top-k
+    partial, so the driver folds nparts·k candidate rows; nation (25
+    rows) broadcasts via closure.
+    """
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    nt = pq.read_table("%s/nation.parquet" % sf_dir,
+                       columns=["n_nationkey", "n_name"])
+    nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
+                          nt.column("n_name").to_pylist()))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+    orders = ray.data.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_custkey"],
+        filter=((pc.field("o_orderdate")
+                 >= datetime.datetime(1996, 1, 1))
+                & (pc.field("o_orderdate")
+                   < datetime.datetime(1996, 4, 1))))
+    customer = ray.data.read_parquet(
+        "%s/customer.parquet" % sf_dir,
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        cents = np.floor(100.0 * df["l_extendedprice"]
+                         .to_numpy("float64") + 0.5).astype("int64")
+        disc = np.floor(100.0 * df["l_discount"].to_numpy("float64")
+                        + 0.5).astype("int64")
+        t = pd.DataFrame({"k": df["l_orderkey"].astype("int64"),
+                          "rev": cents * (100 - disc)})
+        g = t.groupby("k", as_index=False)["rev"].sum()
+        return pd.DataFrame({
+            "k": g["k"], "rev": g["rev"].astype("int64"),
+            "ck": np.int64(-1),
+            "bucket": (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")})
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "rev": np.int64(0),
+            "ck": df["o_custkey"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def to_cust(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df[df["ck"] < 0].groupby("k", as_index=False)["rev"].sum()
+        ords = df[df["ck"] >= 0][["k", "ck"]]
+        m = rev.merge(ords, on="k", how="inner")
+        g = m.groupby("ck", as_index=False)["rev"].sum()
+        k = g["ck"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "rev": g["rev"].astype("int64"),
+            "nk": np.int64(-1), "bal": np.int64(0),
+            "name": "",
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "rev": np.int64(0),
+            "nk": df["c_nationkey"].astype("int64"),
+            "bal": np.floor(100.0 * df["c_acctbal"]
+                            .to_numpy("float64") + 0.5).astype("int64"),
+            "name": df["c_name"].astype(str),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df[df["nk"] < 0].groupby("k", as_index=False)["rev"].sum()
+        cust = df[df["nk"] >= 0][["k", "nk", "bal", "name"]]
+        m = rev.merge(cust, on="k", how="inner")
+        m = m.sort_values(["rev", "k"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "c_custkey": m["k"].astype("int64"),
+            "c_name": m["name"].astype(str),
+            "rev_q4": m["rev"].astype("int64"),
+            "acctbal_cents": m["bal"].astype("int64"),
+            "n_name": m["nk"].map(nation_map).astype(str)})
+
+    cust_rev = (li.map_batches(li_partial, batch_format="pandas")
+                .union(orders.map_batches(o_rows, batch_format="pandas"))
+                .groupby("bucket").map_groups(to_cust,
+                                              batch_format="pandas"))
+    cand = (cust_rev
+            .union(customer.map_batches(c_rows, batch_format="pandas"))
+            .groupby("bucket").map_groups(topk_partial,
+                                          batch_format="pandas")
+            .to_pandas())
+    return cand.sort_values(["rev_q4", "c_custkey"],
+                            ascending=[False, True]).head(k) \
+        .reset_index(drop=True)

@@ -3480,3 +3480,90 @@ class TestOrderCountDistribution:
         assert sum(got.values()) == len(c)
         zero = len(set(c["c_custkey"]) - set(o["o_custkey"]))
         assert got.get(0, 0) == zero
+
+
+class TestImportantParts:
+    def test_q11_global_threshold_replay(self, ray_session):
+        """Survivors equal a local replay of v > total//2000 and the
+        output is bounded by 2000 rows by construction."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import important_parts
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        v = pd.DataFrame({
+            "k": li["l_partkey"].astype("int64"),
+            "v": (np.floor(100.0 * li["l_extendedprice"] + 0.5)
+                  .astype("int64")
+                  * li["l_quantity"].astype("int64"))})
+        agg = v.groupby("k")["v"].sum()
+        want = agg[agg > int(agg.sum()) // 2000]
+        out = important_parts(SF).to_pandas()
+        got = dict(zip(out["p_partkey"], out["value_cents"]))
+        assert got == {int(k): int(x) for k, x in want.items()}
+        assert len(out) <= 2000
+
+
+class TestShipDelayPriority:
+    def test_q12_band_replay(self, ray_session):
+        """Band × priority counts equal a local merge replay, and the
+        line mass is conserved."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import ship_delay_priority
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        m = li[["l_orderkey", "l_shipdate"]].merge(
+            o[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+            left_on="l_orderkey", right_on="o_orderkey")
+        d_us = (m["l_shipdate"].astype("datetime64[us]").astype("int64")
+                - m["o_orderdate"].astype("datetime64[us]")
+                .astype("int64"))
+        band = np.minimum(np.maximum(d_us, 0) // (86400 * 10**6) // 30,
+                          4)
+        hi = m["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        want = pd.crosstab(band, hi)
+        out = ship_delay_priority(SF)
+        for _, r in out.iterrows():
+            b = int(r["delay_band"])
+            w_hi = int(want.loc[b, True]) if True in want.columns else 0
+            w_lo = int(want.loc[b, False]) if False in want.columns else 0
+            assert int(r["n_high_lines"]) == w_hi
+            assert int(r["n_low_lines"]) == w_lo
+        assert int(out["n_high_lines"].sum()
+                   + out["n_low_lines"].sum()) == len(li)
+
+
+class TestReturnedTopCustomers:
+    def test_q10_topk_replay(self, ray_session):
+        """Top-20 equals a local replay under the (rev DESC, custkey)
+        total order; output is exactly k rows and sorted."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import returned_top_customers
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        r = li[li["l_returnflag"] == "R"].copy()
+        rev = (np.floor(100.0 * r["l_extendedprice"] + 0.5)
+               .astype("int64")
+               * (100 - np.floor(100.0 * r["l_discount"] + 0.5)
+                  .astype("int64")))
+        t = pd.DataFrame({"k": r["l_orderkey"].astype("int64"),
+                          "rev": rev})
+        ok = o[(o["o_orderdate"] >= "1996-01-01")
+               & (o["o_orderdate"] < "1996-04-01")]
+        m = t.merge(ok[["o_orderkey", "o_custkey"]],
+                    left_on="k", right_on="o_orderkey")
+        cr = m.groupby("o_custkey")["rev"].sum().reset_index()
+        cr = cr.sort_values(["rev", "o_custkey"],
+                            ascending=[False, True]).head(20)
+        out = returned_top_customers(SF)
+        assert list(out["c_custkey"]) == list(cr["o_custkey"])
+        assert list(out["rev_q4"]) == list(cr["rev"])
+        assert len(out) == 20
+        assert (out["rev_q4"].diff().dropna() <= 0).all()
