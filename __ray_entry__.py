@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": relational.important_parts,
         "ship_delay_priority": relational.ship_delay_priority,
         "returned_top_customers": relational.returned_top_customers,
+        "volume_shipping": relational.volume_shipping,
+        "promo_part_suppliers": relational.promo_part_suppliers,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -269,6 +269,9 @@ def run_queries(sf_dir: str) -> dict:
             lambda: relational.ship_delay_priority(sf_dir),
         "returned_top_customers":
             lambda: relational.returned_top_customers(sf_dir),
+        "volume_shipping": lambda: relational.volume_shipping(sf_dir),
+        "promo_part_suppliers":
+            lambda: relational.promo_part_suppliers(sf_dir),
         "cumulative_users_by_day":
             lambda: events.cumulative_users_by_day(sf_dir),
         "table_checksums": lambda: relational.table_checksums(sf_dir),

@@ -3732,3 +3732,52 @@ SELECT ck AS c_custkey, c_name,
 FROM ranked JOIN nation n ON n.n_nationkey = ranked.c_nationkey
 WHERE rn <= 20
 """
+
+
+# TPC-H Q7 shape: two-nation shipping volume by ship year, both
+# directions, same-nation pairs excluded; the nation pair derives from
+# the supplier dimension (two smallest nation keys) on both sides
+DOC_ORACLES["volume_shipping"] = """
+WITH nats AS (
+  SELECT DISTINCT s_nationkey AS nk FROM supplier
+  ORDER BY nk LIMIT 2),
+l AS (
+  SELECT l_orderkey AS k, s.s_nationkey AS snat,
+         CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+         (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+  FROM lineitem
+  JOIN supplier s ON s.s_suppkey = l_suppkey
+  WHERE s.s_nationkey IN (SELECT nk FROM nats)
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'),
+j AS (
+  SELECT c.c_nationkey AS cnat, l.snat, l.yr, l.rev
+  FROM l JOIN orders o ON o.o_orderkey = l.k
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_nationkey IN (SELECT nk FROM nats)
+    AND c.c_nationkey != l.snat)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       yr AS l_year, CAST(sum(rev) AS BIGINT) AS revenue_q4
+FROM j JOIN nation n1 ON n1.n_nationkey = j.snat
+       JOIN nation n2 ON n2.n_nationkey = j.cnat
+GROUP BY n1.n_name, n2.n_name, yr
+"""
+
+
+# TPC-H Q20 shape: suppliers who shipped more than a TENTH of a PROMO
+# part's total quantity (10·q > total, pure integers)
+DOC_ORACLES["promo_part_suppliers"] = """
+WITH lq AS (
+  SELECT l_partkey AS k, l_suppkey AS s,
+         sum(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+tot AS (SELECT k, sum(q) AS tq FROM lq GROUP BY k),
+win AS (
+  SELECT DISTINCT lq.s
+  FROM lq JOIN tot ON tot.k = lq.k
+  JOIN part p ON p.p_partkey = lq.k
+  WHERE p.p_type = 'PROMO' AND 10 * lq.q > tot.tq)
+SELECT win.s AS s_suppkey, su.s_name
+FROM win JOIN supplier su ON su.s_suppkey = win.s
+"""

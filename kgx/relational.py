@@ -1883,3 +1883,225 @@ def returned_top_customers(sf_dir: str, num_partitions=None, k: int = 20):
     return cand.sort_values(["rev_q4", "c_custkey"],
                             ascending=[False, True]).head(k) \
         .reset_index(drop=True)
+
+
+def volume_shipping(sf_dir: str, num_partitions=None):
+    """(supp_nation, cust_nation, l_year, revenue_q4) — TPC-H Q7
+    shape: revenue shipped between two nations (supplier side vs
+    customer side, both directions, excluding same-nation), by ship
+    year. The nation pair is data-derived deterministically (the two
+    smallest nation keys present in the supplier dimension — the SQL
+    oracle derives the same pair); revenue in exact integer units
+    cents·(100−disc%).
+
+    Scale shape: the shipdate window pushes into the parquet read; the
+    two-nation supplier subset (2/25 of a dimension table) is captured
+    as sorted searchsorted arrays in the map closure — lineitems from
+    other suppliers never enter the pipeline; revenue pre-aggregates
+    per (orderkey, s_nation, year) in-batch (combiner) → hash(orderkey)
+    co-group attaches custkey → re-combined per (custkey, …) →
+    hash(custkey) co-group attaches the customer nation; the driver
+    folds ≤ 2·2·|years| cells per bucket. Two all-to-alls total, both
+    over combiner-shrunk rows.
+    """
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    nt = pq.read_table("%s/nation.parquet" % sf_dir,
+                       columns=["n_nationkey", "n_name"])
+    nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
+                          nt.column("n_name").to_pylist()))
+    st = pq.read_table("%s/supplier.parquet" % sf_dir,
+                       columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat_pair = sorted(set(st["s_nationkey"].astype(int)))[:2]
+    NAT_A, NAT_B = nat_pair[0], nat_pair[-1]
+    st = st[st["s_nationkey"].isin([NAT_A, NAT_B])] \
+        .sort_values("s_suppkey")
+    s_keys = st["s_suppkey"].to_numpy("int64")
+    s_nats = st["s_nationkey"].to_numpy("int64")
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate")
+                 >= datetime.datetime(1995, 1, 1))
+                & (pc.field("l_shipdate")
+                   < datetime.datetime(1997, 1, 1))))
+    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+                                   columns=["o_orderkey", "o_custkey"])
+    customer = ray.data.read_parquet(
+        "%s/customer.parquet" % sf_dir,
+        columns=["c_custkey", "c_nationkey"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["l_suppkey"].to_numpy("int64")
+        pos = np.searchsorted(s_keys, sk)
+        pos = np.minimum(pos, len(s_keys) - 1)
+        hit = s_keys[pos] == sk
+        df = df[hit]
+        snat = s_nats[pos[hit]]
+        cents = np.floor(100.0 * df["l_extendedprice"]
+                         .to_numpy("float64") + 0.5).astype("int64")
+        disc = np.floor(100.0 * df["l_discount"].to_numpy("float64")
+                        + 0.5).astype("int64")
+        yr = (df["l_shipdate"].to_numpy()
+              .astype("datetime64[Y]").astype("int64") + 1970)
+        t = pd.DataFrame({"k": df["l_orderkey"].astype("int64"),
+                          "snat": snat, "yr": yr,
+                          "rev": cents * (100 - disc)})
+        g = t.groupby(["k", "snat", "yr"], as_index=False)["rev"].sum()
+        return pd.DataFrame({
+            "k": g["k"].astype("int64"),
+            "snat": g["snat"].astype("int64"),
+            "yr": g["yr"].astype("int64"),
+            "rev": g["rev"].astype("int64"), "ck": np.int64(-1),
+            "bucket": (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")})
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "snat": np.int64(0), "yr": np.int64(0),
+            "rev": np.int64(0),
+            "ck": df["o_custkey"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def to_cust(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df[df["ck"] < 0][["k", "snat", "yr", "rev"]]
+        ords = df[df["ck"] >= 0][["k", "ck"]]
+        m = rev.merge(ords, on="k", how="inner")
+        g = m.groupby(["ck", "snat", "yr"], as_index=False)["rev"].sum()
+        k = g["ck"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "snat": g["snat"].astype("int64"),
+            "yr": g["yr"].astype("int64"),
+            "rev": g["rev"].astype("int64"), "cnat": np.int64(-1),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].isin([NAT_A, NAT_B])]
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "snat": np.int64(0), "yr": np.int64(0),
+            "rev": np.int64(0),
+            "cnat": df["c_nationkey"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def pair_cells(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df[df["cnat"] < 0][["k", "snat", "yr", "rev"]]
+        cust = df[df["cnat"] >= 0][["k", "cnat"]]
+        m = rev.merge(cust, on="k", how="inner")
+        m = m[m["snat"] != m["cnat"]]
+        g = m.groupby(["snat", "cnat", "yr"], as_index=False)["rev"] \
+            .sum()
+        return pd.DataFrame({
+            "snat": g["snat"].astype("int64"),
+            "cnat": g["cnat"].astype("int64"),
+            "yr": g["yr"].astype("int64"),
+            "rev": g["rev"].astype("int64")})
+
+    cells = (li.map_batches(li_partial, batch_format="pandas")
+             .union(orders.map_batches(o_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(to_cust,
+                                           batch_format="pandas")
+             .union(customer.map_batches(c_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(pair_cells,
+                                           batch_format="pandas")
+             .to_pandas())
+    g = cells.groupby(["snat", "cnat", "yr"], as_index=False)["rev"] \
+        .sum()
+    return pd.DataFrame({
+        "supp_nation": g["snat"].map(nation_map).astype(str),
+        "cust_nation": g["cnat"].map(nation_map).astype(str),
+        "l_year": g["yr"].astype("int64"),
+        "revenue_q4": g["rev"].astype("int64")}) \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def promo_part_suppliers(sf_dir: str, num_partitions=None):
+    """(s_suppkey, s_name) — TPC-H Q20 shape: the per-group
+    MAJORITY-CONTRIBUTOR semi-join. Suppliers who shipped more than
+    a tenth of some PROMO-type part's total quantity (10·q > total in
+    pure integers — parts spread across the supplier dimension make
+    stricter majorities empty on this generator).
+
+    Scale shape: lineitem pre-aggregates quantity per (partkey,
+    suppkey) in-batch (combiner); part ships (partkey, is_promo)
+    flags; ONE hash(partkey) co-group computes per-part totals and the
+    majority test in place, emitting per-bucket DISTINCT suppkeys
+    (bounded by the supplier dimension); the driver dedups the union
+    and probes the supplier dimension for names.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    st = pq.read_table("%s/supplier.parquet" % sf_dir,
+                       columns=["s_suppkey", "s_name"]).to_pandas()
+    name_map = dict(zip(st["s_suppkey"].astype("int64"),
+                        st["s_name"].astype(str)))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_partkey", "l_suppkey", "l_quantity"])
+    part = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+                                 columns=["p_partkey", "p_type"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "k": df["l_partkey"].astype("int64"),
+            "s": df["l_suppkey"].astype("int64"),
+            "q": df["l_quantity"].to_numpy("float64").astype("int64")})
+        g = t.groupby(["k", "s"], as_index=False)["q"].sum()
+        return pd.DataFrame({
+            "k": g["k"], "s": g["s"], "q": g["q"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")})
+
+    def p_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["p_partkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "s": np.int64(-1),
+            "q": (df["p_type"] == "PROMO").astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        lq = df[df["s"] >= 0].groupby(["k", "s"],
+                                      as_index=False)["q"].sum()
+        promo = set(df.loc[(df["s"] < 0) & (df["q"] == 1), "k"]
+                    .astype("int64"))
+        tot = lq.groupby("k")["q"].sum()
+        t = tot.reindex(lq["k"]).to_numpy("int64")
+        win = lq[(10 * lq["q"].to_numpy("int64") > t)
+                 & lq["k"].isin(promo)]
+        return pd.DataFrame(
+            {"s": np.unique(win["s"].to_numpy("int64"))})
+
+    parts = (li.map_batches(li_partial, batch_format="pandas")
+             .union(part.map_batches(p_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(cogroup,
+                                           batch_format="pandas")
+             .to_pandas())
+    sk = np.unique(parts["s"].to_numpy("int64")) if len(parts) else \
+        np.array([], dtype="int64")
+    return pd.DataFrame({
+        "s_suppkey": sk,
+        "s_name": pd.Series(sk).map(name_map).astype(str)})

@@ -3567,3 +3567,76 @@ class TestReturnedTopCustomers:
         assert list(out["rev_q4"]) == list(cr["rev"])
         assert len(out) == 20
         assert (out["rev_q4"].diff().dropna() <= 0).all()
+
+
+class TestVolumeShipping:
+    def test_q7_replay_and_symmetry(self, ray_session):
+        """Cells equal a local three-way-join replay; both directions
+        of the nation pair appear and same-nation cells are excluded."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import volume_shipping
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        c = pq.read_table(SF + "/customer.parquet").to_pandas()
+        s = pq.read_table(SF + "/supplier.parquet").to_pandas()
+        n = pq.read_table(SF + "/nation.parquet").to_pandas()
+        pair = sorted(set(s["s_nationkey"].astype(int)))[:2]
+        li = li[(li["l_shipdate"] >= "1995-01-01")
+                & (li["l_shipdate"] < "1997-01-01")]
+        m = (li.merge(s[["s_suppkey", "s_nationkey"]],
+                      left_on="l_suppkey", right_on="s_suppkey")
+             .merge(o[["o_orderkey", "o_custkey"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+             .merge(c[["c_custkey", "c_nationkey"]],
+                    left_on="o_custkey", right_on="c_custkey"))
+        m = m[m["s_nationkey"].isin(pair) & m["c_nationkey"].isin(pair)
+              & (m["s_nationkey"] != m["c_nationkey"])]
+        rev = (np.floor(100.0 * m["l_extendedprice"] + 0.5)
+               .astype("int64")
+               * (100 - np.floor(100.0 * m["l_discount"] + 0.5)
+                  .astype("int64")))
+        yr = m["l_shipdate"].dt.year.astype("int64")
+        nm = dict(zip(n["n_nationkey"], n["n_name"]))
+        want = (pd.DataFrame({
+            "supp_nation": m["s_nationkey"].map(nm),
+            "cust_nation": m["c_nationkey"].map(nm),
+            "l_year": yr, "rev": rev})
+            .groupby(["supp_nation", "cust_nation", "l_year"])["rev"]
+            .sum())
+        out = volume_shipping(SF)
+        got = {(r["supp_nation"], r["cust_nation"], int(r["l_year"])):
+               int(r["revenue_q4"]) for _, r in out.iterrows()}
+        assert got == {k: int(v) for k, v in want.items()}
+        dirs = set(zip(out["supp_nation"], out["cust_nation"]))
+        assert len(dirs) == 2  # both directions, no same-nation cells
+
+
+class TestPromoPartSuppliers:
+    def test_q20_threshold_replay(self, ray_session):
+        """Winners equal a local replay of the 10%-of-part-total rule
+        restricted to PROMO parts."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import promo_part_suppliers
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        p = pq.read_table(SF + "/part.parquet").to_pandas()
+        s = pq.read_table(SF + "/supplier.parquet").to_pandas()
+        lq = (pd.DataFrame({
+            "k": li["l_partkey"], "s": li["l_suppkey"],
+            "q": li["l_quantity"].astype("int64")})
+            .groupby(["k", "s"], as_index=False)["q"].sum())
+        tot = lq.groupby("k")["q"].sum()
+        promo = set(p.loc[p["p_type"] == "PROMO", "p_partkey"])
+        t = tot.reindex(lq["k"]).to_numpy()
+        win = lq[(10 * lq["q"] > t) & lq["k"].isin(promo)]
+        want = sorted(set(win["s"].astype(int)))
+        out = promo_part_suppliers(SF)
+        assert list(out["s_suppkey"]) == want
+        nm = dict(zip(s["s_suppkey"], s["s_name"]))
+        assert list(out["s_name"]) == [nm[k] for k in want]
+        assert len(want) > 0  # non-vacuous at sf0.001
