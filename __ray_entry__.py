@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_top_customers": relational.returned_top_customers,
         "volume_shipping": relational.volume_shipping,
         "promo_part_suppliers": relational.promo_part_suppliers,
+        "market_share": relational.market_share,
+        "product_profit": relational.product_profit,
+        "brand_qty_revenue": relational.brand_qty_revenue,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -272,6 +272,10 @@ def run_queries(sf_dir: str) -> dict:
         "volume_shipping": lambda: relational.volume_shipping(sf_dir),
         "promo_part_suppliers":
             lambda: relational.promo_part_suppliers(sf_dir),
+        "market_share": lambda: relational.market_share(sf_dir),
+        "product_profit": lambda: relational.product_profit(sf_dir),
+        "brand_qty_revenue":
+            lambda: relational.brand_qty_revenue(sf_dir),
         "cumulative_users_by_day":
             lambda: events.cumulative_users_by_day(sf_dir),
         "table_checksums": lambda: relational.table_checksums(sf_dir),

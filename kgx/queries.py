@@ -3781,3 +3781,76 @@ win AS (
 SELECT win.s AS s_suppkey, su.s_name
 FROM win JOIN supplier su ON su.s_suppkey = win.s
 """
+
+
+# TPC-H Q8 shape: one nation's market share within its own region's
+# customer orders for one part type, by order year; the nation derives
+# from the supplier dimension (min nation key) on both sides.
+# share_ppm = 10^6·nation // total in exact integer arithmetic (both
+# sums are HUGEINT here, Python bigints engine-side).
+DOC_ORACLES["market_share"] = """
+WITH nat AS (SELECT min(s_nationkey) AS nk FROM supplier),
+reg AS (SELECT n_regionkey AS rk FROM nation
+        WHERE n_nationkey = (SELECT nk FROM nat)),
+j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+         (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+         AS rev,
+         CASE WHEN s.s_nationkey = (SELECT nk FROM nat)
+              THEN 1 ELSE 0 END AS isnat
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND cn.n_regionkey = (SELECT rk FROM reg))
+SELECT yr AS o_year, CAST(sum(rev) AS BIGINT) AS total_q4,
+       CAST(sum(rev * isnat) AS BIGINT) AS nation_q4,
+       CAST(CASE WHEN sum(rev) > 0
+                 THEN (1000000 * sum(rev * isnat)) // sum(rev)
+                 ELSE 0 END AS BIGINT) AS share_ppm
+FROM j GROUP BY yr
+"""
+
+
+# TPC-H Q9 shape: profit by supplier nation and order year over parts
+# whose name contains a substring; no partsupp table in this corpus,
+# so unit cost = the part's retail price on BOTH sides. profit can go
+# negative — plain int64 on both sides.
+DOC_ORACLES["product_profit"] = """
+WITH j AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+         (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+         - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) * 100 *
+           CAST(l.l_quantity AS BIGINT) AS profit
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+             AND p.p_name LIKE '%gear%'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT n_name, yr AS o_year, CAST(sum(profit) AS BIGINT) AS profit_q4
+FROM j GROUP BY n_name, yr
+"""
+
+
+# TPC-H Q19 shape: one scalar revenue over a disjunction of correlated
+# (brand, size, quantity) predicate bands
+DOC_ORACLES["brand_qty_revenue"] = """
+SELECT CAST(COALESCE(sum(
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+         (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))), 0)
+       AS BIGINT) AS revenue_q4
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""

@@ -2105,3 +2105,378 @@ def promo_part_suppliers(sf_dir: str, num_partitions=None):
     return pd.DataFrame({
         "s_suppkey": sk,
         "s_name": pd.Series(sk).map(name_map).astype(str)})
+
+
+def market_share(sf_dir: str, ptype: str = "ECONOMY",
+                 num_partitions=None):
+    """(o_year, total_q4, nation_q4, share_ppm) — TPC-H Q8 shape: the
+    market share of one nation's suppliers within a region's customer
+    orders for one part type, by order year. The nation is
+    data-derived deterministically (smallest nation key in the
+    supplier dimension — the SQL oracle derives the same), the region
+    is that nation's own region. share_ppm = 1000000·nation_q4 //
+    total_q4 stays in exact integer arithmetic (both engines truncate
+    a non-negative quotient identically).
+
+    Scale shape: the order-date window pushes into the orders read;
+    the one-nation supplier subset (1/25 of a dimension) is a
+    searchsorted closure flagging lineitems map-side (ray.put the
+    arrays on a real cluster); three combiner-fed co-groups chain
+    hash(partkey) → hash(orderkey) → hash(custkey), each over rows
+    pre-shrunk by the previous reduce; the driver folds ≤ |years|
+    cells per bucket. Every exchange row is fixed-width int64.
+    """
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    st = pq.read_table("%s/supplier.parquet" % sf_dir,
+                       columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    NAT = int(st["s_nationkey"].min())
+    sub = st[st["s_nationkey"] == NAT].sort_values("s_suppkey")
+    s_keys = sub["s_suppkey"].to_numpy("int64")
+    nt = pq.read_table("%s/nation.parquet" % sf_dir,
+                       columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    REG = int(nt.loc[nt["n_nationkey"] == NAT, "n_regionkey"].iloc[0])
+    region_nations = set(
+        nt.loc[nt["n_regionkey"] == REG, "n_nationkey"].astype(int))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+                                 columns=["p_partkey", "p_type"])
+    orders = ray.data.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate")
+                 >= datetime.datetime(1996, 1, 1))
+                & (pc.field("o_orderdate")
+                   < datetime.datetime(1998, 1, 1))))
+    customer = ray.data.read_parquet(
+        "%s/customer.parquet" % sf_dir,
+        columns=["c_custkey", "c_nationkey"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["l_suppkey"].to_numpy("int64")
+        pos = np.searchsorted(s_keys, sk)
+        pos = np.minimum(pos, max(len(s_keys) - 1, 0))
+        is_nat = (s_keys[pos] == sk) if len(s_keys) else \
+            np.zeros(len(df), dtype=bool)
+        cents = np.floor(100.0 * df["l_extendedprice"]
+                         .to_numpy("float64") + 0.5).astype("int64")
+        disc = np.floor(100.0 * df["l_discount"].to_numpy("float64")
+                        + 0.5).astype("int64")
+        rev = cents * (100 - disc)
+        t = pd.DataFrame({"k": df["l_partkey"].astype("int64"),
+                          "ok": df["l_orderkey"].astype("int64"),
+                          "rev": rev,
+                          "nrev": np.where(is_nat, rev, 0)})
+        g = t.groupby(["k", "ok"], as_index=False)[["rev", "nrev"]] \
+            .sum()
+        g["bucket"] = (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")
+        return g
+
+    def p_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["p_type"] == ptype]
+        k = df["p_partkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "ok": np.int64(-1), "rev": np.int64(0),
+            "nrev": np.int64(0),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def to_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep = set(df.loc[df["ok"] < 0, "k"].astype("int64"))
+        li = df[df["ok"] >= 0]
+        li = li[li["k"].isin(keep)]
+        g = li.groupby("ok", as_index=False)[["rev", "nrev"]].sum()
+        g = g.rename(columns={"ok": "k"})
+        g["ck"] = np.int64(-1)
+        g["yr"] = np.int64(0)
+        g["bucket"] = (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")
+        return g[["k", "rev", "nrev", "ck", "yr", "bucket"]]
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        yr = (df["o_orderdate"].to_numpy()
+              .astype("datetime64[Y]").astype("int64") + 1970)
+        return pd.DataFrame({
+            "k": k, "rev": np.int64(0), "nrev": np.int64(0),
+            "ck": df["o_custkey"].astype("int64"), "yr": yr,
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def to_cust(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df[df["ck"] < 0][["k", "rev", "nrev"]]
+        ords = df[df["ck"] >= 0][["k", "ck", "yr"]]
+        m = rev.merge(ords, on="k", how="inner")
+        g = m.groupby(["ck", "yr"], as_index=False)[["rev", "nrev"]] \
+            .sum()
+        g = g.rename(columns={"ck": "k"})
+        g["flag"] = np.int64(0)
+        g["bucket"] = (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")
+        return g[["k", "yr", "rev", "nrev", "flag", "bucket"]]
+
+    def c_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"].astype(int).isin(region_nations)]
+        k = df["c_custkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "yr": np.int64(0), "rev": np.int64(0),
+            "nrev": np.int64(0), "flag": np.int64(1),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def year_cells(df: pd.DataFrame) -> pd.DataFrame:
+        keep = set(df.loc[df["flag"] == 1, "k"].astype("int64"))
+        rev = df[df["flag"] == 0]
+        rev = rev[rev["k"].isin(keep)]
+        g = rev.groupby("yr", as_index=False)[["rev", "nrev"]].sum()
+        return g[["yr", "rev", "nrev"]]
+
+    cells = (li.map_batches(li_partial, batch_format="pandas")
+             .union(part.map_batches(p_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(to_orders,
+                                           batch_format="pandas")
+             .union(orders.map_batches(o_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(to_cust,
+                                           batch_format="pandas")
+             .union(customer.map_batches(c_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(year_cells,
+                                           batch_format="pandas")
+             .to_pandas())
+    g = cells.groupby("yr", as_index=False)[["rev", "nrev"]].sum()
+    tot = g["rev"].to_numpy("int64")
+    nat = g["nrev"].to_numpy("int64")
+    # ppm ratio in Python bigints: 10^6·nation_q4 can overflow int64
+    # at large scale factors (DuckDB's HUGEINT sum never does)
+    ppm = [(1000000 * int(n)) // int(t) if t > 0 else 0
+           for n, t in zip(nat, tot)]
+    return pd.DataFrame({
+        "o_year": g["yr"].astype("int64"),
+        "total_q4": tot, "nation_q4": nat,
+        "share_ppm": pd.Series(ppm, dtype="int64")}) \
+        .sort_values("o_year").reset_index(drop=True)
+
+
+def product_profit(sf_dir: str, name_sub: str = "gear",
+                   num_partitions=None):
+    """(n_name, o_year, profit_q4) — TPC-H Q9 shape: profit by the
+    SUPPLIER's nation and order year over parts whose name contains a
+    substring. This corpus has no partsupp table, so unit cost is the
+    part's retail price (the same substitution on both engine and
+    oracle sides): per line item profit_q4 = cents·(100−disc) −
+    retail_cents·100·qty, an exact (possibly negative) int64.
+
+    Scale shape: the supplier→nation map is a searchsorted closure
+    (dimension-sized; ray.put on a real cluster); lineitem combines
+    per (partkey, orderkey, nation) in-batch; hash(partkey) co-group
+    attaches the name filter + retail cents; hash(orderkey) co-group
+    attaches the order year; the driver folds ≤ 25·|years| cells per
+    bucket. Two all-to-alls, both combiner-shrunk.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    st = pq.read_table("%s/supplier.parquet" % sf_dir,
+                       columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    st = st.sort_values("s_suppkey")
+    s_keys = st["s_suppkey"].to_numpy("int64")
+    s_nats = st["s_nationkey"].to_numpy("int64")
+    nt = pq.read_table("%s/nation.parquet" % sf_dir,
+                       columns=["n_nationkey", "n_name"])
+    nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
+                          nt.column("n_name").to_pylist()))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet(
+        "%s/part.parquet" % sf_dir,
+        columns=["p_partkey", "p_name", "p_retailprice"])
+    orders = ray.data.read_parquet(
+        "%s/orders.parquet" % sf_dir,
+        columns=["o_orderkey", "o_orderdate"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["l_suppkey"].to_numpy("int64")
+        pos = np.searchsorted(s_keys, sk)
+        pos = np.minimum(pos, len(s_keys) - 1)
+        snat = s_nats[pos]
+        cents = np.floor(100.0 * df["l_extendedprice"]
+                         .to_numpy("float64") + 0.5).astype("int64")
+        disc = np.floor(100.0 * df["l_discount"].to_numpy("float64")
+                        + 0.5).astype("int64")
+        t = pd.DataFrame({
+            "k": df["l_partkey"].astype("int64"),
+            "ok": df["l_orderkey"].astype("int64"), "snat": snat,
+            "rev": cents * (100 - disc),
+            "qty": df["l_quantity"].to_numpy("float64")
+            .astype("int64")})
+        g = t.groupby(["k", "ok", "snat"], as_index=False)[
+            ["rev", "qty"]].sum()
+        g["retail"] = np.int64(-1)
+        g["bucket"] = (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")
+        return g
+
+    def p_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["p_name"].astype(str).str.contains(name_sub,
+                                                      regex=False)]
+        k = df["p_partkey"].astype("int64")
+        retail = np.floor(100.0 * df["p_retailprice"]
+                          .to_numpy("float64") + 0.5).astype("int64")
+        return pd.DataFrame({
+            "k": k, "ok": np.int64(-1), "snat": np.int64(0),
+            "rev": np.int64(0), "qty": np.int64(0), "retail": retail,
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def to_orders(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df[df["retail"] >= 0][["k", "retail"]]
+        li = df[df["retail"] < 0]
+        m = li.merge(pr, left_on="k", right_on="k", how="inner",
+                     suffixes=("", "_p"))
+        profit = (m["rev"].to_numpy("int64")
+                  - m["retail_p"].to_numpy("int64") * 100
+                  * m["qty"].to_numpy("int64"))
+        t = pd.DataFrame({"k": m["ok"].astype("int64"),
+                          "snat": m["snat"].astype("int64"),
+                          "profit": profit})
+        g = t.groupby(["k", "snat"], as_index=False)["profit"].sum()
+        g["yr"] = np.int64(-1)
+        g["bucket"] = (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")
+        return g[["k", "snat", "profit", "yr", "bucket"]]
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")
+        yr = (df["o_orderdate"].to_numpy()
+              .astype("datetime64[Y]").astype("int64") + 1970)
+        return pd.DataFrame({
+            "k": k, "snat": np.int64(0), "profit": np.int64(0),
+            "yr": yr,
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def nation_cells(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df[df["yr"] < 0][["k", "snat", "profit"]]
+        ords = df[df["yr"] >= 0][["k", "yr"]]
+        m = pr.merge(ords, on="k", how="inner")
+        g = m.groupby(["snat", "yr"], as_index=False)["profit"].sum()
+        return g[["snat", "yr", "profit"]]
+
+    cells = (li.map_batches(li_partial, batch_format="pandas")
+             .union(part.map_batches(p_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(to_orders,
+                                           batch_format="pandas")
+             .union(orders.map_batches(o_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(nation_cells,
+                                           batch_format="pandas")
+             .to_pandas())
+    g = cells.groupby(["snat", "yr"], as_index=False)["profit"].sum()
+    return pd.DataFrame({
+        "n_name": g["snat"].map(nation_map).astype(str),
+        "o_year": g["yr"].astype("int64"),
+        "profit_q4": g["profit"].astype("int64")}) \
+        .sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+def brand_qty_revenue(sf_dir: str, num_partitions=None):
+    """(revenue_q4,) — TPC-H Q19 shape: one scalar revenue over a
+    DISJUNCTION of correlated part/lineitem predicate bands
+    ((Brand#12, size 1-5, qty 1-11) OR (Brand#23, size 1-10, qty
+    10-20) OR (Brand#34, size 1-15, qty 20-30)). The interesting part
+    at scale is that the predicate couples a fact column (quantity)
+    with dimension columns (brand, size), so neither side can be
+    fully filtered before the join.
+
+    Scale shape: quantities are integral and banded ≤ 30, so lineitem
+    combines per (partkey, qty_int) in-batch — the exchange carries at
+    most |part|·30 cells regardless of corpus size; part ships
+    (partkey, band-class); ONE hash(partkey) co-group evaluates the
+    disjunction vectorized and emits a per-bucket scalar.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet(
+        "%s/lineitem.parquet" % sf_dir,
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    part = ray.data.read_parquet(
+        "%s/part.parquet" % sf_dir,
+        columns=["p_partkey", "p_brand", "p_size"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df["l_quantity"].to_numpy("float64").astype("int64")
+        keep = qty <= 30
+        df, qty = df[keep], qty[keep]
+        cents = np.floor(100.0 * df["l_extendedprice"]
+                         .to_numpy("float64") + 0.5).astype("int64")
+        disc = np.floor(100.0 * df["l_discount"].to_numpy("float64")
+                        + 0.5).astype("int64")
+        t = pd.DataFrame({"k": df["l_partkey"].astype("int64"),
+                          "q": qty, "rev": cents * (100 - disc)})
+        g = t.groupby(["k", "q"], as_index=False)["rev"].sum()
+        g["cls"] = np.int64(-1)
+        g["bucket"] = (pd.util.hash_pandas_object(g["k"], index=False)
+                       % nparts).astype("int32")
+        return g[["k", "q", "rev", "cls", "bucket"]]
+
+    def p_rows(df: pd.DataFrame) -> pd.DataFrame:
+        brand = df["p_brand"].astype(str)
+        size = df["p_size"].to_numpy("int64")
+        cls = np.select(
+            [(brand == "Brand#12") & (size >= 1) & (size <= 5),
+             (brand == "Brand#23") & (size >= 1) & (size <= 10),
+             (brand == "Brand#34") & (size >= 1) & (size <= 15)],
+            [1, 2, 3], default=0).astype("int64")
+        df = df[cls > 0]
+        k = df["p_partkey"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "q": np.int64(0), "rev": np.int64(0),
+            "cls": cls[cls > 0],
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df[df["cls"] >= 0][["k", "cls"]]
+        li = df[df["cls"] < 0][["k", "q", "rev"]]
+        m = li.merge(pr, on="k", how="inner")
+        q = m["q"].to_numpy("int64")
+        cls = m["cls_y"].to_numpy("int64") if "cls_y" in m.columns \
+            else m["cls"].to_numpy("int64")
+        hit = (((cls == 1) & (q >= 1) & (q <= 11))
+               | ((cls == 2) & (q >= 10) & (q <= 20))
+               | ((cls == 3) & (q >= 20) & (q <= 30)))
+        return pd.DataFrame({"rev": [int(m["rev"].to_numpy("int64")
+                                         [hit].sum())]})
+
+    parts = (li.map_batches(li_partial, batch_format="pandas")
+             .union(part.map_batches(p_rows, batch_format="pandas"))
+             .groupby("bucket").map_groups(cogroup,
+                                           batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame({"revenue_q4": [int(parts["rev"].sum())]})

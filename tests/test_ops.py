@@ -3640,3 +3640,125 @@ class TestPromoPartSuppliers:
         nm = dict(zip(s["s_suppkey"], s["s_name"]))
         assert list(out["s_name"]) == [nm[k] for k in want]
         assert len(want) > 0  # non-vacuous at sf0.001
+
+
+class TestMarketShare:
+    def test_q8_replay_and_ratio(self, ray_session):
+        """Year cells equal a local five-way-join replay; share_ppm is
+        the exact integer ratio of the two emitted sums."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import market_share
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        c = pq.read_table(SF + "/customer.parquet").to_pandas()
+        s = pq.read_table(SF + "/supplier.parquet").to_pandas()
+        n = pq.read_table(SF + "/nation.parquet").to_pandas()
+        p = pq.read_table(SF + "/part.parquet").to_pandas()
+        NAT = int(s["s_nationkey"].min())
+        REG = int(n.loc[n["n_nationkey"] == NAT, "n_regionkey"]
+                  .iloc[0])
+        rn = set(n.loc[n["n_regionkey"] == REG, "n_nationkey"]
+                 .astype(int))
+        o = o[(o["o_orderdate"] >= "1996-01-01")
+              & (o["o_orderdate"] < "1998-01-01")]
+        m = (li.merge(p.loc[p["p_type"] == "ECONOMY", ["p_partkey"]],
+                      left_on="l_partkey", right_on="p_partkey")
+             .merge(s[["s_suppkey", "s_nationkey"]],
+                    left_on="l_suppkey", right_on="s_suppkey")
+             .merge(o[["o_orderkey", "o_custkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+             .merge(c[["c_custkey", "c_nationkey"]],
+                    left_on="o_custkey", right_on="c_custkey"))
+        m = m[m["c_nationkey"].astype(int).isin(rn)]
+        rev = (np.floor(100.0 * m["l_extendedprice"] + 0.5)
+               .astype("int64")
+               * (100 - np.floor(100.0 * m["l_discount"] + 0.5)
+                  .astype("int64")))
+        yr = m["o_orderdate"].dt.year.astype("int64")
+        nat = rev * (m["s_nationkey"].to_numpy() == NAT)
+        want = pd.DataFrame({"yr": yr, "rev": rev, "nat": nat}) \
+            .groupby("yr")[["rev", "nat"]].sum()
+        out = market_share(SF)
+        got = {int(r["o_year"]): (int(r["total_q4"]),
+                                  int(r["nation_q4"]))
+               for _, r in out.iterrows()}
+        assert got == {int(y): (int(v["rev"]), int(v["nat"]))
+                       for y, v in want.iterrows()}
+        for _, r in out.iterrows():
+            assert int(r["share_ppm"]) == (
+                1000000 * int(r["nation_q4"])) // int(r["total_q4"])
+            assert 0 <= int(r["share_ppm"]) <= 1000000
+
+
+class TestProductProfit:
+    def test_q9_replay_and_sign(self, ray_session):
+        """Nation/year profit equals a local replay with retail price
+        as unit cost; losses (negative cells) are representable."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.relational import product_profit
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        o = pq.read_table(SF + "/orders.parquet").to_pandas()
+        s = pq.read_table(SF + "/supplier.parquet").to_pandas()
+        n = pq.read_table(SF + "/nation.parquet").to_pandas()
+        p = pq.read_table(SF + "/part.parquet").to_pandas()
+        p = p[p["p_name"].str.contains("gear", regex=False)]
+        m = (li.merge(p[["p_partkey", "p_retailprice"]],
+                      left_on="l_partkey", right_on="p_partkey")
+             .merge(s[["s_suppkey", "s_nationkey"]],
+                    left_on="l_suppkey", right_on="s_suppkey")
+             .merge(o[["o_orderkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+             .merge(n[["n_nationkey", "n_name"]],
+                    left_on="s_nationkey", right_on="n_nationkey"))
+        rev = (np.floor(100.0 * m["l_extendedprice"] + 0.5)
+               .astype("int64")
+               * (100 - np.floor(100.0 * m["l_discount"] + 0.5)
+                  .astype("int64")))
+        cost = (np.floor(100.0 * m["p_retailprice"] + 0.5)
+                .astype("int64") * 100
+                * m["l_quantity"].astype("int64"))
+        want = pd.DataFrame({
+            "n_name": m["n_name"].astype(str),
+            "o_year": m["o_orderdate"].dt.year.astype("int64"),
+            "profit": rev - cost}) \
+            .groupby(["n_name", "o_year"])["profit"].sum()
+        out = product_profit(SF)
+        got = {(r["n_name"], int(r["o_year"])): int(r["profit_q4"])
+               for _, r in out.iterrows()}
+        assert got == {k: int(v) for k, v in want.items()}
+        assert len(out) > 0
+
+
+class TestBrandQtyRevenue:
+    def test_q19_disjunction_replay(self, ray_session):
+        """The scalar equals a local replay of the three predicate
+        bands; rows outside every band contribute nothing."""
+        import pyarrow.parquet as pq
+
+        from kgx.relational import brand_qty_revenue
+
+        li = pq.read_table(SF + "/lineitem.parquet").to_pandas()
+        p = pq.read_table(SF + "/part.parquet").to_pandas()
+        m = li.merge(p[["p_partkey", "p_brand", "p_size"]],
+                     left_on="l_partkey", right_on="p_partkey")
+        q = m["l_quantity"].astype("int64")
+        sz = m["p_size"].astype("int64")
+        b = m["p_brand"].astype(str)
+        hit = (((b == "Brand#12") & sz.between(1, 5)
+                & q.between(1, 11))
+               | ((b == "Brand#23") & sz.between(1, 10)
+                  & q.between(10, 20))
+               | ((b == "Brand#34") & sz.between(1, 15)
+                  & q.between(20, 30)))
+        rev = (np.floor(100.0 * m["l_extendedprice"] + 0.5)
+               .astype("int64")
+               * (100 - np.floor(100.0 * m["l_discount"] + 0.5)
+                  .astype("int64")))
+        out = brand_qty_revenue(SF)
+        assert int(out["revenue_q4"].iloc[0]) == int(rev[hit].sum())
