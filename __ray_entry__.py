@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import label_propagation as _label_propagation
     from kgx.components import triangle_count as _triangle_count
     from kgx.components import clustering_coeff as _clustering_coeff
+    from kgx.components import adamic_adar as _adamic_adar
     from kgx.components import degree_assortativity_sums as _assort
     from kgx.components import msf_boruvka as _msf
     from kgx.components import bfs_distances as _bfs
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _pagerank,
         "triangle_count": _triangle_count,
         "clustering_coeff": _clustering_coeff,
+        "adamic_adar": _adamic_adar,
         "degree_assortativity_sums": _assort,
         "msf_boruvka": _msf,
         "bfs_distances": _bfs,

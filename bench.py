@@ -107,6 +107,7 @@ def run_queries(sf_dir: str) -> dict:
                      sources, textops, traindata)
     from kgx import queries as q
     from kgx.components import clustering_coeff as _clustering_coeff
+    from kgx.components import adamic_adar as _adamic_adar
     from kgx.components import msf_boruvka as _msf_boruvka
     from kgx.components import kcore as _kcore
     from kgx.components import label_propagation as _label_propagation
@@ -168,6 +169,7 @@ def run_queries(sf_dir: str) -> dict:
         "pagerank": lambda: _pagerank(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
         "clustering_coeff": lambda: _clustering_coeff(sf_dir),
+        "adamic_adar": lambda: _adamic_adar(sf_dir),
         "msf_boruvka": lambda: _msf_boruvka(sf_dir),
         "label_propagation": lambda: _label_propagation(sf_dir),
         "temperature_mix": lambda: traindata.temperature_mix(sf_dir),

@@ -1720,3 +1720,89 @@ def kg_subtree_sizes(sf_dir: str, num_partitions: Optional[int] = None):
     return (closure.map_batches(partial, batch_format="pandas")
             .groupby("bucket").map_groups(reduce,
                                           batch_format="pandas"))
+
+
+def adamic_adar(sf_dir: str, threshold: float = 0.8,
+                num_partitions: Optional[int] = None):
+    """(doc_id_a, doc_id_b, score_q) — Adamic–Adar link prediction
+    over the near-dup pair graph (Adamic & Adar, Social Networks
+    2003): for every NON-adjacent pair with at least one common
+    neighbor, score = Σ_{x ∈ N(a)∩N(b)} 1/ln(deg x). Predicted links
+    in a dup graph are pairs the pairwise verifier missed but the
+    cluster structure implies — the classic link-prediction baseline.
+
+    Integer contract: each apex contributes w_q(x) = 10¹² //
+    floor(10⁶·ln(deg x)) — one shared-libm ln on an exact integer
+    degree, then pure integer arithmetic, so DuckDB replays it
+    bit-for-bit (apexes need deg ≥ 2 to form a wedge, so ln > 0).
+
+    Scale shape: two bucketed exchanges over edge-sized rows. A
+    node-hash exchange co-locates each node's full incident edge list
+    (its GLOBAL neighborhood), so degree and neighbor pairs compute
+    in place; wedges + pass-through existence witnesses then hash by
+    candidate pair, where per-pair scores sum and adjacent pairs
+    anti-join out. Per-apex work is O(deg²) — inherent to the score's
+    definition; at dup-cluster degrees that is bounded, and a hub cap
+    (sample the neighborhood) is the documented mitigation for
+    power-law graphs.
+    """
+    from .dedup import jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_id_a"].astype("int64")
+        b = df["doc_id_b"].astype("int64")
+        out = pd.DataFrame({
+            "node": pd.concat([a, b], ignore_index=True),
+            "other": pd.concat([b, a], ignore_index=True)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["node"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        us, ws, wqs, kinds = [], [], [], []
+        for _, g in df.groupby("node", sort=False):
+            nb = np.sort(g["other"].to_numpy("int64"))
+            if len(nb) > 1:
+                wq = 10**12 // int(np.floor(1e6 * np.log(len(nb))))
+                iu, iw = np.triu_indices(len(nb), k=1)
+                us.append(nb[iu]); ws.append(nb[iw])
+                wqs.append(np.full(len(iu), wq, dtype="int64"))
+                kinds.append(np.zeros(len(iu), dtype=np.int8))
+        eu = np.minimum(df["node"], df["other"]).to_numpy("int64")
+        ew = np.maximum(df["node"], df["other"]).to_numpy("int64")
+        us.append(eu); ws.append(ew)
+        wqs.append(np.zeros(len(eu), dtype="int64"))
+        kinds.append(np.ones(len(eu), dtype=np.int8))
+        out = pd.DataFrame({
+            "u": np.concatenate(us).astype("int64"),
+            "w": np.concatenate(ws).astype("int64"),
+            "wq": np.concatenate(wqs),
+            "kind": np.concatenate(kinds)})
+        out["bucket"] = ((pd.util.hash_pandas_object(out["u"],
+                                                     index=False) * 31
+                          + pd.util.hash_pandas_object(out["w"],
+                                                       index=False))
+                         % nparts).astype("int32")
+        return out
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        wdg = df[df["kind"] == 0]
+        edg = df[df["kind"] == 1][["u", "w"]].drop_duplicates()
+        g = wdg.groupby(["u", "w"], as_index=False)["wq"].sum()
+        m = g.merge(edg, on=["u", "w"], how="left", indicator=True)
+        m = m[m["_merge"] == "left_only"]
+        return pd.DataFrame({
+            "doc_id_a": m["u"].astype("int64"),
+            "doc_id_b": m["w"].astype("int64"),
+            "score_q": m["wq"].astype("int64")})
+
+    out = (pairs.map_batches(explode, batch_format="pandas")
+           .groupby("bucket").map_groups(wedges, batch_format="pandas")
+           .groupby("bucket").map_groups(score, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["doc_id_a", "doc_id_b"]) \
+        .reset_index(drop=True)

@@ -3854,3 +3854,35 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 20 AND 30)
 """
+
+
+# Adamic–Adar link prediction over the jaccard_pairs edge set: score
+# non-adjacent pairs by Σ 1/ln(deg) over common neighbors, with the
+# per-apex weight 10^12 // floor(1e6·ln(deg)) in pure integers after
+# one shared-libm ln (apexes need deg ≥ 2 to form a wedge)
+DOC_ORACLES["adamic_adar"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks)
+           - len(list_intersect(a.toks, b.toks))) >= 0.8),
+e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+w AS (
+  SELECT node,
+         1000000000000 // CAST(floor(1e6 * ln(deg)) AS BIGINT) AS wq
+  FROM deg WHERE deg >= 2),
+wedge AS (
+  SELECT e1.b AS u, e2.b AS v, w.wq
+  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN w ON w.node = e1.a),
+sc AS (SELECT u, v, sum(wq) AS score FROM wedge GROUP BY u, v)
+SELECT sc.u AS doc_id_a, sc.v AS doc_id_b,
+       CAST(sc.score AS BIGINT) AS score_q
+FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = sc.u AND p.b = sc.v)
+"""

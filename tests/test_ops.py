@@ -3762,3 +3762,36 @@ class TestBrandQtyRevenue:
                   .astype("int64")))
         out = brand_qty_revenue(SF)
         assert int(out["revenue_q4"].iloc[0]) == int(rev[hit].sum())
+
+
+class TestAdamicAdar:
+    def test_scores_match_networkx_style_replay(self, ray_session):
+        """Scores equal a local adjacency-set replay of the integer
+        Adamic–Adar formula, and no predicted pair is an edge."""
+        from collections import defaultdict
+
+        from kgx.components import adamic_adar
+        from kgx.dedup import jaccard_pairs
+
+        edges = jaccard_pairs(SF, 0.8).to_pandas()
+        adj = defaultdict(set)
+        for a, b in zip(edges["doc_id_a"], edges["doc_id_b"]):
+            adj[int(a)].add(int(b)); adj[int(b)].add(int(a))
+        want = defaultdict(int)
+        for x, nb in adj.items():
+            if len(nb) < 2:
+                continue
+            wq = 10**12 // int(np.floor(1e6 * np.log(len(nb))))
+            nbs = sorted(nb)
+            for i in range(len(nbs)):
+                for j in range(i + 1, len(nbs)):
+                    want[(nbs[i], nbs[j])] += wq
+        eset = {(min(int(a), int(b)), max(int(a), int(b)))
+                for a, b in zip(edges["doc_id_a"], edges["doc_id_b"])}
+        want = {k: v for k, v in want.items() if k not in eset}
+        out = adamic_adar(SF)
+        got = {(int(r["doc_id_a"]), int(r["doc_id_b"])):
+               int(r["score_q"]) for _, r in out.iterrows()}
+        assert got == want
+        assert not (set(got) & eset)
+        assert len(got) > 0
