@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": relational.market_share,
         "product_profit": relational.product_profit,
         "brand_qty_revenue": relational.brand_qty_revenue,
+        "integrity_audit": relational.integrity_audit,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -278,6 +278,7 @@ def run_queries(sf_dir: str) -> dict:
         "product_profit": lambda: relational.product_profit(sf_dir),
         "brand_qty_revenue":
             lambda: relational.brand_qty_revenue(sf_dir),
+        "integrity_audit": lambda: relational.integrity_audit(sf_dir),
         "cumulative_users_by_day":
             lambda: events.cumulative_users_by_day(sf_dir),
         "table_checksums": lambda: relational.table_checksums(sf_dir),

@@ -3886,3 +3886,58 @@ SELECT sc.u AS doc_id_a, sc.v AS doc_id_b,
 FROM sc
 WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.a = sc.u AND p.b = sc.v)
 """
+
+
+# data-quality constraint audit: PK uniqueness (rows − distinct) and FK
+# orphan counts (child rows with no parent) across every keyed table
+DOC_ORACLES["integrity_audit"] = """
+SELECT 'pk_orders' AS check, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_bad
+FROM orders
+UNION ALL
+SELECT 'pk_customer', count(*),
+       count(*) - count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'pk_part', count(*),
+       count(*) - count(DISTINCT p_partkey) FROM part
+UNION ALL
+SELECT 'pk_supplier', count(*),
+       count(*) - count(DISTINCT s_suppkey) FROM supplier
+UNION ALL
+SELECT 'pk_documents', count(*),
+       count(*) - count(DISTINCT doc_id) FROM documents
+UNION ALL
+SELECT 'pk_events', count(*),
+       count(*) - count(DISTINCT event_id) FROM events
+UNION ALL
+SELECT 'pk_embeddings', count(*),
+       count(*) - count(DISTINCT vec_id) FROM embeddings
+UNION ALL
+SELECT 'fk_lineitem_orders', count(*),
+       count(*) FILTER (WHERE o.o_orderkey IS NULL)
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'fk_lineitem_part', count(*),
+       count(*) FILTER (WHERE p.p_partkey IS NULL)
+FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+UNION ALL
+SELECT 'fk_lineitem_supplier', count(*),
+       count(*) FILTER (WHERE s.s_suppkey IS NULL)
+FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+UNION ALL
+SELECT 'fk_orders_customer', count(*),
+       count(*) FILTER (WHERE c.c_custkey IS NULL)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'fk_customer_nation', count(*),
+       count(*) FILTER (WHERE n.n_nationkey IS NULL)
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+UNION ALL
+SELECT 'fk_supplier_nation', count(*),
+       count(*) FILTER (WHERE n.n_nationkey IS NULL)
+FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+UNION ALL
+SELECT 'fk_nation_region', count(*),
+       count(*) FILTER (WHERE r.r_regionkey IS NULL)
+FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+"""

@@ -2480,3 +2480,130 @@ def brand_qty_revenue(sf_dir: str, num_partitions=None):
                                            batch_format="pandas")
              .to_pandas())
     return pd.DataFrame({"revenue_q4": [int(parts["rev"].sum())]})
+
+
+def integrity_audit(sf_dir: str, num_partitions=None):
+    """(check, n_rows, n_bad) — the data-quality constraint audit run
+    before any pipeline trusts a drop: PRIMARY-KEY uniqueness on every
+    keyed table (n_bad = rows − distinct keys) and REFERENTIAL
+    integrity on every foreign key (n_bad = child rows whose key has
+    no parent). Green zeros are the contract the join operators in
+    this module rely on (their searchsorted probes assume resolvable
+    keys); the row totals pin that every table was actually scanned.
+
+    Scale shape: ONE all-to-all serves all fourteen checks. Every
+    scan emits per-batch DISTINCT (check, key) cells with counts (the
+    combiner — the exchange carries key cells, never raw rows; parent
+    sides ship bare keys), everything unions into one hash(check,
+    key) co-group where PK duplicates fold as Σcnt − nunique and FK
+    orphans as Σcnt over parentless keys; the driver folds one
+    fixed-width partial row per (bucket, check).
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    # (code, kind): kind pk=0 fk=1 — reduce needs to know the formula
+    CHECKS = [
+        ("pk_orders", 0), ("pk_customer", 1), ("pk_part", 2),
+        ("pk_supplier", 3), ("pk_documents", 4), ("pk_events", 5),
+        ("pk_embeddings", 6),
+        ("fk_lineitem_orders", 7), ("fk_lineitem_part", 8),
+        ("fk_lineitem_supplier", 9), ("fk_orders_customer", 10),
+        ("fk_customer_nation", 11), ("fk_supplier_nation", 12),
+        ("fk_nation_region", 13)]
+    NAMES = {c: n for n, c in CHECKS}
+    FK_CODES = frozenset(c for n, c in CHECKS if n.startswith("fk_"))
+
+    def emitter(spec):
+        """spec: list of (code, col, side) — one batch → distinct
+        (chk, key) cells with counts (side 0) or bare parent keys
+        (side 1, cnt 0)."""
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            for code, col, side in spec:
+                k = df[col].astype("int64")
+                if side == 0:
+                    vc = k.value_counts()
+                    parts.append(pd.DataFrame({
+                        "chk": np.int64(code),
+                        "k": vc.index.astype("int64"),
+                        "cnt": vc.to_numpy(dtype="int64"),
+                        "side": np.int8(0)}))
+                else:
+                    u = np.unique(k.to_numpy("int64"))
+                    parts.append(pd.DataFrame({
+                        "chk": np.int64(code), "k": u,
+                        "cnt": np.int64(0), "side": np.int8(1)}))
+            out = pd.concat(parts, ignore_index=True)
+            out["bucket"] = ((out["chk"] * 1000003
+                              + pd.util.hash_pandas_object(
+                                  out["k"], index=False).astype("int64"))
+                             % nparts).astype("int32")
+            return out
+
+        return fn
+
+    def scan(table, cols, spec):
+        ds = ray.data.read_parquet("%s/%s.parquet" % (sf_dir, table),
+                                   columns=cols)
+        return ds.map_batches(emitter(spec), batch_format="pandas")
+
+    srcs = [
+        scan("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"],
+             [(7, "l_orderkey", 0), (8, "l_partkey", 0),
+              (9, "l_suppkey", 0)]),
+        scan("orders", ["o_orderkey", "o_custkey"],
+             [(0, "o_orderkey", 0), (10, "o_custkey", 0),
+              (7, "o_orderkey", 1)]),
+        scan("customer", ["c_custkey", "c_nationkey"],
+             [(1, "c_custkey", 0), (11, "c_nationkey", 0),
+              (10, "c_custkey", 1)]),
+        scan("part", ["p_partkey"],
+             [(2, "p_partkey", 0), (8, "p_partkey", 1)]),
+        scan("supplier", ["s_suppkey", "s_nationkey"],
+             [(3, "s_suppkey", 0), (12, "s_nationkey", 0),
+              (9, "s_suppkey", 1)]),
+        scan("nation", ["n_nationkey", "n_regionkey"],
+             [(13, "n_regionkey", 0), (11, "n_nationkey", 1),
+              (12, "n_nationkey", 1)]),
+        scan("region", ["r_regionkey"], [(13, "r_regionkey", 1)]),
+        scan("documents", ["doc_id"], [(4, "doc_id", 0)]),
+        scan("events", ["event_id"], [(5, "event_id", 0)]),
+        scan("embeddings", ["vec_id"], [(6, "vec_id", 0)]),
+    ]
+    ds = srcs[0]
+    for s in srcs[1:]:
+        ds = ds.union(s)
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for chk, g in df.groupby("chk", sort=False):
+            child = g[g["side"] == 0]
+            # a key's cells from different batches all hash here, so
+            # per-bucket distinct/parent lookups are globally correct
+            n = int(child["cnt"].sum())
+            if int(chk) in FK_CODES:
+                parents = set(g.loc[g["side"] == 1, "k"]
+                              .to_numpy("int64"))
+                cg = child.groupby("k")["cnt"].sum()
+                bad = int(cg[~cg.index.isin(parents)].sum())
+            else:
+                bad = n - int(child["k"].nunique())
+            rows.append((int(chk), n, bad))
+        return pd.DataFrame(rows, columns=["chk", "rows", "bad"]) \
+            .astype("int64")
+
+    parts = (ds.groupby("bucket")
+             .map_groups(reduce_bucket, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("chk", as_index=False)[["rows", "bad"]].sum()
+    return pd.DataFrame({
+        "check": g["chk"].map(NAMES).astype(str),
+        "n_rows": g["rows"].astype("int64"),
+        "n_bad": g["bad"].astype("int64")}) \
+        .sort_values("check").reset_index(drop=True)

@@ -3795,3 +3795,46 @@ class TestAdamicAdar:
         assert got == want
         assert not (set(got) & eset)
         assert len(got) > 0
+
+
+class TestIntegrityAudit:
+    def test_detects_planted_violations(self, ray_session, tmp_path):
+        """On a corpus with a planted PK duplicate and FK orphan the
+        audit reports exactly those counts; on the clean corpus every
+        n_bad is zero and n_rows pins the table sizes."""
+        import shutil
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.relational import integrity_audit
+
+        out = integrity_audit(SF)
+        audit = dict(zip(out["check"],
+                         zip(out["n_rows"], out["n_bad"])))
+        assert len(audit) == 14
+        assert all(int(b) == 0 for _, b in audit.values())
+        n_orders = len(pq.read_table(SF + "/orders.parquet"))
+        assert int(audit["pk_orders"][0]) == n_orders
+        assert int(audit["fk_lineitem_orders"][0]) == len(
+            pq.read_table(SF + "/lineitem.parquet"))
+
+        # plant one duplicate orderkey and one orphan lineitem
+        bad = str(tmp_path / "bad")
+        shutil.copytree(SF, bad)
+        o = pq.read_table(bad + "/orders.parquet").to_pandas()
+        o = pd.concat([o, o.iloc[[0]]], ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(o, preserve_index=False),
+                       bad + "/orders.parquet")
+        li = pq.read_table(bad + "/lineitem.parquet").to_pandas()
+        li.loc[li.index[-1], "l_orderkey"] = 10**12  # no such order
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                       bad + "/lineitem.parquet")
+        out2 = integrity_audit(bad)
+        a2 = dict(zip(out2["check"], out2["n_bad"]))
+        assert int(a2["pk_orders"]) == 1
+        assert int(a2["fk_lineitem_orders"]) == 1
+        # the duplicated order also duplicates one parent key — child
+        # rows still resolve, so no other check moves
+        assert sum(int(v) for v in a2.values()) == 2
