@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_values": events.gini_values,
         "interarrival_percentiles": events.interarrival_percentiles,
         "cumulative_users_by_day": events.cumulative_users_by_day,
+        "dense_daily_counts": events.dense_daily_counts,
+        "scd2_intervals": events.scd2_intervals,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

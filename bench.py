@@ -154,6 +154,8 @@ def run_queries(sf_dir: str) -> dict:
             lambda: dedup.fingerprint_overlap_pairs(sf_dir),
         "pq_codes": lambda: simsearch.pq_codes(sf_dir),
         "cohort_retention": lambda: events.cohort_retention(sf_dir),
+        "dense_daily_counts": lambda: events.dense_daily_counts(sf_dir),
+        "scd2_intervals": lambda: events.scd2_intervals(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
         "near_dup_dedup_lsh": lambda: dedup.near_dup_dedup(sf_dir,
                                                            use_lsh=True),

@@ -1218,3 +1218,85 @@ def cumulative_users_by_day(sf_dir: str):
         "n_new": t["n_new"].astype("int64"),
         "n_cumulative": t["n_new"].cumsum().astype("int64")}) \
         .reset_index(drop=True)
+
+
+def dense_daily_counts(sf_dir: str):
+    """(event_type, day, n_events) — the gap-filled (dense) daily
+    count series per event type: EVERY epoch day in the corpus's
+    global [min_day, max_day] span appears for every type, absent
+    cells zero-filled. Downstream time-series consumers (lag windows,
+    seasonality fits, anomaly scoring) require a dense grid — a
+    sparse groupby silently skips quiet days and shifts every lag.
+
+    Scale shape: per-batch (type, day) count combiner — the exchange
+    carries daily cells, never events; the dense reindex happens on
+    the output-sized (|types|·|days|) frame driver-side. Zero
+    all-to-alls.
+    """
+    ds = _read_events(sf_dir, columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "day": ((df["ts"] - pd.Timestamp(0))
+                    // pd.Timedelta(days=1)).astype("int64")})
+        g = t.groupby(["event_type", "day"]).size().reset_index(
+            name="n")
+        return g
+
+    t = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby(["event_type", "day"], as_index=False)["n"].sum())
+    days = np.arange(int(t["day"].min()), int(t["day"].max()) + 1)
+    types = sorted(t["event_type"].unique())
+    grid = pd.MultiIndex.from_product([types, days],
+                                      names=["event_type", "day"])
+    out = (t.set_index(["event_type", "day"])["n"]
+           .reindex(grid, fill_value=0).reset_index())
+    return pd.DataFrame({
+        "event_type": out["event_type"].astype(str),
+        "day": out["day"].astype("int64"),
+        "n_events": out["n"].astype("int64")})
+
+
+def scd2_intervals(sf_dir: str):
+    """(user_id, event_id, valid_from_us, valid_to_us) — the SCD
+    type-2 temporal table build: each user event becomes a validity
+    interval [its ts, the user's next event ts), the current (open)
+    row closed with the 2100-01-01 sentinel. Ties on ts order by
+    event_id — the same deterministic total order every sequential
+    operator in this module uses. The upsert-log → snapshot-table
+    shape (latest_event_per_user is the SCD1 special case).
+
+    Scale shape: one hash(user) exchange; inside each bucket one sort
+    + one shift serves every user vectorized (lead = next row's ts
+    where the next row is the same user, else sentinel).
+    """
+    SENTINEL = 4102444800000000  # 2100-01-01 epoch µs
+    nparts = _nparts()
+    ds = _read_events(sf_dir, columns=["user_id", "event_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "tus": ((df["ts"] - pd.Timestamp(0))
+                    // pd.Timedelta(microseconds=1)).astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(
+                df["user_id"], index=False) % nparts).astype("int32")})
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "tus", "event_id"]) \
+            .reset_index(drop=True)
+        nxt_user = df["user_id"].shift(-1)
+        nxt_tus = df["tus"].shift(-1)
+        to_us = np.where(nxt_user == df["user_id"],
+                         nxt_tus, float(SENTINEL)).astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "valid_from_us": df["tus"].astype("int64"),
+            "valid_to_us": pd.Series(to_us, dtype="int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(intervals,
+                                          batch_format="pandas"))

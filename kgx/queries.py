@@ -3941,3 +3941,37 @@ SELECT 'fk_nation_region', count(*),
        count(*) FILTER (WHERE r.r_regionkey IS NULL)
 FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
 """
+
+
+# gap-filled daily count series: every epoch day in the global span
+# appears for every type, zero-filled (dense grid via generate_series)
+DOC_ORACLES["dense_daily_counts"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+grid AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series((SELECT lo FROM span),
+                                      (SELECT hi FROM span))) AS day)
+       d)
+SELECT g.event_type, CAST(g.day AS BIGINT) AS day,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN c ON c.event_type = g.event_type
+                       AND c.day = g.day
+"""
+
+
+# SCD type-2 temporal table: each event's validity interval runs to the
+# user's next event (ties ordered by event_id), open rows closed with
+# the 2100-01-01 sentinel
+DOC_ORACLES["scd2_intervals"] = """
+SELECT user_id, event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(lead(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id),
+                     4102444800000000) AS BIGINT) AS valid_to_us
+FROM events
+"""

@@ -3838,3 +3838,68 @@ class TestIntegrityAudit:
         # the duplicated order also duplicates one parent key — child
         # rows still resolve, so no other check moves
         assert sum(int(v) for v in a2.values()) == 2
+
+
+class TestDenseDailyCounts:
+    def test_grid_dense_and_mass_preserving(self, ray_session):
+        """The grid is |types|·|days| complete; zero-filled cells add
+        no mass (total equals the event count)."""
+        import pyarrow.parquet as pq
+
+        from kgx.events import dense_daily_counts
+
+        out = dense_daily_counts(SF)
+        ev = pq.read_table(SF + "/events.parquet",
+                           columns=["event_type"]).to_pandas()
+        types = set(ev["event_type"])
+        days = out["day"].unique()
+        assert len(out) == len(types) * len(days)
+        assert (np.diff(np.sort(days)) == 1).all()  # no day gaps
+        assert int(out["n_events"].sum()) == len(ev)
+
+    def test_sparse_series_gets_filled(self, ray_session, tmp_path):
+        """A constructed corpus with a quiet middle day and a type
+        missing from one day gets explicit zero cells."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.events import dense_daily_counts
+
+        day = 86_400_000_000
+        rows = pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([0 * day, 0 * day, 2 * day],
+                                 unit="us"),
+            "user_id": [1, 2, 1],
+            "event_type": ["view", "click", "view"],
+            "value": [1.0, 1.0, 1.0], "props": ["{}"] * 3})
+        d = str(tmp_path)
+        pq.write_table(pa.Table.from_pandas(rows,
+                                            preserve_index=False),
+                       d + "/events.parquet")
+        out = dense_daily_counts(d)
+        cells = {(r["event_type"], int(r["day"])): int(r["n_events"])
+                 for _, r in out.iterrows()}
+        assert len(cells) == 6  # 2 types × 3 days, day 1 filled in
+        assert cells[("view", 1)] == 0 and cells[("click", 1)] == 0
+        assert cells[("click", 2)] == 0  # type absent from a live day
+        assert cells[("view", 0)] == 1 and cells[("view", 2)] == 1
+
+
+class TestScd2Intervals:
+    def test_intervals_partition_each_user_timeline(self, ray_session):
+        """Per user: intervals chain (to == next from), exactly one
+        open sentinel row, from < to everywhere."""
+        from kgx.events import scd2_intervals
+
+        SENT = 4102444800000000
+        df = scd2_intervals(SF).to_pandas()
+        assert (df["valid_from_us"] < df["valid_to_us"]).all()
+        for _, g in list(df.groupby("user_id"))[:50]:
+            g = g.sort_values(["valid_from_us", "event_id"])
+            assert (g["valid_to_us"].iloc[-1]) == SENT
+            assert (g["valid_to_us"].iloc[:-1].to_numpy()
+                    == g["valid_from_us"].iloc[1:].to_numpy()).all()
+        assert (df["valid_to_us"] == SENT).sum() == \
+            df["user_id"].nunique()
