@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_quality": textops.unpivot_quality,
         "mad_chars": textops.mad_chars,
         "dedup_substrings": textops.dedup_substrings,
+        "psi_drift": textops.psi_drift,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,
@@ -162,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users_by_day": events.cumulative_users_by_day,
         "dense_daily_counts": events.dense_daily_counts,
         "scd2_intervals": events.scd2_intervals,
+        "autocorr_daily": events.autocorr_daily,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,
@@ -194,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": relational.product_profit,
         "brand_qty_revenue": relational.brand_qty_revenue,
         "integrity_audit": relational.integrity_audit,
+        "item_similarity": relational.item_similarity,
         # training-data assembly
         "decontaminate": traindata.decontaminate,
         "decontaminate_broadcast": traindata.decontaminate_broadcast,

@@ -156,6 +156,9 @@ def run_queries(sf_dir: str) -> dict:
         "cohort_retention": lambda: events.cohort_retention(sf_dir),
         "dense_daily_counts": lambda: events.dense_daily_counts(sf_dir),
         "scd2_intervals": lambda: events.scd2_intervals(sf_dir),
+        "autocorr_daily": lambda: events.autocorr_daily(sf_dir),
+        "psi_drift": lambda: textops.psi_drift(sf_dir),
+        "item_similarity": lambda: relational.item_similarity(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
         "near_dup_dedup_lsh": lambda: dedup.near_dup_dedup(sf_dir,
                                                            use_lsh=True),

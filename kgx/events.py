@@ -1300,3 +1300,38 @@ def scd2_intervals(sf_dir: str):
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(intervals,
                                           batch_format="pandas"))
+
+
+def autocorr_daily(sf_dir: str):
+    """(event_type, n_pairs, cov_num, var_x_num, var_y_num) — lag-1
+    autocorrelation diagnostics of each type's DENSE daily count
+    series (zero-filled days included — computing this on the sparse
+    series silently shifts every lag, which is why
+    ``dense_daily_counts`` exists). The Pearson r over (xₜ, xₜ₊₁)
+    pairs reduces to integer sufficient statistics: cov_num =
+    n·Σxy − Σx·Σy, var_*_num = n·Σ·² − (Σ·)²; r = cov/√(vx·vy)
+    divides out, so the emitted columns are exact integers
+    (the linreg_tokens pattern).
+
+    Scale shape: inherits dense_daily_counts' combiner (the exchange
+    carries daily cells, never events); the pair fold runs on the
+    output-sized dense frame driver-side in Python bigints.
+    """
+    dense = dense_daily_counts(sf_dir)
+    rows = []
+    for et, g in dense.groupby("event_type", sort=True):
+        v = [int(x) for x in
+             g.sort_values("day")["n_events"].to_numpy()]
+        x, y = v[:-1], v[1:]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        syy = sum(b * b for b in y)
+        rows.append((str(et), n, n * sxy - sx * sy,
+                     n * sxx - sx * sx, n * syy - sy * sy))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_pairs", "cov_num",
+                       "var_x_num", "var_y_num"]).astype(
+        {"n_pairs": "int64", "cov_num": "int64",
+         "var_x_num": "int64", "var_y_num": "int64"})

@@ -3975,3 +3975,81 @@ SELECT user_id, event_id,
                      4102444800000000) AS BIGINT) AS valid_to_us
 FROM events
 """
+
+
+# lag-1 autocorrelation sufficient statistics of the DENSE daily count
+# series per type (zero-filled grid; r = cov/sqrt(vx*vy) divides out of
+# the exact integer columns)
+DOC_ORACLES["autocorr_daily"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span)))
+              AS day) d
+  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+l AS (
+  SELECT event_type, n AS x,
+         lead(n) OVER (PARTITION BY event_type ORDER BY day) AS y
+  FROM grid)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+         AS cov_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+         AS var_x_num,
+       CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT)
+         AS var_y_num
+FROM l WHERE y IS NOT NULL GROUP BY event_type
+"""
+
+
+# PSI drift terms between md5(doc_id)-parity halves per language,
+# add-one smoothed; the float tree is mirrored op-for-op from
+# textops.psi_drift (two exact divisions, one exactly-representable
+# integer ratio into the shared libm ln, one multiply, floor at 1e6)
+DOC_ORACLES["psi_drift"] = """
+WITH s AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(doc_id || ':psi'), 1, 16))::UBIGINT
+              % 2 AS BIGINT) AS sp
+  FROM documents),
+c AS (
+  SELECT lang,
+         sum(CASE WHEN sp = 0 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN sp = 1 THEN 1 ELSE 0 END) AS b
+  FROM s GROUP BY lang),
+t AS (SELECT count(*) AS nl, sum(a) AS ta, sum(b) AS tb FROM c)
+SELECT lang, CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
+       CAST(floor(1000000 * (
+         (CAST(a + 1 AS DOUBLE) / CAST(ta + nl AS DOUBLE)
+          - CAST(b + 1 AS DOUBLE) / CAST(tb + nl AS DOUBLE))
+         * ln(CAST((a + 1) * (tb + nl) AS DOUBLE)
+              / CAST((b + 1) * (ta + nl) AS DOUBLE))))
+       AS BIGINT) AS psi_term_q
+FROM c, t
+"""
+
+
+# item-item co-occurrence cosine over order baskets: cos2_q =
+# 10^12 * n_ab^2 // (n_a * n_b) in exact integers
+DOC_ORACLES["item_similarity"] = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+ci AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS cab
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 2)
+SELECT pa AS part_a, pb AS part_b,
+       CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+       CAST(cab AS BIGINT) AS n_ab,
+       CAST((1000000000000::HUGEINT * cab * cab) // (ca.c * cb.c)
+            AS BIGINT) AS cos2_q
+FROM pairs JOIN ci ca ON ca.p = pairs.pa
+           JOIN ci cb ON cb.p = pairs.pb
+"""

@@ -2607,3 +2607,105 @@ def integrity_audit(sf_dir: str, num_partitions=None):
         "n_rows": g["rows"].astype("int64"),
         "n_bad": g["bad"].astype("int64")}) \
         .sort_values("check").reset_index(drop=True)
+
+
+def item_similarity(sf_dir: str, min_cooc: int = 2,
+                    num_partitions=None):
+    """(part_a, part_b, n_a, n_b, n_ab, cos2_q) — item–item
+    co-occurrence cosine over order baskets (the classic
+    collaborative-filtering similarity: cos(i,j) =
+    n_ij/√(n_i·n_j) on the binary order×part matrix). cos² is
+    emitted instead of cos so everything stays rational:
+    cos2_q = 10¹²·n_ab² // (n_a·n_b) in exact (big)integers.
+
+    Scale shape: distinct (order, part) pairs combine in-batch; ONE
+    hash(order) co-group holds each complete basket, so pair
+    expansion is bounded by C(basket, 2) per order AND the per-part
+    distinct-order counts fall out of the same exchange (orders
+    partition across buckets, so bucket counts sum exactly); pair
+    partials then settle in a hash(pair) exchange. The part-count
+    table is dimension-bounded and broadcasts into the final reduce.
+    """
+    import numpy as np
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+                               columns=["l_orderkey", "l_partkey"])
+
+    def distinct_op(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        o = t["l_orderkey"].astype("int64")
+        return pd.DataFrame({
+            "o": o, "p": t["l_partkey"].astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(o, index=False)
+                       % nparts).astype("int32")})
+
+    def baskets(df: pd.DataFrame) -> pd.DataFrame:
+        # all copies of an order land here → exact distinct baskets
+        t = df[["o", "p"]].drop_duplicates()
+        pas, pbs, ns = [], [], []
+        for _, g in t.groupby("o", sort=False):
+            items = np.sort(g["p"].to_numpy("int64"))
+            if len(items) > 1:
+                iu, iw = np.triu_indices(len(items), k=1)
+                pas.append(items[iu]); pbs.append(items[iw])
+        if pas:
+            pairs = pd.DataFrame({"pa": np.concatenate(pas),
+                                  "pb": np.concatenate(pbs)})
+            pg = pairs.groupby(["pa", "pb"]).size().reset_index(
+                name="n")
+        else:
+            pg = pd.DataFrame({"pa": pd.Series([], dtype="int64"),
+                               "pb": pd.Series([], dtype="int64"),
+                               "n": pd.Series([], dtype="int64")})
+        # per-part distinct-order partials ride along (pb = -1)
+        pc = t.groupby("p").size().reset_index(name="n")
+        pc = pd.DataFrame({"pa": pc["p"].astype("int64"),
+                           "pb": np.int64(-1),
+                           "n": pc["n"].astype("int64")})
+        out = pd.concat([pg, pc], ignore_index=True)
+        out["bucket"] = ((pd.util.hash_pandas_object(out["pa"],
+                                                     index=False) * 31
+                          + pd.util.hash_pandas_object(out["pb"],
+                                                       index=False))
+                         % nparts).astype("int32")
+        return out.astype({"pa": "int64", "pb": "int64", "n": "int64",
+                           "bucket": "int32"})
+
+    # the per-part count partials: dimension-bounded, folded driver-side
+    exchanged = (li.map_batches(distinct_op, batch_format="pandas")
+                 .groupby("bucket").map_groups(baskets,
+                                               batch_format="pandas")
+                 .materialize())
+    counts = (exchanged.map_batches(
+        lambda df: df[df["pb"] == -1][["pa", "n"]],
+        batch_format="pandas")
+        .to_pandas().groupby("pa")["n"].sum())
+    cmap = {int(k): int(v) for k, v in counts.items()}
+    cref = ray.put(cmap)
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["pb"] >= 0]
+        g = df.groupby(["pa", "pb"], as_index=False)["n"].sum()
+        g = g[g["n"] >= min_cooc]
+        cm = ray.get(cref)
+        na = [cm[int(x)] for x in g["pa"]]
+        nb = [cm[int(x)] for x in g["pb"]]
+        cos2 = [(10**12 * int(n) * int(n)) // (int(x) * int(y))
+                for n, x, y in zip(g["n"], na, nb)]
+        return pd.DataFrame({
+            "part_a": g["pa"].astype("int64"),
+            "part_b": g["pb"].astype("int64"),
+            "n_a": pd.Series(na, dtype="int64", index=g.index),
+            "n_b": pd.Series(nb, dtype="int64", index=g.index),
+            "n_ab": g["n"].astype("int64"),
+            "cos2_q": pd.Series(cos2, dtype="int64", index=g.index)})
+
+    out = (exchanged.groupby("bucket")
+           .map_groups(reduce_pairs, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)

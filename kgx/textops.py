@@ -1586,3 +1586,56 @@ def mad_chars(sf_dir: str):
     return out.astype({"lang": str, "median_chars": "int64",
                        "mad_chars": "int64"}).sort_values("lang") \
         .reset_index(drop=True)
+
+
+def psi_drift(sf_dir: str):
+    """(lang, n_a, n_b, psi_term_q) — Population Stability Index
+    terms between two deterministic halves of the corpus (md5(doc_id)
+    parity — in production the two sides are yesterday's and today's
+    crawl): per language bucket, term = (p_A − p_B)·ln(p_A/p_B) with
+    add-one smoothing so empty cells stay finite; Σ terms is the PSI
+    drift score (>0.2 conventionally flags distribution shift).
+
+    Exactness contract: the counts are exact integers; each term is
+    ONE fixed-order IEEE float tree (two exactly-rounded divisions, a
+    subtraction, an exactly-representable integer ratio into the
+    shared libm ln, one multiply, floor at 10⁶) mirrored literally in
+    the SQL oracle — the ab_test_zstat pattern.
+
+    Scale shape: map-only per-batch (lang, split) count combiner,
+    zero all-to-alls; the term fold runs on the |langs|-row frame
+    driver-side.
+    """
+    import math
+
+    from .traindata import _md5_u64
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sp = np.array([_md5_u64("%d:psi" % d) % 2
+                       for d in df["doc_id"]], dtype="int64")
+        t = pd.DataFrame({"lang": df["lang"].astype(str), "sp": sp})
+        g = t.groupby(["lang", "sp"]).size().reset_index(name="n")
+        return g
+
+    t = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby(["lang", "sp"], as_index=False)["n"].sum())
+    piv = t.pivot_table(index="lang", columns="sp", values="n",
+                        fill_value=0, aggfunc="sum")
+    langs = sorted(piv.index)
+    a = {l: int(piv.loc[l, 0]) if 0 in piv.columns else 0
+         for l in langs}
+    b = {l: int(piv.loc[l, 1]) if 1 in piv.columns else 0
+         for l in langs}
+    L, A, B = len(langs), sum(a.values()), sum(b.values())
+    rows = []
+    for l in langs:
+        a1, b1 = a[l] + 1, b[l] + 1
+        A1, B1 = A + L, B + L
+        term = ((float(a1) / float(A1) - float(b1) / float(B1))
+                * math.log(float(a1 * B1) / float(b1 * A1)))
+        rows.append((l, a[l], b[l], math.floor(1e6 * term)))
+    return pd.DataFrame(rows, columns=["lang", "n_a", "n_b",
+                                       "psi_term_q"]).astype(
+        {"n_a": "int64", "n_b": "int64", "psi_term_q": "int64"})

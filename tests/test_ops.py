@@ -3903,3 +3903,75 @@ class TestScd2Intervals:
                     == g["valid_from_us"].iloc[1:].to_numpy()).all()
         assert (df["valid_to_us"] == SENT).sum() == \
             df["user_id"].nunique()
+
+
+class TestAutocorrDaily:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        """r derived from the integer columns equals numpy's corrcoef
+        of the dense series (up to float eval), and the columns are
+        internally consistent."""
+        from kgx.events import autocorr_daily, dense_daily_counts
+
+        dense = dense_daily_counts(SF)
+        out = autocorr_daily(SF)
+        assert set(out["event_type"]) == set(dense["event_type"])
+        for _, r in out.iterrows():
+            g = dense[dense["event_type"] == r["event_type"]] \
+                .sort_values("day")["n_events"].to_numpy("float64")
+            x, y = g[:-1], g[1:]
+            assert int(r["n_pairs"]) == len(x)
+            if r["var_x_num"] > 0 and r["var_y_num"] > 0:
+                want = np.corrcoef(x, y)[0, 1]
+                got = r["cov_num"] / np.sqrt(
+                    float(r["var_x_num"]) * float(r["var_y_num"]))
+                assert abs(got - want) < 1e-9
+
+
+class TestPsiDrift:
+    def test_split_is_balanced_and_terms_nonneg_sum(self, ray_session):
+        """Terms cover every language once; Σ(p_A−p_B)ln(p_A/p_B) ≥ 0
+        always (each term has matching signs); counts partition the
+        corpus."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import psi_drift
+
+        out = psi_drift(SF)
+        n_docs = len(pq.read_table(SF + "/documents.parquet",
+                                   columns=["doc_id"]))
+        assert int(out["n_a"].sum() + out["n_b"].sum()) == n_docs
+        # smoothed PSI terms: each (p−q) and ln(p/q) share sign, so
+        # every term (and the total) is ≥ 0 up to quantization
+        assert (out["psi_term_q"] >= -1).all()
+        assert out["lang"].is_unique
+
+
+class TestItemSimilarity:
+    def test_cosine_replay(self, ray_session):
+        """Pairs and cos² equal a local basket replay."""
+        from collections import Counter
+        from itertools import combinations
+
+        import pyarrow.parquet as pq
+
+        from kgx.relational import item_similarity
+
+        li = pq.read_table(SF + "/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"]) \
+            .to_pandas().drop_duplicates()
+        ci = Counter(li["l_partkey"])
+        pairs = Counter()
+        for _, g in li.groupby("l_orderkey"):
+            for a, b in combinations(sorted(set(g["l_partkey"])), 2):
+                pairs[(int(a), int(b))] += 1
+        want = {k: v for k, v in pairs.items() if v >= 2}
+        out = item_similarity(SF)
+        got = {(int(r["part_a"]), int(r["part_b"])): int(r["n_ab"])
+               for _, r in out.iterrows()}
+        assert got == want
+        for _, r in out.iterrows():
+            a, b = int(r["part_a"]), int(r["part_b"])
+            assert int(r["n_a"]) == ci[a] and int(r["n_b"]) == ci[b]
+            assert int(r["cos2_q"]) == (
+                10**12 * int(r["n_ab"]) ** 2) // (ci[a] * ci[b])
+            assert 0 < int(r["cos2_q"]) <= 10**12
