@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndjson_roundtrip": sources.ndjson_roundtrip,
         "csv_roundtrip": sources.csv_roundtrip,
         "arrow_ipc_roundtrip": sources.arrow_ipc_roundtrip,
+        "partition_pruned_read": sources.partition_pruned_read,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "bmp_pixel_stats": multimodal.bmp_pixel_stats,

@@ -159,6 +159,8 @@ def run_queries(sf_dir: str) -> dict:
         "autocorr_daily": lambda: events.autocorr_daily(sf_dir),
         "psi_drift": lambda: textops.psi_drift(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
+        "partition_pruned_read":
+            lambda: sources.partition_pruned_read(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
         "near_dup_dedup_lsh": lambda: dedup.near_dup_dedup(sf_dir,
                                                            use_lsh=True),

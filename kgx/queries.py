@@ -3783,6 +3783,14 @@ FROM win JOIN supplier su ON su.s_suppkey = win.s
 """
 
 
+# hive-partitioned write + partition-pruned read: only the lang=en
+# directory is opened; digest proves the partitioned sink round-trips
+DOC_ORACLES["partition_pruned_read"] = """
+SELECT doc_id, lang, length(text) AS n_chars_rt, md5(text) AS text_md5
+FROM documents WHERE lang = 'en'
+"""
+
+
 # TPC-H Q8 shape: one nation's market share within its own region's
 # customer orders for one part type, by order year; the nation derives
 # from the supplier dimension (min nation key) on both sides.

@@ -125,3 +125,42 @@ def arrow_ipc_roundtrip(sf_dir: str):
         return _digest_batch(pd.concat(frames, ignore_index=True))
 
     return files.map_batches(decode, batch_format="pyarrow")
+
+
+def partition_pruned_read(sf_dir: str, lang: str = "en"):
+    """(doc_id, lang, n_chars_rt, text_md5) — hive-partitioned layout
+    + partition PRUNING: export documents partitioned by ``lang``
+    (``write_parquet(partition_cols=["lang"])`` → one directory per
+    language), then re-read ONLY the requested language's partition
+    directory. At 100 TB this is the difference between scanning the
+    whole corpus and scanning 1/|langs| of it — the filter is applied
+    by the FILESYSTEM LAYOUT (directory selection), not per row; no
+    byte of any other partition is opened (asserted by test). The md5
+    digest proves the partitioned sink round-trips losslessly.
+
+    Scale shape: the export is map-only (each block writes its rows
+    into per-partition files); the pruned read opens one directory.
+    """
+    import ray.data
+
+    out = _roundtrip_dir(sf_dir, "hive")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.isfile(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        ds = ray.data.read_parquet(
+            "%s/documents.parquet" % sf_dir,
+            columns=["doc_id", "lang", "text"])
+        ds.write_parquet(out, partition_cols=["lang"])
+        with open(marker, "w") as fp:
+            fp.write("ok")
+
+    part_dir = os.path.join(out, "lang=%s" % lang)
+    pruned = ray.data.read_parquet(part_dir)
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        # the partition column lives in the directory name, not the
+        # files — reattach it from the requested partition
+        df = df.assign(lang=lang)
+        return _digest_batch(df)
+
+    return pruned.map_batches(digest, batch_format="pandas")

@@ -3975,3 +3975,43 @@ class TestItemSimilarity:
             assert int(r["cos2_q"]) == (
                 10**12 * int(r["n_ab"]) ** 2) // (ci[a] * ci[b])
             assert 0 < int(r["cos2_q"]) <= 10**12
+
+
+class TestPartitionPrunedRead:
+    def test_other_partitions_never_opened(self, ray_session):
+        """Corrupting every OTHER language's partition files leaves
+        the pruned read working — proof the layout, not a row filter,
+        does the skipping — and the digest matches the en subset."""
+        import glob
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        from kgx.sources import _roundtrip_dir, partition_pruned_read
+
+        first = partition_pruned_read(SF).to_pandas()
+        out = _roundtrip_dir(SF, "hive")
+        others = [f for f in glob.glob(out + "/lang=*/*")
+                  if "/lang=en/" not in f]
+        assert others  # the layout really has other partitions
+        saved = {f: open(f, "rb").read() for f in others}
+        try:
+            for f in others:
+                with open(f, "wb") as fp:
+                    fp.write(b"corrupt")
+            again = partition_pruned_read(SF).to_pandas()
+        finally:
+            for f, blob in saved.items():
+                with open(f, "wb") as fp:
+                    fp.write(blob)
+        assert sorted(again["doc_id"]) == sorted(first["doc_id"])
+
+        docs = pq.read_table(SF + "/documents.parquet").to_pandas()
+        en = docs[docs["lang"] == "en"]
+        assert sorted(first["doc_id"]) == sorted(en["doc_id"])
+        md5 = {int(r["doc_id"]): hashlib.md5(
+            r["text"].encode()).hexdigest() for _, r in en.iterrows()}
+        got = dict(zip(first["doc_id"].astype(int),
+                       first["text_md5"]))
+        assert got == md5
