@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import triangle_count as _triangle_count
     from kgx.components import clustering_coeff as _clustering_coeff
     from kgx.components import adamic_adar as _adamic_adar
+    from kgx.components import hits_scores as _hits_scores
     from kgx.components import degree_assortativity_sums as _assort
     from kgx.components import msf_boruvka as _msf
     from kgx.components import bfs_distances as _bfs
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _triangle_count,
         "clustering_coeff": _clustering_coeff,
         "adamic_adar": _adamic_adar,
+        "hits_scores": _hits_scores,
         "degree_assortativity_sums": _assort,
         "msf_boruvka": _msf,
         "bfs_distances": _bfs,

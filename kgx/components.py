@@ -1806,3 +1806,156 @@ def adamic_adar(sf_dir: str, threshold: float = 0.8,
            .to_pandas())
     return out.sort_values(["doc_id_a", "doc_id_b"]) \
         .reset_index(drop=True)
+
+
+def hits_scores(sf_dir: str, iters: int = 3,
+                num_partitions: Optional[int] = None,
+                small_graph_threshold: int = 2_000_000):
+    """(doc_id, hub_q, auth_q) — HITS (Kleinberg, JACM 1999) over the
+    same deterministic two-rule directed edge set pagerank uses
+    (doc → doc//2 tree rule, doc → (doc²+1) mod N scatter rule).
+    Pure-integer fixed-point: h⁰ = 1; aʳ(i) = Σ_{j→i} hʳ⁻¹(j);
+    hʳ(j) = Σ_{j→i} aʳ(i); absent sums are 0. No per-round
+    normalization — with ``iters`` rounds magnitudes are bounded by
+    (max in·out degree)^iters, asserted < 2⁶⁰ at runtime; a
+    production run at web scale adds a uniform power-of-two
+    right-shift per round (rank ORDER is shift-invariant, and the
+    oracle would mirror the shift). Every value is an int64 sum of
+    int64s, so the unrolled DuckDB oracle is bit-exact.
+
+    Scale shape (distributed path): the edge table buckets ONCE per
+    direction (hash(src) and hash(dst)) and materializes; each
+    half-round ships only the score vector (2 int64s per node)
+    through a tagged-union co-group + a bucket-sum — the edge list
+    never re-shuffles (the pagerank pattern, both directions).
+    Graphs ≤ ``small_graph_threshold`` edges take a single-task
+    numpy gate pinned row-identical to the distributed loop.
+    """
+    import ray.data
+
+    docs = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                                 columns=["doc_id"])
+    n = docs.count()
+    nparts = num_partitions or _nparts()
+
+    def edge_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        tree = pd.DataFrame({"src": ids[ids > 0],
+                             "dst": (ids[ids > 0] // 2)})
+        scatter = pd.DataFrame({"src": ids,
+                                "dst": (ids * ids + 1) % n})
+        return pd.concat([tree, scatter]).drop_duplicates()
+
+    edges = docs.map_batches(edge_batch,
+                             batch_format="pandas").materialize()
+
+    def finish(hub: dict, auth: dict) -> pd.DataFrame:
+        ids = sorted(set(docs.to_pandas()["doc_id"].astype(int)))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "hub_q": pd.Series([hub.get(i, 0) for i in ids],
+                               dtype="int64"),
+            "auth_q": pd.Series([auth.get(i, 0) for i in ids],
+                                dtype="int64")})
+
+    if edges.count() <= small_graph_threshold:
+        e = edges.to_pandas()
+        src = e["src"].to_numpy("int64")
+        dst = e["dst"].to_numpy("int64")
+        h = {int(i): 1 for i in np.unique(np.concatenate([src, dst]))}
+        a: dict = {}
+        for _ in range(iters):
+            contrib = np.array([h.get(int(s), 0) for s in src],
+                               dtype="int64")
+            a = pd.Series(contrib).groupby(pd.Series(dst)).sum() \
+                .to_dict()
+            back = np.array([a.get(int(d), 0) for d in dst],
+                            dtype="int64")
+            h = pd.Series(back).groupby(pd.Series(src)).sum() \
+                .to_dict()
+            assert max(max(h.values(), default=0),
+                       max(a.values(), default=0)) < 2**60
+        return finish({int(k): int(v) for k, v in h.items()},
+                      {int(k): int(v) for k, v in a.items()})
+
+    # distributed path: edge tables bucketed once per direction; the
+    # score vectors stay DATASETS end-to-end (never driver state)
+    def tag_edges(key):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"src": df["src"].astype("int64"),
+                                "dst": df["dst"].astype("int64"),
+                                "val": np.int64(0),
+                                "side": np.int8(0)})
+            out["bucket"] = (pd.util.hash_pandas_object(
+                out[key], index=False) % nparts).astype("int32")
+            return out
+        return fn
+
+    ebs = edges.map_batches(tag_edges("src"),
+                            batch_format="pandas").materialize()
+    ebd = edges.map_batches(tag_edges("dst"),
+                            batch_format="pandas").materialize()
+
+    def tag_vec(key):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"src": np.int64(0),
+                                "dst": np.int64(0),
+                                "val": df["val"].astype("int64"),
+                                "side": np.int8(1)})
+            out[key] = df["node"].astype("int64")
+            out["bucket"] = (pd.util.hash_pandas_object(
+                df["node"], index=False) % nparts).astype("int32")
+            return out[["src", "dst", "val", "side", "bucket"]]
+        return fn
+
+    def gather(join_key, emit_key):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[df["side"] == 0][["src", "dst"]]
+            v = df[df["side"] == 1][[join_key, "val"]] \
+                .groupby(join_key, as_index=False)["val"].sum()
+            m = e.merge(v, on=join_key, how="inner")
+            g = m.groupby(emit_key, as_index=False)["val"].sum()
+            out = pd.DataFrame({"node": g[emit_key].astype("int64"),
+                                "val": g["val"].astype("int64")})
+            out["bucket"] = (pd.util.hash_pandas_object(
+                out["node"], index=False) % nparts).astype("int32")
+            return out
+        return fn
+
+    def settle(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["val"].sum()
+        assert g["val"].max() < 2**60
+        return pd.DataFrame({"node": g["node"].astype("int64"),
+                             "val": g["val"].astype("int64")})
+
+    def half_round(eb, vec, join_key, emit_key):
+        return (eb.union(vec.map_batches(tag_vec(join_key),
+                                         batch_format="pandas"))
+                .groupby("bucket")
+                .map_groups(gather(join_key, emit_key),
+                            batch_format="pandas")
+                .groupby("bucket")
+                .map_groups(settle, batch_format="pandas")
+                .materialize())
+
+    def init_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate([df["src"].to_numpy("int64"),
+                                      df["dst"].to_numpy("int64")]))
+        return pd.DataFrame({"node": u, "val": np.int64(1),
+                             "bucket": (pd.util.hash_pandas_object(
+                                 pd.Series(u), index=False)
+                                 % nparts).astype("int32")})
+
+    h = (edges.map_batches(init_nodes, batch_format="pandas")
+         .groupby("bucket")
+         .map_groups(lambda df: df[["node", "val"]].drop_duplicates(
+             subset=["node"]), batch_format="pandas").materialize())
+    a = None
+    for _ in range(iters):
+        a = half_round(ebs, h, "src", "dst")
+        h = half_round(ebd, a, "dst", "src")
+    hub = {int(r["node"]): int(r["val"])
+           for _, r in h.to_pandas().iterrows()}
+    auth = {int(r["node"]): int(r["val"])
+            for _, r in a.to_pandas().iterrows()}
+    return finish(hub, auth)

@@ -4061,3 +4061,37 @@ SELECT pa AS part_a, pb AS part_b,
 FROM pairs JOIN ci ca ON ca.p = pairs.pa
            JOIN ci cb ON cb.p = pairs.pb
 """
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Exact mirror of components.hits_scores: pure-integer HITS
+    unrolled one CTE pair per round (h⁰=1; aʳ = in-sum of hʳ⁻¹;
+    hʳ = out-sum of aʳ; int64 sums throughout, bit-identical to the
+    engine). Every doc has an out-edge (the scatter rule), so inner
+    joins lose nothing; docs without in-edges coalesce to 0."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+a{k + 1} AS (
+  SELECT e.dst AS doc_id, sum(h.v) AS v
+  FROM eraw e JOIN h{k} h ON h.doc_id = e.src GROUP BY e.dst),
+h{k + 1} AS (
+  SELECT e.src AS doc_id, sum(a.v) AS v
+  FROM eraw e JOIN a{k + 1} a ON a.doc_id = e.dst GROUP BY e.src)""")
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+eraw AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+  WHERE doc_id > 0
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 1) % p.n FROM documents, params p),
+h0 AS (SELECT doc_id, CAST(1 AS BIGINT) AS v FROM nodes),{",".join(steps)}
+SELECT n.doc_id, CAST(coalesce(h{iters}.v, 0) AS BIGINT) AS hub_q,
+       CAST(coalesce(a{iters}.v, 0) AS BIGINT) AS auth_q
+FROM nodes n LEFT JOIN h{iters} ON h{iters}.doc_id = n.doc_id
+             LEFT JOIN a{iters} ON a{iters}.doc_id = n.doc_id
+"""
+
+
+DOC_ORACLES["hits_scores"] = _hits_sql()

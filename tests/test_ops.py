@@ -4015,3 +4015,41 @@ class TestPartitionPrunedRead:
         got = dict(zip(first["doc_id"].astype(int),
                        first["text_md5"]))
         assert got == md5
+
+
+class TestHitsScores:
+    def test_fast_equals_distributed_and_local_replay(self,
+                                                      ray_session):
+        """The ≤2M-edge gate and the distributed vector loop return
+        row-identical scores, both equal to a dict-based replay."""
+        import pyarrow.parquet as pq
+
+        from kgx.components import hits_scores
+
+        fast = hits_scores(SF)
+        dist = hits_scores(SF, small_graph_threshold=0)
+        assert fast.equals(dist)
+
+        ids = sorted(pq.read_table(SF + "/documents.parquet",
+                                   columns=["doc_id"])
+                     .column("doc_id").to_pylist())
+        n = len(ids)
+        edges = set()
+        for i in ids:
+            if i > 0:
+                edges.add((i, i // 2))
+            edges.add((i, (i * i + 1) % n))
+        h = {i: 1 for i in ids}
+        a = {}
+        for _ in range(3):
+            a = {}
+            for s, d in edges:
+                a[d] = a.get(d, 0) + h.get(s, 0)
+            h = {}
+            for s, d in edges:
+                h[s] = h.get(s, 0) + a.get(d, 0)
+        got = {int(r["doc_id"]): (int(r["hub_q"]), int(r["auth_q"]))
+               for _, r in fast.iterrows()}
+        assert got == {i: (h.get(i, 0), a.get(i, 0)) for i in ids}
+        # authorities concentrate somewhere: scores are not constant
+        assert fast["auth_q"].nunique() > 1
