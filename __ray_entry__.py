@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_daily_counts": events.dense_daily_counts,
         "scd2_intervals": events.scd2_intervals,
         "autocorr_daily": events.autocorr_daily,
+        "interval_coverage": events.interval_coverage,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

@@ -158,6 +158,8 @@ def run_queries(sf_dir: str) -> dict:
         "dense_daily_counts": lambda: events.dense_daily_counts(sf_dir),
         "scd2_intervals": lambda: events.scd2_intervals(sf_dir),
         "autocorr_daily": lambda: events.autocorr_daily(sf_dir),
+        "interval_coverage":
+            lambda: events.interval_coverage(sf_dir),
         "psi_drift": lambda: textops.psi_drift(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":

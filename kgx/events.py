@@ -1335,3 +1335,53 @@ def autocorr_daily(sf_dir: str):
                        "var_x_num", "var_y_num"]).astype(
         {"n_pairs": "int64", "cov_num": "int64",
          "var_x_num": "int64", "var_y_num": "int64"})
+
+
+def interval_coverage(sf_dir: str):
+    """(user_id, n_islands, covered_us) — interval UNION per user
+    (gaps-and-islands over ranges): each event opens an interval
+    [ts, ts + cents·10ms) whose length depends on its value, so
+    intervals genuinely nest/engulf (a long interval can swallow
+    several later ones — this is NOT gap-sessionization, which only
+    looks at adjacent starts). Emits the merged-island count and the
+    exact union length in µs — the "how much wall-clock was covered"
+    primitive behind SLA accounting and ad-exposure dedup.
+
+    Scale shape: one hash(user) exchange; inside a bucket one sort +
+    one grouped cummax serves every user vectorized (break ⟺ start >
+    running max of prior ends; island coverage = max end − min start).
+    """
+    nparts = _nparts()
+    ds = _read_events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = ((df["ts"] - pd.Timestamp(0))
+             // pd.Timedelta(microseconds=1)).astype("int64")
+        cents = np.floor(100.0 * df["value"].to_numpy("float64")
+                         + 0.5).astype("int64")
+        return pd.DataFrame({
+            "u": df["user_id"].astype("int64"), "s": s,
+            "e": s + cents * 10_000,
+            "bucket": (pd.util.hash_pandas_object(
+                df["user_id"], index=False) % nparts).astype("int32")})
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["u", "s", "e"]).reset_index(drop=True)
+        prev_max = df.groupby("u")["e"].cummax() \
+            .groupby(df["u"]).shift()
+        brk = prev_max.isna() | (df["s"] > prev_max)
+        isl = brk.astype("int64").cumsum()  # global island ids
+        g = df.assign(isl=isl).groupby(["u", "isl"], as_index=False) \
+            .agg(s=("s", "min"), e=("e", "max"))
+        out = g.groupby("u", as_index=False).agg(
+            n_islands=("isl", "size"), covered_us=("e", "sum"))
+        start_sum = g.groupby("u")["s"].sum().to_numpy()
+        return pd.DataFrame({
+            "user_id": out["u"].astype("int64"),
+            "n_islands": out["n_islands"].astype("int64"),
+            "covered_us": (out["covered_us"].to_numpy("int64")
+                           - start_sum).astype("int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(sweep,
+                                          batch_format="pandas"))

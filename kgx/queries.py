@@ -4095,3 +4095,36 @@ FROM nodes n LEFT JOIN h{iters} ON h{iters}.doc_id = n.doc_id
 
 
 DOC_ORACLES["hits_scores"] = _hits_sql()
+
+
+# interval union per user over value-length intervals [ts, ts+cents·10ms):
+# window-cummax island breaks, per-island max(e)−min(s), summed
+DOC_ORACLES["interval_coverage"] = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+         + CAST(floor(value * 100 + 0.5) AS BIGINT) * 10000 AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM iv),
+b AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max
+              THEN 1 ELSE 0 END AS brk
+  FROM m),
+g AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY s, e,
+                        brk DESC) AS isl
+  FROM b),
+isls AS (
+  SELECT user_id, isl, max(e) - min(s) AS cov
+  FROM g GROUP BY user_id, isl)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM isls GROUP BY user_id
+"""

@@ -4053,3 +4053,40 @@ class TestHitsScores:
         assert got == {i: (h.get(i, 0), a.get(i, 0)) for i in ids}
         # authorities concentrate somewhere: scores are not constant
         assert fast["auth_q"].nunique() > 1
+
+
+class TestIntervalCoverage:
+    def test_matches_brute_force_union(self, ray_session):
+        """Per-user coverage equals a brute-force interval-union
+        replay; engulfed intervals add nothing."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.events import interval_coverage
+
+        ev = pq.read_table(SF + "/events.parquet",
+                           columns=["user_id", "ts", "value"]) \
+            .to_pandas()
+        s = ((ev["ts"] - pd.Timestamp(0))
+             // pd.Timedelta(microseconds=1)).astype("int64")
+        cents = np.floor(100.0 * ev["value"] + 0.5).astype("int64")
+        ev = pd.DataFrame({"u": ev["user_id"].astype(int), "s": s,
+                           "e": s + cents * 10_000})
+        want = {}
+        for u, g in ev.groupby("u"):
+            isl, cov, cur_s, cur_e = 0, 0, None, None
+            for _, r in g.sort_values(["s", "e"]).iterrows():
+                if cur_e is None or r["s"] > cur_e:
+                    if cur_e is not None:
+                        cov += cur_e - cur_s
+                    isl += 1
+                    cur_s, cur_e = int(r["s"]), int(r["e"])
+                else:
+                    cur_e = max(cur_e, int(r["e"]))
+            cov += cur_e - cur_s
+            want[int(u)] = (isl, cov)
+        out = interval_coverage(SF).to_pandas()
+        got = {int(r["user_id"]): (int(r["n_islands"]),
+                                   int(r["covered_us"]))
+               for _, r in out.iterrows()}
+        assert got == want
