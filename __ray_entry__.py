@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": sources.csv_roundtrip,
         "arrow_ipc_roundtrip": sources.arrow_ipc_roundtrip,
         "partition_pruned_read": sources.partition_pruned_read,
+        "table_cdc_diff": sources.table_cdc_diff,
         # multimodal plumbing
         "payload_stats": multimodal.payload_stats,
         "bmp_pixel_stats": multimodal.bmp_pixel_stats,

@@ -164,6 +164,7 @@ def run_queries(sf_dir: str) -> dict:
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),
+        "table_cdc_diff": lambda: sources.table_cdc_diff(sf_dir),
         "near_dup_dedup": lambda: dedup.near_dup_dedup(sf_dir),
         "near_dup_dedup_lsh": lambda: dedup.near_dup_dedup(sf_dir,
                                                            use_lsh=True),

@@ -4128,3 +4128,32 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
        CAST(sum(cov) AS BIGINT) AS covered_us
 FROM isls GROUP BY user_id
 """
+
+
+# snapshot CDC diff: B derives from A by md5 rules (%10==0 delete,
+# %10==1 edit, %10==2 spawns one added row); classify added / removed
+# / changed via content digests
+DOC_ORACLES["table_cdc_diff"] = """
+WITH r AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(doc_id || ':cdc'), 1, 16))::UBIGINT
+              % 10 AS BIGINT) AS rule
+  FROM documents),
+a AS (SELECT doc_id AS k, md5(text) AS h FROM documents),
+b AS (
+  SELECT doc_id AS k,
+         CASE WHEN rule = 1 THEN md5(text || ' v2')
+              ELSE md5(text) END AS h
+  FROM r WHERE rule != 0
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         md5('added doc ' || doc_id)
+  FROM r WHERE rule = 2)
+SELECT 'removed' AS op, a.k AS doc_id
+FROM a LEFT JOIN b ON b.k = a.k WHERE b.k IS NULL
+UNION ALL
+SELECT 'added', b.k FROM b LEFT JOIN a ON a.k = b.k WHERE a.k IS NULL
+UNION ALL
+SELECT 'changed', a.k
+FROM a JOIN b ON b.k = a.k WHERE a.h != b.h
+"""

@@ -164,3 +164,86 @@ def partition_pruned_read(sf_dir: str, lang: str = "en"):
         return _digest_batch(df)
 
     return pruned.map_batches(digest, batch_format="pandas")
+
+
+def table_cdc_diff(sf_dir: str):
+    """(op, doc_id) — snapshot CDC diff with change classification:
+    compare corpus snapshot A (documents) against snapshot B (derived
+    from A by deterministic md5 rules — id%10==0 rows deleted,
+    id%10==1 rows edited, one new row per id%10==2 — exactly the kind
+    of drop-over-drop delta an ELT pipeline reconciles) and classify
+    every difference as added / removed / changed. The graph-level
+    analogue (exchange.diff_canonical_graphs) diffs triples; this is
+    the row-level primitive with UPDATE detection via content digest.
+
+    Scale shape: both sides reduce to fixed-width (doc_id, digest)
+    rows map-side — full text never crosses the exchange; ONE
+    hash(doc_id) co-group classifies in place (A-only → removed,
+    B-only → added, digest mismatch → changed).
+    """
+    import hashlib
+
+    import numpy as np
+    import ray
+    import ray.data
+
+    from .traindata import _md5_u64
+
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    docs = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                                 columns=["doc_id", "text"])
+
+    def digest(texts) -> list:
+        return [hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in texts]
+
+    def a_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "k": k, "h": digest(df["text"].astype(str)),
+            "side": np.int8(0),
+            "bucket": (pd.util.hash_pandas_object(k, index=False)
+                       % nparts).astype("int32")})
+
+    def b_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        rule = np.array([_md5_u64("%d:cdc" % d) % 10 for d in ids],
+                        dtype="int64")
+        keep = df[rule != 0]
+        krule = rule[rule != 0]
+        texts = [t + " v2" if r == 1 else t
+                 for t, r in zip(keep["text"].astype(str), krule)]
+        base = pd.DataFrame({"k": keep["doc_id"].astype("int64"),
+                             "h": digest(texts)})
+        newdocs = ids[rule == 2]
+        added = pd.DataFrame({
+            "k": (newdocs + 1_000_000_000).astype("int64"),
+            "h": digest(["added doc %d" % d for d in newdocs])})
+        out = pd.concat([base, added], ignore_index=True)
+        out["side"] = np.int8(1)
+        out["bucket"] = (pd.util.hash_pandas_object(out["k"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0][["k", "h"]]
+        b = df[df["side"] == 1][["k", "h"]]
+        m = a.merge(b, on="k", how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        removed = m[m["_merge"] == "left_only"]["k"]
+        added = m[m["_merge"] == "right_only"]["k"]
+        changed = m[(m["_merge"] == "both")
+                    & (m["h_a"] != m["h_b"])]["k"]
+        return pd.DataFrame({
+            "op": (["removed"] * len(removed) + ["added"] * len(added)
+                   + ["changed"] * len(changed)),
+            "doc_id": pd.concat([removed, added, changed],
+                                ignore_index=True).astype("int64")})
+
+    out = (docs.map_batches(a_rows, batch_format="pandas")
+           .union(docs.map_batches(b_rows, batch_format="pandas"))
+           .groupby("bucket").map_groups(classify,
+                                         batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["op", "doc_id"]).reset_index(drop=True)

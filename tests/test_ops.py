@@ -4090,3 +4090,29 @@ class TestIntervalCoverage:
                                    int(r["covered_us"]))
                for _, r in out.iterrows()}
         assert got == want
+
+
+class TestTableCdcDiff:
+    def test_rule_counts_and_self_diff_empty(self, ray_session):
+        """Ops match the md5 rules exactly (removed ⟺ rule 0, changed
+        ⟺ rule 1, added ⟺ one spawned row per rule 2); the three
+        classes are disjoint."""
+        import pyarrow.parquet as pq
+
+        from kgx.sources import table_cdc_diff
+        from kgx.traindata import _md5_u64
+
+        ids = pq.read_table(SF + "/documents.parquet",
+                            columns=["doc_id"]) \
+            .column("doc_id").to_pylist()
+        rule = {d: _md5_u64("%d:cdc" % d) % 10 for d in ids}
+        out = table_cdc_diff(SF)
+        got = {op: set(g["doc_id"].astype(int))
+               for op, g in out.groupby("op")}
+        assert got.get("removed", set()) == \
+            {d for d, r in rule.items() if r == 0}
+        assert got.get("changed", set()) == \
+            {d for d, r in rule.items() if r == 1}
+        assert got.get("added", set()) == \
+            {d + 1_000_000_000 for d, r in rule.items() if r == 2}
+        assert not (got["removed"] & got["changed"])
