@@ -160,6 +160,8 @@ def run_queries(sf_dir: str) -> dict:
         "autocorr_daily": lambda: events.autocorr_daily(sf_dir),
         "interval_coverage":
             lambda: events.interval_coverage(sf_dir),
+        "value_percentiles_cont":
+            lambda: events.value_percentiles_cont(sf_dir),
         "psi_drift": lambda: textops.psi_drift(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":

@@ -1385,3 +1385,51 @@ def interval_coverage(sf_dir: str):
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(sweep,
                                           batch_format="pandas"))
+
+
+def value_percentiles_cont(sf_dir: str):
+    """(event_type, n, p50_x2, p95_x20) — INTERPOLATED percentiles
+    (SQL percentile_cont semantics) per event type, kept exact by
+    clearing the interpolation denominators: at q the value sits at
+    position (n−1)·q, so p50·2 = c⌊pos⌋ + c⌈pos⌉ and p95·20 =
+    (20−r)·c⌊pos⌋ + r·c⌈pos⌉ with r = (19·(n−1)) mod 20 — every
+    output an exact integer (the quantile_disc ops in this module
+    cover the discrete rule; this is the other SQL percentile).
+
+    Scale shape: same bounded-integer-domain histogram combiner as
+    value_percentiles — the exchange carries (type, cents) histogram
+    rows, never events; the interpolation walks the cumulative
+    histogram driver-side (no sort at any scale).
+    """
+    ds = _read_events(sf_dir, columns=["event_type", "value"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "cents": np.floor(100.0 * df["value"].to_numpy("float64")
+                              + 0.5).astype("int64")})
+        g = t.groupby(["event_type", "cents"]).size().reset_index(
+            name="n")
+        return g
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby(["event_type", "cents"], as_index=False)["n"].sum())
+    rows = []
+    for et, g in h.groupby("event_type", sort=True):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy("int64")
+        cum = g["n"].cumsum().to_numpy("int64")
+        n = int(cum[-1])
+
+        def at(rank0: int) -> int:  # 0-based rank via cumulative walk
+            return int(vals[np.searchsorted(cum, rank0 + 1)])
+
+        lo50, hi50 = at((n - 1) // 2), at(n // 2)
+        pos95, r95 = divmod(19 * (n - 1), 20)
+        lo95 = at(pos95)
+        hi95 = at(min(pos95 + 1, n - 1)) if r95 else lo95
+        rows.append((str(et), n, lo50 + hi50,
+                     (20 - r95) * lo95 + r95 * hi95))
+    return pd.DataFrame(rows, columns=["event_type", "n", "p50_x2",
+                                       "p95_x20"]).astype(
+        {"n": "int64", "p50_x2": "int64", "p95_x20": "int64"})

@@ -4157,3 +4157,34 @@ UNION ALL
 SELECT 'changed', a.k
 FROM a JOIN b ON b.k = a.k WHERE a.h != b.h
 """
+
+
+# interpolated (percentile_cont) percentiles with cleared denominators:
+# p50·2 and p95·20 are exact integers picked at ranks ⌊pos⌋/⌈pos⌉ of
+# the per-type value order
+DOC_ORACLES["value_percentiles_cont"] = """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+s AS (SELECT DISTINCT event_type, n FROM r)
+SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+       CAST((SELECT c FROM r WHERE r.event_type = s.event_type
+             AND rn = (s.n - 1) // 2 + 1)
+          + (SELECT c FROM r WHERE r.event_type = s.event_type
+             AND rn = s.n // 2 + 1) AS BIGINT) AS p50_x2,
+       CAST((20 - (19 * (s.n - 1)) % 20)
+            * (SELECT c FROM r WHERE r.event_type = s.event_type
+               AND rn = (19 * (s.n - 1)) // 20 + 1)
+          + ((19 * (s.n - 1)) % 20)
+            * (SELECT c FROM r WHERE r.event_type = s.event_type
+               AND rn = least((19 * (s.n - 1)) // 20 + 2, s.n))
+            AS BIGINT) AS p95_x20
+FROM s
+"""

@@ -4116,3 +4116,26 @@ class TestTableCdcDiff:
         assert got.get("added", set()) == \
             {d + 1_000_000_000 for d, r in rule.items() if r == 2}
         assert not (got["removed"] & got["changed"])
+
+
+class TestValuePercentilesCont:
+    def test_matches_numpy_linear_interpolation(self, ray_session):
+        """p50_x2/2 and p95_x20/20 equal numpy's linear-interpolation
+        percentiles of the cents values per type."""
+        import pyarrow.parquet as pq
+
+        from kgx.events import value_percentiles_cont
+
+        ev = pq.read_table(SF + "/events.parquet",
+                           columns=["event_type", "value"]) \
+            .to_pandas()
+        ev["c"] = np.floor(100.0 * ev["value"] + 0.5).astype("int64")
+        out = value_percentiles_cont(SF)
+        for _, r in out.iterrows():
+            c = ev.loc[ev["event_type"] == r["event_type"], "c"] \
+                .to_numpy("float64")
+            assert int(r["n"]) == len(c)
+            assert abs(int(r["p50_x2"]) / 2
+                       - np.percentile(c, 50)) < 1e-9
+            assert abs(int(r["p95_x20"]) / 20
+                       - np.percentile(c, 95)) < 1e-7
