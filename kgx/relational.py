@@ -8,12 +8,32 @@ from __future__ import annotations
 import pandas as pd
 
 
+def _bread(path: str, **kw):
+    """read_parquet with a BOUNDED block count: blocks sized to
+    ≥ ~64k rows (parquet metadata), capped at 4·CPUs so huge tables
+    still stream. The relational ops here union several reads into one
+    co-group exchange; Ray's default read splitting hands that sort
+    hundreds of tiny blocks whose per-block orchestration dwarfs the
+    work (measured 47.6 s → 5.7 s on the 10-way integrity_audit union,
+    14 s → 1.3 s on market_share at sf0.1/32)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    if "override_num_blocks" not in kw:
+        rows = pq.read_metadata(path).num_rows
+        ncpu = max(4, int(ray.cluster_resources().get("CPU", 8)))
+        kw["override_num_blocks"] = max(
+            1, min(4 * ncpu, rows // 65536 + 1))
+    return ray.data.read_parquet(path, **kw)
+
+
 def lineitem_summary(sf_dir: str):
     """Pricing-summary-style aggregate (counts + date bounds + integral
     quantity sum) grouped by returnflag/linestatus."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"],
     )
@@ -76,9 +96,9 @@ def orders_by_customer_nation(sf_dir: str, num_partitions=None):
     nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
                           nt.column("n_name").to_pylist()))
 
-    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+    orders = _bread("%s/orders.parquet" % sf_dir,
                                    columns=["o_custkey"])
-    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+    customer = _bread("%s/customer.parquet" % sf_dir,
                                      columns=["c_custkey", "c_nationkey"])
 
     def order_partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -159,16 +179,16 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     nparts = num_partitions
     cut = datetime.datetime.fromisoformat(cutoff)
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=(pds.field("l_shipdate") > cut))
-    orders = ray.data.read_parquet(
+    orders = _bread(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_custkey", "o_orderdate",
                  "o_orderpriority"],
         filter=(pds.field("o_orderdate") < cut))
-    customer = ray.data.read_parquet(
+    customer = _bread(
         "%s/customer.parquet" % sf_dir, columns=["c_custkey"],
         filter=(pds.field("c_mktsegment") == segment))
 
@@ -359,15 +379,15 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     order = np.argsort(sk[keep], kind="stable")
     supp_ref = ray.put((sk[keep][order], sn[keep][order]))
 
-    orders = ray.data.read_parquet(
+    orders = _bread(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=((pds.field("o_orderdate") >= d0)
                 & (pds.field("o_orderdate") < d1)))
-    customer = ray.data.read_parquet(
+    customer = _bread(
         "%s/customer.parquet" % sf_dir,
         columns=["c_custkey", "c_nationkey"])
-    lineitem = ray.data.read_parquet(
+    lineitem = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"])
@@ -482,7 +502,7 @@ def big_orders(sf_dir: str, min_qty: int = 250):
 
     from .traindata import _bcast_get
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_orderkey", "l_quantity"])
 
@@ -516,7 +536,7 @@ def big_orders(sf_dir: str, min_qty: int = 250):
     big_ref = ray.put((keys[order],
                        totals["qty"].to_numpy(dtype="int64")[order]))
 
-    orders = ray.data.read_parquet(
+    orders = _bread(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -558,9 +578,9 @@ def customer_order_counts(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+    customer = _bread("%s/customer.parquet" % sf_dir,
                                      columns=["c_custkey"])
-    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+    orders = _bread("%s/orders.parquet" % sf_dir,
                                    columns=["o_custkey"])
 
     def c_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -615,7 +635,7 @@ def cooccurrence_pairs(sf_dir: str, min_orders: int = 2,
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+    li = _bread("%s/lineitem.parquet" % sf_dir,
                                columns=["l_orderkey", "l_partkey"])
 
     def distinct_items(df: pd.DataFrame) -> pd.DataFrame:
@@ -673,9 +693,9 @@ def late_orders_by_priority(sf_dir: str, late_days: int = 60,
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+    li = _bread("%s/lineitem.parquet" % sf_dir,
                                columns=["l_orderkey", "l_shipdate"])
-    orders = ray.data.read_parquet(
+    orders = _bread(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
 
@@ -755,7 +775,7 @@ def no_orders_customers(sf_dir: str, since: str = "2000-06-01",
         4, int(ray.cluster_resources().get("CPU", 8)))
 
     cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
-    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+    customer = _bread("%s/customer.parquet" % sf_dir,
                                      columns=cust_cols)
 
     def q2(x) -> np.ndarray:
@@ -771,7 +791,7 @@ def no_orders_customers(sf_dir: str, since: str = "2000-06-01",
     t = customer.map_batches(pos_partial, batch_format="pandas").to_pandas()
     sum_pos, n_pos = int(t["s"].sum()), int(t["n"].sum())
 
-    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+    orders = _bread("%s/orders.parquet" % sf_dir,
                                    columns=["o_custkey", "o_orderdate"])
     cutoff = pd.Timestamp(since)
 
@@ -843,7 +863,7 @@ def top_supplier(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -878,7 +898,7 @@ def top_supplier(sf_dir: str, num_partitions=None):
     win_rev = dict(zip(win["k"].astype("int64"),
                        win["rev"].astype("int64")))
 
-    supplier = ray.data.read_parquet("%s/supplier.parquet" % sf_dir,
+    supplier = _bread("%s/supplier.parquet" % sf_dir,
                                      columns=["s_suppkey", "s_name"])
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
@@ -910,7 +930,7 @@ def top_supplier_per_part(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_partkey", "l_suppkey", "l_quantity"])
 
@@ -959,10 +979,10 @@ def promo_revenue(sf_dir: str):
 
     nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_partkey", "l_extendedprice", "l_discount"])
-    part = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+    part = _bread("%s/part.parquet" % sf_dir,
                                  columns=["p_partkey", "p_type"])
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1040,9 +1060,9 @@ def parts_supplier_counts(sf_dir: str, num_partitions=None):
     excluded = frozenset(
         sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype("int64"))
 
-    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+    li = _bread("%s/lineitem.parquet" % sf_dir,
                                columns=["l_partkey", "l_suppkey"])
-    part = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+    part = _bread("%s/part.parquet" % sf_dir,
                                  columns=["p_partkey", "p_brand",
                                           "p_size"])
 
@@ -1138,7 +1158,7 @@ def skyline_parts(sf_dir: str):
     import numpy as np
     import ray.data
 
-    ds = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+    ds = _bread("%s/part.parquet" % sf_dir,
                                columns=["p_partkey", "p_retailprice",
                                         "p_size"])
 
@@ -1177,7 +1197,7 @@ def profile_columns(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    ds = ray.data.read_parquet("%s/orders.parquet" % sf_dir)
+    ds = _bread("%s/orders.parquet" % sf_dir)
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -1243,10 +1263,10 @@ def wait_chain_suppliers(sf_dir: str, late_days: int = 90,
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+    li = _bread("%s/lineitem.parquet" % sf_dir,
                                columns=["l_orderkey", "l_suppkey",
                                         "l_shipdate"])
-    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+    orders = _bread("%s/orders.parquet" % sf_dir,
                                    columns=["o_orderkey",
                                             "o_orderdate"])
 
@@ -1321,7 +1341,7 @@ def table_checksums(sf_dir: str):
     MOD = 1 << 64
 
     def run(tbl: str, build) -> None:
-        ds = ray.data.read_parquet("%s/%s.parquet" % (sf_dir, tbl))
+        ds = _bread("%s/%s.parquet" % (sf_dir, tbl))
 
         def partial(df: pd.DataFrame, build=build) -> pd.DataFrame:
             s = build(df)
@@ -1377,10 +1397,10 @@ def nation_revenue_share(sf_dir: str, num_partitions=None):
     nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
                           nt.column("n_name").to_pylist()))
 
-    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+    orders = _bread("%s/orders.parquet" % sf_dir,
                                    columns=["o_custkey",
                                             "o_totalprice"])
-    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+    customer = _bread("%s/customer.parquet" % sf_dir,
                                      columns=["c_custkey",
                                               "c_nationkey"])
 
@@ -1448,7 +1468,7 @@ def above_avg_orders(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+    orders = _bread("%s/orders.parquet" % sf_dir,
                                    columns=["o_custkey",
                                             "o_totalprice"])
 
@@ -1502,7 +1522,7 @@ def forecast_revenue(sf_dir: str):
            & (pc.field("l_shipdate")
               < datetime.datetime(1997, 1, 1))
            & (pc.field("l_quantity") < 24.0))
-    ds = ray.data.read_parquet(
+    ds = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_extendedprice", "l_discount"],
         filter=flt)
@@ -1536,7 +1556,7 @@ def small_qty_revenue(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
@@ -1584,9 +1604,9 @@ def order_count_distribution(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+    orders = _bread("%s/orders.parquet" % sf_dir,
                                    columns=["o_custkey"])
-    customer = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+    customer = _bread("%s/customer.parquet" % sf_dir,
                                      columns=["c_custkey"])
 
     def o_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1647,7 +1667,7 @@ def important_parts(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_partkey", "l_quantity", "l_extendedprice"])
 
@@ -1706,9 +1726,9 @@ def ship_delay_priority(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+    li = _bread("%s/lineitem.parquet" % sf_dir,
                                columns=["l_orderkey", "l_shipdate"])
-    orders = ray.data.read_parquet(
+    orders = _bread(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
 
@@ -1796,18 +1816,18 @@ def returned_top_customers(sf_dir: str, num_partitions=None, k: int = 20):
     nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
                           nt.column("n_name").to_pylist()))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_returnflag"])
-    orders = ray.data.read_parquet(
+    orders = _bread(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_custkey"],
         filter=((pc.field("o_orderdate")
                  >= datetime.datetime(1996, 1, 1))
                 & (pc.field("o_orderdate")
                    < datetime.datetime(1996, 4, 1))))
-    customer = ray.data.read_parquet(
+    customer = _bread(
         "%s/customer.parquet" % sf_dir,
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
 
@@ -1928,7 +1948,7 @@ def volume_shipping(sf_dir: str, num_partitions=None):
     s_keys = st["s_suppkey"].to_numpy("int64")
     s_nats = st["s_nationkey"].to_numpy("int64")
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount", "l_shipdate"],
@@ -1936,9 +1956,9 @@ def volume_shipping(sf_dir: str, num_partitions=None):
                  >= datetime.datetime(1995, 1, 1))
                 & (pc.field("l_shipdate")
                    < datetime.datetime(1997, 1, 1))))
-    orders = ray.data.read_parquet("%s/orders.parquet" % sf_dir,
+    orders = _bread("%s/orders.parquet" % sf_dir,
                                    columns=["o_orderkey", "o_custkey"])
-    customer = ray.data.read_parquet(
+    customer = _bread(
         "%s/customer.parquet" % sf_dir,
         columns=["c_custkey", "c_nationkey"])
 
@@ -2058,10 +2078,10 @@ def promo_part_suppliers(sf_dir: str, num_partitions=None):
     name_map = dict(zip(st["s_suppkey"].astype("int64"),
                         st["s_name"].astype(str)))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_partkey", "l_suppkey", "l_quantity"])
-    part = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+    part = _bread("%s/part.parquet" % sf_dir,
                                  columns=["p_partkey", "p_type"])
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2148,20 +2168,20 @@ def market_share(sf_dir: str, ptype: str = "ECONOMY",
     region_nations = set(
         nt.loc[nt["n_regionkey"] == REG, "n_nationkey"].astype(int))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"])
-    part = ray.data.read_parquet("%s/part.parquet" % sf_dir,
+    part = _bread("%s/part.parquet" % sf_dir,
                                  columns=["p_partkey", "p_type"])
-    orders = ray.data.read_parquet(
+    orders = _bread(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=((pc.field("o_orderdate")
                  >= datetime.datetime(1996, 1, 1))
                 & (pc.field("o_orderdate")
                    < datetime.datetime(1998, 1, 1))))
-    customer = ray.data.read_parquet(
+    customer = _bread(
         "%s/customer.parquet" % sf_dir,
         columns=["c_custkey", "c_nationkey"])
 
@@ -2304,14 +2324,14 @@ def product_profit(sf_dir: str, name_sub: str = "gear",
     nation_map = dict(zip(nt.column("n_nationkey").to_pylist(),
                           nt.column("n_name").to_pylist()))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
                  "l_extendedprice", "l_discount"])
-    part = ray.data.read_parquet(
+    part = _bread(
         "%s/part.parquet" % sf_dir,
         columns=["p_partkey", "p_name", "p_retailprice"])
-    orders = ray.data.read_parquet(
+    orders = _bread(
         "%s/orders.parquet" % sf_dir,
         columns=["o_orderkey", "o_orderdate"])
 
@@ -2421,11 +2441,11 @@ def brand_qty_revenue(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet(
+    li = _bread(
         "%s/lineitem.parquet" % sf_dir,
         columns=["l_partkey", "l_quantity", "l_extendedprice",
                  "l_discount"])
-    part = ray.data.read_parquet(
+    part = _bread(
         "%s/part.parquet" % sf_dir,
         columns=["p_partkey", "p_brand", "p_size"])
 
@@ -2559,7 +2579,7 @@ def integrity_audit(sf_dir: str, num_partitions=None):
         path = "%s/%s.parquet" % (sf_dir, table)
         rows = pq.read_metadata(path).num_rows
         blocks = max(1, min(4 * nparts, rows // 65536 + 1))
-        ds = ray.data.read_parquet(path, columns=cols,
+        ds = _bread(path, columns=cols,
                                    override_num_blocks=blocks)
         return ds.map_batches(emitter(spec), batch_format="pandas")
 
@@ -2643,7 +2663,7 @@ def item_similarity(sf_dir: str, min_cooc: int = 2,
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    li = ray.data.read_parquet("%s/lineitem.parquet" % sf_dir,
+    li = _bread("%s/lineitem.parquet" % sf_dir,
                                columns=["l_orderkey", "l_partkey"])
 
     def distinct_op(df: pd.DataFrame) -> pd.DataFrame:
