@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": traindata.ccnet_buckets,
         "curate_corpus": traindata.curate_corpus,
         "naive_bayes_langid": traindata.naive_bayes_langid,
+        "perceptron_langid": traindata.perceptron_langid,
         # source formats beyond parquet (export → shards → re-ingest)
         "ndjson_roundtrip": sources.ndjson_roundtrip,
         "csv_roundtrip": sources.csv_roundtrip,

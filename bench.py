@@ -179,6 +179,8 @@ def run_queries(sf_dir: str) -> dict:
         "decontaminate_bloom": lambda: traindata.decontaminate_bloom(sf_dir),
         "pack_sequences": lambda: traindata.pack_sequences(sf_dir),
         "curate_corpus": lambda: traindata.curate_corpus(sf_dir),
+        "perceptron_langid":
+            lambda: traindata.perceptron_langid(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
         "clustering_coeff": lambda: _clustering_coeff(sf_dir),

@@ -21,11 +21,13 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
+from .readers import bounded_read_parquet as _bread
+
 
 def _read_documents(sf_dir: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet("%s/documents.parquet" % sf_dir, columns=columns)
+    return _bread("%s/documents.parquet" % sf_dir, columns=columns)
 
 
 def _bucketed_min(ds, key_fn, num_buckets: int = 64):
@@ -508,7 +510,7 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
     nparts = num_partitions
     b, L = num_planes, num_bands
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
@@ -694,7 +696,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4,
         num_blocks = max(4, int((4 * ncpu) ** 0.5))
     B = num_blocks
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
 
     def to_cells(df: pd.DataFrame) -> pd.DataFrame:
@@ -786,7 +788,7 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.4, nlist: int = 64):
         return pd.DataFrame({"vec_id": keep["vec_id"].astype("int64"),
                              "cluster": keep["cluster"].astype("int64")})
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     return (ds.map_batches(assign, batch_format="pandas")
             .groupby("cluster").map_groups(prune_cluster,
@@ -1055,7 +1057,7 @@ def typo_pairs(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    ds = ray.data.read_parquet("%s/customer.parquet" % sf_dir,
+    ds = _bread("%s/customer.parquet" % sf_dir,
                                columns=["c_name"])
 
     def variants(df: pd.DataFrame) -> pd.DataFrame:
@@ -1119,7 +1121,7 @@ def dedup_keep_best(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text", "n_chars"])
 
     import re as _re
@@ -1177,7 +1179,7 @@ def dup_group_spectrum(sf_dir: str, num_partitions=None):
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["text"])
     drop = _re.compile(r"[^a-z0-9 ]")
     squash = _re.compile(r" +")

@@ -13,13 +13,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .readers import bounded_read_parquet as _bread
+
 _GAP_MINUTES = 30
 
 
 def _read_events(sf_dir: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet("%s/events.parquet" % sf_dir, columns=columns)
+    return _bread("%s/events.parquet" % sf_dir, columns=columns)
 
 
 def _nparts():

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .readers import bounded_read_parquet as _bread
+
 
 def _pil_available() -> bool:
     try:
@@ -149,7 +151,7 @@ def payload_features(sf_dir: str, batch_size: int = 64):
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text"])
 
     def to_payload(df: pd.DataFrame) -> pd.DataFrame:
@@ -220,7 +222,7 @@ def payload_resize(sf_dir: str, out_w: int = 8, out_h: int = 8,
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text"])
 
     def to_payload(df: pd.DataFrame) -> pd.DataFrame:
@@ -245,7 +247,7 @@ def frame_sample(sf_dir: str, frame_bytes: int = 16, every_n: int = 4):
     op carries a real DuckDB oracle unlike the codec-bound stages."""
     import ray.data
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text"])
 
     def frames(df: pd.DataFrame) -> pd.DataFrame:
@@ -338,7 +340,7 @@ def bmp_pixel_stats(sf_dir: str, width: int = 32, batch_size: int = 64):
     binary payloads), same shape as the other payload stages."""
     import ray.data
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -414,7 +416,7 @@ def wav_pcm_stats(sf_dir: str, batch_size: int = 64):
     bmp_pixel_stats."""
     import ray.data
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -503,7 +505,7 @@ def y4m_frame_stats(sf_dir: str, width: int = 16, height: int = 8,
     batch_size), the bmp_pixel_stats shape."""
     import ray.data
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:

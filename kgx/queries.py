@@ -4188,3 +4188,672 @@ SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
             AS BIGINT) AS p95_x20
 FROM s
 """
+
+
+# batch perceptron (full-batch Rosenblatt updates) for is-English over
+# pure-integer features — the whole training loop unrolled, bit-exact
+# by construction (no float anywhere)
+DOC_ORACLES["perceptron_langid"] = """
+WITH feat AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(1 AS BIGINT) AS f1,
+         CAST(least(len(string_split(text, ' ')), 63) AS BIGINT)
+           AS f2,
+         CAST(least(len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('the','and','of','to','a','in','is'))), 15) AS BIGINT) AS f3
+  FROM documents),
+lab AS MATERIALIZED (
+  SELECT doc_id, f1, f2, f3,
+         CASE WHEN 16 * f3 > f2 THEN 1 ELSE -1 END AS y
+  FROM feat),
+w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+              CAST(0 AS BIGINT) AS w3),
+m0 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w0 w),
+w1 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w0 w, m0 m),
+m1 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w1 w),
+w2 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w1 w, m1 m),
+m2 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w2 w),
+w3 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w2 w, m2 m),
+m3 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w3 w),
+w4 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w3 w, m3 m),
+m4 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w4 w),
+w5 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w4 w, m4 m),
+m5 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w5 w),
+w6 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w5 w, m5 m),
+m6 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w6 w),
+w7 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w6 w, m6 m),
+m7 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w7 w),
+w8 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w7 w, m7 m),
+m8 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w8 w),
+w9 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w8 w, m8 m),
+m9 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w9 w),
+w10 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w9 w, m9 m),
+m10 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w10 w),
+w11 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w10 w, m10 m),
+m11 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w11 w),
+w12 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w11 w, m11 m),
+m12 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w12 w),
+w13 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w12 w, m12 m),
+m13 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w13 w),
+w14 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w13 w, m13 m),
+m14 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w14 w),
+w15 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w14 w, m14 m),
+m15 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w15 w),
+w16 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w15 w, m15 m),
+m16 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w16 w),
+w17 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w16 w, m16 m),
+m17 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w17 w),
+w18 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w17 w, m17 m),
+m18 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w18 w),
+w19 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w18 w, m18 m),
+m19 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w19 w),
+w20 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w19 w, m19 m),
+m20 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w20 w),
+w21 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w20 w, m20 m),
+m21 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w21 w),
+w22 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w21 w, m21 m),
+m22 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w22 w),
+w23 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w22 w, m22 m),
+m23 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w23 w),
+w24 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w23 w, m23 m),
+m24 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w24 w),
+w25 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w24 w, m24 m),
+m25 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w25 w),
+w26 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w25 w, m25 m),
+m26 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w26 w),
+w27 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w26 w, m26 m),
+m27 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w27 w),
+w28 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w27 w, m27 m),
+m28 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w28 w),
+w29 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w28 w, m28 m),
+m29 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w29 w),
+w30 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w29 w, m29 m),
+m30 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w30 w),
+w31 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w30 w, m30 m),
+m31 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w31 w),
+w32 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w31 w, m31 m),
+m32 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w32 w),
+w33 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w32 w, m32 m),
+m33 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w33 w),
+w34 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w33 w, m33 m),
+m34 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w34 w),
+w35 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w34 w, m34 m),
+m35 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w35 w),
+w36 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w35 w, m35 m),
+m36 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w36 w),
+w37 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w36 w, m36 m),
+m37 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w37 w),
+w38 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w37 w, m37 m),
+m38 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w38 w),
+w39 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w38 w, m38 m),
+m39 AS MATERIALIZED (
+  SELECT
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f1 ELSE 0 END), 0) AS s1,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f2 ELSE 0 END), 0) AS s2,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN y * f3 ELSE 0 END), 0) AS s3,
+    coalesce(sum(CASE WHEN y * (w.w1*f1 + w.w2*f2 + w.w3*f3) <= 0
+                 THEN 1 ELSE 0 END), 0) AS nm
+  FROM lab, w39 w),
+w40 AS MATERIALIZED (
+  SELECT CAST(w.w1 + m.s1 AS BIGINT) AS w1,
+         CAST(w.w2 + m.s2 AS BIGINT) AS w2,
+         CAST(w.w3 + m.s3 AS BIGINT) AS w3
+  FROM w39 w, m39 m),
+cand AS (SELECT 0 AS k, (SELECT nm FROM m0) AS nm, w1, w2, w3 FROM w0 UNION ALL SELECT 1 AS k, (SELECT nm FROM m1) AS nm, w1, w2, w3 FROM w1 UNION ALL SELECT 2 AS k, (SELECT nm FROM m2) AS nm, w1, w2, w3 FROM w2 UNION ALL SELECT 3 AS k, (SELECT nm FROM m3) AS nm, w1, w2, w3 FROM w3 UNION ALL SELECT 4 AS k, (SELECT nm FROM m4) AS nm, w1, w2, w3 FROM w4 UNION ALL SELECT 5 AS k, (SELECT nm FROM m5) AS nm, w1, w2, w3 FROM w5 UNION ALL SELECT 6 AS k, (SELECT nm FROM m6) AS nm, w1, w2, w3 FROM w6 UNION ALL SELECT 7 AS k, (SELECT nm FROM m7) AS nm, w1, w2, w3 FROM w7 UNION ALL SELECT 8 AS k, (SELECT nm FROM m8) AS nm, w1, w2, w3 FROM w8 UNION ALL SELECT 9 AS k, (SELECT nm FROM m9) AS nm, w1, w2, w3 FROM w9 UNION ALL SELECT 10 AS k, (SELECT nm FROM m10) AS nm, w1, w2, w3 FROM w10 UNION ALL SELECT 11 AS k, (SELECT nm FROM m11) AS nm, w1, w2, w3 FROM w11 UNION ALL SELECT 12 AS k, (SELECT nm FROM m12) AS nm, w1, w2, w3 FROM w12 UNION ALL SELECT 13 AS k, (SELECT nm FROM m13) AS nm, w1, w2, w3 FROM w13 UNION ALL SELECT 14 AS k, (SELECT nm FROM m14) AS nm, w1, w2, w3 FROM w14 UNION ALL SELECT 15 AS k, (SELECT nm FROM m15) AS nm, w1, w2, w3 FROM w15 UNION ALL SELECT 16 AS k, (SELECT nm FROM m16) AS nm, w1, w2, w3 FROM w16 UNION ALL SELECT 17 AS k, (SELECT nm FROM m17) AS nm, w1, w2, w3 FROM w17 UNION ALL SELECT 18 AS k, (SELECT nm FROM m18) AS nm, w1, w2, w3 FROM w18 UNION ALL SELECT 19 AS k, (SELECT nm FROM m19) AS nm, w1, w2, w3 FROM w19 UNION ALL SELECT 20 AS k, (SELECT nm FROM m20) AS nm, w1, w2, w3 FROM w20 UNION ALL SELECT 21 AS k, (SELECT nm FROM m21) AS nm, w1, w2, w3 FROM w21 UNION ALL SELECT 22 AS k, (SELECT nm FROM m22) AS nm, w1, w2, w3 FROM w22 UNION ALL SELECT 23 AS k, (SELECT nm FROM m23) AS nm, w1, w2, w3 FROM w23 UNION ALL SELECT 24 AS k, (SELECT nm FROM m24) AS nm, w1, w2, w3 FROM w24 UNION ALL SELECT 25 AS k, (SELECT nm FROM m25) AS nm, w1, w2, w3 FROM w25 UNION ALL SELECT 26 AS k, (SELECT nm FROM m26) AS nm, w1, w2, w3 FROM w26 UNION ALL SELECT 27 AS k, (SELECT nm FROM m27) AS nm, w1, w2, w3 FROM w27 UNION ALL SELECT 28 AS k, (SELECT nm FROM m28) AS nm, w1, w2, w3 FROM w28 UNION ALL SELECT 29 AS k, (SELECT nm FROM m29) AS nm, w1, w2, w3 FROM w29 UNION ALL SELECT 30 AS k, (SELECT nm FROM m30) AS nm, w1, w2, w3 FROM w30 UNION ALL SELECT 31 AS k, (SELECT nm FROM m31) AS nm, w1, w2, w3 FROM w31 UNION ALL SELECT 32 AS k, (SELECT nm FROM m32) AS nm, w1, w2, w3 FROM w32 UNION ALL SELECT 33 AS k, (SELECT nm FROM m33) AS nm, w1, w2, w3 FROM w33 UNION ALL SELECT 34 AS k, (SELECT nm FROM m34) AS nm, w1, w2, w3 FROM w34 UNION ALL SELECT 35 AS k, (SELECT nm FROM m35) AS nm, w1, w2, w3 FROM w35 UNION ALL SELECT 36 AS k, (SELECT nm FROM m36) AS nm, w1, w2, w3 FROM w36 UNION ALL SELECT 37 AS k, (SELECT nm FROM m37) AS nm, w1, w2, w3 FROM w37 UNION ALL SELECT 38 AS k, (SELECT nm FROM m38) AS nm, w1, w2, w3 FROM w38 UNION ALL SELECT 39 AS k, (SELECT nm FROM m39) AS nm, w1, w2, w3 FROM w39),
+pocket AS (
+  SELECT w1, w2, w3 FROM cand
+  ORDER BY nm, k LIMIT 1)
+SELECT l.doc_id, CAST(l.y AS BIGINT) AS y,
+       CAST(CASE WHEN p.w1*f1 + p.w2*f2 + p.w3*f3 > 0
+                 THEN 1 ELSE -1 END AS BIGINT) AS yhat
+FROM lab l, pocket p
+"""

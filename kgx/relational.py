@@ -8,24 +8,7 @@ from __future__ import annotations
 import pandas as pd
 
 
-def _bread(path: str, **kw):
-    """read_parquet with a BOUNDED block count: blocks sized to
-    ≥ ~64k rows (parquet metadata), capped at 4·CPUs so huge tables
-    still stream. The relational ops here union several reads into one
-    co-group exchange; Ray's default read splitting hands that sort
-    hundreds of tiny blocks whose per-block orchestration dwarfs the
-    work (measured 47.6 s → 5.7 s on the 10-way integrity_audit union,
-    14 s → 1.3 s on market_share at sf0.1/32)."""
-    import pyarrow.parquet as pq
-    import ray
-    import ray.data
-
-    if "override_num_blocks" not in kw:
-        rows = pq.read_metadata(path).num_rows
-        ncpu = max(4, int(ray.cluster_resources().get("CPU", 8)))
-        kw["override_num_blocks"] = max(
-            1, min(4 * ncpu, rows // 65536 + 1))
-    return ray.data.read_parquet(path, **kw)
+from .readers import bounded_read_parquet as _bread
 
 
 def lineitem_summary(sf_dir: str):

@@ -17,6 +17,8 @@ import functools as _functools
 import numpy as np
 import pandas as pd
 
+from .readers import bounded_read_parquet as _bread
+
 
 def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.linalg.norm(M, axis=1, keepdims=True)
@@ -110,7 +112,7 @@ def knn_bruteforce(sf_dir: str, stride: int = 50, k: int = 5):
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     partial = ds.map_batches(
@@ -174,7 +176,7 @@ def knn_graph(sf_dir: str, k: int = 5, num_blocks: int = None):
         num_blocks = max(4, int((4 * ncpu) ** 0.5))
     B = num_blocks
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
 
     def to_cells(df: pd.DataFrame) -> pd.DataFrame:
@@ -276,7 +278,7 @@ def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
     C = train_centroids(sf_dir, nlist)
     nprobe = min(nprobe, C.shape[0])
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     if shards_per_bucket is None:
         # parquet-metadata count: cheap, no data scan
@@ -443,7 +445,7 @@ def knn_ivfpq(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
     sd = CB.shape[2]
     bits = max(4, int(ksub - 1).bit_length())
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     if shards_per_bucket is None:
         nrows = ds.count()
@@ -595,7 +597,7 @@ def kmeans_clusters(sf_dir: str, nlist: int = 64):
         return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
                              "cluster": a.astype("int64")})
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     return ds.map_batches(assign, batch_format="pandas")
 
@@ -669,7 +671,7 @@ def pq_codes(sf_dir: str, m: int = 8, ksub: int = 16):
                 "code": scores.argmax(axis=1).astype("int64")}))
         return pd.concat(outs, ignore_index=True)
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     return ds.map_batches(encode, batch_format="pandas")
 
@@ -697,7 +699,7 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, rounds: int = 2,
     import ray.data
 
     def load_batches():
-        return ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+        return _bread("%s/embeddings.parquet" % sf_dir,
                                      columns=["vec_id", "embedding"])
 
     def quantize(df: pd.DataFrame):
@@ -782,7 +784,7 @@ def label_centroids(sf_dir: str, scale: int = 1 << 10):
     """
     import ray.data
 
-    ds = ray.data.read_parquet("%s/embeddings.parquet" % sf_dir,
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["embedding", "label"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -24,6 +24,8 @@ import shutil
 
 import pandas as pd
 
+from .readers import bounded_read_parquet as _bread
+
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -45,7 +47,7 @@ def _export(sf_dir: str, fmt: str) -> str:
 
     out = _roundtrip_dir(sf_dir, fmt)
     shutil.rmtree(out, ignore_errors=True)
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text", "lang"])
     if fmt == "ndjson":
         ds.write_json(out)
@@ -98,7 +100,7 @@ def arrow_ipc_roundtrip(sf_dir: str):
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["doc_id", "text", "lang"])
 
     def write_shard(tbl: pa.Table) -> pa.Table:
@@ -147,7 +149,7 @@ def partition_pruned_read(sf_dir: str, lang: str = "en"):
     marker = os.path.join(out, "_DONE")
     if not os.path.isfile(marker):
         shutil.rmtree(out, ignore_errors=True)
-        ds = ray.data.read_parquet(
+        ds = _bread(
             "%s/documents.parquet" % sf_dir,
             columns=["doc_id", "lang", "text"])
         ds.write_parquet(out, partition_cols=["lang"])
@@ -155,7 +157,7 @@ def partition_pruned_read(sf_dir: str, lang: str = "en"):
             fp.write("ok")
 
     part_dir = os.path.join(out, "lang=%s" % lang)
-    pruned = ray.data.read_parquet(part_dir)
+    pruned = _bread(part_dir)
 
     def digest(df: pd.DataFrame) -> pd.DataFrame:
         # the partition column lives in the directory name, not the
@@ -190,7 +192,7 @@ def table_cdc_diff(sf_dir: str):
     from .traindata import _md5_u64
 
     nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
-    docs = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    docs = _bread("%s/documents.parquet" % sf_dir,
                                  columns=["doc_id", "text"])
 
     def digest(texts) -> list:

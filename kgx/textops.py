@@ -17,11 +17,13 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
+from .readers import bounded_read_parquet as _bread
+
 
 def _read_documents(sf_dir: str, columns=None):
     import ray.data
 
-    return ray.data.read_parquet("%s/documents.parquet" % sf_dir, columns=columns)
+    return _bread("%s/documents.parquet" % sf_dir, columns=columns)
 
 
 def token_counts(sf_dir: str):
@@ -1272,7 +1274,7 @@ def linreg_tokens(sf_dir: str):
     """
     import ray.data
 
-    ds = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+    ds = _bread("%s/documents.parquet" % sf_dir,
                                columns=["text", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

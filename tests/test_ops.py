@@ -4139,3 +4139,68 @@ class TestValuePercentilesCont:
                        - np.percentile(c, 50)) < 1e-9
             assert abs(int(r["p95_x20"]) / 20
                        - np.percentile(c, 95)) < 1e-7
+
+
+class TestPerceptronLangid:
+    def test_learns_hidden_rule_above_majority(self, ray_session):
+        """The pocket weights recover the hidden stopword-density rule
+        well above the majority baseline, and predictions equal a
+        local integer replay."""
+        from kgx.traindata import _PERC_STOPS, perceptron_langid
+
+        import pyarrow.parquet as pq
+
+        d = pq.read_table(SF + "/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+        stops = set(_PERC_STOPS)
+        f2 = d["text"].str.split(" ").str.len().clip(upper=63) \
+            .to_numpy("int64")
+        f3 = np.array([min(sum(1 for t in ts if t in stops), 15)
+                       for ts in d["text"].str.lower().str.split(" ")],
+                      dtype="int64")
+        y = np.where(16 * f3 > f2, 1, -1)
+        f1 = np.ones(len(d), dtype="int64")
+        F = np.stack([f1, f2, f3])
+        w = np.zeros(3, dtype=object)
+        pocket, pocket_mis = w.copy(), None
+        for _ in range(40):
+            m = y * (w @ F) <= 0
+            nm = int(m.sum())
+            if pocket_mis is None or nm < pocket_mis:
+                pocket, pocket_mis = w.copy(), nm
+            if nm == 0:
+                break
+            w = w + (y[m] * F[:, m]).sum(axis=1)
+        out = perceptron_langid(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        yhat = np.where(pocket @ F > 0, 1, -1)
+        order = np.argsort(d["doc_id"].to_numpy())
+        assert (out["y"].to_numpy() == y[order]).all()
+        assert (out["yhat"].to_numpy() == yhat[order]).all()
+        acc = (out["y"] == out["yhat"]).mean()
+        maj = max((y == 1).mean(), (y == -1).mean())
+        assert acc > maj + 0.1  # genuinely learned, not majority-voted
+
+    def test_converges_on_fat_margin_corpus(self, ray_session,
+                                            tmp_path):
+        """On a linearly separable fat-margin corpus the pocket
+        perceptron reaches 100% within the epoch budget."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import perceptron_langid
+
+        rows = []
+        for i in range(60):
+            if i % 2:  # dense stopwords, short doc → y = +1
+                rows.append((i, "the and of to a in is the and of"))
+            else:      # no stopwords, long doc → y = −1
+                rows.append((i, " ".join(["word"] * 40)))
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        df["lang"] = "en"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "documents.parquet"))
+        out = perceptron_langid(str(tmp_path)).to_pandas()
+        assert (out["y"] == out["yhat"]).all()
+        assert set(out["y"]) == {1, -1}
