@@ -1435,3 +1435,32 @@ def value_percentiles_cont(sf_dir: str):
     return pd.DataFrame(rows, columns=["event_type", "n", "p50_x2",
                                        "p95_x20"]).astype(
         {"n": "int64", "p50_x2": "int64", "p95_x20": "int64"})
+
+
+def daily_anomalies(sf_dir: str, k: int = 3):
+    """(event_type, day, n_events, is_anomaly) — robust time-series
+    anomaly flags over the DENSE daily count series: a day is
+    anomalous when |count − median| > k·MAD (median absolute
+    deviation), the classic robust detector that a single spike
+    cannot poison the way mean/σ can. Median and MAD use the
+    quantile_disc rule (lower median — value at 0-based rank
+    (n−1)//2), so everything stays in exact integers.
+
+    Scale shape: inherits dense_daily_counts' combiner (daily cells
+    cross the exchange, never events); the per-type median/MAD walk
+    runs on the output-sized dense frame driver-side and the flag is
+    a vectorized compare.
+    """
+    dense = dense_daily_counts(sf_dir)
+    out = []
+    for et, g in dense.groupby("event_type", sort=True):
+        g = g.sort_values("day").reset_index(drop=True)
+        c = g["n_events"].to_numpy("int64")
+        med = int(np.sort(c)[(len(c) - 1) // 2])
+        dev = np.abs(c - med)
+        mad = int(np.sort(dev)[(len(dev) - 1) // 2])
+        out.append(pd.DataFrame({
+            "event_type": str(et), "day": g["day"].astype("int64"),
+            "n_events": c,
+            "is_anomaly": (dev > k * mad).astype("int64")}))
+    return pd.concat(out, ignore_index=True)

@@ -4857,3 +4857,34 @@ SELECT l.doc_id, CAST(l.y AS BIGINT) AS y,
                  THEN 1 ELSE -1 END AS BIGINT) AS yhat
 FROM lab l, pocket p
 """
+
+
+# robust daily anomaly flags: |count − median| > 3·MAD over the dense
+# zero-filled grid, quantile_disc lower-median rule on both statistics
+DOC_ORACLES["daily_anomalies"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span)))
+              AS day) d
+  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+med AS (
+  SELECT event_type, quantile_disc(n, 0.5) AS m FROM grid
+  GROUP BY event_type),
+mad AS (
+  SELECT g.event_type, quantile_disc(abs(g.n - med.m), 0.5) AS md
+  FROM grid g JOIN med ON med.event_type = g.event_type
+  GROUP BY g.event_type)
+SELECT g.event_type, CAST(g.day AS BIGINT) AS day,
+       CAST(g.n AS BIGINT) AS n_events,
+       CAST(CASE WHEN abs(g.n - med.m) > 3 * mad.md
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM grid g JOIN med ON med.event_type = g.event_type
+            JOIN mad ON mad.event_type = g.event_type
+"""

@@ -4204,3 +4204,42 @@ class TestPerceptronLangid:
         out = perceptron_langid(str(tmp_path)).to_pandas()
         assert (out["y"] == out["yhat"]).all()
         assert set(out["y"]) == {1, -1}
+
+
+class TestDailyAnomalies:
+    def test_planted_spike_is_flagged(self, ray_session, tmp_path):
+        """A constructed series (steady 2/day, one 50-event spike)
+        flags exactly the spike day; MAD is spike-proof."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.events import daily_anomalies
+
+        day = 86_400_000_000
+        rows = []
+        eid = 0
+        for d in range(20):
+            n = 50 if d == 7 else 2
+            for _ in range(n):
+                rows.append((eid, d * day + eid, 1, "view", 1.0,
+                             "{}"))
+                eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value",
+                                         "props"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+        out = daily_anomalies(str(tmp_path))
+        flagged = set(out.loc[out["is_anomaly"] == 1, "day"])
+        assert flagged == {7}
+
+    def test_consistent_with_dense_grid(self, ray_session):
+        from kgx.events import daily_anomalies, dense_daily_counts
+
+        a = daily_anomalies(SF)
+        d = dense_daily_counts(SF)
+        assert len(a) == len(d)
+        m = a.merge(d, on=["event_type", "day"])
+        assert (m["n_events_x"] == m["n_events_y"]).all()
