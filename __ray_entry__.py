@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import bipartite_conflicts as _bipartite
     from kgx.components import scc as _scc
     from kgx.components import kg_subtree_sizes as _subtree
+    from kgx.components import kg_cycle_nodes as _kg_cycles
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_conflicts": _bipartite,
         "scc": _scc,
         "kg_subtree_sizes": _subtree,
+        "kg_cycle_nodes": _kg_cycles,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

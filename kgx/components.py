@@ -20,6 +20,8 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
+from .readers import bounded_read_parquet as _bread
+
 
 def _nparts():
     import ray
@@ -1584,11 +1586,23 @@ def scc(sf_dir: str, k: int = 5,
                                  "dst": df["neighbor_id"]
                                  .astype("int64")}),
         batch_format="pandas").materialize()
+    return scc_labels(edges, small_graph_threshold=small_graph_threshold,
+                      num_partitions=num_partitions, id_col="vec_id")
 
+
+def scc_labels(edges, small_graph_threshold: int = 2_000_000,
+               num_partitions: Optional[int] = None,
+               id_col: str = "node"):
+    """Dataset[(src, dst)] → Dataset[(id_col, scc_id)] — the SCC engine
+    behind ``scc``, reusable over any directed edge set (see scc's
+    docstring for the elimination algorithm and cost shape)."""
+    import ray.data
+
+    edges = edges.materialize()
     if edges.count() <= small_graph_threshold:
         out = _kosaraju(edges.to_pandas())
         return ray.data.from_pandas(out.rename(
-            columns={"node": "vec_id"}))
+            columns={"node": id_col}))
 
     nparts = num_partitions or _nparts()
 
@@ -1676,12 +1690,12 @@ def scc(sf_dir: str, k: int = 5,
         F = minprop(sub, remaining, forward=True)
         B = minprop(sub, remaining, forward=False)
         done = F[F == B]
-        got = pd.DataFrame({"vec_id": done.index.to_numpy("int64"),
+        got = pd.DataFrame({id_col: done.index.to_numpy("int64"),
                             "scc_id": done.to_numpy("int64")})
         assigned.append(got)
         remaining = remaining[~remaining["node"].isin(set(done.index))]
     out = (pd.concat(assigned, ignore_index=True)
-           .sort_values("vec_id").reset_index(drop=True))
+           .sort_values(id_col).reset_index(drop=True))
     return ray.data.from_pandas(out)
 
 
@@ -1959,3 +1973,54 @@ def hits_scores(sf_dir: str, iters: int = 3,
     auth = {int(r["node"]): int(r["val"])
             for _, r in a.to_pandas().iterrows()}
     return finish(hub, auth)
+
+
+
+def kg_cycle_nodes(sf_dir: str,
+                   num_partitions: Optional[int] = None,
+                   small_graph_threshold: int = 2_000_000):
+    """(doc_id,) — ontology consistency check: every node lying on a
+    DIRECTED CYCLE of the deterministic two-rule edge set (the
+    pagerank/HITS graph: doc → doc//2 and doc → (doc²+1) mod N — the
+    scatter rule makes real cycles). A broader-style hierarchy must be
+    a DAG; cycle membership is the graph-level integrity_audit. A node
+    is cyclic iff its SCC has ≥ 2 members or it carries a self-loop —
+    equivalently iff it can reach itself through ≥ 1 edge, which is
+    what the recursive-CTE oracle replays.
+
+    Scale shape: composes the reusable SCC engine (scc_labels — see
+    scc for the elimination algorithm; single-task Kosaraju gate below
+    2M edges) with a label-size count and a map-side self-loop probe;
+    the extra work on top of SCC is one output-sized fold.
+    """
+    import ray.data
+
+    docs = _bread("%s/documents.parquet" % sf_dir,
+                  columns=["doc_id"])
+    n = docs.count()
+
+    def edge_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        tree = pd.DataFrame({"src": ids[ids > 0],
+                             "dst": (ids[ids > 0] // 2)})
+        scatter = pd.DataFrame({"src": ids,
+                                "dst": (ids * ids + 1) % n})
+        return pd.concat([tree, scatter]).drop_duplicates()
+
+    edges = docs.map_batches(edge_batch, batch_format="pandas")
+    labels = scc_labels(edges,
+                        small_graph_threshold=small_graph_threshold,
+                        num_partitions=num_partitions,
+                        id_col="doc_id").to_pandas()
+    sizes = labels.groupby("scc_id")["doc_id"].transform("size")
+    multi = set(labels.loc[sizes > 1, "doc_id"].astype(int))
+
+    # self-loop probe on the node-sized label frame (labels already
+    # cover every node of the edge set; an all-empty Dataset loses its
+    # schema in to_pandas, so don't round-trip a usually-empty filter)
+    ids = labels["doc_id"].astype("int64").to_numpy()
+    hit = ((ids * ids + 1) % n == ids) | ((ids > 0)
+                                          & (ids // 2 == ids))
+    loops = set(int(i) for i in ids[hit])
+    out = sorted(multi | loops)
+    return pd.DataFrame({"doc_id": pd.Series(out, dtype="int64")})

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .readers import bounded_read_parquet as _bread
+from .readers import compute_heavy_read_parquet as _bread
 
 
 def _pil_available() -> bool:

@@ -4888,3 +4888,22 @@ SELECT g.event_type, CAST(g.day AS BIGINT) AS day,
 FROM grid g JOIN med ON med.event_type = g.event_type
             JOIN mad ON mad.event_type = g.event_type
 """
+
+
+# ontology consistency: nodes on a directed cycle of the two-rule edge
+# set (a node is cyclic iff it reaches itself through >= 1 edge)
+DOC_ORACLES["kg_cycle_nodes"] = """
+WITH RECURSIVE params AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+  WHERE doc_id > 0
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 1) % p.n
+  FROM documents, params p),
+r AS (
+  SELECT src AS s, dst AS d FROM e
+  UNION
+  SELECT r.s, e.dst FROM r JOIN e ON e.src = r.d)
+SELECT DISTINCT s AS doc_id FROM r WHERE s = d
+"""

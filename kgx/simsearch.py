@@ -17,7 +17,7 @@ import functools as _functools
 import numpy as np
 import pandas as pd
 
-from .readers import bounded_read_parquet as _bread
+from .readers import compute_heavy_read_parquet as _bread
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:

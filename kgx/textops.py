@@ -17,7 +17,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from .readers import bounded_read_parquet as _bread
+from .readers import compute_heavy_read_parquet as _bread
 
 
 def _read_documents(sf_dir: str, columns=None):

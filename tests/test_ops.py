@@ -4243,3 +4243,49 @@ class TestDailyAnomalies:
         assert len(a) == len(d)
         m = a.merge(d, on=["event_type", "day"])
         assert (m["n_events_x"] == m["n_events_y"]).all()
+
+
+class TestKgCycleNodes:
+    def test_matches_networkx_style_cycle_detection(self, ray_session):
+        """Cyclic nodes equal a local SCC replay (size ≥ 2 or
+        self-loop), and the tree rule alone contributes none."""
+        import pyarrow.parquet as pq
+
+        from kgx.components import kg_cycle_nodes
+
+        ids = pq.read_table(SF + "/documents.parquet",
+                            columns=["doc_id"]) \
+            .column("doc_id").to_pylist()
+        n = len(ids)
+        edges = set()
+        for i in ids:
+            if i > 0:
+                edges.add((i, i // 2))
+            edges.add((i, (i * i + 1) % n))
+        # iterative Tarjan-free check: node cyclic iff it reaches
+        # itself (BFS from each node over successor lists)
+        succ = {}
+        for s, d in edges:
+            succ.setdefault(s, set()).add(d)
+        cyclic = set()
+        for start in ids:
+            seen, frontier = set(), {start}
+            while frontier:
+                nxt = set()
+                for x in frontier:
+                    for y in succ.get(x, ()):
+                        if y == start:
+                            cyclic.add(start)
+                            frontier = set()
+                            nxt = set()
+                            break
+                        if y not in seen:
+                            seen.add(y)
+                            nxt.add(y)
+                    else:
+                        continue
+                    break
+                frontier = nxt
+        out = kg_cycle_nodes(SF)
+        assert sorted(out["doc_id"].astype(int)) == sorted(cyclic)
+        assert len(cyclic) > 0  # the scatter rule makes real cycles
