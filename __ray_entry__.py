@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": events.interval_coverage,
         "value_percentiles_cont": events.value_percentiles_cont,
         "daily_anomalies": events.daily_anomalies,
+        "rate_limit_replay": events.rate_limit_replay,
         # relational aggregates + joins
         "lineitem_summary": relational.lineitem_summary,
         "orders_by_customer_nation": relational.orders_by_customer_nation,

@@ -164,6 +164,8 @@ def run_queries(sf_dir: str) -> dict:
         "value_percentiles_cont":
             lambda: events.value_percentiles_cont(sf_dir),
         "daily_anomalies": lambda: events.daily_anomalies(sf_dir),
+        "rate_limit_replay":
+            lambda: events.rate_limit_replay(sf_dir),
         "psi_drift": lambda: textops.psi_drift(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":

@@ -1464,3 +1464,66 @@ def daily_anomalies(sf_dir: str, k: int = 3):
             "n_events": c,
             "is_anomaly": (dev > k * mad).astype("int64")}))
     return pd.concat(out, ignore_index=True)
+
+
+def rate_limit_replay(sf_dir: str):
+    """(user_id, event_id, admitted, bucket_q) — token-bucket rate
+    limiter REPLAY over the event log: capacity 5 tokens, refill 0.1
+    token/s, cost 1 token per event — which requests WOULD have been
+    throttled, the capacity-planning / abuse-forensics question. All
+    state is integer (tokens ×10⁶; refill = gap_µs // 10 exactly), and
+    the walk is genuinely sequential per user (each admit decision
+    feeds the next balance — no prefix-sum shortcut exists because of
+    the min-cap clamp), the ewma_user_value shape.
+
+    Scale shape: one hash(user) exchange; inside a bucket the walk
+    vectorizes ACROSS users by position-within-user (loop length =
+    max events per user, each step a vectorized update).
+    """
+    CAP, COST = 5_000_000, 1_000_000
+    nparts = _nparts()
+    ds = _read_events(sf_dir, columns=["user_id", "event_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "tus": ((df["ts"] - pd.Timestamp(0))
+                    // pd.Timedelta(microseconds=1)).astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(
+                df["user_id"], index=False) % nparts).astype("int32")})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "admitted": pd.Series([], dtype="int64"),
+                "bucket_q": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "tus", "event_id"]) \
+            .reset_index(drop=True)
+        pos = df.groupby("user_id").cumcount().to_numpy()
+        tus = df["tus"].to_numpy("int64")
+        bpost = np.zeros(len(df), dtype="int64")
+        admit = np.zeros(len(df), dtype="int64")
+        first = pos == 0
+        admit[first] = 1  # a full bucket always admits
+        bpost[first] = CAP - COST
+        for t in range(1, int(pos.max()) + 1 if len(pos) else 0):
+            m = np.flatnonzero(pos == t)
+            if len(m) == 0:
+                break
+            bpre = np.minimum(CAP, bpost[m - 1]
+                              + (tus[m] - tus[m - 1]) // 10)
+            ok = bpre >= COST
+            admit[m] = ok.astype("int64")
+            bpost[m] = bpre - COST * ok
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "admitted": pd.Series(admit, dtype="int64"),
+            "bucket_q": pd.Series(bpost, dtype="int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))

@@ -4907,3 +4907,37 @@ r AS (
   SELECT r.s, e.dst FROM r JOIN e ON e.src = r.d)
 SELECT DISTINCT s AS doc_id FROM r WHERE s = d
 """
+
+
+# token-bucket rate limiter replay (cap 5 tokens ×1e6, refill
+# gap_us // 10, cost 1e6): the genuinely sequential per-user walk as a
+# recursive-CTE position chain (the ewma pattern)
+DOC_ORACLES["rate_limit_replay"] = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events),
+walk AS (
+  SELECT user_id, event_id, tus, pos,
+         CAST(4000000 AS BIGINT) AS bpost,
+         CAST(1 AS BIGINT) AS admitted
+  FROM o WHERE pos = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.tus, o.pos,
+         CAST(CASE WHEN least(5000000,
+                             w.bpost + (o.tus - w.tus) // 10)
+                        >= 1000000
+              THEN least(5000000,
+                         w.bpost + (o.tus - w.tus) // 10) - 1000000
+              ELSE least(5000000,
+                         w.bpost + (o.tus - w.tus) // 10)
+              END AS BIGINT),
+         CAST(CASE WHEN least(5000000,
+                             w.bpost + (o.tus - w.tus) // 10)
+                        >= 1000000
+              THEN 1 ELSE 0 END AS BIGINT)
+  FROM walk w JOIN o ON o.user_id = w.user_id
+                    AND o.pos = w.pos + 1)
+SELECT user_id, event_id, admitted, bpost AS bucket_q FROM walk
+"""

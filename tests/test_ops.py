@@ -4289,3 +4289,60 @@ class TestKgCycleNodes:
         out = kg_cycle_nodes(SF)
         assert sorted(out["doc_id"].astype(int)) == sorted(cyclic)
         assert len(cyclic) > 0  # the scatter rule makes real cycles
+
+
+class TestRateLimitReplay:
+    def test_sequential_replay_per_user(self, ray_session):
+        """Admit decisions equal a per-user pure-Python walk; burst
+        beyond capacity gets throttled on a constructed user."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.events import rate_limit_replay
+
+        ev = pq.read_table(SF + "/events.parquet",
+                           columns=["user_id", "event_id", "ts"]) \
+            .to_pandas()
+        ev["tus"] = ((ev["ts"] - pd.Timestamp(0))
+                     // pd.Timedelta(microseconds=1)).astype("int64")
+        CAP, COST = 5_000_000, 1_000_000
+        want = {}
+        for _, g in ev.groupby("user_id"):
+            g = g.sort_values(["tus", "event_id"])
+            b, prev = None, None
+            for _, r in g.iterrows():
+                if b is None:
+                    b = CAP
+                else:
+                    b = min(CAP, b + (int(r["tus"]) - prev) // 10)
+                ok = b >= COST
+                if ok:
+                    b -= COST
+                want[int(r["event_id"])] = (int(ok), b)
+                prev = int(r["tus"])
+        out = rate_limit_replay(SF).to_pandas()
+        got = {int(r["event_id"]): (int(r["admitted"]),
+                                    int(r["bucket_q"]))
+               for _, r in out.iterrows()}
+        assert got == want
+
+    def test_burst_throttled(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.events import rate_limit_replay
+
+        # 8 events in the same millisecond: capacity 5 admits exactly 5
+        df = pd.DataFrame({
+            "event_id": range(8),
+            "ts": pd.to_datetime([1000 + i for i in range(8)],
+                                 unit="us"),
+            "user_id": [7] * 8, "event_type": ["view"] * 8,
+            "value": [1.0] * 8, "props": ["{}"] * 8})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+        out = rate_limit_replay(str(tmp_path)).to_pandas()
+        assert int(out["admitted"].sum()) == 5
+        assert (out.sort_values("event_id")["admitted"].to_numpy()[:5]
+                == 1).all()
