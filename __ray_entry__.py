@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": traindata.dsir_weights,
         "token_quantiles": traindata.token_quantiles,
         "distinct_token_kmv": traindata.distinct_token_kmv,
+        "quantile_sketch_values": traindata.quantile_sketch_values,
+        "dp_noisy_counts": traindata.dp_noisy_counts,
         "heavy_hitters": traindata.heavy_hitters,
         "hll_distinct": traindata.hll_distinct,
         "hll_user_counts": traindata.hll_user_counts,

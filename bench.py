@@ -185,6 +185,10 @@ def run_queries(sf_dir: str) -> dict:
         "curate_corpus": lambda: traindata.curate_corpus(sf_dir),
         "perceptron_langid":
             lambda: traindata.perceptron_langid(sf_dir),
+        "quantile_sketch_values":
+            lambda: traindata.quantile_sketch_values(sf_dir),
+        "dp_noisy_counts":
+            lambda: traindata.dp_noisy_counts(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
         "clustering_coeff": lambda: _clustering_coeff(sf_dir),

@@ -4941,3 +4941,49 @@ walk AS (
                     AND o.pos = w.pos + 1)
 SELECT user_id, event_id, admitted, bpost AS bucket_q FROM walk
 """
+
+
+# bottom-k hash sample quantile sketch: the k rows with smallest
+# md5(event_id) are an exact uniform sample; quantile_disc cutpoints
+# (1-based rank ceil(q*n)) read off the sample — the oracle replays the
+# sketch exactly, sampled rows included
+DOC_ORACLES["quantile_sketch_values"] = """
+WITH h AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(md5(event_id || ':qsk'), 1, 16))::UBIGINT
+           AS hh
+  FROM events),
+samp AS (SELECT cents FROM h ORDER BY hh, cents LIMIT 512),
+n AS (SELECT count(*) AS k FROM samp),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents) AS rn
+      FROM samp)
+SELECT q.q_pct, r.cents AS value_cents, CAST(n.k AS BIGINT) AS k_used
+FROM (VALUES (25, 0.25), (50, 0.5), (75, 0.75), (90, 0.9),
+             (99, 0.99)) AS q(q_pct, qq)
+JOIN n ON TRUE
+JOIN r ON r.rn = greatest(1, CAST(ceil(q.qq * n.k) AS BIGINT))
+"""
+
+
+# Laplace-mechanism DP count release: noise = b·ln(u1/u2), u_i =
+# (md5-u64+1)/2^64 — the exact float tree of traindata.dp_noisy_counts
+DOC_ORACLES["dp_noisy_counts"] = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang),
+u AS (
+  SELECT lang, n,
+         (CAST(('0x' || substr(md5(lang || ':dp1'), 1, 16))::UBIGINT
+               AS DOUBLE) + 1) / 18446744073709551616.0 AS u1,
+         (CAST(('0x' || substr(md5(lang || ':dp2'), 1, 16))::UBIGINT
+               AS DOUBLE) + 1) / 18446744073709551616.0 AS u2
+  FROM c)
+SELECT lang, n AS n_true,
+       CAST(floor(1000000 * (1.0 * ln(u1 / u2))) AS BIGINT)
+         AS noise_q6,
+       CAST(1000000 * n
+            + CAST(floor(1000000 * (1.0 * ln(u1 / u2))) AS BIGINT)
+         AS BIGINT) AS n_noisy_q6
+FROM u
+"""

@@ -1952,3 +1952,90 @@ def perceptron_langid(sf_dir: str, iters: int = 40):
                               index=df.index)})
 
     return ds.map_batches(predict, batch_format="pandas")
+
+
+def quantile_sketch_values(sf_dir: str, k: int = 512,
+                           qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """(q_pct, value_cents, k_used) — MERGEABLE quantile sketch for
+    UNBOUNDED domains: a deterministic bottom-k hash sample (the rows
+    whose md5(event_id) is among the k smallest form an exact uniform
+    without-replacement sample — KMV applied to rows instead of
+    distinct values), quantile_disc cutpoints read off the sample.
+    The histogram-walk percentile ops in this repo need a bounded
+    integer domain; this sketch does not, its state is k·16 bytes,
+    and two sketches merge as "k smallest of the union" — the shape
+    that survives 100 TB and re-aggregation across shards. Like the
+    KMV/CMS/HLL sketches here, the md5 hash makes the sketch
+    deterministic, so the oracle replays the approximation EXACTLY
+    (including which rows got sampled); accuracy vs the exact
+    percentiles is pinned separately by test.
+
+    Scale shape: per-batch (hash, cents) bottom-k combiner; ONE tiny
+    single-partition reduce over ≤ k·n_batches fixed-width rows;
+    cutpoints fold driver-side.
+    """
+    import math
+
+    from .readers import bounded_read_parquet
+
+    ds = bounded_read_parquet("%s/events.parquet" % sf_dir,
+                              columns=["event_id", "value"])
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(100.0 * df["value"].to_numpy("float64")
+                         + 0.5).astype("int64")
+        hs = np.array([_md5_u64("%d:qsk" % e) for e in
+                       df["event_id"]], dtype="uint64")
+        t = pd.DataFrame({"h": hs, "cents": cents}) \
+            .sort_values(["h", "cents"]).head(k)
+        return t
+
+    t = (ds.map_batches(bottom_k, batch_format="pandas").to_pandas()
+         .sort_values(["h", "cents"]).head(k))
+    vals = np.sort(t["cents"].to_numpy("int64"))
+    n = len(vals)
+    rows = [(int(round(100 * q)),
+             int(vals[max(0, math.ceil(q * n) - 1)]), n)
+            for q in qs]
+    return pd.DataFrame(rows, columns=["q_pct", "value_cents",
+                                       "k_used"]).astype("int64")
+
+
+def dp_noisy_counts(sf_dir: str, b: float = 1.0):
+    """(lang, n_true, noise_q6, n_noisy_q6) — differentially-private
+    count release (Laplace mechanism, sensitivity 1, ε = 1/b): per
+    language, the true document count plus Laplace(b) noise drawn
+    DETERMINISTICALLY as b·ln(u₁/u₂) (a difference of exponentials is
+    Laplace), u_i = (md5-u64(lang:dpᵢ)+1)/2⁶⁴. The whole noise tree —
+    two exactly-rounded uint→double conversions, one division, the
+    shared libm ln, one multiply, floor at 10⁶ — is mirrored
+    op-for-op in SQL, so the released noisy counts hash-match exactly
+    (the weighted_sample float-tree contract). n_noisy_q6 =
+    10⁶·n_true + noise_q6.
+
+    Scale shape: per-batch lang-count combiner into a tiny hash
+    aggregate; the noise fold is |langs|-sized driver work. Zero
+    data-sized all-to-alls.
+    """
+    import math
+
+    ds = _read_documents(sf_dir, columns=["lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang").size().reset_index(name="n")
+        return g
+
+    t = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby("lang", as_index=False)["n"].sum())
+    rows = []
+    for _, r in t.sort_values("lang").iterrows():
+        lang, n = str(r["lang"]), int(r["n"])
+        u1 = (float(_md5_u64("%s:dp1" % lang)) + 1.0) / 2.0**64
+        u2 = (float(_md5_u64("%s:dp2" % lang)) + 1.0) / 2.0**64
+        noise = b * math.log(u1 / u2)
+        nq = math.floor(1e6 * noise)
+        rows.append((lang, n, nq, 10**6 * n + nq))
+    return pd.DataFrame(rows, columns=["lang", "n_true", "noise_q6",
+                                       "n_noisy_q6"]).astype(
+        {"n_true": "int64", "noise_q6": "int64",
+         "n_noisy_q6": "int64"})

@@ -4346,3 +4346,73 @@ class TestRateLimitReplay:
         assert int(out["admitted"].sum()) == 5
         assert (out.sort_values("event_id")["admitted"].to_numpy()[:5]
                 == 1).all()
+
+
+class TestQuantileSketchValues:
+    def test_sketch_close_to_exact_quantiles(self, ray_session):
+        """Sketch cutpoints land within a few percentile ranks of the
+        exact quantiles (k=512 ⇒ ±~5 rank-% whp), and the sample is
+        the deterministic bottom-k by hash."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import quantile_sketch_values
+
+        ev = pq.read_table(SF + "/events.parquet",
+                           columns=["value"]).to_pandas()
+        cents = np.sort(np.floor(100.0 * ev["value"] + 0.5)
+                        .astype("int64").to_numpy())
+        out = quantile_sketch_values(SF)
+        n = len(cents)
+        for _, r in out.iterrows():
+            v = int(r["value_cents"])
+            # rank of the sketch answer in the exact distribution
+            rank = np.searchsorted(cents, v, side="right") / n
+            assert abs(rank - r["q_pct"] / 100.0) < 0.08
+        assert int(out["k_used"].iloc[0]) == min(512, n)
+
+    def test_mergeable(self, ray_session):
+        """Bottom-k of the union == union of per-half bottom-k — the
+        sketch merge property."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import _md5_u64
+
+        ev = pq.read_table(SF + "/events.parquet",
+                           columns=["event_id", "value"]).to_pandas()
+        ev["h"] = [_md5_u64("%d:qsk" % e) for e in ev["event_id"]]
+        ev["cents"] = np.floor(100.0 * ev["value"] + 0.5) \
+            .astype("int64")
+        full = ev.sort_values(["h", "cents"]).head(512)
+        a = ev.iloc[::2].sort_values(["h", "cents"]).head(512)
+        b = ev.iloc[1::2].sort_values(["h", "cents"]).head(512)
+        merged = pd.concat([a, b]).sort_values(["h", "cents"]) \
+            .head(512)
+        assert list(merged["h"]) == list(full["h"])
+
+
+class TestDpNoisyCounts:
+    def test_noise_deterministic_and_laplace_shaped(self, ray_session):
+        """Noise replays from the md5 tree exactly; true counts
+        partition the corpus; |noise| is in the Laplace(1) range."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import _md5_u64, dp_noisy_counts
+
+        out = dp_noisy_counts(SF)
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["lang"]).to_pandas()
+        assert int(out["n_true"].sum()) == len(docs)
+        for _, r in out.iterrows():
+            u1 = (float(_md5_u64("%s:dp1" % r["lang"])) + 1) / 2**64
+            u2 = (float(_md5_u64("%s:dp2" % r["lang"])) + 1) / 2**64
+            assert int(r["noise_q6"]) == math.floor(
+                1e6 * (1.0 * math.log(u1 / u2)))
+            assert int(r["n_noisy_q6"]) == \
+                10**6 * int(r["n_true"]) + int(r["noise_q6"])
+        # Laplace(1): P(|x| > 15) ≈ 3e-7 — bounded in any sane draw
+        assert (out["noise_q6"].abs() < 15_000_000).all()
