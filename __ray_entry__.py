@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import scc as _scc
     from kgx.components import kg_subtree_sizes as _subtree
     from kgx.components import kg_cycle_nodes as _kg_cycles
+    from kgx.components import graph_random_walks as _walks
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": _scc,
         "kg_subtree_sizes": _subtree,
         "kg_cycle_nodes": _kg_cycles,
+        "graph_random_walks": _walks,
         "kcore": _kcore,
         "label_propagation": _label_propagation,
         # events / windows

@@ -109,6 +109,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import clustering_coeff as _clustering_coeff
     from kgx.components import adamic_adar as _adamic_adar
     from kgx.components import kg_cycle_nodes as _kg_cycles
+    from kgx.components import graph_random_walks as _walks
     from kgx.components import hits_scores as _hits_scores
     from kgx.components import msf_boruvka as _msf_boruvka
     from kgx.components import kcore as _kcore
@@ -194,6 +195,7 @@ def run_queries(sf_dir: str) -> dict:
         "clustering_coeff": lambda: _clustering_coeff(sf_dir),
         "adamic_adar": lambda: _adamic_adar(sf_dir),
         "kg_cycle_nodes": lambda: _kg_cycles(sf_dir),
+        "graph_random_walks": lambda: _walks(sf_dir),
         "hits_scores": lambda: _hits_scores(sf_dir),
         "msf_boruvka": lambda: _msf_boruvka(sf_dir),
         "label_propagation": lambda: _label_propagation(sf_dir),

@@ -2024,3 +2024,131 @@ def kg_cycle_nodes(sf_dir: str,
     loops = set(int(i) for i in ids[hit])
     out = sorted(multi | loops)
     return pd.DataFrame({"doc_id": pd.Series(out, dtype="int64")})
+
+
+def graph_random_walks(sf_dir: str, steps: int = 6, k: int = 5,
+                       num_partitions: Optional[int] = None,
+                       small_graph_threshold: int = 2_000_000):
+    """(vec_id, path) — the DeepWalk/node2vec DATA-PREP stage
+    (Perozzi et al. KDD 2014): one fixed-length random walk per node
+    of the directed k-NN graph, emitted as an ordered path string —
+    the "sentences" a skip-gram graph embedding trains on. The walk
+    is DETERMINISTIC: at 0-based step t on node v the walk moves to
+    sorted-neighbor index md5("start:t:v") % out-degree(v), so the
+    SQL oracle replays every choice exactly (the md5-randomness
+    contract every sketch here uses).
+
+    Scale shape (distributed path): the adjacency buckets by
+    hash(node) ONCE and materializes; each step ships only the
+    walk frontier (one fixed-width row per start) through the
+    adjacency co-group, picking the next hop vectorized per bucket;
+    visited rows union at the end into one hash(start) co-group that
+    assembles path strings. ≤ ``small_graph_threshold`` edges take a
+    single-task dict walk pinned row-identical.
+    """
+    import ray.data
+
+    from .traindata import _md5_u64
+    from .simsearch import knn_graph
+
+    nparts = num_partitions or _nparts()
+    edges = knn_graph(sf_dir, k=k).map_batches(
+        lambda df: pd.DataFrame({"src": df["vec_id"].astype("int64"),
+                                 "dst": df["neighbor_id"]
+                                 .astype("int64")}),
+        batch_format="pandas").materialize()
+
+    def assemble(rows: pd.DataFrame) -> pd.DataFrame:
+        rows = rows.sort_values(["start", "step"])
+        g = rows.groupby("start")["cur"].agg(
+            lambda s: ">".join(str(int(x)) for x in s))
+        return pd.DataFrame({"vec_id": g.index.astype("int64"),
+                             "path": g.astype(str)}) \
+            .reset_index(drop=True)
+
+    if edges.count() <= small_graph_threshold:
+        e = edges.to_pandas()
+        adj = {int(v): np.sort(g["dst"].to_numpy("int64"))
+               for v, g in e.groupby("src")}
+        rows = []
+        for start in sorted(adj):
+            cur = start
+            rows.append((start, 0, start))
+            for t in range(steps):
+                nb = adj.get(int(cur))
+                if nb is None:
+                    break
+                cur = int(nb[_md5_u64("%d:%d:%d" % (start, t, cur))
+                             % len(nb)])
+                rows.append((start, t + 1, cur))
+        return assemble(pd.DataFrame(rows,
+                                     columns=["start", "step", "cur"]))
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": df["src"].astype("int64"),
+                            "dst": df["dst"].astype("int64"),
+                            "start": np.int64(-1),
+                            "step": np.int64(-1)})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["src"], index=False) % nparts).astype("int32")
+        return out
+
+    eb = edges.map_batches(tag_edges,
+                           batch_format="pandas").materialize()
+
+    def init_frontier(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df["src"].to_numpy("int64"))
+        return pd.DataFrame({"start": u, "cur": u,
+                             "step": np.int64(0)})
+
+    frontier = (edges.map_batches(init_frontier, batch_format="pandas")
+                .map_batches(lambda df: df.drop_duplicates(
+                    subset=["start"]), batch_format="pandas")
+                .materialize())
+    visited = [frontier.to_pandas().rename(columns={"cur": "cur"})]
+
+    def tag_frontier(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": df["cur"].astype("int64"),
+                            "dst": np.int64(-1),
+                            "start": df["start"].astype("int64"),
+                            "step": df["step"].astype("int64")})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["src"], index=False) % nparts).astype("int32")
+        return out
+
+    def hop(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["start"] < 0][["src", "dst"]]
+        f = df[df["start"] >= 0]
+        if len(f) == 0 or len(e) == 0:
+            return pd.DataFrame({
+                "start": pd.Series([], dtype="int64"),
+                "cur": pd.Series([], dtype="int64"),
+                "step": pd.Series([], dtype="int64")})
+        adj = {int(v): np.sort(g["dst"].to_numpy("int64"))
+               for v, g in e.groupby("src")}
+        starts, curs, stps = [], [], []
+        for start, cur, t in zip(f["start"].to_numpy("int64"),
+                                 f["src"].to_numpy("int64"),
+                                 f["step"].to_numpy("int64")):
+            nb = adj.get(int(cur))
+            if nb is None:
+                continue
+            nxt = int(nb[_md5_u64("%d:%d:%d" % (start, t, cur))
+                         % len(nb)])
+            starts.append(int(start)); curs.append(nxt)
+            stps.append(int(t) + 1)
+        return pd.DataFrame({
+            "start": pd.Series(starts, dtype="int64"),
+            "cur": pd.Series(curs, dtype="int64"),
+            "step": pd.Series(stps, dtype="int64")})
+
+    cur = frontier
+    for _ in range(steps):
+        cur = (eb.union(cur.map_batches(tag_frontier,
+                                        batch_format="pandas"))
+               .groupby("bucket").map_groups(hop,
+                                             batch_format="pandas")
+               .materialize())
+        visited.append(cur.to_pandas())
+
+    return assemble(pd.concat(visited, ignore_index=True))

@@ -4987,3 +4987,38 @@ SELECT lang, n AS n_true,
          AS BIGINT) AS n_noisy_q6
 FROM u
 """
+
+
+# deterministic DeepWalk walk corpus over the exact k-NN graph: at
+# 0-based step t on node v move to sorted-neighbor index
+# md5('start:t:v') % degree; one walk per node, path string per start
+DOC_ORACLES["graph_random_walks"] = """
+WITH RECURSIVE s AS MATERIALIZED (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),
+topk AS MATERIALIZED (
+  SELECT vid, nid FROM (
+    SELECT vid, nid,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY sim DESC, nid) AS rk
+    FROM s) WHERE rk <= 5),
+e AS MATERIALIZED (
+  SELECT vid, nid,
+         row_number() OVER (PARTITION BY vid ORDER BY nid) AS rn,
+         count(*) OVER (PARTITION BY vid) AS deg
+  FROM topk),
+walk AS (
+  SELECT vid AS start, 0 AS step, vid AS cur
+  FROM (SELECT DISTINCT vid FROM e)
+  UNION ALL
+  SELECT w.start, w.step + 1, e.nid
+  FROM walk w JOIN e ON e.vid = w.cur
+   AND e.rn = 1 + CAST(
+     ('0x' || substr(md5(w.start || ':' || w.step || ':' || w.cur),
+                     1, 16))::UBIGINT % e.deg AS BIGINT)
+  WHERE w.step < 6)
+SELECT start AS vec_id,
+       string_agg(CAST(cur AS VARCHAR), '>' ORDER BY step) AS path
+FROM walk GROUP BY start
+"""

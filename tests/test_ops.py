@@ -4416,3 +4416,28 @@ class TestDpNoisyCounts:
                 10**6 * int(r["n_true"]) + int(r["noise_q6"])
         # Laplace(1): P(|x| > 15) ≈ 3e-7 — bounded in any sane draw
         assert (out["noise_q6"].abs() < 15_000_000).all()
+
+
+class TestGraphRandomWalks:
+    def test_fast_equals_distributed_and_walk_validity(self,
+                                                       ray_session):
+        """Gate and distributed loop agree row-for-row; every path has
+        steps+1 hops and every hop follows a real k-NN edge."""
+        from kgx.components import graph_random_walks
+        from kgx.simsearch import knn_graph
+
+        fast = graph_random_walks(SF)
+        dist = graph_random_walks(SF, small_graph_threshold=0)
+        assert fast.equals(dist)
+
+        edges = knn_graph(SF, k=5).to_pandas()
+        adj = {}
+        for _, r in edges.iterrows():
+            adj.setdefault(int(r["vec_id"]), set()).add(
+                int(r["neighbor_id"]))
+        for _, r in fast.head(100).iterrows():
+            hops = [int(x) for x in r["path"].split(">")]
+            assert len(hops) == 7  # start + 6 steps
+            assert hops[0] == int(r["vec_id"])
+            for a, b in zip(hops, hops[1:]):
+                assert b in adj[a]
