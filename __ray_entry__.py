@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_token_kmv": traindata.distinct_token_kmv,
         "quantile_sketch_values": traindata.quantile_sketch_values,
         "dp_noisy_counts": traindata.dp_noisy_counts,
+        "negative_samples": traindata.negative_samples,
         "heavy_hitters": traindata.heavy_hitters,
         "hll_distinct": traindata.hll_distinct,
         "hll_user_counts": traindata.hll_user_counts,

@@ -190,6 +190,8 @@ def run_queries(sf_dir: str) -> dict:
             lambda: traindata.quantile_sketch_values(sf_dir),
         "dp_noisy_counts":
             lambda: traindata.dp_noisy_counts(sf_dir),
+        "negative_samples":
+            lambda: traindata.negative_samples(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
         "clustering_coeff": lambda: _clustering_coeff(sf_dir),

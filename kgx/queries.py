@@ -5022,3 +5022,33 @@ SELECT start AS vec_id,
        string_agg(CAST(cur AS VARCHAR), '>' ORDER BY step) AS path
 FROM walk GROUP BY start
 """
+
+
+# word2vec negative-sampling table: weights floor(sqrt(floor(sqrt(f^3))))
+# (IEEE sqrt is correctly rounded — bit-portable, unlike exp), draws
+# md5('i:neg') % total through the lexicographic cumulative table
+DOC_ORACLES["negative_samples"] = """
+WITH f AS (
+  SELECT t AS tok, count(*) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t),
+w AS (
+  SELECT tok,
+         CAST(floor(sqrt(floor(sqrt(
+           CAST(f AS DOUBLE) * f * f)))) AS BIGINT) AS wq
+  FROM f),
+c AS (
+  SELECT tok, wq,
+         COALESCE(sum(wq) OVER (ORDER BY tok
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS lo
+  FROM w),
+tot AS (SELECT sum(wq) AS total FROM w),
+d AS (
+  SELECT i,
+         CAST(('0x' || substr(md5(i || ':neg'), 1, 16))::UBIGINT
+              % (SELECT total FROM tot) AS BIGINT) AS draw
+  FROM (SELECT unnest(generate_series(0, 499)) AS i))
+SELECT d.i, c.tok AS token
+FROM d JOIN c ON d.draw >= c.lo AND d.draw < c.lo + c.wq
+"""

@@ -2039,3 +2039,54 @@ def dp_noisy_counts(sf_dir: str, b: float = 1.0):
                                        "n_noisy_q6"]).astype(
         {"n_true": "int64", "noise_q6": "int64",
          "n_noisy_q6": "int64"})
+
+
+def negative_samples(sf_dir: str, n_samples: int = 500):
+    """(i, token) — the word2vec NEGATIVE-SAMPLING table (Mikolov et
+    al. 2013): draw tokens ∝ freq^{3/4}. The 3/4 power stays
+    bit-portable as w = floor(√(floor(√(f³)))) — IEEE square root is
+    CORRECTLY ROUNDED by the standard (unlike libm exp), so engine
+    and DuckDB agree bit-for-bit at any scale; draws are md5("i:neg")
+    mod Σw mapped through the lexicographic cumulative-weight table
+    (the md5-randomness contract).
+
+    Scale shape: per-batch token value_counts combiner → one
+    hash(token) co-group for exact frequencies; the weight table is
+    vocabulary-sized model state (the unigram_lm_score caveat) folded
+    driver-side; the draw mapping is a searchsorted over it.
+    """
+    import math
+
+    from .textops import _read_documents as _docs
+
+    ds = _docs(sf_dir, columns=["text"])
+    nparts = 16
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.Series(np.concatenate(
+            [t.split(" ") for t in df["text"].astype(str)])) \
+            .value_counts()
+        out = pd.DataFrame({"tok": vc.index.astype(str),
+                            "f": vc.to_numpy("int64")})
+        out["bucket"] = (pd.util.hash_pandas_object(out["tok"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    t = (ds.map_batches(counts, batch_format="pandas")
+         .groupby("bucket").map_groups(
+             lambda df: df.groupby("tok", as_index=False)["f"].sum(),
+             batch_format="pandas")
+         .to_pandas().sort_values("tok").reset_index(drop=True))
+    # mirror the oracle's float tree exactly: (double)f · f · f with
+    # per-step rounding, NOT float(f³) — they differ above 2^53
+    w = [math.floor(math.sqrt(math.floor(math.sqrt(
+        (float(int(f)) * int(f)) * int(f))))) for f in t["f"]]
+    cum = np.cumsum([0] + w)
+    total = int(cum[-1])
+    toks = t["tok"].to_numpy()
+    draws = [_md5_u64("%d:neg" % i) % total for i in range(n_samples)]
+    idx = np.searchsorted(cum, draws, side="right") - 1
+    return pd.DataFrame({
+        "i": pd.Series(range(n_samples), dtype="int64"),
+        "token": pd.Series([str(toks[j]) for j in idx])})

@@ -4441,3 +4441,38 @@ class TestGraphRandomWalks:
             assert hops[0] == int(r["vec_id"])
             for a, b in zip(hops, hops[1:]):
                 assert b in adj[a]
+
+
+class TestNegativeSamples:
+    def test_draws_follow_pow34_distribution(self, ray_session):
+        """Sampling replays locally; frequent tokens draw more often
+        and the power damps the head vs raw-frequency sampling."""
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import _md5_u64, negative_samples
+
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text"]).to_pandas()
+        f = Counter()
+        for t in docs["text"]:
+            f.update(t.split(" "))
+        toks = sorted(f)
+        w = [math.floor(math.sqrt(math.floor(math.sqrt(
+            (float(f[t]) * f[t]) * f[t])))) for t in toks]
+        cum = np.cumsum([0] + w)
+        total = int(cum[-1])
+        want = []
+        for i in range(500):
+            d = _md5_u64("%d:neg" % i) % total
+            want.append(toks[int(np.searchsorted(cum, d,
+                                                 side="right")) - 1])
+        out = negative_samples(SF)
+        assert list(out["token"]) == want
+        # empirical draw frequencies track the f^0.75 weights
+        counts = Counter(out["token"])
+        tv = sum(abs(counts.get(t, 0) - 500 * wt / total)
+                 for t, wt in zip(toks, w)) / 500
+        assert tv < 0.25  # total-variation gap to the target law
