@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_chars": textops.mad_chars,
         "dedup_substrings": textops.dedup_substrings,
         "psi_drift": textops.psi_drift,
+        "auc_eval": textops.auc_eval,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,

@@ -168,6 +168,7 @@ def run_queries(sf_dir: str) -> dict:
         "rate_limit_replay":
             lambda: events.rate_limit_replay(sf_dir),
         "psi_drift": lambda: textops.psi_drift(sf_dir),
+        "auc_eval": lambda: textops.auc_eval(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

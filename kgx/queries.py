@@ -5052,3 +5052,36 @@ d AS (
 SELECT d.i, c.tok AS token
 FROM d JOIN c ON d.draw >= c.lo AND d.draw < c.lo + c.wq
 """
+
+
+# exact ROC-AUC (Mann-Whitney U, average ranks for ties ×2) of the
+# stopword-count score vs the hidden stopword-density rule
+DOC_ORACLES["auc_eval"] = """
+WITH feat AS (
+  SELECT CAST(least(len(string_split(text, ' ')), 63) AS BIGINT)
+           AS f2,
+         CAST(least(len(list_filter(string_split(lower(text), ' '),
+              t -> t IN ('the','and','of','to','a','in','is'))), 15)
+           AS BIGINT) AS f3
+  FROM documents),
+lab AS (
+  SELECT f3 AS s,
+         CASE WHEN 16 * f3 > f2 THEN 1 ELSE 0 END AS y
+  FROM feat),
+h AS (SELECT s, sum(y) AS p, sum(1 - y) AS g FROM lab GROUP BY s),
+o AS (
+  SELECT s, p, g,
+         COALESCE(sum(p + g) OVER (ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS nb
+  FROM h),
+agg AS (
+  SELECT sum(p) AS np, sum(g) AS ng,
+         sum(p * (2 * nb + p + g + 1)) AS r2
+  FROM o)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(ng AS BIGINT) AS n_neg,
+       CAST(r2 - np * (np + 1) AS BIGINT) AS u_x2,
+       CAST((1000000 * (r2 - np * (np + 1))) // (2 * np * ng)
+            AS BIGINT) AS auc_ppm
+FROM agg
+"""

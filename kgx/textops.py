@@ -1641,3 +1641,56 @@ def psi_drift(sf_dir: str):
     return pd.DataFrame(rows, columns=["lang", "n_a", "n_b",
                                        "psi_term_q"]).astype(
         {"n_a": "int64", "n_b": "int64", "psi_term_q": "int64"})
+
+
+def auc_eval(sf_dir: str):
+    """One row (n_pos, n_neg, u_x2, auc_ppm) — EXACT ROC-AUC of the
+    stopword-count score against the hidden stopword-density rule
+    (the perceptron_langid target): AUC is the Mann–Whitney U rank
+    statistic, U = R⁺ − n⁺(n⁺+1)/2, with AVERAGE ranks for tied
+    scores — doubled (u_x2) so ties stay integral, then
+    auc_ppm = 10⁶·u_x2 // (2·n⁺·n⁻). Tie handling rides the same
+    tie-order-free rank-run algebra as gini_values: per score value
+    with p positives among c tied items after N items,
+    2·R⁺ += p·(2N + c + 1). The classifier-evaluation op beyond
+    accuracy (langid_confusion) — threshold-free ranking quality.
+
+    Scale shape: the score domain is bounded (0–15 stopwords), so a
+    per-batch (score, y) count combiner collapses the corpus into
+    ≤ 32 cells per batch; the rank fold is constant-size driver work.
+    Zero all-to-alls.
+    """
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split(" ")
+        f2 = toks.str.len().clip(upper=63).to_numpy("int64")
+        stops = {"the", "and", "of", "to", "a", "in", "is"}
+        f3 = np.array([min(sum(1 for t in ts if t in stops), 15)
+                       for ts in df["text"].astype(str).str.lower()
+                       .str.split(" ")], dtype="int64")
+        y = (16 * f3 > f2).astype("int64")
+        t = pd.DataFrame({"s": f3, "y": y})
+        g = t.groupby(["s", "y"]).size().reset_index(name="n")
+        return g
+
+    h = (ds.map_batches(cells, batch_format="pandas").to_pandas()
+         .groupby(["s", "y"], as_index=False)["n"].sum())
+    piv = h.pivot_table(index="s", columns="y", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    np_, ng, r2, before = 0, 0, 0, 0
+    for s, row in piv.iterrows():
+        p = int(row.get(1, 0))
+        g = int(row.get(0, 0))
+        c = p + g
+        r2 += p * (2 * before + c + 1)
+        before += c
+        np_ += p
+        ng += g
+    u_x2 = r2 - np_ * (np_ + 1)
+    return pd.DataFrame({
+        "n_pos": pd.Series([np_], dtype="int64"),
+        "n_neg": pd.Series([ng], dtype="int64"),
+        "u_x2": pd.Series([u_x2], dtype="int64"),
+        "auc_ppm": pd.Series([(10**6 * u_x2) // (2 * np_ * ng)],
+                             dtype="int64")})

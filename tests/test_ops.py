@@ -6,6 +6,7 @@ the driver; these tests pin operator semantics and determinism.)
 """
 
 import numpy as np
+import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -4476,3 +4477,32 @@ class TestNegativeSamples:
         tv = sum(abs(counts.get(t, 0) - 500 * wt / total)
                  for t, wt in zip(toks, w)) / 500
         assert tv < 0.25  # total-variation gap to the target law
+
+
+class TestAucEval:
+    def test_matches_sklearn_style_rank_auc(self, ray_session):
+        """auc_ppm equals a direct tie-averaged rank computation, and
+        the score genuinely ranks above chance for the rule."""
+        import pyarrow.parquet as pq
+
+        from kgx.textops import auc_eval
+
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text"]).to_pandas()
+        stops = {"the", "and", "of", "to", "a", "in", "is"}
+        f2 = docs["text"].str.split(" ").str.len().clip(upper=63) \
+            .to_numpy("int64")
+        f3 = np.array([min(sum(1 for t in ts if t in stops), 15)
+                       for ts in docs["text"].str.lower()
+                       .str.split(" ")], dtype="int64")
+        y = (16 * f3 > f2).astype(int)
+        # tie-averaged ranks via pandas
+        ranks = pd.Series(f3).rank(method="average")
+        n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+        u = float(ranks[y == 1].sum()) - n_pos * (n_pos + 1) / 2
+        want_auc = u / (n_pos * n_neg)
+        out = auc_eval(SF)
+        assert int(out["n_pos"].iloc[0]) == n_pos
+        assert int(out["u_x2"].iloc[0]) == int(round(2 * u))
+        assert abs(int(out["auc_ppm"].iloc[0]) / 1e6 - want_auc) < 1e-6
+        assert int(out["auc_ppm"].iloc[0]) > 600_000  # above chance
