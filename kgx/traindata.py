@@ -1881,7 +1881,8 @@ def naive_bayes_langid(sf_dir: str, q: int = 10**6,
 _PERC_STOPS = ("the", "and", "of", "to", "a", "in", "is")
 
 
-def perceptron_langid(sf_dir: str, iters: int = 40):
+def perceptron_langid(sf_dir: str, iters: int = 40,
+                      small_corpus_threshold: int = 2_000_000):
     """(doc_id, y, yhat) — POCKET perceptron training (Gallant, IEEE
     TNN 1990: batch Rosenblatt updates, keep the weights with the
     fewest misclassifications seen) in PURE integer arithmetic. The
@@ -1917,6 +1918,41 @@ def perceptron_langid(sf_dir: str, iters: int = 40):
 
     w = (0, 0, 0)
     pocket, pocket_mis = w, None
+
+    # small-corpus gate (the _local_pagerank pattern): below the
+    # threshold the 40 sequential map-only passes are pure Ray
+    # orchestration (~0.43 s each on 500 docs — 17.6 s of battery
+    # wall) — extract features in ONE pass and run the epochs on the
+    # driver over the n×3 integer matrix; identical arithmetic,
+    # pinned by the replay test
+    if ds.count() <= small_corpus_threshold:
+        def feat_rows(df: pd.DataFrame) -> pd.DataFrame:
+            y, f1, f2, f3 = feats(df)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "y": pd.Series(y, index=df.index),
+                "f2": pd.Series(f2, index=df.index),
+                "f3": pd.Series(f3, index=df.index)})
+
+        t = ds.map_batches(feat_rows, batch_format="pandas")             .to_pandas()
+        y = t["y"].to_numpy("int64")
+        F = np.stack([np.ones(len(t), dtype="int64"),
+                      t["f2"].to_numpy("int64"),
+                      t["f3"].to_numpy("int64")])
+        wv = np.zeros(3, dtype=object)
+        for _ in range(iters):
+            m = y * (wv @ F) <= 0
+            nm = int(m.sum())
+            if pocket_mis is None or nm < pocket_mis:
+                pocket, pocket_mis = tuple(int(x) for x in wv), nm
+            if nm == 0:
+                break
+            wv = wv + (y[m] * F[:, m]).sum(axis=1)
+        z = (pocket[0] * F[0] + pocket[1] * F[1] + pocket[2] * F[2])
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].astype("int64"),
+            "y": t["y"].astype("int64"),
+            "yhat": pd.Series(np.where(z > 0, 1, -1), dtype="int64")})
 
     def epoch_partial(wv):
         def fn(df: pd.DataFrame) -> pd.DataFrame:

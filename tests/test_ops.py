@@ -4172,7 +4172,8 @@ class TestPerceptronLangid:
             if nm == 0:
                 break
             w = w + (y[m] * F[:, m]).sum(axis=1)
-        out = perceptron_langid(SF).to_pandas() \
+        out = perceptron_langid(SF)
+        out = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
             .sort_values("doc_id").reset_index(drop=True)
         yhat = np.where(pocket @ F > 0, 1, -1)
         order = np.argsort(d["doc_id"].to_numpy())
@@ -4202,7 +4203,8 @@ class TestPerceptronLangid:
         df["lang"] = "en"
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                        str(tmp_path / "documents.parquet"))
-        out = perceptron_langid(str(tmp_path)).to_pandas()
+        out = perceptron_langid(str(tmp_path))
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
         assert (out["y"] == out["yhat"]).all()
         assert set(out["y"]) == {1, -1}
 
@@ -4506,3 +4508,19 @@ class TestAucEval:
         assert int(out["u_x2"].iloc[0]) == int(round(2 * u))
         assert abs(int(out["auc_ppm"].iloc[0]) / 1e6 - want_auc) < 1e-6
         assert int(out["auc_ppm"].iloc[0]) > 600_000  # above chance
+
+
+class TestPerceptronGate:
+    def test_gate_equals_distributed(self, ray_session):
+        from kgx.traindata import perceptron_langid
+
+        fast = perceptron_langid(SF)
+        fast = fast.to_pandas() if hasattr(fast, "to_pandas") else fast
+        dist = perceptron_langid(SF, iters=6,
+                                 small_corpus_threshold=0)
+        dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
+        f6 = perceptron_langid(SF, iters=6)
+        f6 = f6.to_pandas() if hasattr(f6, "to_pandas") else f6
+        key = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+        assert key(f6).equals(key(dist))
+        assert len(fast) == len(dist)
