@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": textops.dedup_substrings,
         "psi_drift": textops.psi_drift,
         "auc_eval": textops.auc_eval,
+        "pr_curve": textops.pr_curve,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,
@@ -218,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_values": traindata.quantile_sketch_values,
         "dp_noisy_counts": traindata.dp_noisy_counts,
         "negative_samples": traindata.negative_samples,
+        "stratified_split": traindata.stratified_split,
         "heavy_hitters": traindata.heavy_hitters,
         "hll_distinct": traindata.hll_distinct,
         "hll_user_counts": traindata.hll_user_counts,

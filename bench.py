@@ -169,6 +169,7 @@ def run_queries(sf_dir: str) -> dict:
             lambda: events.rate_limit_replay(sf_dir),
         "psi_drift": lambda: textops.psi_drift(sf_dir),
         "auc_eval": lambda: textops.auc_eval(sf_dir),
+        "pr_curve": lambda: textops.pr_curve(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),
@@ -193,6 +194,8 @@ def run_queries(sf_dir: str) -> dict:
             lambda: traindata.dp_noisy_counts(sf_dir),
         "negative_samples":
             lambda: traindata.negative_samples(sf_dir),
+        "stratified_split":
+            lambda: traindata.stratified_split(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
         "clustering_coeff": lambda: _clustering_coeff(sf_dir),

@@ -5085,3 +5085,62 @@ SELECT CAST(np AS BIGINT) AS n_pos, CAST(ng AS BIGINT) AS n_neg,
             AS BIGINT) AS auc_ppm
 FROM agg
 """
+
+
+# precision/recall curve points at every integer threshold of the
+# stopword-count score (predict positive iff score >= t)
+DOC_ORACLES["pr_curve"] = """
+WITH feat AS (
+  SELECT CAST(least(len(string_split(text, ' ')), 63) AS BIGINT)
+           AS f2,
+         CAST(least(len(list_filter(string_split(lower(text), ' '),
+              t -> t IN ('the','and','of','to','a','in','is'))), 15)
+           AS BIGINT) AS f3
+  FROM documents),
+lab AS (
+  SELECT f3 AS s,
+         CASE WHEN 16 * f3 > f2 THEN 1 ELSE 0 END AS y
+  FROM feat),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos FROM lab),
+th AS (SELECT unnest(generate_series(0, 16)) AS t)
+SELECT th.t AS threshold,
+       CAST(COALESCE(sum(CASE WHEN s >= th.t THEN y END), 0)
+            AS BIGINT) AS tp,
+       CAST(COALESCE(sum(CASE WHEN s >= th.t THEN 1 - y END), 0)
+            AS BIGINT) AS fp,
+       CAST(tot.n_pos
+            - COALESCE(sum(CASE WHEN s >= th.t THEN y END), 0)
+            AS BIGINT) AS fn,
+       CAST(CASE WHEN COALESCE(sum(CASE WHEN s >= th.t THEN 1 END), 0)
+                      > 0
+            THEN (1000000 *
+                  COALESCE(sum(CASE WHEN s >= th.t THEN y END), 0))
+                 // sum(CASE WHEN s >= th.t THEN 1 END)
+            ELSE 1000000 END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN tot.n_pos > 0
+            THEN (1000000 *
+                  COALESCE(sum(CASE WHEN s >= th.t THEN y END), 0))
+                 // tot.n_pos
+            ELSE 1000000 END AS BIGINT) AS recall_ppm
+FROM th CROSS JOIN tot LEFT JOIN lab ON TRUE
+GROUP BY th.t, tot.n_pos
+"""
+
+
+# exact stratified 80/10/10 split: per-lang md5 rank, first floor(0.8n)
+# train, next floor(0.1n) val, rest test
+DOC_ORACLES["stratified_split"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id || ':split'), 1, 16))
+                    ::UBIGINT, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rn <= n * 80 // 100 THEN 'train'
+            WHEN rn <= n * 80 // 100 + n * 10 // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""

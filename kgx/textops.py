@@ -1694,3 +1694,49 @@ def auc_eval(sf_dir: str):
         "u_x2": pd.Series([u_x2], dtype="int64"),
         "auc_ppm": pd.Series([(10**6 * u_x2) // (2 * np_ * ng)],
                              dtype="int64")})
+
+
+def pr_curve(sf_dir: str):
+    """(threshold, tp, fp, fn, precision_ppm, recall_ppm) — the full
+    precision/recall curve of the stopword-count score against the
+    hidden density rule, one row per integer threshold (predict
+    positive iff score ≥ t, t = 0..16): the threshold-sweep
+    evaluation that picks an operating point after auc_eval ranks
+    threshold-free. Ratios are exact integer ppm (floor division of
+    exact counts).
+
+    Scale shape: the same ≤32-cell (score, y) combiner as auc_eval —
+    one pass, zero all-to-alls; the sweep is a reversed cumulative
+    sum over the 16-row histogram driver-side.
+    """
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split(" ")
+        f2 = toks.str.len().clip(upper=63).to_numpy("int64")
+        stops = {"the", "and", "of", "to", "a", "in", "is"}
+        f3 = np.array([min(sum(1 for t in ts if t in stops), 15)
+                       for ts in df["text"].astype(str).str.lower()
+                       .str.split(" ")], dtype="int64")
+        y = (16 * f3 > f2).astype("int64")
+        t = pd.DataFrame({"s": f3, "y": y})
+        return t.groupby(["s", "y"]).size().reset_index(name="n")
+
+    h = (ds.map_batches(cells, batch_format="pandas").to_pandas()
+         .groupby(["s", "y"], as_index=False)["n"].sum())
+    pos = np.zeros(17, dtype="int64")
+    neg = np.zeros(17, dtype="int64")
+    for _, r in h.iterrows():
+        (pos if int(r["y"]) == 1 else neg)[int(r["s"])] += int(r["n"])
+    n_pos = int(pos.sum())
+    rows = []
+    for t in range(17):
+        tp = int(pos[t:].sum())
+        fp = int(neg[t:].sum())
+        fn = n_pos - tp
+        prec = (10**6 * tp) // (tp + fp) if tp + fp else 10**6
+        rec = (10**6 * tp) // n_pos if n_pos else 10**6
+        rows.append((t, tp, fp, fn, prec, rec))
+    return pd.DataFrame(rows, columns=[
+        "threshold", "tp", "fp", "fn", "precision_ppm",
+        "recall_ppm"]).astype("int64")

@@ -2126,3 +2126,57 @@ def negative_samples(sf_dir: str, n_samples: int = 500):
     return pd.DataFrame({
         "i": pd.Series(range(n_samples), dtype="int64"),
         "token": pd.Series([str(toks[j]) for j in idx])})
+
+
+def stratified_split(sf_dir: str, pcts=(80, 10)):
+    """(doc_id, lang, split) — EXACT stratified train/val/test split:
+    within each language docs rank by md5(doc_id:split) and the first
+    ⌊0.8·n⌋ ranks are 'train', the next ⌊0.1·n⌋ 'val', the rest
+    'test' — per-stratum counts are exact by construction, unlike the
+    threshold sampling of seeded_sample (binomial counts). The split
+    is deterministic and reproducible from the hash alone.
+
+    Scale shape: lang cardinality is tiny but per-lang rank needs a
+    per-lang global order — one hash(lang) co-group sorts each
+    language's (hash, doc_id) rows in place (fixed-width; text never
+    ships). At extreme per-lang cardinality the doc_rank_by_length
+    histogram trick would replace the in-bucket sort.
+    """
+    import ray
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "lang"])
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"].astype(str),
+            "h": pd.Series([_md5_u64("%d:split" % d)
+                            for d in df["doc_id"]], dtype="uint64",
+                           index=df.index)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["lang"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.sort_values(["h", "doc_id"]).reset_index(drop=True)
+            n = len(g)
+            n_tr = n * pcts[0] // 100
+            n_va = n * pcts[1] // 100
+            split = np.full(n, "test", dtype=object)
+            split[:n_tr] = "train"
+            split[n_tr:n_tr + n_va] = "val"
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].astype("int64"),
+                "lang": lang, "split": split}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "lang": pd.Series([], dtype=str),
+                          "split": pd.Series([], dtype=str)})
+
+    return (ds.map_batches(keyed, batch_format="pandas")
+            .groupby("bucket").map_groups(assign,
+                                          batch_format="pandas"))

@@ -4524,3 +4524,48 @@ class TestPerceptronGate:
         key = lambda d: d.sort_values("doc_id").reset_index(drop=True)
         assert key(f6).equals(key(dist))
         assert len(fast) == len(dist)
+
+
+class TestPrCurve:
+    def test_monotone_and_consistent_with_auc(self, ray_session):
+        """Recall is non-increasing in the threshold, t=0 predicts
+        everything (recall 1.0), counts tie out per row."""
+        from kgx.textops import pr_curve
+
+        out = pr_curve(SF).sort_values("threshold")
+        assert (out["recall_ppm"].diff().dropna() <= 0).all()
+        first = out.iloc[0]
+        assert int(first["recall_ppm"]) == 10**6
+        assert int(first["fn"]) == 0
+        n_pos = int(first["tp"])
+        for _, r in out.iterrows():
+            assert int(r["tp"]) + int(r["fn"]) == n_pos
+            denom = int(r["tp"]) + int(r["fp"])
+            if denom:
+                assert int(r["precision_ppm"]) == \
+                    (10**6 * int(r["tp"])) // denom
+
+
+class TestStratifiedSplit:
+    def test_exact_proportions_and_determinism(self, ray_session):
+        """Per-lang counts are exactly floor(0.8n)/floor(0.1n)/rest;
+        two runs agree; every doc appears once."""
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import stratified_split
+
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "lang"]).to_pandas()
+        out = stratified_split(SF).to_pandas()
+        assert len(out) == len(docs)
+        assert out["doc_id"].is_unique
+        for lang, g in out.groupby("lang"):
+            n = len(docs[docs["lang"] == lang])
+            c = g["split"].value_counts()
+            assert int(c.get("train", 0)) == n * 80 // 100
+            assert int(c.get("val", 0)) == n * 10 // 100
+            assert int(c.get("test", 0)) == \
+                n - n * 80 // 100 - n * 10 // 100
+        again = stratified_split(SF).to_pandas()
+        m = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+        assert (m["split_a"] == m["split_b"]).all()
