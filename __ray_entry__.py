@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": textops.psi_drift,
         "auc_eval": textops.auc_eval,
         "pr_curve": textops.pr_curve,
+        "stump_split": textops.stump_split,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,

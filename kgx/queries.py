@@ -5144,3 +5144,61 @@ SELECT doc_id, lang,
             ELSE 'test' END AS split
 FROM r
 """
+
+DOC_ORACLES["stump_split"] = """
+WITH feat AS (
+  SELECT CAST(least(len(string_split(text, ' ')), 63) AS BIGINT)
+           AS f2,
+         CAST(least(len(list_filter(string_split(lower(text), ' '),
+              t -> t IN ('the','and','of','to','a','in','is'))), 15)
+           AS BIGINT) AS f3
+  FROM documents),
+lab AS (
+  SELECT CAST(0 AS BIGINT) AS feature, f2 AS v,
+         CAST(CASE WHEN 16 * f3 > f2 THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM feat
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), f3,
+         CAST(CASE WHEN 16 * f3 > f2 THEN 1 ELSE 0 END AS BIGINT)
+  FROM feat),
+th AS (
+  SELECT CAST(0 AS BIGINT) AS feature,
+         unnest(generate_series(0, 64)) AS t
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), unnest(generate_series(0, 16))),
+cells AS (
+  SELECT feature, t AS threshold,
+         CAST(COALESCE(sum(CASE WHEN v < t THEN 1 END), 0)
+              AS BIGINT) AS n_left,
+         CAST(COALESCE(sum(CASE WHEN v < t THEN y END), 0)
+              AS BIGINT) AS pos_left,
+         CAST(COALESCE(sum(CASE WHEN v >= t THEN 1 END), 0)
+              AS BIGINT) AS n_right,
+         CAST(COALESCE(sum(CASE WHEN v >= t THEN y END), 0)
+              AS BIGINT) AS pos_right,
+         CAST(count(*) AS BIGINT) AS total_n
+  FROM th JOIN lab USING (feature)
+  GROUP BY feature, t),
+g AS (
+  SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+    CASE WHEN n_left = 0 THEN CAST(0 AS HUGEINT) ELSE
+      (1000000 * (CAST(n_left AS HUGEINT) * n_left
+                  - CAST(pos_left AS HUGEINT) * pos_left
+                  - CAST(n_left - pos_left AS HUGEINT)
+                    * (n_left - pos_left)))
+      // (CAST(n_left AS HUGEINT) * n_left) END AS gl,
+    CASE WHEN n_right = 0 THEN CAST(0 AS HUGEINT) ELSE
+      (1000000 * (CAST(n_right AS HUGEINT) * n_right
+                  - CAST(pos_right AS HUGEINT) * pos_right
+                  - CAST(n_right - pos_right AS HUGEINT)
+                    * (n_right - pos_right)))
+      // (CAST(n_right AS HUGEINT) * n_right) END AS gr,
+    total_n
+  FROM cells)
+SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+       CAST(gl AS BIGINT) AS gini_left_ppm,
+       CAST(gr AS BIGINT) AS gini_right_ppm,
+       CAST((n_left * gl + n_right * gr) // total_n AS BIGINT)
+         AS weighted_ppm
+FROM g
+"""

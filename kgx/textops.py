@@ -1740,3 +1740,72 @@ def pr_curve(sf_dir: str):
     return pd.DataFrame(rows, columns=[
         "threshold", "tp", "fp", "fn", "precision_ppm",
         "recall_ppm"]).astype("int64")
+
+
+def stump_split(sf_dir: str):
+    """(feature, threshold, n_left, pos_left, n_right, pos_right,
+    gini_left_ppm, gini_right_ppm, weighted_ppm) — the decision-tree
+    NODE-SPLIT sweep: for each integer feature (0 = clipped token
+    count, domain 0–63; 1 = clipped stopword count, domain 0–15) and
+    every threshold t, split the corpus into left = (x < t) /
+    right = (x ≥ t) against the hidden stopword-density label
+    (the perceptron_langid / auc_eval target) and score the split by
+    exact integer Gini impurity: for a side with n rows, p positives
+    and g = n−p negatives, gini_ppm = 10⁶·(n² − p² − g²) // n²
+    (0 for an empty side) and weighted_ppm =
+    (n_l·gini_l + n_r·gini_r) // N. Every ratio is a floor division
+    of exact non-negative integers, so the DuckDB oracle replays the
+    sweep bit-for-bit; a tree learner takes the argmin row.
+
+    Scale shape: the corpus collapses into a per-batch
+    (feature, value, y) count combiner — ≤ 2·(64+16) cells per batch
+    regardless of data size; the threshold sweep is a cumulative walk
+    over the 80-bin histogram driver-side. Zero all-to-alls, one pass.
+    """
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.split(" ")
+        f2 = toks.str.len().clip(upper=63).to_numpy("int64")
+        stops = {"the", "and", "of", "to", "a", "in", "is"}
+        f3 = np.array([min(sum(1 for t in ts if t in stops), 15)
+                       for ts in df["text"].astype(str).str.lower()
+                       .str.split(" ")], dtype="int64")
+        y = (16 * f3 > f2).astype("int64")
+        t = pd.concat([
+            pd.DataFrame({"feature": 0, "v": f2, "y": y}),
+            pd.DataFrame({"feature": 1, "v": f3, "y": y}),
+        ])
+        return (t.groupby(["feature", "v", "y"]).size()
+                .reset_index(name="n"))
+
+    h = (ds.map_batches(cells, batch_format="pandas").to_pandas()
+         .groupby(["feature", "v", "y"], as_index=False)["n"].sum())
+
+    def gini_ppm(n: int, p: int) -> int:
+        if n == 0:
+            return 0
+        g = n - p
+        return (10**6 * (n * n - p * p - g * g)) // (n * n)
+
+    rows = []
+    for feat, dom in ((0, 64), (1, 16)):
+        pos = np.zeros(dom, dtype="int64")
+        cnt = np.zeros(dom, dtype="int64")
+        sub = h[h["feature"] == feat]
+        for _, r in sub.iterrows():
+            cnt[int(r["v"])] += int(r["n"])
+            if int(r["y"]) == 1:
+                pos[int(r["v"])] += int(r["n"])
+        total_n, total_p = int(cnt.sum()), int(pos.sum())
+        for t in range(dom + 1):
+            n_l = int(cnt[:t].sum())
+            p_l = int(pos[:t].sum())
+            n_r, p_r = total_n - n_l, total_p - p_l
+            gl, gr = gini_ppm(n_l, p_l), gini_ppm(n_r, p_r)
+            rows.append((feat, t, n_l, p_l, n_r, p_r, gl, gr,
+                         (n_l * gl + n_r * gr) // total_n))
+    return pd.DataFrame(rows, columns=[
+        "feature", "threshold", "n_left", "pos_left", "n_right",
+        "pos_right", "gini_left_ppm", "gini_right_ppm",
+        "weighted_ppm"]).astype("int64")

@@ -4569,3 +4569,30 @@ class TestStratifiedSplit:
         again = stratified_split(SF).to_pandas()
         m = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
         assert (m["split_a"] == m["split_b"]).all()
+
+
+class TestStumpSplit:
+    def test_best_split_is_pure_and_rows_consistent(self, ray_session):
+        """The sweep's row counts partition N per row; the argmin row
+        splits on the stopword feature and beats the unsplit node's
+        impurity (the split genuinely learns the density rule)."""
+        from kgx.textops import stump_split
+
+        out = stump_split(SF)
+        n = int(out.iloc[0]["n_left"] + out.iloc[0]["n_right"])
+        assert (out["n_left"] + out["n_right"] == n).all()
+        assert (out["pos_left"] <= out["n_left"]).all()
+        assert (out["pos_right"] <= out["n_right"]).all()
+        # t=0 leaves everything on the right: weighted == root gini
+        root = out[(out.threshold == 0) & (out.feature == 0)].iloc[0]
+        root_gini = int(root["gini_right_ppm"])
+        best = out.loc[out["weighted_ppm"].idxmin()]
+        assert int(best["feature"]) == 1  # stopword count
+        assert int(best["weighted_ppm"]) < root_gini // 2
+        # exact gini replay on the best row
+        for side in ("left", "right"):
+            ns, ps = int(best[f"n_{side}"]), int(best[f"pos_{side}"])
+            g = ns - ps
+            want = (10**6 * (ns * ns - ps * ps - g * g)) // (ns * ns) \
+                if ns else 0
+            assert int(best[f"gini_{side}_ppm"]) == want
