@@ -1082,7 +1082,11 @@ def typo_pairs(sf_dir: str, num_partitions=None):
         m = m[["name_x", "name_y"]].drop_duplicates()
         ok = [_ed_le1(a, b) for a, b in
               zip(m["name_x"], m["name_y"])]
-        m = m[pd.Series(ok, index=m.index)]
+        # dtype=bool is load-bearing: an empty `ok` otherwise builds an
+        # object-dtype Series, which pandas treats as column-label
+        # selection (not a mask) — a group whose candidates all fail
+        # the verify then returns a columnless frame and name_x KeyErrors
+        m = m[pd.Series(ok, index=m.index, dtype=bool)]
         h = pd.util.hash_pandas_object(m["name_x"] + "\x1f"
                                        + m["name_y"], index=False)
         return pd.DataFrame({"name_a": m["name_x"].astype(str),

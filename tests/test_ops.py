@@ -3116,6 +3116,18 @@ class TestTypoPairs:
                out[["name_a", "name_b"]].itertuples(index=False)}
         assert got == want
 
+    def test_many_partitions_empty_verify_groups(self, ray_session):
+        """nparts >> vocabulary forces bucket groups whose candidates
+        ALL fail the exact verify — the empty boolean mask must stay a
+        mask (dtype=bool), not degrade to column-label selection
+        (regression: KeyError name_x at 32 CPUs)."""
+        from kgx.dedup import typo_pairs
+
+        wide = typo_pairs(SF, num_partitions=64).to_pandas()
+        base = typo_pairs(SF).to_pandas()
+        key = lambda d: sorted(map(tuple, d.values.tolist()))
+        assert key(wide) == key(base)
+
 
 class TestMadChars:
     def test_mad_replay_locally(self, ray_session):
