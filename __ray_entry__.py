@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_eval": textops.auc_eval,
         "pr_curve": textops.pr_curve,
         "stump_split": textops.stump_split,
+        "skipgram_pairs": textops.skipgram_pairs,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_first3": dedup.dedup_first3,

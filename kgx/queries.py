@@ -5202,3 +5202,17 @@ SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
          AS weighted_ppm
 FROM g
 """
+
+DOC_ORACLES["skipgram_pairs"] = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), pos AS (
+  SELECT t, unnest(generate_series(1, len(t))) AS i FROM toks
+), pairs AS (
+  SELECT p.t[p.i] AS center, p.t[p.i + o.o] AS context
+  FROM pos p, (SELECT unnest(generate_series(-3, 3)) AS o) o
+  WHERE o.o != 0 AND p.i + o.o >= 1 AND p.i + o.o <= len(p.t)
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY center, context
+"""

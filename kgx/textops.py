@@ -1809,3 +1809,58 @@ def stump_split(sf_dir: str):
         "feature", "threshold", "n_left", "pos_left", "n_right",
         "pos_right", "gini_left_ppm", "gini_right_ppm",
         "weighted_ppm"]).astype("int64")
+
+
+def skipgram_pairs(sf_dir: str, window: int = 3,
+                   num_partitions: Optional[int] = None):
+    """(center, context, n) — word2vec SKIP-GRAM training-pair
+    generation (Mikolov et al., arXiv:1301.3781): every ordered
+    (center, context) token pair with the context within ±``window``
+    positions inside a document, counted over the corpus. Feeds the
+    (center, context) positive stream that negative_samples draws
+    negatives for — together they are the word2vec data-prep stage.
+
+    Scale shape: pair extraction is vectorized (polars explode + one
+    shift per offset, both directions — never a per-row Python loop)
+    and each batch pre-aggregates into a (center, context) value_counts
+    combiner, so the ONE hash exchange carries the pair VOCABULARY per
+    batch, not the ~2·w·tokens pair occurrences; the reduce is a plain
+    in-bucket sum. Same shape as pmi_bigrams' bigram exchange.
+    """
+    import ray
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        g = (pl.from_pandas(df[["text"]])
+             .with_columns(pl.col("text").str.split(" ").alias("t"))
+             .with_row_index("r")
+             .explode("t"))
+        outs = []
+        for o in range(1, window + 1):
+            sh = (g.with_columns(pl.col("t").shift(-o).over("r")
+                                 .alias("y"))
+                  .drop_nulls("y"))
+            outs.append(sh.select(pl.col("t").alias("center"),
+                                  pl.col("y").alias("context")))
+            outs.append(sh.select(pl.col("y").alias("center"),
+                                  pl.col("t").alias("context")))
+        allp = (pl.concat(outs)
+                .group_by(["center", "context"])
+                .agg(pl.len().cast(pl.Int64).alias("n"))
+                .to_pandas())
+        allp["part"] = (pd.util.hash_pandas_object(
+            allp["center"] + "\x1f" + allp["context"], index=False)
+            % nparts).astype("int32")
+        return allp
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["center", "context"], as_index=False)["n"].sum()
+        return g.astype({"n": "int64"})
+
+    return (ds.map_batches(partials, batch_format="pandas")
+            .groupby("part").map_groups(fold, batch_format="pandas"))

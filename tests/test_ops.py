@@ -4608,3 +4608,30 @@ class TestStumpSplit:
             want = (10**6 * (ns * ns - ps * ps - g * g)) // (ns * ns) \
                 if ns else 0
             assert int(best[f"gini_{side}_ppm"]) == want
+
+
+class TestSkipgramPairs:
+    def test_window_replay_and_symmetry(self, ray_session):
+        """Pair counts equal a direct per-doc window replay; the table
+        is direction-symmetric (every (a,b) count equals (b,a)) and
+        total mass is Σ_docs Σ_i |window ∩ doc|."""
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import skipgram_pairs
+
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["text"]).to_pandas()["text"]
+        want = Counter()
+        for t in docs.str.split(" "):
+            for i, c in enumerate(t):
+                for j in range(max(0, i - 3), min(len(t), i + 4)):
+                    if j != i:
+                        want[(c, t[j])] += 1
+        out = skipgram_pairs(SF).to_pandas()
+        got = {(a, b): int(n) for a, b, n in
+               out[["center", "context", "n"]].itertuples(index=False)}
+        assert got == dict(want)
+        for (a, b), n in got.items():
+            assert got[(b, a)] == n
