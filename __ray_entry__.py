@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "dup_group_spectrum": dedup.dup_group_spectrum,
         "containment_pairs": dedup.containment_pairs,
+        "spatial_neighbor_pairs": dedup.spatial_neighbor_pairs,
         # similarity search
         "knn_bruteforce": simsearch.knn_bruteforce,
         "knn_graph": simsearch.knn_graph,

@@ -1270,3 +1270,75 @@ def containment_pairs(sf_dir: str, threshold: float = 0.8,
     return (ds.map_batches(add_block, batch_format="pandas")
             .groupby("part").map_groups(verify_part,
                                         batch_format="pandas"))
+
+
+def spatial_neighbor_pairs(sf_dir: str, radius: int = 16384,
+                           num_partitions: Optional[int] = None):
+    """(doc_a, doc_b, dist2) — the 2-D SPATIAL self-join: all point
+    pairs within Euclidean distance ``radius``, over deterministic
+    coordinates x = md5('x:'||doc_id) % 2^20 (same for y). The
+    grid-cell bucketing pattern every geo/point-cloud join needs and
+    Ray Data lacks natively: cell side == radius, each point
+    replicated to its 3×3 cell neighborhood, and a pair is emitted at
+    exactly ONE cell — the lexicographic min of the two home cells
+    (both points are present there, since |Δcoord| ≤ r bounds the
+    home cells to adjacent). No global dedup pass needed.
+
+    Scale shape: one hash(cell) exchange of 9 fixed-width rows per
+    point; per-cell work is O(points-in-cell²) with the verify
+    vectorized across ALL cells of a bucket in one self-merge — cell
+    side tracks the join radius, so occupancy (and the quadratic
+    term) is set by data density, not corpus size. At 100 TB the
+    only knob is the radius→cell ratio (sub-split hot cells the way
+    jaccard_pairs coarsens blocks).
+    """
+    import ray
+
+    from .traindata import _md5_u64
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _bread("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+    G = 1 << 20
+    ncell = (G + radius - 1) // radius
+    r2 = radius * radius
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy("int64")
+        x = np.array([_md5_u64("x:%d" % d) % G for d in ids],
+                     dtype="int64")
+        y = np.array([_md5_u64("y:%d" % d) % G for d in ids],
+                     dtype="int64")
+        cx, cy = x // radius, y // radius
+        home = cx * 4096 + cy
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx_, ny_ = cx + dx, cy + dy
+                ok = ((nx_ >= 0) & (nx_ < ncell)
+                      & (ny_ >= 0) & (ny_ < ncell))
+                outs.append(pd.DataFrame({
+                    "cell": (nx_ * 4096 + ny_)[ok],
+                    "doc_id": ids[ok], "x": x[ok], "y": y[ok],
+                    "home": home[ok]}))
+        out = pd.concat(outs, ignore_index=True)
+        out["part"] = (out["cell"] % nparts).astype("int32")
+        return out
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["cell", "doc_id", "x", "y", "home"]]
+        m = d.merge(d, on="cell")
+        m = m[(m["doc_id_x"] < m["doc_id_y"])
+              & (np.minimum(m["home_x"], m["home_y"]) == m["cell"])]
+        dx = m["x_x"].to_numpy("int64") - m["x_y"].to_numpy("int64")
+        dy = m["y_x"].to_numpy("int64") - m["y_y"].to_numpy("int64")
+        d2 = dx * dx + dy * dy
+        m = m[pd.Series(d2 <= r2, index=m.index, dtype=bool)]
+        d2 = d2[d2 <= r2]
+        return pd.DataFrame({
+            "doc_a": m["doc_id_x"].to_numpy("int64"),
+            "doc_b": m["doc_id_y"].to_numpy("int64"),
+            "dist2": d2.astype("int64")})
+
+    return (ds.map_batches(replicate, batch_format="pandas")
+            .groupby("part").map_groups(pairs, batch_format="pandas"))

@@ -5216,3 +5216,19 @@ WITH toks AS (
 SELECT center, context, CAST(count(*) AS BIGINT) AS n
 FROM pairs GROUP BY center, context
 """
+
+DOC_ORACLES["spatial_neighbor_pairs"] = """
+WITH pts AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('x:' || doc_id), 1, 16))::UBIGINT
+              % 1048576 AS BIGINT) AS x,
+         CAST(('0x' || substr(md5('y:' || doc_id), 1, 16))::UBIGINT
+              % 1048576 AS BIGINT) AS y
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= 16384 * 16384
+"""

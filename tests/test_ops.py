@@ -4635,3 +4635,46 @@ class TestSkipgramPairs:
         assert got == dict(want)
         for (a, b), n in got.items():
             assert got[(b, a)] == n
+
+
+class TestSpatialNeighborPairs:
+    def test_brute_force_replay_and_exactly_once(self, ray_session):
+        """Grid-bucketed pairs equal the brute-force O(n²) replay;
+        the min-home-cell rule emits each pair exactly once (no dups
+        even though every point is replicated to 9 cells)."""
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import spatial_neighbor_pairs
+        from kgx.traindata import _md5_u64
+
+        ids = pq.read_table(SF + "/documents.parquet",
+                            columns=["doc_id"]).to_pandas()["doc_id"]
+        G, r = 1 << 20, 16384
+        pts = {int(d): (_md5_u64("x:%d" % d) % G, _md5_u64("y:%d" % d) % G)
+               for d in ids}
+        keys = sorted(pts)
+        want = {}
+        for i, a in enumerate(keys):
+            for b in keys[i + 1:]:
+                d2 = ((pts[a][0] - pts[b][0]) ** 2
+                      + (pts[a][1] - pts[b][1]) ** 2)
+                if d2 <= r * r:
+                    want[(a, b)] = d2
+        out = spatial_neighbor_pairs(SF).to_pandas()
+        assert len(out) == len(out.drop_duplicates(["doc_a", "doc_b"]))
+        got = {(int(a), int(b)): int(d) for a, b, d in
+               out[["doc_a", "doc_b", "dist2"]].itertuples(index=False)}
+        assert got == want
+
+    def test_radius_monotone(self, ray_session):
+        """A smaller radius yields a subset of the pairs (cell size
+        tracks the radius, so this exercises a different grid too)."""
+        from kgx.dedup import spatial_neighbor_pairs
+
+        big = spatial_neighbor_pairs(SF).to_pandas()
+        small = spatial_neighbor_pairs(SF, radius=8192).to_pandas()
+        bigset = set(map(tuple, big[["doc_a", "doc_b"]].values.tolist()))
+        smallset = set(map(tuple,
+                           small[["doc_a", "doc_b"]].values.tolist()))
+        assert smallset <= bigset
+        assert (small["dist2"] <= 8192 * 8192).all()
