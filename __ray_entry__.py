@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_lloyd": simsearch.kmeans_lloyd,
         "pq_codes": simsearch.pq_codes,
         "label_centroids": simsearch.label_centroids,
+        "pca_power": simsearch.pca_power,
         # sameAs-chain resolution (iterative hash-partitioned union-find)
         "sameas_components": _sameas_components,
         # iterative graph analytics (integer-quantized, bit-exact oracle)

@@ -5232,3 +5232,47 @@ FROM pts a JOIN pts b ON a.doc_id < b.doc_id
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= 16384 * 16384
 """
+
+# pca_power: the whole training loop mirrored — covariance suffstats,
+# then ``rounds`` integer power-iteration steps unrolled one CTE pair
+# per round (HUGEINT; DuckDB // truncates toward zero, which the
+# engine's trunc_div mirrors), then the final projection. Step CTEs
+# MATERIALIZED — DuckDB otherwise re-inlines the doubly-referenced
+# u/w chain exponentially (the perceptron_langid lesson).
+def _pca_power_sql(rounds: int = 64) -> str:
+    head = """WITH v AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS j,
+         CAST(floor(1024.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)
+           AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
+), s1 AS MATERIALIZED (
+  SELECT j, CAST(sum(x) AS HUGEINT) AS s FROM v GROUP BY j
+), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+s2 AS MATERIALIZED (
+  SELECT a.j AS j, b.j AS k,
+         CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS s
+  FROM v a JOIN v b USING (vec_id) GROUP BY a.j, b.j
+), cm AS MATERIALIZED (
+  SELECT s2.j, s2.k, (SELECT n FROM nn) * s2.s - sa.s * sb.s AS c
+  FROM s2 JOIN s1 sa ON sa.j = s2.j JOIN s1 sb ON sb.j = s2.k
+), w0 AS (
+  SELECT unnest(generate_series(0, 63)) AS j, CAST(1 AS HUGEINT) AS w
+)"""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(""", u{t} AS MATERIALIZED (
+  SELECT cm.j, CAST(sum(cm.c * w{p}.w) AS HUGEINT) AS u
+  FROM cm JOIN w{p} ON w{p}.j = cm.k GROUP BY cm.j
+), w{t} AS MATERIALIZED (
+  SELECT j, (u * 1048576) // (SELECT max(abs(u)) FROM u{t}) AS w
+  FROM u{t}
+)""".format(t=t, p=t - 1))
+    tail = """
+SELECT v.vec_id,
+       CAST(sum(CAST(v.x AS HUGEINT) * w{r}.w) AS BIGINT) AS score
+FROM v JOIN w{r} ON w{r}.j = v.j GROUP BY v.vec_id
+""".format(r=rounds)
+    return head + "".join(steps) + tail
+
+
+DOC_ORACLES["pca_power"] = _pca_power_sql()

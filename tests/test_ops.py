@@ -4678,3 +4678,29 @@ class TestSpatialNeighborPairs:
                            small[["doc_a", "doc_b"]].values.tolist()))
         assert smallset <= bigset
         assert (small["dist2"] <= 8192 * 8192).all()
+
+
+class TestPcaPower:
+    def test_scores_align_with_true_top_component(self, ray_session):
+        """Three integer power-iteration rounds recover the dominant
+        eigenvector: engine scores correlate ≥0.99 in absolute value
+        with the exact float projection onto numpy's top PC of the
+        same quantized matrix."""
+        import pyarrow.parquet as pq
+
+        from kgx.simsearch import pca_power
+
+        emb = pq.read_table(SF + "/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).to_pandas()
+        X = np.floor(1024.0 * np.array(emb["embedding"].tolist(),
+                                       dtype=np.float64))
+        Xc = X - X.mean(axis=0)
+        _, vecs = np.linalg.eigh(Xc.T @ Xc)
+        top = vecs[:, -1]
+        proj = X @ top
+        out = (pca_power(SF).to_pandas()
+               .set_index("vec_id").loc[emb["vec_id"]]["score"]
+               .to_numpy("float64"))
+        r = np.corrcoef(proj, out)[0, 1]
+        assert abs(r) > 0.99
+        assert len(np.unique(out)) > 100  # genuinely spreads the data
