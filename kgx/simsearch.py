@@ -383,13 +383,20 @@ def train_ivfpq(sf_dir: str, nlist: int = 64, m: int = 8, ksub: int = 16,
     for mi in range(m):
         sub = R[:, mi * sd:(mi + 1) * sd]
         Cc = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        sub2 = (sub * sub).sum(axis=1)
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+            # ||s−c||² via the matmul expansion — one BLAS call instead
+            # of an n×ksub×sd broadcast temp (training-only arithmetic:
+            # the learned CB feeds engine and oracle as the same
+            # literals, so this never has to bit-match the SQL)
+            d2 = (sub2[:, None] + (Cc * Cc).sum(axis=1)[None, :]
+                  - 2.0 * (sub @ Cc.T))
             a = d2.argmin(axis=1)
-            for c in range(ksub):
-                members = sub[a == c]
-                if len(members):
-                    Cc[c] = members.mean(axis=0)
+            sums = np.zeros((ksub, sd), dtype=np.float64)
+            np.add.at(sums, a, sub)
+            counts = np.bincount(a, minlength=ksub)
+            nz = counts > 0
+            Cc[nz] = sums[nz] / counts[nz, None]
         CB[mi] = Cc
     return C, CB
 
@@ -404,7 +411,8 @@ def _queries_cached(sf_dir: str, stride: int):
 def knn_ivfpq(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
               nprobe: int = 16, m: int = 8, ksub: int = 256,
               refine: int = 4, shards_per_bucket: int = None,
-              target_shard_rows: int = 262144):
+              target_shard_rows: int = 262144,
+              small_table_threshold: int = 500_000):
     """Approximate top-k: full IVF-PQ with asymmetric-distance (ADC)
     scoring — the composition of ``knn_ivf``'s routing and ``pq_codes``'s
     compression, and the shape a 10^9-vector index actually takes.
@@ -447,10 +455,11 @@ def knn_ivfpq(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
 
     ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
+    nrows = ds.count()  # parquet-metadata count: cheap, no data scan
     if shards_per_bucket is None:
-        nrows = ds.count()
         shards_per_bucket = max(1, -(-nrows // (C.shape[0] * target_shard_rows)))
     S = shards_per_bucket
+    small = 0 < nrows < small_table_threshold
 
     def encode_candidates(df: pd.DataFrame) -> pd.DataFrame:
         M = _normalize(np.array(df["embedding"].tolist(), dtype=np.float64))
@@ -536,22 +545,7 @@ def knn_ivfpq(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
                              "neighbor_id": pd.Series(out_n, dtype="int64"),
                              "sim": out_s})
 
-    partial = (candidates.union(queries)
-               .groupby("gkey").map_groups(score_shard, batch_format="pandas"))
-    if not refine:
-        return _final_topk_reduce(partial, k)
-
-    # refine: top-R ADC pairs (small) broadcast into a map-side gather +
-    # exact-cosine rescore over one streaming pass of the table
-    pdf = _final_topk_reduce(partial, refine * k).to_pandas()
-    nid2q: dict = {}
-    for qid, nid in zip(pdf["query_id"].to_numpy(),
-                        pdf["neighbor_id"].to_numpy()):
-        nid2q.setdefault(int(nid), []).append(int(qid))
-    wanted = set(nid2q)
-
-    def gather_rescore(df: pd.DataFrame) -> pd.DataFrame:
-        hit = df[df["vec_id"].isin(wanted)]
+    def _rescore_hits(hit: pd.DataFrame, nid2q: dict) -> pd.DataFrame:
         if hit.empty:
             return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                                  "neighbor_id": pd.Series([], dtype="int64"),
@@ -569,6 +563,57 @@ def knn_ivfpq(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
         return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
                              "neighbor_id": pd.Series(out_n, dtype="int64"),
                              "sim": out_s})
+
+    def _nid2q(pdf: pd.DataFrame) -> dict:
+        out: dict = {}
+        for qid, nid in zip(pdf["query_id"].to_numpy(),
+                            pdf["neighbor_id"].to_numpy()):
+            out.setdefault(int(nid), []).append(int(qid))
+        return out
+
+    if small:
+        # single-task gate: at this scale the 4 exchange passes above
+        # are pure orchestration (the graph-op gate pattern). Same
+        # encode/score/rescore functions, same float trees — pinned
+        # row-identical to the distributed path in tests/test_ops.py.
+        import pyarrow.parquet as _ppq
+
+        full = _ppq.read_table("%s/embeddings.parquet" % sf_dir,
+                               columns=["vec_id", "embedding"]).to_pandas()
+
+        def local_topk(pdf: pd.DataFrame, kk: int) -> pd.DataFrame:
+            outs = [_final_topk(g, kk)
+                    for _, g in pdf.groupby("query_id", sort=False)]
+            if not outs:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
+
+        cat = pd.concat([encode_candidates(full), tag_queries(full)],
+                        ignore_index=True)
+        pdf = pd.concat([score_shard(g)
+                         for _, g in cat.groupby("gkey", sort=False)],
+                        ignore_index=True)
+        if not refine:
+            return local_topk(pdf, k)
+        n2q = _nid2q(local_topk(pdf, refine * k))
+        hit = full[full["vec_id"].isin(set(n2q))]
+        return local_topk(_rescore_hits(hit, n2q), k)
+
+    partial = (candidates.union(queries)
+               .groupby("gkey").map_groups(score_shard, batch_format="pandas"))
+    if not refine:
+        return _final_topk_reduce(partial, k)
+
+    # refine: top-R ADC pairs (small) broadcast into a map-side gather +
+    # exact-cosine rescore over one streaming pass of the table
+    nid2q = _nid2q(_final_topk_reduce(partial, refine * k).to_pandas())
+    wanted = set(nid2q)
+
+    def gather_rescore(df: pd.DataFrame) -> pd.DataFrame:
+        return _rescore_hits(df[df["vec_id"].isin(wanted)], nid2q)
 
     rescored = ds.map_batches(gather_rescore, batch_format="pandas")
     return _final_topk_reduce(rescored, k)

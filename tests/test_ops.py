@@ -457,7 +457,8 @@ class TestSimSearch:
         from kgx.simsearch import knn_bruteforce, knn_ivfpq
 
         bf = knn_bruteforce(SF).to_pandas()
-        pqr = knn_ivfpq(SF).to_pandas()
+        pqr = knn_ivfpq(SF)  # small-table gate returns pandas
+        pqr = pqr.to_pandas() if hasattr(pqr, "to_pandas") else pqr
         bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
         pq_sets = pqr.groupby("query_id")["neighbor_id"].apply(set)
         recalls = [
@@ -473,8 +474,11 @@ class TestSimSearch:
 
         from kgx.simsearch import knn_ivfpq
 
-        base = knn_ivfpq(SF).to_pandas()
-        sharded = knn_ivfpq(SF, shards_per_bucket=4).to_pandas()
+        def _pd(x):
+            return x.to_pandas() if hasattr(x, "to_pandas") else x
+
+        base = _pd(knn_ivfpq(SF))
+        sharded = _pd(knn_ivfpq(SF, shards_per_bucket=4))
         cols = ["query_id", "neighbor_id", "rank"]
         a = base[cols].sort_values(cols).reset_index(drop=True)
         b = sharded[cols].sort_values(cols).reset_index(drop=True)
@@ -4704,3 +4708,19 @@ class TestPcaPower:
         r = np.corrcoef(proj, out)[0, 1]
         assert abs(r) > 0.99
         assert len(np.unique(out)) > 100  # genuinely spreads the data
+
+
+class TestIvfpqGate:
+    def test_gate_equals_distributed(self, ray_session):
+        """The single-task small-table gate is row-identical to the
+        distributed exchange path (same encode/score/rescore float
+        trees)."""
+        from kgx.simsearch import knn_ivfpq
+
+        fast = knn_ivfpq(SF)
+        fast = fast.to_pandas() if hasattr(fast, "to_pandas") else fast
+        dist = knn_ivfpq(SF, small_table_threshold=0)
+        dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
+        key = lambda d: d.sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        assert key(fast).equals(key(dist))
