@@ -252,7 +252,8 @@ def train_centroids(sf_dir: str, nlist: int = 64, sample: int = 4096,
 
 def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
             nprobe: int = 16, shards_per_bucket: int = None,
-            target_shard_rows: int = 65536):
+            target_shard_rows: int = 65536,
+            small_table_threshold: int = 500_000):
     """Approximate top-k: IVF with a trained coarse quantizer.
 
     Candidates are assigned to their nearest of ``nlist`` k-means
@@ -280,9 +281,8 @@ def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
 
     ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
+    nrows = ds.count()  # parquet-metadata count: cheap, no data scan
     if shards_per_bucket is None:
-        # parquet-metadata count: cheap, no data scan
-        nrows = ds.count()
         shards_per_bucket = max(1, -(-nrows // (C.shape[0] * target_shard_rows)))
     S = shards_per_bucket
 
@@ -350,6 +350,26 @@ def knn_ivf(sf_dir: str, stride: int = 50, k: int = 5, nlist: int = 64,
         return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
                              "neighbor_id": pd.Series(out_n, dtype="int64"),
                              "sim": out_s})
+
+    if 0 < nrows < small_table_threshold:
+        # single-task gate (same pattern + pin as knn_ivfpq's): the two
+        # exchanges are pure orchestration at this scale; identical
+        # tag/score float trees, row-identical to the distributed path
+        import pyarrow.parquet as _ppq
+
+        full = _ppq.read_table("%s/embeddings.parquet" % sf_dir,
+                               columns=["vec_id", "embedding"]).to_pandas()
+        cat = pd.concat([tag_candidates(full), tag_queries(full)],
+                        ignore_index=True)
+        pdf = pd.concat([score_bucket(g)
+                         for _, g in cat.groupby("gkey", sort=False)],
+                        ignore_index=True)
+        outs = [_final_topk(g, k)
+                for _, g in pdf.groupby("query_id", sort=False)]
+        return (pd.concat(outs, ignore_index=True) if outs else
+                pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "neighbor_id": pd.Series([], dtype="int64"),
+                              "rank": pd.Series([], dtype="int64")}))
 
     partial = (candidates.union(queries)
                .groupby("gkey").map_groups(score_bucket, batch_format="pandas"))

@@ -392,7 +392,8 @@ class TestSimSearch:
         from kgx.simsearch import knn_bruteforce, knn_ivf
 
         bf = knn_bruteforce(SF).to_pandas()
-        ivf = knn_ivf(SF).to_pandas()
+        ivf = knn_ivf(SF)  # small-table gate returns pandas
+        ivf = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
         bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
         ivf_sets = ivf.groupby("query_id")["neighbor_id"].apply(set)
         recalls = [
@@ -446,8 +447,11 @@ class TestSimSearch:
 
         from kgx.simsearch import knn_ivf
 
-        base = knn_ivf(SF).to_pandas()
-        sharded = knn_ivf(SF, shards_per_bucket=4).to_pandas()
+        base = knn_ivf(SF)
+        base = base.to_pandas() if hasattr(base, "to_pandas") else base
+        sharded = knn_ivf(SF, shards_per_bucket=4)
+        sharded = (sharded.to_pandas()
+                   if hasattr(sharded, "to_pandas") else sharded)
         cols = ["query_id", "neighbor_id", "rank"]
         a = base[cols].sort_values(cols).reset_index(drop=True)
         b = sharded[cols].sort_values(cols).reset_index(drop=True)
@@ -4720,6 +4724,17 @@ class TestIvfpqGate:
         fast = knn_ivfpq(SF)
         fast = fast.to_pandas() if hasattr(fast, "to_pandas") else fast
         dist = knn_ivfpq(SF, small_table_threshold=0)
+        dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
+        key = lambda d: d.sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        assert key(fast).equals(key(dist))
+
+    def test_ivf_gate_equals_distributed(self, ray_session):
+        from kgx.simsearch import knn_ivf
+
+        fast = knn_ivf(SF)
+        fast = fast.to_pandas() if hasattr(fast, "to_pandas") else fast
+        dist = knn_ivf(SF, small_table_threshold=0)
         dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
         key = lambda d: d.sort_values(["query_id", "rank"]) \
             .reset_index(drop=True)
