@@ -1401,7 +1401,8 @@ def _bpe_apply(word: str, merges) -> list:
     return seq
 
 
-def bpe_train(sf_dir: str, num_merges: int = 4):
+def bpe_train(sf_dir: str, num_merges: int = 4,
+              small_vocab_threshold: int = 2_000_000):
     """(rnd, l, r, freq) — the first ``num_merges`` BPE merge rules
     learned from the corpus (Sennrich et al. 2016): per round, the most
     frequent adjacent symbol pair across the word vocabulary (weighted
@@ -1437,6 +1438,14 @@ def bpe_train(sf_dir: str, num_merges: int = 4):
                  columns={"sum(freq)": "freq"}), batch_format="pandas")
              .materialize())
 
+    # vocabulary gate (the perceptron_langid pattern): the corpus pass
+    # above is distributed regardless; the merge ROUNDS only touch the
+    # vocabulary, and below ~2M distinct words each round's 3-stage Ray
+    # pipeline is pure orchestration. Same pair-count arithmetic and
+    # (cnt DESC, l, r) tie rule — gate==distributed pinned by test.
+    vdf = (vocab.to_pandas()
+           if vocab.count() < small_vocab_threshold else None)
+
     merges = []
     for rnd in range(num_merges):
         cur = [(a, b) for a, b, _ in merges]
@@ -1461,10 +1470,14 @@ def bpe_train(sf_dir: str, num_merges: int = 4):
                                 ascending=[False, True, True])
             return df.head(1)
 
-        tops = (vocab.map_batches(pair_counts, batch_format="pandas")
-                .groupby(["l", "r"]).sum("cnt")
-                .map_batches(local_top1, batch_format="pandas")
-                .to_pandas())
+        if vdf is not None:
+            tops = (pair_counts(vdf)
+                    .groupby(["l", "r"], as_index=False)["cnt"].sum())
+        else:
+            tops = (vocab.map_batches(pair_counts, batch_format="pandas")
+                    .groupby(["l", "r"]).sum("cnt")
+                    .map_batches(local_top1, batch_format="pandas")
+                    .to_pandas())
         tops = tops.sort_values(["cnt", "l", "r"],
                                 ascending=[False, True, True])
         best = tops.iloc[0]

@@ -4739,3 +4739,14 @@ class TestIvfpqGate:
         key = lambda d: d.sort_values(["query_id", "rank"]) \
             .reset_index(drop=True)
         assert key(fast).equals(key(dist))
+
+
+class TestBpeTrainGate:
+    def test_gate_equals_distributed(self, ray_session):
+        from kgx.traindata import bpe_train
+
+        fast = bpe_train(SF).reset_index(drop=True)
+        dist = bpe_train(SF, small_vocab_threshold=0)
+        dist = (dist.to_pandas() if hasattr(dist, "to_pandas")
+                else dist).reset_index(drop=True)
+        assert fast.equals(dist)
