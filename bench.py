@@ -121,10 +121,13 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import kg_subtree_sizes as _subtree
 
     def consume(ds):
-        # stream-consume without driver materialization
-        if hasattr(ds, "count"):
-            return ds.count()
-        return len(ds)
+        # stream-consume without driver materialization; gated ops may
+        # return pandas (DataFrame.count() is per-column — use len)
+        import pandas as _pd
+
+        if isinstance(ds, _pd.DataFrame) or not hasattr(ds, "count"):
+            return len(ds)
+        return ds.count()
 
     battery = {
         "kg_triples": lambda: q.kg_triples(sf_dir),

@@ -900,7 +900,8 @@ def label_propagation(sf_dir: str, rounds: int = 4, threshold: float = 0.8,
 
 
 def clustering_coeff(sf_dir: str, threshold: float = 0.8,
-                     num_partitions: Optional[int] = None):
+                     num_partitions: Optional[int] = None,
+                     small_edges_threshold: int = 2_000_000):
     """(node, deg, n_tri) — per-node triangle count and degree of the
     near-dup pair graph (``jaccard_pairs`` edges): the local clustering
     coefficient 2·n_tri / (deg·(deg−1)) divides out exactly from these
@@ -920,6 +921,36 @@ def clustering_coeff(sf_dir: str, threshold: float = 0.8,
     nparts = num_partitions or _nparts()
     pairs = jaccard_pairs(sf_dir, threshold,
                           num_partitions=nparts).materialize()
+
+    if pairs.count() < small_edges_threshold:
+        # single-task gate (the transitive_closure/scc pattern): the six
+        # chained exchanges below are pure orchestration at this edge
+        # count, and every output is an exact integer — a direct local
+        # triangle enumeration is row-identical by mathematical identity
+        # (pinned in tests/test_ops.py)
+        e = pairs.to_pandas()
+        ea = e["doc_id_a"].to_numpy("int64")
+        eb = e["doc_id_b"].to_numpy("int64")
+        adj: dict = {}
+        for x, y in zip(ea, eb):
+            adj.setdefault(int(x), set()).add(int(y))
+            adj.setdefault(int(y), set()).add(int(x))
+        tri = {n: 0 for n in adj}
+        for x, y in zip(ea, eb):
+            x, y = (int(x), int(y)) if x < y else (int(y), int(x))
+            for c in adj[x] & adj[y]:
+                if c > y:  # each triangle once, at its sorted edge
+                    tri[x] += 1
+                    tri[y] += 1
+                    tri[c] += 1
+        nodes = sorted(adj)
+        return pd.DataFrame({
+            "node": pd.Series(nodes, dtype="int64"),
+            "deg": pd.Series([len(adj[n]) for n in nodes],
+                             dtype="int64"),
+            "n_tri": pd.Series([tri[n] for n in nodes],
+                               dtype="int64")})
+
     edges = pairs.map_batches(
         lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
                                  "b": df["doc_id_b"].astype("int64")}),

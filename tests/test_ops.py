@@ -2388,7 +2388,9 @@ class TestWindowAndRollup:
         adj = defaultdict(set)
         for a, b in zip(edges["doc_id_a"], edges["doc_id_b"]):
             adj[int(a)].add(int(b)); adj[int(b)].add(int(a))
-        out = clustering_coeff(SF).to_pandas().set_index("node")
+        out = clustering_coeff(SF)
+        out = (out.to_pandas() if hasattr(out, "to_pandas")
+               else out).set_index("node")
         assert set(out.index) == set(adj)
         for n, nbrs in adj.items():
             assert out.loc[n, "deg"] == len(nbrs)
@@ -4750,3 +4752,15 @@ class TestBpeTrainGate:
         dist = (dist.to_pandas() if hasattr(dist, "to_pandas")
                 else dist).reset_index(drop=True)
         assert fast.equals(dist)
+
+
+class TestClusteringCoeffGate:
+    def test_gate_equals_distributed(self, ray_session):
+        from kgx.components import clustering_coeff
+
+        fast = clustering_coeff(SF)
+        fast = fast.to_pandas() if hasattr(fast, "to_pandas") else fast
+        dist = clustering_coeff(SF, small_edges_threshold=0)
+        dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
+        key = lambda d: d.sort_values("node").reset_index(drop=True)
+        assert key(fast).equals(key(dist))
