@@ -1293,16 +1293,32 @@ def hll_distinct(sf_dir: str, shingle_k: int = 3, p: int = 8):
     ds = _read_documents(sf_dir, columns=["text"])
 
     def registers(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        # vectorized shingle construction + per-batch DEDUP before
+        # hashing: register maxima only depend on the distinct shingle
+        # set, and the templated-corpus ratio is ~10:1 instances per
+        # distinct — the md5 walk runs once per distinct shingle
+        g = (pl.from_pandas(df[["text"]])
+             .with_columns(pl.col("text").str.split(" ").alias("t"))
+             .with_row_index("r")
+             .explode("t"))
+        shifted = [pl.col("t").shift(-o).over("r").alias("t%d" % o)
+                   for o in range(1, shingle_k)]
+        names = ["t"] + ["t%d" % o for o in range(1, shingle_k)]
+        sh = (g.with_columns(shifted)
+              .drop_nulls(names[1:])
+              .select(pl.concat_str([pl.col(c) for c in names],
+                                    separator=" ").alias("s"))
+              .unique()["s"].to_list())
         regs = np.zeros(m, dtype=np.int64)
-        for t in df["text"]:
-            toks = t.split(" ")
-            for i in range(len(toks) - shingle_k + 1):
-                h = token_hash64(" ".join(toks[i:i + shingle_k]))
-                j = h >> (64 - p)
-                v = h & ((1 << (64 - p)) - 1)
-                rho = (64 - p) - v.bit_length() + 1
-                if rho > regs[j]:
-                    regs[j] = rho
+        for sgl in sh:
+            h = token_hash64(sgl)
+            j = h >> (64 - p)
+            v = h & ((1 << (64 - p)) - 1)
+            rho = (64 - p) - v.bit_length() + 1
+            if rho > regs[j]:
+                regs[j] = rho
         return pd.DataFrame({"j": np.arange(m, dtype=np.int64),
                              "rho": regs})
 
