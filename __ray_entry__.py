@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": simsearch.pq_codes,
         "label_centroids": simsearch.label_centroids,
         "pca_power": simsearch.pca_power,
+        "kcenter_coreset": simsearch.kcenter_coreset,
         # sameAs-chain resolution (iterative hash-partitioned union-find)
         "sameas_components": _sameas_components,
         # iterative graph analytics (integer-quantized, bit-exact oracle)

@@ -5276,3 +5276,49 @@ FROM v JOIN w{r} ON w{r}.j = v.j GROUP BY v.vec_id
 
 
 DOC_ORACLES["pca_power"] = _pca_power_sql()
+
+
+# kcenter_coreset: exact-integer greedy farthest-point replay. The
+# pairwise distance table materializes ONCE (n² rows at oracle scale);
+# each greedy round is then a LIMIT-1 selection + a least() fold, and
+# the final assignment ranks (dd, selection order) per point.
+def _kcenter_sql(k: int = 8) -> str:
+    head = """WITH v AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS j,
+         CAST(floor(1024.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)
+           AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
+), pdist AS MATERIALIZED (
+  SELECT a.vec_id AS pid, b.vec_id AS cid,
+         CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS dd
+  FROM v a JOIN v b ON a.j = b.j GROUP BY a.vec_id, b.vec_id
+), c1 AS (SELECT min(vec_id) AS cid FROM embeddings),
+m1 AS MATERIALIZED (
+  SELECT pid, dd FROM pdist WHERE cid = (SELECT cid FROM c1)
+)"""
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(""", pick{t} AS MATERIALIZED (
+  SELECT pid AS cid FROM m{p} ORDER BY dd DESC, pid LIMIT 1
+), m{t} AS MATERIALIZED (
+  SELECT m.pid, least(m.dd, p.dd) AS dd
+  FROM m{p} m JOIN pdist p
+    ON p.pid = m.pid AND p.cid = (SELECT cid FROM pick{t})
+)""".format(t=t, p=t - 1))
+    cents = ["SELECT (SELECT cid FROM c1) AS cid, 1 AS t"]
+    for t in range(2, k + 1):
+        cents.append("SELECT (SELECT cid FROM pick%d), %d" % (t, t))
+    tail = """, cents AS MATERIALIZED (
+  %s
+)
+SELECT pid AS vec_id, cid AS center, dd AS dist2 FROM (
+  SELECT p.pid, p.cid, p.dd,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY p.dd, c.t) AS rk
+  FROM pdist p JOIN cents c ON c.cid = p.cid
+) WHERE rk = 1
+""" % "\n  UNION ALL ".join(cents)
+    return head + "".join(steps) + tail
+
+
+DOC_ORACLES["kcenter_coreset"] = _kcenter_sql()

