@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": simsearch.label_centroids,
         "pca_power": simsearch.pca_power,
         "kcenter_coreset": simsearch.kcenter_coreset,
+        "mutual_knn": simsearch.mutual_knn,
         # sameAs-chain resolution (iterative hash-partitioned union-find)
         "sameas_components": _sameas_components,
         # iterative graph analytics (integer-quantized, bit-exact oracle)

@@ -5322,3 +5322,19 @@ SELECT pid AS vec_id, cid AS center, dd AS dist2 FROM (
 
 
 DOC_ORACLES["kcenter_coreset"] = _kcenter_sql()
+
+DOC_ORACLES["mutual_knn"] = """
+WITH s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+), r AS (
+  SELECT vid, nid,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY sim DESC, nid) AS rk
+  FROM s
+), g AS (SELECT vid, nid, rk FROM r WHERE rk <= 5)
+SELECT a.vid AS vec_id, a.nid AS neighbor_id,
+       CAST(a.rk AS BIGINT) AS rank
+FROM g a JOIN g b ON b.vid = a.nid AND b.nid = a.vid
+"""

@@ -1073,3 +1073,51 @@ def kcenter_coreset(sf_dir: str, k: int = 8, scale: int = 1 << 10,
                                dtype="int64")})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def mutual_knn(sf_dir: str, k: int = 5,
+               num_partitions: int = None):
+    """(vec_id, neighbor_id, rank) — the MUTUAL k-NN graph: keep the
+    edge (a → b, rank r) only when b also lists a in ITS top-k. The
+    standard noise-pruning step between a raw k-NN graph and
+    clustering / semantic-dedup / manifold methods (reciprocal
+    nearest neighbors): hub vectors that appear in everyone's list
+    but reciprocate nothing lose their spurious edges.
+
+    Scale shape: one extra fixed-width exchange over the k·N edge
+    rows of ``knn_graph`` — each edge emits under its canonical
+    (min, max) pair key, a hash co-group keeps pairs seen from BOTH
+    directions, and the surviving rows retain their original rank.
+    """
+    import ray
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    edges = knn_graph(sf_dir, k=k)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["vec_id"].to_numpy("int64")
+        b = df["neighbor_id"].to_numpy("int64")
+        u = np.minimum(a, b)
+        w = np.maximum(a, b)
+        return pd.DataFrame({
+            "vec_id": a, "neighbor_id": b,
+            "rank": df["rank"].to_numpy("int64"),
+            "u": u, "w": w,
+            "part": ((pd.util.hash_pandas_object(pd.Series(u),
+                                                 index=False) * 31
+                      + pd.util.hash_pandas_object(pd.Series(w),
+                                                   index=False))
+                     % nparts).astype("int32")})
+
+    def keep_mutual(df: pd.DataFrame) -> pd.DataFrame:
+        both = df.groupby(["u", "w"])["vec_id"].transform("size")
+        m = df[both == 2]
+        return pd.DataFrame({
+            "vec_id": m["vec_id"].astype("int64"),
+            "neighbor_id": m["neighbor_id"].astype("int64"),
+            "rank": m["rank"].astype("int64")})
+
+    return (edges.map_batches(tag, batch_format="pandas")
+            .groupby("part").map_groups(keep_mutual,
+                                        batch_format="pandas"))

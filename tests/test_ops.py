@@ -4797,3 +4797,26 @@ class TestKcenterCoreset:
             return int(o["dist2"].max())
 
         assert radius(8) <= radius(4) <= radius(2)
+
+
+class TestMutualKnn:
+    def test_subset_symmetric_and_rank_preserved(self, ray_session):
+        """Mutual edges are a subset of knn_graph, the surviving edge
+        SET is symmetric, and each kept row retains its original
+        rank."""
+        from kgx.simsearch import knn_graph, mutual_knn
+
+        g = knn_graph(SF).to_pandas()
+        m = mutual_knn(SF)
+        m = m.to_pandas() if hasattr(m, "to_pandas") else m
+        gset = {(a, b): r for a, b, r in
+                g[["vec_id", "neighbor_id", "rank"]]
+                .itertuples(index=False)}
+        mset = {(a, b): r for a, b, r in
+                m[["vec_id", "neighbor_id", "rank"]]
+                .itertuples(index=False)}
+        assert set(mset) <= set(gset)
+        for (a, b), r in mset.items():
+            assert (b, a) in mset
+            assert gset[(a, b)] == r
+        assert 0 < len(mset) < len(gset)
