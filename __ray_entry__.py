@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import kg_subtree_sizes as _subtree
     from kgx.components import kg_cycle_nodes as _kg_cycles
     from kgx.components import graph_random_walks as _walks
+    from kgx.components import sssp_weighted as _sssp
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity_sums": _assort,
         "msf_boruvka": _msf,
         "bfs_distances": _bfs,
+        "sssp_weighted": _sssp,
         "bipartite_conflicts": _bipartite,
         "scc": _scc,
         "kg_subtree_sizes": _subtree,

@@ -2183,3 +2183,151 @@ def graph_random_walks(sf_dir: str, steps: int = 6, k: int = 5,
         visited.append(cur.to_pandas())
 
     return assemble(pd.concat(visited, ignore_index=True))
+
+
+def sssp_weighted(sf_dir: str, seed_mod: int = 97, k: int = 5,
+                  rounds: int = 8,
+                  small_graph_threshold: int = 2_000_000,
+                  num_partitions: Optional[int] = None):
+    """(vec_id, dist) — multi-source WEIGHTED shortest-path distances
+    (fixed-round synchronous Bellman-Ford) over the symmetrized exact
+    k-NN graph, edge weight = the k-NN rank its owner assigned (an
+    undirected edge contributes both orientations, each at its own
+    rank; relaxation takes the min). Seeds are vec_id % ``seed_mod``
+    == 0 at distance 0. All-integer, and the round count is part of
+    the operator's definition — engine and oracle run the identical
+    ``rounds`` synchronized relaxations, so distances replay
+    bit-for-bat even where the walk has not yet converged (one
+    relaxation reaches one more hop per round; 8 rounds cover this
+    graph's seed eccentricity — asserted converged in tests).
+
+    Scale shape (distributed path): the weighted edge table buckets
+    on hash(src) ONCE and is materialized; each round ships only the
+    node-sized (node, dist) vector through (1) the src-bucket
+    co-group emitting per-bucket-min relax candidates and (2) a
+    hash(node) min-fold against the previous vector — the
+    pagerank/hits per-round pattern, 2 exchanges of fixed-width rows
+    per round, the edge list never re-shuffles. Below
+    ``small_graph_threshold`` edges a single-task gate runs the same
+    synchronized rounds vectorized (np.minimum.at) — row-identical
+    by integer exactness, pinned in tests.
+    """
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .simsearch import knn_graph
+
+    nparts = num_partitions or _nparts()
+    edges = knn_graph(sf_dir, k=k).map_batches(
+        lambda df: pd.concat([
+            pd.DataFrame({"src": df["vec_id"].astype("int64"),
+                          "dst": df["neighbor_id"].astype("int64"),
+                          "w": df["rank"].astype("int64")}),
+            pd.DataFrame({"src": df["neighbor_id"].astype("int64"),
+                          "dst": df["vec_id"].astype("int64"),
+                          "w": df["rank"].astype("int64")})],
+            ignore_index=True),
+        batch_format="pandas").materialize()
+    ids = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                         columns=["vec_id"]).column("vec_id").to_pylist()
+    seeds = sorted(v for v in ids if v % seed_mod == 0)
+
+    INF = 1 << 62
+    if edges.count() <= small_graph_threshold:
+        e = edges.to_pandas()
+        src = e["src"].to_numpy("int64")
+        dst = e["dst"].to_numpy("int64")
+        w = e["w"].to_numpy("int64")
+        nodes = np.unique(np.concatenate(
+            [src, dst, np.array(seeds, dtype="int64")]))
+        pos = {int(n): i for i, n in enumerate(nodes)}
+        si = np.array([pos[int(x)] for x in src], dtype="int64")
+        di = np.array([pos[int(x)] for x in dst], dtype="int64")
+        dist = np.full(len(nodes), INF, dtype="int64")
+        dist[[pos[int(s)] for s in seeds]] = 0
+        for _ in range(rounds):
+            cand = dist[si] + w  # INF+w stays far below overflow
+            nxt = dist.copy()
+            np.minimum.at(nxt, di, cand)
+            dist = np.minimum(dist, nxt)
+        reached = dist < INF
+        return ray.data.from_pandas(pd.DataFrame({
+            "vec_id": pd.Series(nodes[reached], dtype="int64"),
+            "dist": pd.Series(dist[reached], dtype="int64")}))
+
+    def e_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": df["src"].astype("int64"),
+                            "dst": df["dst"].astype("int64"),
+                            "w": df["w"].astype("int64"),
+                            "side": np.int8(0)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["src"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    eb = edges.map_batches(e_bucket, batch_format="pandas").materialize()
+    cur = pd.DataFrame({"node": pd.Series(seeds, dtype="int64"),
+                        "dist": pd.Series([0] * len(seeds),
+                                          dtype="int64")})
+    cur_ds = ray.data.from_pandas(cur)
+
+    def d_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": df["node"].astype("int64"),
+                            "dst": np.int64(0),
+                            "w": df["dist"].astype("int64"),
+                            "side": np.int8(1)})
+        out["bucket"] = (pd.util.hash_pandas_object(out["src"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["side"] == 1][["src", "w"]].rename(
+            columns={"w": "dist"})
+        e = df[df["side"] == 0]
+        m = e.merge(d, on="src")
+        if m.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64"),
+                                 "kind": pd.Series([], dtype="int8")})
+        m["nd"] = m["dist"] + m["w"]
+        g = m.groupby("dst", as_index=False)["nd"].min()
+        return pd.DataFrame({"node": g["dst"].astype("int64"),
+                             "dist": g["nd"].astype("int64"),
+                             "kind": np.int8(0)})
+
+    def old_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].astype("int64"),
+                             "dist": df["dist"].astype("int64"),
+                             "kind": np.int8(1)})
+
+    def min_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["dist"].min()
+        return pd.DataFrame({"node": g["node"].astype("int64"),
+                             "dist": g["dist"].astype("int64")})
+
+    def n_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (pd.util.hash_pandas_object(df["node"],
+                                                   index=False)
+                        % nparts).astype("int32")
+        return df
+
+    for _ in range(rounds):
+        cand = (eb.union(cur_ds.map_batches(d_rows,
+                                            batch_format="pandas"))
+                .groupby("bucket").map_groups(relax,
+                                              batch_format="pandas"))
+        both = cand.union(cur_ds.map_batches(old_rows,
+                                             batch_format="pandas"))
+        # repartition: shuffle output block counts compound across the
+        # union→groupby loop (the pagerank/components lesson)
+        cur_ds = (both.map_batches(n_bucket, batch_format="pandas")
+                  .groupby("bucket").map_groups(min_fold,
+                                                batch_format="pandas")
+                  .repartition(nparts).materialize())
+
+    return cur_ds.map_batches(
+        lambda df: pd.DataFrame({"vec_id": df["node"].astype("int64"),
+                                 "dist": df["dist"].astype("int64")}),
+        batch_format="pandas")

@@ -5338,3 +5338,43 @@ SELECT a.vid AS vec_id, a.nid AS neighbor_id,
        CAST(a.rk AS BIGINT) AS rank
 FROM g a JOIN g b ON b.vid = a.nid AND b.nid = a.vid
 """
+
+
+# sssp_weighted: fixed-round synchronous Bellman-Ford unrolled, one
+# MATERIALIZED min-fold CTE per round over the rank-weighted
+# symmetrized knn_graph edge set.
+def _sssp_sql(rounds: int = 8, seed_mod: int = 97, k: int = 5) -> str:
+    head = """WITH s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+), r AS (
+  SELECT vid, nid,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY sim DESC, nid) AS rk
+  FROM s
+), g AS MATERIALIZED (SELECT vid, nid, rk FROM r WHERE rk <= {k}),
+e AS MATERIALIZED (
+  SELECT vid AS src, nid AS dst, CAST(rk AS BIGINT) AS w FROM g
+  UNION ALL
+  SELECT nid, vid, CAST(rk AS BIGINT) FROM g
+), d0 AS MATERIALIZED (
+  SELECT vec_id AS node, CAST(0 AS BIGINT) AS dist FROM embeddings
+  WHERE vec_id % {m} = 0
+)""".format(k=k, m=seed_mod)
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(""", d{t} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d{p}.dist + e.w AS dist
+    FROM d{p} JOIN e ON e.src = d{p}.node
+  ) GROUP BY node
+)""".format(t=t, p=t - 1))
+    tail = ("\nSELECT node AS vec_id, CAST(dist AS BIGINT) AS dist "
+            "FROM d%d\n" % rounds)
+    return head + "".join(steps) + tail
+
+
+DOC_ORACLES["sssp_weighted"] = _sssp_sql()

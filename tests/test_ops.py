@@ -4820,3 +4820,47 @@ class TestMutualKnn:
             assert (b, a) in mset
             assert gset[(a, b)] == r
         assert 0 < len(mset) < len(gset)
+
+
+class TestSsspWeighted:
+    def test_dijkstra_replay_and_bfs_bound(self, ray_session):
+        """8 synchronized Bellman-Ford rounds equal true shortest-path
+        distances here (converged: round count ≥ weighted-hop
+        eccentricity, checked via a heapq Dijkstra replay); weighted
+        dist ≥ hop dist from bfs_distances on every node."""
+        import heapq
+
+        from kgx.components import bfs_distances, sssp_weighted
+        from kgx.simsearch import knn_graph
+
+        g = knn_graph(SF).to_pandas()
+        adj: dict = {}
+        for a, b, r in g[["vec_id", "neighbor_id", "rank"]] \
+                .itertuples(index=False):
+            adj.setdefault(int(a), []).append((int(b), int(r)))
+            adj.setdefault(int(b), []).append((int(a), int(r)))
+        seeds = sorted({int(v) for v in g["vec_id"]} |
+                       {int(v) for v in g["neighbor_id"]})
+        seeds = [v for v in seeds if v % 97 == 0]
+        dist = {s: 0 for s in seeds}
+        h = [(0, s) for s in seeds]
+        heapq.heapify(h)
+        while h:
+            d, u = heapq.heappop(h)
+            if d > dist.get(u, 1 << 62):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = d + w
+                if nd < dist.get(v, 1 << 62):
+                    dist[v] = nd
+                    heapq.heappush(h, (nd, v))
+        out = sssp_weighted(SF)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        got = {int(a): int(b) for a, b in
+               out[["vec_id", "dist"]].itertuples(index=False)}
+        assert got == dist  # converged ⇒ fixed rounds == true SSSP
+        hops = bfs_distances(SF).to_pandas()
+        hd = {int(a): int(b) for a, b in
+              hops[["vec_id", "dist"]].itertuples(index=False)}
+        for n, d in got.items():
+            assert d >= hd[n]  # every edge weighs ≥ 1
