@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / windows
         "sessionize": events.sessionize,
         "session_table": events.session_table,
+        "session_overlap_pairs": events.session_overlap_pairs,
         "max_concurrent_sessions": events.max_concurrent_sessions,
         "event_type_hourly": events.event_type_hourly,
         "events_asof": events.events_asof,

@@ -1527,3 +1527,72 @@ def rate_limit_replay(sf_dir: str):
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas"))
+
+
+def session_overlap_pairs(sf_dir: str, gap_minutes: int = _GAP_MINUTES,
+                          cell_hours: int = 24,
+                          num_partitions: Optional[int] = None):
+    """(user_a, session_a, user_b, session_b, ovl_us) — the cross-user
+    INTERVAL OVERLAP JOIN: every pair of sessions from two different
+    users whose [start, end] intervals intersect (closed; ovl_us =
+    min(end)−max(start) ≥ 0), built on the independently-oracled
+    ``session_table``. The 1-D analog of spatial_neighbor_pairs'
+    grid bucketing, and the shape every temporal co-occurrence /
+    concurrency-attribution join takes.
+
+    Scale shape: each interval replicates to the time-grid cells it
+    touches (cell width ``cell_hours``; sessions are gap-bounded so
+    the span — and the fan-out — is small); one hash(cell) exchange;
+    inside a cell the verify is one vectorized self-merge, and a pair
+    is emitted at exactly ONE cell — the cell containing
+    max(start_a, start_b), which both intervals provably touch. No
+    dedup pass. Same-user pairs cannot overlap (session gaps are
+    strict) and are excluded canonically (user_a < user_b).
+    """
+    import ray
+
+    nparts = num_partitions or _nparts()
+    W = int(cell_hours) * 3600 * 1_000_000
+    sess = session_table(sf_dir, gap_minutes)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        st = df["start_us"].to_numpy("int64")
+        en = df["end_us"].to_numpy("int64")
+        c0 = st // W
+        cnt = (en // W - c0 + 1).astype("int64")
+        idx = np.repeat(np.arange(len(df)), cnt)
+        pos = np.arange(len(idx)) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        cell = c0[idx] + pos
+        out = pd.DataFrame({
+            "cell": cell.astype("int64"),
+            "user_id": df["user_id"].to_numpy("int64")[idx],
+            "session_idx": df["session_idx"].to_numpy("int64")[idx],
+            "st": st[idx], "en": en[idx]})
+        out["part"] = (out["cell"] % nparts).astype("int32")
+        return out
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["cell", "user_id", "session_idx", "st", "en"]]
+        m = d.merge(d, on="cell")
+        m = m[m["user_id_x"] < m["user_id_y"]]
+        if m.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["user_a", "session_a",
+                                           "user_b", "session_b",
+                                           "ovl_us"]})
+        mx = np.maximum(m["st_x"].to_numpy("int64"),
+                        m["st_y"].to_numpy("int64"))
+        mn = np.minimum(m["en_x"].to_numpy("int64"),
+                        m["en_y"].to_numpy("int64"))
+        keep = (mx <= mn) & (mx // W == m["cell"].to_numpy("int64"))
+        m = m[pd.Series(keep, index=m.index, dtype=bool)]
+        return pd.DataFrame({
+            "user_a": m["user_id_x"].astype("int64"),
+            "session_a": m["session_idx_x"].astype("int64"),
+            "user_b": m["user_id_y"].astype("int64"),
+            "session_b": m["session_idx_y"].astype("int64"),
+            "ovl_us": pd.Series(mn[keep] - mx[keep], index=m.index,
+                                dtype="int64")})
+
+    return (sess.map_batches(replicate, batch_format="pandas")
+            .groupby("part").map_groups(pairs, batch_format="pandas"))

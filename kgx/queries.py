@@ -5378,3 +5378,16 @@ e AS MATERIALIZED (
 
 
 DOC_ORACLES["sssp_weighted"] = _sssp_sql()
+
+
+# cross-user interval overlap join over the session table (closed
+# intervals; pair emitted once — the engine's grid rule is exactly-once
+# by construction, the oracle just enumerates)
+DOC_ORACLES["session_overlap_pairs"] = (
+    "WITH sess AS (" + DOC_ORACLES["session_table"] + ") "
+    "SELECT a.user_id AS user_a, a.session_idx AS session_a,"
+    " b.user_id AS user_b, b.session_idx AS session_b,"
+    " CAST(least(a.end_us, b.end_us)"
+    "      - greatest(a.start_us, b.start_us) AS BIGINT) AS ovl_us "
+    "FROM sess a JOIN sess b ON a.user_id < b.user_id"
+    " AND greatest(a.start_us, b.start_us) <= least(a.end_us, b.end_us)")

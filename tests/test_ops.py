@@ -4864,3 +4864,40 @@ class TestSsspWeighted:
               hops[["vec_id", "dist"]].itertuples(index=False)}
         for n, d in got.items():
             assert d >= hd[n]  # every edge weighs ≥ 1
+
+
+class TestSessionOverlapPairs:
+    def test_brute_force_replay_exactly_once(self, ray_session):
+        """Grid-bucketed overlap pairs equal a brute-force session
+        cross-check; no pair appears twice despite multi-cell
+        replication; a tiny grid cell (1h) gives the same answer as
+        the default (different replication fan-out, same rule)."""
+        from kgx.events import session_overlap_pairs, session_table
+
+        s = session_table(SF).to_pandas()
+        rows = list(s[["user_id", "session_idx", "start_us", "end_us"]]
+                    .itertuples(index=False))
+        want = {}
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                x, y = (a, b) if a[0] < b[0] else (b, a)
+                if x[0] == y[0]:
+                    continue
+                mx, mn = max(x[2], y[2]), min(x[3], y[3])
+                if mx <= mn:
+                    want[(x[0], x[1], y[0], y[1])] = mn - mx
+        out = session_overlap_pairs(SF)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert len(out) == len(out.drop_duplicates(
+            ["user_a", "session_a", "user_b", "session_b"]))
+        got = {(a, sa, b, sb): o for a, sa, b, sb, o in
+               out[["user_a", "session_a", "user_b", "session_b",
+                    "ovl_us"]].itertuples(index=False)}
+        assert got == want
+        small = session_overlap_pairs(SF, cell_hours=1)
+        small = (small.to_pandas() if hasattr(small, "to_pandas")
+                 else small)
+        got2 = {(a, sa, b, sb): o for a, sa, b, sb, o in
+                small[["user_a", "session_a", "user_b", "session_b",
+                       "ovl_us"]].itertuples(index=False)}
+        assert got2 == want
