@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perceptron_langid": traindata.perceptron_langid,
         # source formats beyond parquet (export → shards → re-ingest)
         "ndjson_roundtrip": sources.ndjson_roundtrip,
+        "gzip_ndjson_roundtrip": sources.gzip_ndjson_roundtrip,
         "csv_roundtrip": sources.csv_roundtrip,
         "arrow_ipc_roundtrip": sources.arrow_ipc_roundtrip,
         "partition_pruned_read": sources.partition_pruned_read,

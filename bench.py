@@ -119,6 +119,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import bipartite_conflicts as _bipartite
     from kgx.components import scc as _scc
     from kgx.components import kg_subtree_sizes as _subtree
+    from kgx.components import sssp_weighted as _sssp_weighted
 
     def consume(ds):
         # stream-consume without driver materialization; gated ops may
@@ -173,6 +174,16 @@ def run_queries(sf_dir: str) -> dict:
         "psi_drift": lambda: textops.psi_drift(sf_dir),
         "auc_eval": lambda: textops.auc_eval(sf_dir),
         "pr_curve": lambda: textops.pr_curve(sf_dir),
+        "stump_split": lambda: textops.stump_split(sf_dir),
+        "skipgram_pairs": lambda: textops.skipgram_pairs(sf_dir),
+        "spatial_neighbor_pairs":
+            lambda: dedup.spatial_neighbor_pairs(sf_dir),
+        "pca_power": lambda: simsearch.pca_power(sf_dir),
+        "kcenter_coreset": lambda: simsearch.kcenter_coreset(sf_dir),
+        "mutual_knn": lambda: simsearch.mutual_knn(sf_dir),
+        "sssp_weighted": lambda: _sssp_weighted(sf_dir),
+        "session_overlap_pairs":
+            lambda: events.session_overlap_pairs(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

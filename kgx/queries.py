@@ -5391,3 +5391,5 @@ DOC_ORACLES["session_overlap_pairs"] = (
     "      - greatest(a.start_us, b.start_us) AS BIGINT) AS ovl_us "
     "FROM sess a JOIN sess b ON a.user_id < b.user_id"
     " AND greatest(a.start_us, b.start_us) <= least(a.end_us, b.end_us)")
+
+DOC_ORACLES["gzip_ndjson_roundtrip"] = _ROUNDTRIP_SQL

@@ -249,3 +249,67 @@ def table_cdc_diff(sf_dir: str):
                                          batch_format="pandas")
            .to_pandas())
     return out.sort_values(["op", "doc_id"]).reset_index(drop=True)
+
+
+def gzip_ndjson_roundtrip(sf_dir: str):
+    """(doc_id, lang, n_chars_rt, text_md5) — documents exported to
+    GZIP-COMPRESSED NDJSON shards and re-ingested: the
+    compressed-source pattern real crawls arrive in (WARC/WET files
+    are gzip members). Export is map-only — each block writes one
+    ``.jsonl.gz`` shard (mtime pinned to 0 so shard bytes are
+    deterministic); ingest streams whole shards as bytes
+    (``read_binary_files``) and a map-only decode decompresses +
+    parses each — the same custom-source shape as
+    ``arrow_ipc_roundtrip``, since Ray's JSON reader does not open
+    gzip. The md5 digest proves the compressed path byte-lossless
+    per document.
+    """
+    import gzip
+    import io
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    out = _roundtrip_dir(sf_dir, "gzndjson")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    ds = _bread("%s/documents.parquet" % sf_dir,
+                columns=["doc_id", "text", "lang"])
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        name = "shard-%020d-%020d.jsonl.gz" % (ids.min(), ids.max())
+        path = os.path.join(out, name)
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            for rec in df[["doc_id", "text", "lang"]].to_dict("records"):
+                rec["doc_id"] = int(rec["doc_id"])
+                gz.write((json.dumps(rec, sort_keys=True) + "\n")
+                         .encode("utf-8"))
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+        return pd.DataFrame({"path": [path], "n": [len(df)]})
+
+    manifest = ds.map_batches(write_shard,
+                              batch_format="pandas").to_pandas()
+    assert int(manifest["n"].sum()) > 0
+
+    files = ray.data.read_binary_files(out)
+
+    def decode(tbl: pa.Table) -> pd.DataFrame:
+        rows = []
+        for buf in tbl.column("bytes"):
+            raw = buf.as_py()
+            # Arrow's stream opener auto-decompresses by .gz extension
+            # inside read_binary_files on some paths — detect the gzip
+            # magic so both behaviors decode correctly
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            rows.extend(json.loads(line)
+                        for line in raw.decode("utf-8").splitlines()
+                        if line)
+        return _digest_batch(pd.DataFrame(rows))
+
+    return files.map_batches(decode, batch_format="pyarrow")

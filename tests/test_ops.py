@@ -4901,3 +4901,32 @@ class TestSessionOverlapPairs:
                 small[["user_a", "session_a", "user_b", "session_b",
                        "ovl_us"]].itertuples(index=False)}
         assert got2 == want
+
+
+class TestGzipNdjsonRoundtrip:
+    def test_lossless_and_genuinely_compressed(self, ray_session):
+        """Digest equals a direct parquet-side digest; the on-disk
+        shards are real gzip members (magic bytes, >1 compression
+        ratio) with deterministic bytes (mtime pinned)."""
+        import glob
+        import gzip
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from kgx.sources import _roundtrip_dir, gzip_ndjson_roundtrip
+
+        out = gzip_ndjson_roundtrip(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == len(docs)
+        want = [hashlib.md5(t.encode()).hexdigest()
+                for t in docs["text"]]
+        assert list(out["text_md5"]) == want
+        shard = glob.glob(_roundtrip_dir(SF, "gzndjson")
+                          + "/*.jsonl.gz")[0]
+        raw = open(shard, "rb").read()
+        assert raw[:2] == b"\x1f\x8b"
+        assert len(gzip.decompress(raw)) > 2 * len(raw)
