@@ -5393,3 +5393,36 @@ DOC_ORACLES["session_overlap_pairs"] = (
     " AND greatest(a.start_us, b.start_us) <= least(a.end_us, b.end_us)")
 
 DOC_ORACLES["gzip_ndjson_roundtrip"] = _ROUNDTRIP_SQL
+
+
+# Poisson-bootstrap means: the same u64 CDF literals, md5 uniforms and
+# exact integer folds as traindata._POISSON1_TH
+DOC_ORACLES["bootstrap_means"] = """
+WITH th AS (
+  SELECT * FROM (VALUES
+    (0, 6786177901268885504::UBIGINT),
+    (1, 13572355802537771008::UBIGINT),
+    (2, 16965444753172213760::UBIGINT),
+    (3, 18096474403383695360::UBIGINT),
+    (4, 18379231815936565248::UBIGINT),
+    (5, 18435783298447138816::UBIGINT),
+    (6, 18445208545532233728::UBIGINT),
+    (7, 18446555009401532416::UBIGINT)) t(k, thr)
+), draws AS (
+  SELECT b, d.n_chars,
+         ('0x' || substr(md5('bs:' || b || ':' || d.doc_id), 1, 16))
+           ::UBIGINT AS u
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 15)) AS b) r
+), wts AS (
+  SELECT b, n_chars,
+         (SELECT count(*) FROM th WHERE th.thr <= draws.u) AS w
+  FROM draws
+)
+SELECT CAST(b AS BIGINT) AS replica,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST(sum(w * n_chars) AS BIGINT) AS sum_chars,
+       CAST((1000000 * CAST(sum(w * n_chars) AS HUGEINT))
+            // sum(w) AS BIGINT) AS mean_q6
+FROM wts GROUP BY b
+"""

@@ -2209,3 +2209,52 @@ def stratified_split(sf_dir: str, pcts=(80, 10)):
     return (ds.map_batches(keyed, batch_format="pandas")
             .groupby("bucket").map_groups(assign,
                                           batch_format="pandas"))
+
+
+# Poisson(1) CDF thresholds as u64 literals — floor(2^64·CDF(k)),
+# k = 0..7 — precomputed once so engine and oracle compare the same
+# integers (the md5-randomness contract: no float path at eval time)
+_POISSON1_TH = (6786177901268885504, 13572355802537771008,
+                16965444753172213760, 18096474403383695360,
+                18379231815936565248, 18435783298447138816,
+                18445208545532233728, 18446555009401532416)
+
+
+def bootstrap_means(sf_dir: str, replicas: int = 16):
+    """(replica, n_eff, sum_chars, mean_q6) — the POISSON BOOTSTRAP
+    (Chamandy et al. 2012, the resampling scheme that works in one
+    streaming pass because each row draws an independent Poisson(1)
+    weight instead of a global multinomial): ``replicas`` bootstrap
+    estimates of mean document length, weight = inverse-CDF lookup of
+    a deterministic md5 uniform against fixed u64 CDF literals (both
+    engines compare the same integers — no float path), mean_q6 =
+    10⁶·Σw·len // Σw exact.
+
+    Scale shape: ONE map-only corpus pass; the per-batch combiner
+    emits ≤ 2·replicas cells (per-replica Σw·len and Σw partials), the
+    driver folds replica-count-sized rows. Zero all-to-alls at any
+    corpus size — the whole point of the Poisson trick.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    th = np.array(_POISSON1_TH, dtype=np.uint64)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy("int64")
+        ln = df["n_chars"].to_numpy("int64")
+        rows = []
+        for b in range(replicas):
+            u = np.array([_md5_u64("bs:%d:%d" % (b, d)) for d in ids],
+                         dtype=np.uint64)
+            w = np.searchsorted(th, u, side="right").astype("int64")
+            rows.append((b, int((w * ln).sum()), int(w.sum())))
+        return pd.DataFrame(rows, columns=["replica", "swl", "sw"]) \
+            .astype("int64")
+
+    parts = ds.map_batches(cells, batch_format="pandas").to_pandas()
+    g = parts.groupby("replica", as_index=False)[["swl", "sw"]].sum()
+    g = g.sort_values("replica").reset_index(drop=True)
+    return pd.DataFrame({
+        "replica": g["replica"].astype("int64"),
+        "n_eff": g["sw"].astype("int64"),
+        "sum_chars": g["swl"].astype("int64"),
+        "mean_q6": ((10**6 * g["swl"]) // g["sw"]).astype("int64")})

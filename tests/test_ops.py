@@ -4930,3 +4930,31 @@ class TestGzipNdjsonRoundtrip:
         raw = open(shard, "rb").read()
         assert raw[:2] == b"\x1f\x8b"
         assert len(gzip.decompress(raw)) > 2 * len(raw)
+
+
+class TestBootstrapMeans:
+    def test_weights_follow_poisson_and_ci_brackets_truth(
+            self, ray_session):
+        """Per-replica effective n is ≈ corpus n (Poisson(1) weights
+        sum to n in expectation), the replica spread brackets the true
+        mean, and a local replay of replica 0 agrees exactly."""
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import _POISSON1_TH, _md5_u64, bootstrap_means
+
+        docs = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "n_chars"]).to_pandas()
+        out = bootstrap_means(SF)
+        n = len(docs)
+        assert ((out["n_eff"] - n).abs() < 4 * np.sqrt(n)).all()
+        true_mean = docs["n_chars"].mean()
+        assert out["mean_q6"].min() <= true_mean * 1e6 \
+            <= out["mean_q6"].max()
+        th = np.array(_POISSON1_TH, dtype=np.uint64)
+        u = np.array([_md5_u64("bs:0:%d" % d) for d in docs["doc_id"]],
+                     dtype=np.uint64)
+        w = np.searchsorted(th, u, side="right").astype("int64")
+        r0 = out[out["replica"] == 0].iloc[0]
+        assert int(r0["n_eff"]) == int(w.sum())
+        assert int(r0["sum_chars"]) == int(
+            (w * docs["n_chars"].to_numpy("int64")).sum())
