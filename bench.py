@@ -184,6 +184,9 @@ def run_queries(sf_dir: str) -> dict:
         "sssp_weighted": lambda: _sssp_weighted(sf_dir),
         "session_overlap_pairs":
             lambda: events.session_overlap_pairs(sf_dir),
+        "gzip_ndjson_roundtrip":
+            lambda: sources.gzip_ndjson_roundtrip(sf_dir),
+        "bootstrap_means": lambda: traindata.bootstrap_means(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),
