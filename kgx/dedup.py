@@ -1342,3 +1342,80 @@ def spatial_neighbor_pairs(sf_dir: str, radius: int = 16384,
 
     return (ds.map_batches(replicate, batch_format="pandas")
             .groupby("part").map_groups(pairs, batch_format="pandas"))
+
+
+def linkage_scores(sf_dir: str, num_partitions: Optional[int] = None):
+    """(name_a, name_b, agree_nation, agree_segment, score_q6) —
+    Fellegi–Sunter RECORD-LINKAGE scoring (the probabilistic ER layer
+    every entity-resolution pipeline puts on top of blocking): for
+    each typo_pairs candidate (edit distance ≤ 1 on customer name),
+    score = Σ_fields ln(m/u) if the field agrees else ln((1−m)/(1−u)),
+    with m = 19/20 a fixed prior and every u ESTIMATED FROM THE DATA
+    exactly — u_f = Σ_v cnt_v² / N², the collision probability of two
+    random records on field f, folded from a per-batch value-count
+    combiner over the dimension-sized customer table. The name field
+    agrees by construction (candidates), nation/segment are compared
+    via a min-custkey attribute map. Each weight is ONE shared-libm
+    ln over one IEEE division of exact sub-2⁵³ integers and the score
+    a fixed-order 3-term sum (the psi_drift float-portability
+    contract), so floor(10⁶·score) is bit-equal in DuckDB.
+
+    Scale shape: u-statistics and the name→attribute map are
+    dimension-sized driver folds (the nation/supplier-dim
+    convention); scoring is one map-only pass over the candidate
+    pairs with the map in closure. The pair stage itself is
+    typo_pairs' SymSpell co-group.
+    """
+    import math
+
+    import pyarrow.parquet as _ppq
+
+    cust = _ppq.read_table(
+        "%s/customer.parquet" % sf_dir,
+        columns=["c_custkey", "c_name", "c_nationkey",
+                 "c_mktsegment"]).to_pandas()
+    n = len(cust)
+    assert n * n < (1 << 53), "u-statistics must stay exact doubles"
+    s_nat = int((cust.groupby("c_nationkey").size() ** 2).sum())
+    s_seg = int((cust.groupby("c_mktsegment").size() ** 2).sum())
+    s_name = int((cust.groupby("c_name").size() ** 2).sum())
+    amap = (cust.sort_values("c_custkey")
+            .drop_duplicates("c_name", keep="first")
+            .set_index("c_name")[["c_nationkey", "c_mktsegment"]])
+    nat = amap["c_nationkey"].to_dict()
+    seg = amap["c_mktsegment"].to_dict()
+
+    n2 = n * n
+    w_name = math.log((19.0 * n * n) / (20.0 * s_name))
+
+    def w_pair(s_f: int):
+        wa = math.log((19.0 * n * n) / (20.0 * s_f))
+        wd = math.log((1.0 * n * n) / (20.0 * (n2 - s_f)))
+        return wa, wd
+
+    wa_nat, wd_nat = w_pair(s_nat)
+    wa_seg, wd_seg = w_pair(s_seg)
+
+    pairs = typo_pairs(sf_dir, num_partitions=num_partitions)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        an = df["name_a"].map(nat).to_numpy()
+        bn = df["name_b"].map(nat).to_numpy()
+        asg = df["name_a"].map(seg).to_numpy()
+        bsg = df["name_b"].map(seg).to_numpy()
+        ag_n = (an == bn)
+        ag_s = (asg == bsg)
+        sc = [math.floor(1000000.0 * ((w_name
+                                       + (wa_nat if gn else wd_nat))
+                                      + (wa_seg if gs else wd_seg)))
+              for gn, gs in zip(ag_n, ag_s)]
+        return pd.DataFrame({
+            "name_a": df["name_a"].astype(str),
+            "name_b": df["name_b"].astype(str),
+            "agree_nation": pd.Series(ag_n.astype("int64"),
+                                      index=df.index),
+            "agree_segment": pd.Series(ag_s.astype("int64"),
+                                       index=df.index),
+            "score_q6": pd.Series(sc, index=df.index, dtype="int64")})
+
+    return pairs.map_batches(score, batch_format="pandas")

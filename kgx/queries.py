@@ -5426,3 +5426,50 @@ SELECT CAST(b AS BIGINT) AS replica,
             // sum(w) AS BIGINT) AS mean_q6
 FROM wts GROUP BY b
 """
+
+
+# Fellegi–Sunter linkage scores over the typo_pairs candidates:
+# u-probabilities as exact collision sums, each weight ONE ln over one
+# IEEE division of exact integers, fixed-order 3-term sum (the
+# psi_drift float-portability contract)
+DOC_ORACLES["linkage_scores"] = """
+WITH v AS (SELECT DISTINCT c_name AS n FROM customer),
+pairs AS (
+  SELECT a.n AS name_a, b.n AS name_b
+  FROM v a JOIN v b ON a.n < b.n AND levenshtein(a.n, b.n) <= 1),
+mk AS (SELECT c_name, min(c_custkey) AS ck FROM customer
+       GROUP BY c_name),
+attr AS (
+  SELECT mk.c_name AS n, c.c_nationkey AS nat, c.c_mktsegment AS seg
+  FROM mk JOIN customer c ON c.c_custkey = mk.ck),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+u_nat AS (SELECT CAST(sum(c * c) AS BIGINT) AS s FROM
+  (SELECT count(*) AS c FROM customer GROUP BY c_nationkey)),
+u_seg AS (SELECT CAST(sum(c * c) AS BIGINT) AS s FROM
+  (SELECT count(*) AS c FROM customer GROUP BY c_mktsegment)),
+u_name AS (SELECT CAST(sum(c * c) AS BIGINT) AS s FROM
+  (SELECT count(*) AS c FROM customer GROUP BY c_name)),
+w AS (
+  SELECT
+    ln((19.0 * nn.n * nn.n) / (20.0 * u_name.s)) AS w_name,
+    ln((19.0 * nn.n * nn.n) / (20.0 * u_nat.s)) AS wa_nat,
+    ln((1.0 * nn.n * nn.n)
+       / (20.0 * (nn.n * nn.n - u_nat.s))) AS wd_nat,
+    ln((19.0 * nn.n * nn.n) / (20.0 * u_seg.s)) AS wa_seg,
+    ln((1.0 * nn.n * nn.n)
+       / (20.0 * (nn.n * nn.n - u_seg.s))) AS wd_seg
+  FROM nn, u_nat, u_seg, u_name)
+SELECT p.name_a, p.name_b,
+  CAST(CASE WHEN a1.nat = a2.nat THEN 1 ELSE 0 END AS BIGINT)
+    AS agree_nation,
+  CAST(CASE WHEN a1.seg = a2.seg THEN 1 ELSE 0 END AS BIGINT)
+    AS agree_segment,
+  CAST(floor(1000000.0 * (
+    (w.w_name + CASE WHEN a1.nat = a2.nat THEN w.wa_nat
+                     ELSE w.wd_nat END)
+    + CASE WHEN a1.seg = a2.seg THEN w.wa_seg ELSE w.wd_seg END))
+    AS BIGINT) AS score_q6
+FROM pairs p
+JOIN attr a1 ON a1.n = p.name_a
+JOIN attr a2 ON a2.n = p.name_b, w
+"""

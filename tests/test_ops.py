@@ -4958,3 +4958,38 @@ class TestBootstrapMeans:
         assert int(r0["n_eff"]) == int(w.sum())
         assert int(r0["sum_chars"]) == int(
             (w * docs["n_chars"].to_numpy("int64")).sum())
+
+
+class TestLinkageScores:
+    def test_weights_order_and_replay(self, ray_session):
+        """Full-agreement pairs outscore partial ones; the score of a
+        sampled row replays exactly from the closed-form weights."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import linkage_scores
+
+        out = linkage_scores(SF)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        full = out[(out.agree_nation == 1) & (out.agree_segment == 1)]
+        none = out[(out.agree_nation == 0) & (out.agree_segment == 0)]
+        if len(full) and len(none):
+            assert full["score_q6"].min() > none["score_q6"].max()
+        cust = pq.read_table(SF + "/customer.parquet").to_pandas()
+        n = len(cust)
+        s_nat = int((cust.groupby("c_nationkey").size() ** 2).sum())
+        s_seg = int((cust.groupby("c_mktsegment").size() ** 2).sum())
+        s_name = int((cust.groupby("c_name").size() ** 2).sum())
+        w_name = math.log((19.0 * n * n) / (20.0 * s_name))
+        wa_n = math.log((19.0 * n * n) / (20.0 * s_nat))
+        wd_n = math.log((1.0 * n * n) / (20.0 * (n * n - s_nat)))
+        wa_s = math.log((19.0 * n * n) / (20.0 * s_seg))
+        wd_s = math.log((1.0 * n * n) / (20.0 * (n * n - s_seg)))
+        r = out.iloc[0]
+        want = math.floor(1000000.0 * (
+            (w_name + (wa_n if r["agree_nation"] else wd_n))
+            + (wa_s if r["agree_segment"] else wd_s)))
+        assert int(r["score_q6"]) == want
+        # disagreement weights are negative, agreements positive
+        assert wd_n < 0 < wa_n and wd_s < 0 < wa_s
