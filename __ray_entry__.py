@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": traindata.dsir_weights,
         "token_quantiles": traindata.token_quantiles,
         "distinct_token_kmv": traindata.distinct_token_kmv,
+        "kmv_join_overlap": traindata.kmv_join_overlap,
         "quantile_sketch_values": traindata.quantile_sketch_values,
         "dp_noisy_counts": traindata.dp_noisy_counts,
         "negative_samples": traindata.negative_samples,

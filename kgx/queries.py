@@ -5473,3 +5473,61 @@ FROM pairs p
 JOIN attr a1 ON a1.n = p.name_a
 JOIN attr a2 ON a2.n = p.name_b, w
 """
+
+
+# KMV join-overlap sketch replayed exactly: k-min hash sets per side,
+# union sketch, resemblance, and the (k-1)*2^64 // kth estimators
+DOC_ORACLES["kmv_join_overlap"] = """
+WITH so AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv:' || o_custkey), 1, 16))
+           ::UBIGINT AS h
+  FROM orders ORDER BY h LIMIT 256
+), sc AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv:' || c_custkey), 1, 16))
+           ::UBIGINT AS h
+  FROM customer ORDER BY h LIMIT 256
+), ss AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv:' || l_suppkey), 1, 16))
+           ::UBIGINT AS h
+  FROM lineitem ORDER BY h LIMIT 256
+), r1 AS (
+  SELECT 'orders_custkey~customer_custkey' AS pair,
+    (SELECT CAST(count(*) AS BIGINT) FROM
+      (SELECT h FROM (SELECT h FROM so UNION SELECT h FROM sc)
+       ORDER BY h LIMIT 256)) AS k_used,
+    (SELECT CAST(count(*) AS BIGINT) FROM
+      (SELECT h FROM (SELECT h FROM so UNION SELECT h FROM sc)
+       ORDER BY h LIMIT 256)
+     WHERE h IN (SELECT h FROM so) AND h IN (SELECT h FROM sc))
+      AS matches,
+    (SELECT count(*) FROM so) AS ca,
+    (SELECT max(h) FROM so) AS ka,
+    (SELECT count(*) FROM sc) AS cb,
+    (SELECT max(h) FROM sc) AS kb
+), r2 AS (
+  SELECT 'orders_custkey~lineitem_suppkey' AS pair,
+    (SELECT CAST(count(*) AS BIGINT) FROM
+      (SELECT h FROM (SELECT h FROM so UNION SELECT h FROM ss)
+       ORDER BY h LIMIT 256)) AS k_used,
+    (SELECT CAST(count(*) AS BIGINT) FROM
+      (SELECT h FROM (SELECT h FROM so UNION SELECT h FROM ss)
+       ORDER BY h LIMIT 256)
+     WHERE h IN (SELECT h FROM so) AND h IN (SELECT h FROM ss))
+      AS matches,
+    (SELECT count(*) FROM so) AS ca,
+    (SELECT max(h) FROM so) AS ka,
+    (SELECT count(*) FROM ss) AS cb,
+    (SELECT max(h) FROM ss) AS kb
+), allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT pair, k_used, matches,
+       CAST(1000000 * matches // k_used AS BIGINT) AS jacc_est_ppm,
+       CAST(CASE WHEN ca < 256 THEN ca
+            ELSE (CAST(ca - 1 AS HUGEINT)
+                  * 18446744073709551616) // ka END AS BIGINT)
+         AS est_distinct_a,
+       CAST(CASE WHEN cb < 256 THEN cb
+            ELSE (CAST(cb - 1 AS HUGEINT)
+                  * 18446744073709551616) // kb END AS BIGINT)
+         AS est_distinct_b
+FROM allr
+"""

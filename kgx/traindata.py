@@ -2258,3 +2258,60 @@ def bootstrap_means(sf_dir: str, replicas: int = 16):
         "n_eff": g["sw"].astype("int64"),
         "sum_chars": g["swl"].astype("int64"),
         "mean_q6": ((10**6 * g["swl"]) // g["sw"]).astype("int64")})
+
+
+def kmv_join_overlap(sf_dir: str, k: int = 256):
+    """(k_used, matches, jacc_est_ppm, est_distinct_a, est_distinct_b)
+    — sketch-based JOIN-OVERLAP estimation (Beyer et al., SIGMOD 2007):
+    the KMV resemblance of key columns across tables — distinct
+    ``o_custkey`` (orders) vs ``c_custkey`` (customer), and the same
+    vs ``l_suppkey`` (a different keyspace, the negative control the
+    join-discovery use case needs) — without ever joining them: each side keeps its k smallest md5-u64
+    key hashes, the union sketch is the k smallest of both, Jaccard ≈
+    |union-sketch ∩ A ∩ B| / |union-sketch|, and per-side
+    cardinalities come from the usual (k−1)·2⁶⁴ // kth estimator.
+    This is how a query optimizer sizes a join from k·8-byte
+    summaries instead of a shuffle.
+
+    Scale shape: one map-only pass per table (per-batch k-smallest
+    distinct-hash combiner, ≤ k rows out per batch), two tiny
+    single-partition merges, constant driver fold. The md5 hash makes
+    the sketch deterministic, so the SQL oracle replays it EXACTLY —
+    estimator, collisions and all.
+    """
+    def kmin(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            keys = pd.unique(df[col])
+            hs = sorted(_md5_u64("kmv:%d" % int(x)) for x in keys)[:k]
+            return pd.DataFrame({"h": pd.Series(hs, dtype="uint64")})
+        return fn
+
+    def sketch(table, col):
+        ds = _bread("%s/%s.parquet" % (sf_dir, table), columns=[col])
+        parts = ds.map_batches(kmin(col),
+                               batch_format="pandas").to_pandas()
+        return np.unique(parts["h"].to_numpy())[:k]
+
+    so = sketch("orders", "o_custkey")
+    sc = sketch("customer", "c_custkey")
+    ss = sketch("lineitem", "l_suppkey")
+
+    def est(s) -> int:
+        kn = len(s)
+        return kn if kn < k else ((kn - 1) << 64) // int(s[-1])
+
+    def compare(pair, sa, sb):
+        union = np.unique(np.concatenate([sa, sb]))[:k]
+        matches = int((np.isin(union, sa) & np.isin(union, sb)).sum())
+        ku = len(union)
+        return (pair, ku, matches, (10**6 * matches) // ku,
+                est(sa), est(sb))
+
+    rows = [compare("orders_custkey~customer_custkey", so, sc),
+            compare("orders_custkey~lineitem_suppkey", so, ss)]
+    out = pd.DataFrame(rows, columns=[
+        "pair", "k_used", "matches", "jacc_est_ppm",
+        "est_distinct_a", "est_distinct_b"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out

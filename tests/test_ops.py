@@ -4993,3 +4993,35 @@ class TestLinkageScores:
         assert int(r["score_q6"]) == want
         # disagreement weights are negative, agreements positive
         assert wd_n < 0 < wa_n and wd_s < 0 < wa_s
+
+
+class TestKmvJoinOverlap:
+    def test_discriminates_joinable_columns(self, ray_session):
+        """The joinable pair (custkey~custkey) estimates ~1.0 Jaccard,
+        the cross-keyspace control is far lower and tracks the true
+        resemblance within sketch error; per-side cardinalities are
+        exact below k."""
+        import duckdb
+
+        from kgx.traindata import kmv_join_overlap
+
+        out = kmv_join_overlap(SF).set_index("pair")
+        good = out.loc["orders_custkey~customer_custkey"]
+        ctrl = out.loc["orders_custkey~lineitem_suppkey"]
+        assert int(good["jacc_est_ppm"]) > 900_000
+        assert int(ctrl["jacc_est_ppm"]) < 300_000
+        truth = duckdb.sql(f"""
+          WITH a AS (SELECT DISTINCT o_custkey k
+                     FROM '{SF}/orders.parquet'),
+               b AS (SELECT DISTINCT l_suppkey k
+                     FROM '{SF}/lineitem.parquet')
+          SELECT (SELECT count(*) FROM a JOIN b USING (k)) * 1.0 /
+                 (SELECT count(*) FROM (SELECT k FROM a UNION
+                                        SELECT k FROM b))
+        """).fetchone()[0]
+        assert abs(int(ctrl["jacc_est_ppm"]) / 1e6 - truth) < 0.15
+        # n < k ⇒ sketches are exhaustive ⇒ cardinalities exact
+        ta = duckdb.sql(f"SELECT count(DISTINCT o_custkey) FROM "
+                        f"'{SF}/orders.parquet'").fetchone()[0]
+        if ta < 256:
+            assert int(good["est_distinct_a"]) == ta
