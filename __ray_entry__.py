@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": relational.product_profit,
         "brand_qty_revenue": relational.brand_qty_revenue,
         "integrity_audit": relational.integrity_audit,
+        "benford_digits": relational.benford_digits,
         "item_similarity": relational.item_similarity,
         # training-data assembly
         "decontaminate": traindata.decontaminate,

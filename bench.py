@@ -189,6 +189,7 @@ def run_queries(sf_dir: str) -> dict:
         "bootstrap_means": lambda: traindata.bootstrap_means(sf_dir),
         "linkage_scores": lambda: dedup.linkage_scores(sf_dir),
         "kmv_join_overlap": lambda: traindata.kmv_join_overlap(sf_dir),
+        "benford_digits": lambda: relational.benford_digits(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

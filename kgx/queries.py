@@ -5531,3 +5531,27 @@ SELECT pair, k_used, matches,
          AS est_distinct_b
 FROM allr
 """
+
+# Benford leading-digit audit: integer-to-string leading digit (both
+# engines portable), expected counts through the shared-libm ln tree
+DOC_ORACLES["benford_digits"] = """
+WITH cents AS (
+  SELECT CAST(floor(100.0 * o_totalprice) AS BIGINT) AS c FROM orders
+), dg AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents
+), h AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY digit
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM h),
+d9 AS (SELECT unnest(generate_series(1, 9)) AS digit)
+SELECT d9.digit, CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+  CAST(floor((1000000.0 * tot.t)
+             * (ln((d9.digit + 1.0) / d9.digit) / ln(10.0)))
+       AS BIGINT) AS expected_q6,
+  CAST((1000000 * (1000000 * CAST(COALESCE(h.n, 0) AS HUGEINT)
+        - CAST(floor((1000000.0 * tot.t)
+               * (ln((d9.digit + 1.0) / d9.digit) / ln(10.0)))
+          AS HUGEINT)))
+       // (1000000 * CAST(tot.t AS HUGEINT)) AS BIGINT) AS dev_ppm
+FROM d9 LEFT JOIN h ON h.digit = d9.digit, tot
+"""

@@ -5,6 +5,7 @@ with partial aggregation (combiner) before the shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -2722,3 +2723,53 @@ def item_similarity(sf_dir: str, min_cooc: int = 2,
            .map_groups(reduce_pairs, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+def benford_digits(sf_dir: str):
+    """(digit, n, expected_q6, dev_ppm) — BENFORD'S-LAW leading-digit
+    audit of ``o_totalprice`` (the classic forensic data-quality test:
+    naturally-occurring monetary amounts follow P(d) = log₁₀(1+1/d);
+    fabricated or truncated columns don't): counts per leading digit
+    of the exact integer cents, expected count = floor(10⁶·N·ln((d+1)/
+    d)/ln(10)) with both lns the shared libm call over correctly-
+    rounded IEEE divisions (the float-portability contract), and
+    dev_ppm the integer deviation 10⁶·(10⁶·n − expected_q6) //
+    (10⁶·N).
+
+    Scale shape: a 9-cell per-batch digit-count combiner — leading
+    digit via integer-to-string (portable in both engines) — folded
+    driver-side; one map-only pass, zero all-to-alls.
+    """
+    import math
+
+    from .readers import bounded_read_parquet
+
+    ds = bounded_read_parquet("%s/orders.parquet" % sf_dir,
+                              columns=["o_totalprice"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(100.0 * df["o_totalprice"].to_numpy(
+            dtype="float64")).astype("int64")
+        d = pd.Series(cents).astype(str).str[0].astype("int64")
+        vc = d.value_counts()
+        return pd.DataFrame({"digit": vc.index.astype("int64"),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    h = (ds.map_batches(cells, batch_format="pandas").to_pandas()
+         .groupby("digit", as_index=False)["n"].sum())
+    total = int(h["n"].sum())
+    assert 10**6 * total < (1 << 53), "rescale before the float fold"
+    counts = {int(d): int(n) for d, n in zip(h["digit"], h["n"])}
+    rows = []
+    for d in range(1, 10):
+        n = counts.get(d, 0)
+        exp_q6 = math.floor((1000000.0 * total)
+                            * (math.log((d + 1.0) / d)
+                               / math.log(10.0)))
+        num = 10**6 * (10**6 * n - exp_q6)
+        den = 10**6 * total
+        # DuckDB // truncates toward zero; Python floors — mirror trunc
+        dev = -((-num) // den) if num < 0 else num // den
+        rows.append((d, n, exp_q6, dev))
+    return pd.DataFrame(rows, columns=["digit", "n", "expected_q6",
+                                       "dev_ppm"]).astype("int64")

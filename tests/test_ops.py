@@ -5025,3 +5025,22 @@ class TestKmvJoinOverlap:
                         f"'{SF}/orders.parquet'").fetchone()[0]
         if ta < 256:
             assert int(good["est_distinct_a"]) == ta
+
+
+class TestBenfordDigits:
+    def test_counts_partition_and_law_shape(self, ray_session):
+        """Digit counts sum to the order count; expected_q6 terms sum
+        to ~10⁶·N (the law is a distribution); the synthetic uniform
+        prices measurably VIOLATE Benford (that's the audit signal —
+        large |dev| on at least one digit)."""
+        import duckdb
+
+        from kgx.relational import benford_digits
+
+        out = benford_digits(SF)
+        n_orders = duckdb.sql(
+            f"SELECT count(*) FROM '{SF}/orders.parquet'").fetchone()[0]
+        assert int(out["n"].sum()) == n_orders
+        s = int(out["expected_q6"].sum())
+        assert abs(s - 10**6 * n_orders) <= 9  # floor loss per digit
+        assert int(out["dev_ppm"].abs().max()) > 20_000
