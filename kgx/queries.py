@@ -5555,3 +5555,29 @@ SELECT d9.digit, CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
        // (1000000 * CAST(tot.t AS HUGEINT)) AS BIGINT) AS dev_ppm
 FROM d9 LEFT JOIN h ON h.digit = d9.digit, tot
 """
+
+# Manku simhash near-dup pairing: the ENTIRE chain — signature,
+# pigeonhole banding, hamming verify — replayed relationally; bit_count
+# over xor of the UBIGINT signatures is the popcount verify
+DOC_ORACLES["simhash_pairs"] = """
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 16))::UBIGINT AS th
+  FROM documents
+), bitvotes AS (
+  SELECT doc_id, b AS bit,
+         count(*) FILTER (WHERE (th >> b) & 1 = 1) AS ones,
+         count(*) AS total
+  FROM toks, (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+), s AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * ones > total THEN (1::UBIGINT << bit)
+                       ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+  FROM bitvotes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""

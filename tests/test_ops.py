@@ -386,6 +386,38 @@ class TestDedup:
         assert len(df) == 500
         assert df["simhash"].str.len().eq(16).all()
 
+    def test_simhash_pairs_brute_force_replay(self, ray_session):
+        # pigeonhole completeness: the banded engine finds EXACTLY the
+        # all-pairs hamming<=3 set, each pair once
+        from kgx.dedup import simhash, simhash_pairs
+
+        sh = simhash(SF).to_pandas()
+        vals = {int(r.doc_id): int(r.simhash, 16)
+                for r in sh.itertuples()}
+        ids = sorted(vals)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(vals[a] ^ vals[b]).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+        got = simhash_pairs(SF).to_pandas()
+        assert len(got) == len(got.drop_duplicates(["doc_id_a",
+                                                    "doc_id_b"]))
+        got_d = {(int(r.doc_id_a), int(r.doc_id_b)): int(r.hamming)
+                 for r in got.itertuples()}
+        assert got_d == want
+        assert len(want) > 0  # non-vacuous at sf0.001
+
+    def test_simhash_pairs_partition_invariant(self, ray_session):
+        from kgx.dedup import simhash_pairs
+
+        key = lambda df: set(map(tuple, df[["doc_id_a", "doc_id_b",
+                                            "hamming"]].values))
+        a = simhash_pairs(SF).to_pandas()
+        b = simhash_pairs(SF, num_partitions=64).to_pandas()
+        assert key(a) == key(b)
+
 
 class TestSimSearch:
     def test_ivf_recall_vs_bruteforce(self, ray_session):
