@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_dedup_lsh": lambda sf: dedup.near_dup_dedup(sf, use_lsh=True),
         "simhash": dedup.simhash,
         "simhash_pairs": dedup.simhash_pairs,
+        "ssjoin_prefix": dedup.ssjoin_prefix,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -191,6 +191,7 @@ def run_queries(sf_dir: str) -> dict:
         "kmv_join_overlap": lambda: traindata.kmv_join_overlap(sf_dir),
         "benford_digits": lambda: relational.benford_digits(sf_dir),
         "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir),
+        "ssjoin_prefix": lambda: dedup.ssjoin_prefix(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

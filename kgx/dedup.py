@@ -1522,3 +1522,113 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 
     return (ds.map_batches(band_rows, batch_format="pandas")
             .groupby("part").map_groups(verify, batch_format="pandas"))
+
+
+def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
+                  num_partitions: Optional[int] = None, q: int = 1 << 20):
+    """(doc_id_a, doc_id_b, sim_q) — ALL unordered doc pairs with
+    token-set Jaccard >= tn/td, EXACT and COMPLETE: the
+    prefix-filtering set-similarity join (Chaudhuri et al. ICDE 2006;
+    Bayardo et al. "All-Pairs", WWW 2007). Unlike ``jaccard_pairs``
+    (first-token blocking, misses cross-block pairs) and MinHash
+    (approximate), this finds every qualifying pair: J(A,B) >= t
+    implies |A∩B| >= t·|A|, so under any fixed global token order A
+    and B must share a token inside each one's first
+    |T| - ceil(t·|T|) + 1 tokens — the prefix. Candidates = pairs
+    meeting in a prefix token; verify is exact integer
+    td·|A∩B| >= tn·|A∪B|.
+
+    Scale shape: one vocabulary-sized df aggregate (distinct-token
+    combiner — the tfidf_keywords pass) fixes the global order
+    rarest-first, shipped ONCE via ray.put; each doc then emits only
+    ~(1−t)·|T|+1 prefix rows (its rarest tokens, so cells stay small
+    where a frequency-blind order would flood hot tokens) carrying the
+    sorted rank vector packed as bytes; ONE hash(token) exchange; each
+    verified pair is emitted at exactly ONE cell — the minimal common
+    PREFIX token, decidable locally from the two carried vectors (no
+    dedup pass). At 10^9 docs the rank map exceeds one broadcast:
+    bucket the order by (df-band, token-hash) so ranks derive from a
+    per-band offset table instead of a full dict.
+    """
+    import ray
+
+    from .traindata import _bcast_get
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    # pass A: global document frequency → rarest-first total order
+    def local_df(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        vc = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t").unique(subset=["doc_id", "t"])
+              .group_by("t").agg(pl.len().cast(pl.Int64).alias("n")))
+        return vc.rename({"t": "tok"}).to_pandas()
+
+    dfreq = (ds.map_batches(local_df, batch_format="pandas")
+             .groupby("tok").sum("n").to_pandas())
+    order = sorted(zip(dfreq["sum(n)"].astype(int), dfreq["tok"]))
+    rank_ref = ray.put({t: i for i, (_, t) in enumerate(order)})
+    assert len(order) < (1 << 31)
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rank = _bcast_get(rank_ref)
+        out_tok, out_doc, out_blob = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = set(text.split(" "))
+            r = np.sort(np.fromiter((rank[t] for t in toks),
+                                    dtype=np.int32, count=len(toks)))
+            n = len(r)
+            alpha = -((-tn * n) // td)  # ceil(tn*n/td), pure integers
+            blob = r.tobytes()
+            for tk in r[:n - alpha + 1]:
+                out_tok.append(tk)
+                out_doc.append(doc_id)
+                out_blob.append(blob)
+        out = pd.DataFrame({
+            "tok": pd.Series(out_tok, dtype="int64"),
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "blob": pd.Series(out_blob, dtype="object")})
+        out["part"] = (pd.util.hash_pandas_object(out["tok"], index=False)
+                       % nparts).astype("int32")
+        return out
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["tok", "doc_id", "blob"]]
+        m = d.merge(d, on="tok")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out_a, out_b, out_s = [], [], []
+        for tok, ida, idb, ba, bb in zip(
+                m["tok"].to_numpy("int64"),
+                m["doc_id_x"].to_numpy("int64"),
+                m["doc_id_y"].to_numpy("int64"),
+                m["blob_x"], m["blob_y"]):
+            ra = np.frombuffer(ba, dtype=np.int32)
+            rb = np.frombuffer(bb, dtype=np.int32)
+            na, nb = len(ra), len(rb)
+            inter = np.intersect1d(ra, rb, assume_unique=True)
+            i_n = len(inter)
+            u_n = na + nb - i_n
+            if td * i_n < tn * u_n:
+                continue
+            # emit-once: only at the minimal common PREFIX token (both
+            # vectors sorted ascending, prefixes recomputed locally)
+            pa = na - (-((-tn * na) // td)) + 1
+            pb = nb - (-((-tn * nb) // td)) + 1
+            common_pref = np.intersect1d(ra[:pa], rb[:pb],
+                                         assume_unique=True)
+            if common_pref[0] != tok:
+                continue
+            out_a.append(ida)
+            out_b.append(idb)
+            out_s.append((q * i_n) // u_n)
+        return pd.DataFrame({
+            "doc_id_a": pd.Series(out_a, dtype="int64"),
+            "doc_id_b": pd.Series(out_b, dtype="int64"),
+            "sim_q": pd.Series(out_s, dtype="int64")})
+
+    return (ds.map_batches(prefix_rows, batch_format="pandas")
+            .groupby("part").map_groups(verify, batch_format="pandas"))

@@ -5581,3 +5581,20 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """
+
+# Prefix-filtering exact set-similarity join (Chaudhuri ICDE'06 /
+# Bayardo All-Pairs WWW'07): the oracle is the unblocked all-pairs
+# truth — any pair the banded engine missed or fabricated breaks the
+# hash; integer 5·|A∩B| >= 4·|A∪B| threshold, same floor quantization
+DOC_ORACLES["ssjoin_prefix"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST((1048576 * len(list_intersect(a.toks, b.toks)))
+            // (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks))) AS BIGINT) AS sim_q
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE 5 * len(list_intersect(a.toks, b.toks))
+      >= 4 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+"""

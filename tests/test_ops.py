@@ -409,6 +409,45 @@ class TestDedup:
         assert got_d == want
         assert len(want) > 0  # non-vacuous at sf0.001
 
+    def test_ssjoin_prefix_complete_vs_blocked_jaccard(self, ray_session):
+        # the prefix join is COMPLETE: it contains every pair the
+        # first-token-blocked exact stage finds (plus cross-block ones)
+        from kgx.dedup import jaccard_pairs, ssjoin_prefix
+
+        full = ssjoin_prefix(SF).to_pandas()
+        blocked = jaccard_pairs(SF).to_pandas()
+        fset = set(map(tuple, full[["doc_id_a", "doc_id_b"]].values))
+        bset = set(map(tuple,
+                       blocked[["doc_id_a", "doc_id_b"]].values))
+        assert bset <= fset
+        assert len(fset) > len(bset)  # cross-block pairs really exist
+        # exactly-once emission
+        assert len(full) == len(full.drop_duplicates(["doc_id_a",
+                                                      "doc_id_b"]))
+
+    def test_ssjoin_prefix_brute_force_replay(self, ray_session):
+        import duckdb
+
+        from kgx.dedup import ssjoin_prefix
+
+        got = ssjoin_prefix(SF).to_pandas()
+        docs = duckdb.sql(
+            "SELECT doc_id, text FROM read_parquet('%s/documents.parquet')"
+            % SF).df()
+        sets = {int(i): set(t.split(" "))
+                for i, t in zip(docs["doc_id"], docs["text"])}
+        ids = sorted(sets)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                if 5 * inter >= 4 * union:
+                    want[(a, b)] = ((1 << 20) * inter) // union
+        got_d = {(int(r.doc_id_a), int(r.doc_id_b)): int(r.sim_q)
+                 for r in got.itertuples()}
+        assert got_d == want
+
     def test_simhash_pairs_partition_invariant(self, ray_session):
         from kgx.dedup import simhash_pairs
 
