@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash,
         "simhash_pairs": dedup.simhash_pairs,
         "ssjoin_prefix": dedup.ssjoin_prefix,
+        "cdc_chunks": dedup.cdc_chunks,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -192,6 +192,7 @@ def run_queries(sf_dir: str) -> dict:
         "benford_digits": lambda: relational.benford_digits(sf_dir),
         "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir),
         "ssjoin_prefix": lambda: dedup.ssjoin_prefix(sf_dir),
+        "cdc_chunks": lambda: dedup.cdc_chunks(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

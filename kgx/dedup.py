@@ -1632,3 +1632,60 @@ def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
 
     return (ds.map_batches(prefix_rows, batch_format="pandas")
             .groupby("part").map_groups(verify, batch_format="pandas"))
+
+
+def _cdc_split(toks, mod: int):
+    """Content-defined chunk spans over a token list: a token whose
+    md5-u64 hash is ≡ 0 (mod ``mod``) ENDS its chunk. Returns
+    (start, n_tokens) spans; position-independent, so an insertion
+    re-aligns every chunk after the next boundary (the CDC property
+    fixed-size segmenting lacks)."""
+    from .textops import token_hash64
+
+    h = np.fromiter((token_hash64(t) for t in toks), dtype=np.uint64,
+                    count=len(toks))
+    cut = np.nonzero(h % np.uint64(mod) == 0)[0] + 1
+    starts = np.concatenate([[0], cut])
+    ends = np.concatenate([cut, [len(toks)]])
+    return [(int(s), int(e - s)) for s, e in zip(starts, ends) if e > s]
+
+
+def cdc_chunks(sf_dir: str, mod: int = 16):
+    """(doc_id, chunk_idx, start_tok, n_tokens, chunk_md5) — CONTENT-
+    DEFINED chunking (the rsync / LBFS (Muthitacharoen et al. SOSP
+    2001) / dedup-storage boundary rule, at token granularity): a
+    chunk ends at every token whose md5-u64 hash ≡ 0 (mod 16), so
+    expected chunk length is 16 tokens and boundaries depend only on
+    CONTENT — inserting a sentence shifts fixed-size segments
+    (segment_dedup) out of alignment corpus-wide, but CDC chunks
+    re-synchronize at the next boundary and chunk-level dedup still
+    fires. chunk_md5 is the digest downstream chunk-store dedup keys
+    on.
+
+    Scale shape: map-only — one pass, zero exchanges at any corpus
+    size; the per-doc boundary scan is a vectorized hash + nonzero
+    over the token array.
+    """
+    import hashlib
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_ci, out_st, out_n, out_md5 = [], [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split(" ")
+            for ci, (s, n) in enumerate(_cdc_split(toks, mod)):
+                out_id.append(doc_id)
+                out_ci.append(ci)
+                out_st.append(s)
+                out_n.append(n)
+                out_md5.append(hashlib.md5(
+                    " ".join(toks[s:s + n]).encode()).hexdigest())
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "chunk_idx": pd.Series(out_ci, dtype="int64"),
+            "start_tok": pd.Series(out_st, dtype="int64"),
+            "n_tokens": pd.Series(out_n, dtype="int64"),
+            "chunk_md5": pd.Series(out_md5, dtype="object")})
+
+    return ds.map_batches(fn, batch_format="pandas")

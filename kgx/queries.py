@@ -5598,3 +5598,29 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id
 WHERE 5 * len(list_intersect(a.toks, b.toks))
       >= 4 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
 """
+
+# content-defined chunking: boundary = token with md5-u64 % 16 = 0
+# (ends its chunk); chunk index = count of strictly-earlier boundaries
+# (window sum); chunk digest = md5 of the space-joined span
+DOC_ORACLES["cdc_chunks"] = r"""
+WITH toks AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), flagged AS (
+  SELECT doc_id, pos, t[pos] AS tok,
+         CASE WHEN ('0x' || substr(md5(t[pos]), 1, 16))::UBIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM toks
+), idx AS (
+  SELECT doc_id, pos, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_idx
+  FROM flagged
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(min(pos) - 1 AS BIGINT) AS start_tok,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM idx GROUP BY doc_id, chunk_idx
+"""

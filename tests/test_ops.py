@@ -409,6 +409,45 @@ class TestDedup:
         assert got_d == want
         assert len(want) > 0  # non-vacuous at sf0.001
 
+    def test_cdc_chunks_lossless_partition(self, ray_session):
+        import duckdb
+
+        from kgx.dedup import cdc_chunks
+
+        got = cdc_chunks(SF).to_pandas()
+        lens = duckdb.sql(
+            "SELECT doc_id, len(string_split(text, ' ')) AS n"
+            " FROM read_parquet('%s/documents.parquet')" % SF).df()
+        # spans partition [0, n_tokens) exactly, in order
+        per_doc = got.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id")
+        n_by_doc = dict(zip(lens["doc_id"].astype(int),
+                            lens["n"].astype(int)))
+        for doc_id, g in per_doc:
+            starts = g["start_tok"].to_numpy()
+            ns = g["n_tokens"].to_numpy()
+            assert starts[0] == 0
+            assert (starts[1:] == (starts + ns)[:-1]).all()
+            assert starts[-1] + ns[-1] == n_by_doc[int(doc_id)]
+            assert (g["chunk_idx"].to_numpy()
+                    == np.arange(len(g))).all()
+
+    def test_cdc_realigns_after_insertion(self):
+        # the property fixed-size segmentation lacks: prepending tokens
+        # shifts every 16-token segment, but CDC chunks re-synchronize
+        # at the next content boundary
+        from kgx.dedup import _cdc_split
+
+        base = ["tok%d" % i for i in range(200)]
+        spans_a = _cdc_split(base, 16)
+        shifted = ["inserted", "prefix"] + base
+        spans_b = _cdc_split(shifted, 16)
+        chunks_a = {" ".join(base[s:s + n]) for s, n in spans_a}
+        chunks_b = {" ".join(shifted[s:s + n]) for s, n in spans_b}
+        shared = chunks_a & chunks_b
+        # everything after the first boundary is identical content
+        assert len(shared) >= len(spans_a) - 1
+        assert len(spans_a) > 3  # non-vacuous: real boundaries exist
+
     def test_ssjoin_prefix_complete_vs_blocked_jaccard(self, ray_session):
         # the prefix join is COMPLETE: it contains every pair the
         # first-token-blocked exact stage finds (plus cross-block ones)
