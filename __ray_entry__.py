@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "ssjoin_prefix": dedup.ssjoin_prefix,
         "cdc_chunks": dedup.cdc_chunks,
+        "greedy_set_cover": traindata.greedy_set_cover,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -193,6 +193,7 @@ def run_queries(sf_dir: str) -> dict:
         "simhash_pairs": lambda: dedup.simhash_pairs(sf_dir),
         "ssjoin_prefix": lambda: dedup.ssjoin_prefix(sf_dir),
         "cdc_chunks": lambda: dedup.cdc_chunks(sf_dir),
+        "greedy_set_cover": lambda: traindata.greedy_set_cover(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -5624,3 +5624,43 @@ SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
 FROM idx GROUP BY doc_id, chunk_idx
 """
+
+
+def _set_cover_sql(k: int = 8) -> str:
+    """Greedy max-coverage unrolled: one MATERIALIZED gain/winner/
+    covered CTE triple per round (DuckDB re-inlines un-materialized
+    chains exponentially — the perceptron lesson)."""
+    parts = ["t AS MATERIALIZED (SELECT DISTINCT doc_id,"
+             " array_to_string(s[i:i+2], ' ') AS tok"
+             " FROM (SELECT doc_id, string_split(text, ' ') AS s,"
+             " unnest(generate_series(1, len(string_split(text, ' ')) - 2))"
+             " AS i FROM documents))"]
+    for r in range(1, k + 1):
+        if r == 1:
+            gain = "SELECT doc_id, count(*) AS gain FROM t GROUP BY doc_id"
+        else:
+            gain = ("SELECT doc_id, count(*) AS gain FROM t"
+                    " WHERE tok NOT IN (SELECT tok FROM c%d)"
+                    " GROUP BY doc_id" % (r - 1))
+        parts.append("g%d AS MATERIALIZED (%s)" % (r, gain))
+        parts.append("w%d AS MATERIALIZED (SELECT %d AS rnd, doc_id, gain"
+                     " FROM g%d ORDER BY gain DESC, doc_id LIMIT 1)"
+                     % (r, r, r))
+        if r == 1:
+            parts.append("c1 AS MATERIALIZED (SELECT DISTINCT tok"
+                         " FROM t JOIN w1 USING (doc_id))")
+        else:
+            parts.append("c%d AS MATERIALIZED (SELECT tok FROM c%d"
+                         " UNION SELECT tok FROM t JOIN w%d USING (doc_id))"
+                         % (r, r - 1, r))
+    union = " UNION ALL ".join("SELECT * FROM w%d" % r
+                               for r in range(1, k + 1))
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT CAST(rnd AS BIGINT) AS rnd,"
+            " CAST(doc_id AS BIGINT) AS doc_id,"
+            " CAST(gain AS BIGINT) AS gain,"
+            " CAST(sum(gain) OVER (ORDER BY rnd) AS BIGINT)"
+            " AS covered_after FROM (" + union + ")")
+
+
+DOC_ORACLES["greedy_set_cover"] = _set_cover_sql()

@@ -2315,3 +2315,69 @@ def kmv_join_overlap(sf_dir: str, k: int = 256):
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
+
+
+def greedy_set_cover(sf_dir: str, k: int = 8, shingle_k: int = 3):
+    """(rnd, doc_id, gain, covered_after) — greedy MAX-COVERAGE
+    document selection (the submodular data-selection primitive;
+    Nemhauser, Wolsey & Fisher 1978 give the (1−1/e) guarantee) over
+    3-token SHINGLE sets: pick the doc covering the most distinct
+    shingles, then k−1 times the doc adding the most shingles not yet
+    covered (ties → min doc_id; gain-0 docs never selected).
+    ``gain`` counts newly covered shingles; ``covered_after`` is the
+    running union size. The diversity-selection counterpart of
+    kcenter_coreset, over n-gram sets instead of embeddings (unigrams
+    would saturate: this corpus's word vocabulary is 31 tokens).
+
+    Scale shape: each greedy round is ONE map-only corpus pass — the
+    covered-token set ships once per round via ray.put, the per-batch
+    combiner emits a single (gain, doc_id, uncovered-token payload)
+    argmax row carrying the winner's would-be-new tokens so no fetch
+    pass follows, and the driver folds n_batches rows. k rounds ⇒ k
+    passes, zero all-to-alls at any corpus size. The covered set is
+    vocabulary-bounded; at 10^9-doc vocabularies ship a Bloom filter
+    (decontaminate_bloom's plan) and accept approximate gains.
+    """
+    import ray
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    rows = []
+    covered: set = set()
+    covered_n = 0
+    for rnd in range(k):
+        cov_ref = ray.put(covered)
+
+        def best_in_batch(df: pd.DataFrame, _ref=cov_ref) -> pd.DataFrame:
+            cov = _bcast_get(_ref)
+            bg, bd, bt = -1, -1, None
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                toks = text.split(" ")
+                sh = {" ".join(toks[i:i + shingle_k])
+                      for i in range(len(toks) - shingle_k + 1)}
+                new = sh - cov
+                g = len(new)
+                if g > bg or (g == bg and doc_id < bd):
+                    bg, bd, bt = g, int(doc_id), new
+            if bg <= 0:
+                return pd.DataFrame({"gain": pd.Series([], dtype="int64"),
+                                     "doc_id": pd.Series([], dtype="int64"),
+                                     "toks": pd.Series([], dtype="object")})
+            return pd.DataFrame({"gain": [bg], "doc_id": [bd],
+                                 "toks": ["\x1f".join(sorted(bt))]})
+
+        cand = ds.map_batches(best_in_batch,
+                              batch_format="pandas").to_pandas()
+        if cand.empty:
+            break
+        cand = cand.sort_values(["gain", "doc_id"],
+                                ascending=[False, True])
+        win = cand.iloc[0]
+        new_toks = win["toks"].split("\x1f") if win["toks"] else []
+        covered |= set(new_toks)
+        covered_n += int(win["gain"])
+        rows.append((rnd + 1, int(win["doc_id"]), int(win["gain"]),
+                     covered_n))
+
+    return pd.DataFrame(rows, columns=["rnd", "doc_id", "gain",
+                                       "covered_after"]).astype("int64")

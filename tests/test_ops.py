@@ -701,6 +701,45 @@ class TestEventsExtra:
 
 
 class TestTrainData:
+    def test_greedy_set_cover_replay(self, ray_session):
+        # single-thread greedy replay — same tie rule, same gains
+        import duckdb
+
+        from kgx.traindata import greedy_set_cover
+
+        got = greedy_set_cover(SF, k=5)
+        docs = duckdb.sql(
+            "SELECT doc_id, text FROM read_parquet('%s/documents.parquet')"
+            " ORDER BY doc_id" % SF).df()
+        sets = {}
+        for i, t in zip(docs["doc_id"], docs["text"]):
+            toks = t.split(" ")
+            sets[int(i)] = {" ".join(toks[j:j + 3])
+                            for j in range(len(toks) - 2)}
+        covered, want = set(), []
+        for rnd in range(1, 6):
+            best = max(sorted(sets),
+                       key=lambda d: (len(sets[d] - covered), ))
+            # ties → min doc_id: max over sorted ids keeps the first max
+            bg = len(sets[best] - covered)
+            for d in sorted(sets):
+                if len(sets[d] - covered) == bg:
+                    best = d
+                    break
+            covered |= sets[best]
+            want.append((rnd, best, bg, len(covered)))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    def test_greedy_set_cover_gains_decrease(self, ray_session):
+        from kgx.traindata import greedy_set_cover
+
+        got = greedy_set_cover(SF)
+        g = got["gain"].to_numpy()
+        assert (g[:-1] >= g[1:]).all()  # submodularity of coverage
+        assert (got["covered_after"].to_numpy()
+                == got["gain"].cumsum().to_numpy()).all()
+        assert got["doc_id"].nunique() == len(got)  # never re-selected
+
     def test_decontaminate_matches_duckdb(self, ray_session):
         import duckdb
 
