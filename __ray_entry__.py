@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_prefix": dedup.ssjoin_prefix,
         "cdc_chunks": dedup.cdc_chunks,
         "greedy_set_cover": traindata.greedy_set_cover,
+        "debounce_events": events.debounce_events,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -194,6 +194,7 @@ def run_queries(sf_dir: str) -> dict:
         "ssjoin_prefix": lambda: dedup.ssjoin_prefix(sf_dir),
         "cdc_chunks": lambda: dedup.cdc_chunks(sf_dir),
         "greedy_set_cover": lambda: traindata.greedy_set_cover(sf_dir),
+        "debounce_events": lambda: events.debounce_events(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

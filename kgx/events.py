@@ -1596,3 +1596,70 @@ def session_overlap_pairs(sf_dir: str, gap_minutes: int = _GAP_MINUTES,
 
     return (sess.map_batches(replicate, batch_format="pandas")
             .groupby("part").map_groups(pairs, batch_format="pandas"))
+
+
+def debounce_events(sf_dir: str, window_minutes: int = 1440):
+    """(user_id, event_type, event_id, kept) — streaming DEBOUNCE /
+    in-window suppression: an event is kept iff it is the first of its
+    (user, type) key or ≥ ``window_minutes`` after the last KEPT event
+    of that key. This is the stateful streaming dedup every
+    ingestion pipeline runs (alert suppression, at-least-once source
+    collapse) — and it is genuinely sequential per key: whether event
+    i survives depends on which earlier events survived (a lag-based
+    filter would over-keep inside bursts), so no prefix-sum shortcut
+    exists.
+
+    Scale shape: one hash(user) exchange; inside a bucket the kept
+    chain vectorizes ACROSS keys by position-within-key (the
+    rate_limit_replay walk — loop length = max events per key, each
+    step one vectorized update).
+    """
+    W = window_minutes * 60_000_000
+    nparts = _nparts()
+    ds = _read_events(sf_dir, columns=["user_id", "event_type",
+                                       "event_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_type": df["event_type"].astype(str),
+            "event_id": df["event_id"].astype("int64"),
+            "tus": ((df["ts"] - pd.Timestamp(0))
+                    // pd.Timedelta(microseconds=1)).astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(
+                df["user_id"], index=False) % nparts).astype("int32")})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "event_id": pd.Series([], dtype="int64"),
+            "kept": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        df = (df.sort_values(["user_id", "event_type", "tus", "event_id"])
+              .reset_index(drop=True))
+        pos = (df.groupby(["user_id", "event_type"]).cumcount()
+               .to_numpy())
+        tus = df["tus"].to_numpy("int64")
+        kept = np.zeros(len(df), dtype="int64")
+        last_kept = np.zeros(len(df), dtype="int64")
+        first = pos == 0
+        kept[first] = 1
+        last_kept[first] = tus[first]
+        for t in range(1, int(pos.max()) + 1 if len(pos) else 0):
+            m = np.flatnonzero(pos == t)
+            if len(m) == 0:
+                break
+            ok = tus[m] - last_kept[m - 1] >= W
+            kept[m] = ok.astype("int64")
+            last_kept[m] = np.where(ok, tus[m], last_kept[m - 1])
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "event_type": df["event_type"],
+            "event_id": df["event_id"],
+            "kept": pd.Series(kept, dtype="int64")})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas"))

@@ -5664,3 +5664,28 @@ def _set_cover_sql(k: int = 8) -> str:
 
 
 DOC_ORACLES["greedy_set_cover"] = _set_cover_sql()
+
+# streaming debounce: kept-chain walk replayed as a recursive CTE over
+# the (user, type) position chain — the rate_limit_replay pattern; the
+# kept decision feeds the next last_kept, which lag() cannot express
+DOC_ORACLES["debounce_events"] = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS pos
+  FROM events),
+walk AS (
+  SELECT user_id, event_type, event_id, tus, pos,
+         CAST(1 AS BIGINT) AS kept, tus AS last_kept
+  FROM o WHERE pos = 1
+  UNION ALL
+  SELECT o.user_id, o.event_type, o.event_id, o.tus, o.pos,
+         CAST(CASE WHEN o.tus - w.last_kept >= 86400000000
+              THEN 1 ELSE 0 END AS BIGINT),
+         CASE WHEN o.tus - w.last_kept >= 86400000000
+              THEN o.tus ELSE w.last_kept END
+  FROM walk w JOIN o ON o.user_id = w.user_id
+                    AND o.event_type = w.event_type
+                    AND o.pos = w.pos + 1)
+SELECT user_id, event_type, event_id, kept FROM walk
+"""

@@ -700,6 +700,54 @@ class TestEventsExtra:
         assert (df["window_start"] % 900 == 0).all()
 
 
+    def test_debounce_sequential_replay(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.events import debounce_events
+
+        W = 1440 * 60_000_000
+        got = debounce_events(SF).to_pandas()
+        ev = pq.read_table("%s/events.parquet" % SF).to_pandas()
+        ev["tus"] = ((ev["ts"] - pd.Timestamp(0))
+                     // pd.Timedelta(microseconds=1)).astype("int64")
+        want = {}
+        for (_, _), g in ev.sort_values(["tus", "event_id"]).groupby(
+                ["user_id", "event_type"]):
+            last = None
+            for r in g.itertuples(index=False):
+                keep = last is None or r.tus - last >= W
+                want[int(r.event_id)] = int(keep)
+                if keep:
+                    last = r.tus
+        got_d = dict(zip(got["event_id"].astype(int),
+                         got["kept"].astype(int)))
+        assert got_d == want
+        assert 0 < sum(want.values()) < len(want)  # non-vacuous
+
+    def test_debounce_differs_from_lag_filter(self, ray_session):
+        # the kept chain is stateful: inside a long burst a lag-based
+        # filter (gap from previous EVENT) suppresses everything after
+        # the first, but debounce re-admits one event per window
+        import pyarrow.parquet as pq
+
+        from kgx.events import debounce_events
+
+        W = 1440 * 60_000_000
+        got = debounce_events(SF).to_pandas()
+        ev = pq.read_table("%s/events.parquet" % SF).to_pandas()
+        ev["tus"] = ((ev["ts"] - pd.Timestamp(0))
+                     // pd.Timedelta(microseconds=1)).astype("int64")
+        ev = ev.sort_values(["user_id", "event_type", "tus", "event_id"])
+        gap = ev.groupby(["user_id", "event_type"])["tus"].diff()
+        lag_kept = (gap.isna() | (gap >= W)).astype(int)
+        lag_d = dict(zip(ev["event_id"].astype(int), lag_kept))
+        got_d = dict(zip(got["event_id"].astype(int),
+                         got["kept"].astype(int)))
+        # debounce keeps a superset of the lag filter, strictly more
+        assert all(got_d[k] >= v for k, v in lag_d.items())
+        assert sum(got_d.values()) > sum(lag_d.values())
+
+
 class TestTrainData:
     def test_greedy_set_cover_replay(self, ray_session):
         # single-thread greedy replay — same tie rule, same gains
