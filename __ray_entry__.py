@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": dedup.cdc_chunks,
         "greedy_set_cover": traindata.greedy_set_cover,
         "debounce_events": events.debounce_events,
+        "ntile_buckets": textops.ntile_buckets,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -195,6 +195,7 @@ def run_queries(sf_dir: str) -> dict:
         "cdc_chunks": lambda: dedup.cdc_chunks(sf_dir),
         "greedy_set_cover": lambda: traindata.greedy_set_cover(sf_dir),
         "debounce_events": lambda: events.debounce_events(sf_dir),
+        "ntile_buckets": lambda: textops.ntile_buckets(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

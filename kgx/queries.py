@@ -5689,3 +5689,15 @@ walk AS (
                     AND o.pos = w.pos + 1)
 SELECT user_id, event_type, event_id, kept FROM walk
 """
+
+# ranking window trio: ROW_NUMBER / NTILE(4) / peer-inclusive
+# cumulative count (CUME_DIST's integer numerator — no float ratio)
+DOC_ORACLES["ntile_buckets"] = """
+SELECT doc_id, lang, n_chars,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+       CAST(count(*) OVER (PARTITION BY lang ORDER BY n_chars)
+            AS BIGINT) AS cume_cnt
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""

@@ -1864,3 +1864,83 @@ def skipgram_pairs(sf_dir: str, window: int = 3,
 
     return (ds.map_batches(partials, batch_format="pandas")
             .groupby("part").map_groups(fold, batch_format="pandas"))
+
+
+def ntile_buckets(sf_dir: str, tiles: int = 4,
+                  num_partitions: Optional[int] = None):
+    """(doc_id, lang, n_chars, rn, ntile4, cume_cnt) — the ranking
+    window-function trio per language over document length, WITHOUT a
+    global sort: ROW_NUMBER() (total order, doc_id tiebreak), NTILE(4)
+    (equi-height quartile assignment — the standard length-bucketing
+    step before curriculum batching), and the cumulative peer-inclusive
+    count (the integer numerator of CUME_DIST — emitted as a count,
+    not a ratio, so no float crosses the oracle).
+
+    Scale shape: the doc_rank_by_length counting-sort trick plus one
+    cell co-group — pass 1 reduces the corpus to a (lang, length)
+    histogram (combiner; the exchange carries histogram rows), whose
+    strictly-smaller cumulatives and totals broadcast via closure;
+    pass 2 co-locates each (lang, length) CELL once to assign the
+    within-cell doc_id ordinal, and every window value follows
+    map-side by integer arithmetic. No document row is ever sorted
+    globally.
+    """
+    import ray
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["lang", "n_chars"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pd.DataFrame({"lang": g["lang"].astype(str),
+                             "n_chars": g["n_chars"].astype("int64"),
+                             "n": g["n"].astype("int64")})
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby(["lang", "n_chars"], as_index=False)["n"].sum()
+         .sort_values(["lang", "n_chars"]))
+    h["cum"] = h.groupby("lang")["n"].cumsum() - h["n"]
+    totals = h.groupby("lang")["n"].sum().to_dict()
+    smaller = {(l, int(c)): int(v) for l, c, v in
+               zip(h["lang"], h["n_chars"], h["cum"])}
+    cell_n = {(l, int(c)): int(v) for l, c, v in
+              zip(h["lang"], h["n_chars"], h["n"])}
+
+    def add_cell(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["lang"].astype(str) + "\x1f" + df["n_chars"].astype(str)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"].astype(str),
+            "n_chars": df["n_chars"].astype("int64"),
+            "part": (pd.util.hash_pandas_object(key, index=False)
+                     % nparts).astype("int32")})
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.sort_values(["lang", "n_chars", "doc_id"])
+              .reset_index(drop=True))
+        ordinal = (df.groupby(["lang", "n_chars"]).cumcount()
+                   .to_numpy() + 1)
+        keys = list(zip(df["lang"], df["n_chars"].astype(int)))
+        base = np.fromiter((smaller[k] for k in keys), dtype=np.int64,
+                           count=len(keys))
+        cn = np.fromiter((cell_n[k] for k in keys), dtype=np.int64,
+                         count=len(keys))
+        tot = df["lang"].map(totals).to_numpy("int64")
+        rn = base + ordinal
+        # SQL NTILE: the first N % tiles buckets take ceil(N/tiles) rows
+        size, rem = tot // tiles, tot % tiles
+        in_big = rn <= (size + 1) * rem
+        nt = np.where(in_big, (rn - 1) // np.maximum(size + 1, 1) + 1,
+                      rem + (rn - 1 - (size + 1) * rem)
+                      // np.maximum(size, 1) + 1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "lang": df["lang"],
+            "n_chars": df["n_chars"],
+            "rn": pd.Series(rn, dtype="int64"),
+            "ntile4": pd.Series(nt, dtype="int64"),
+            "cume_cnt": pd.Series(base + cn, dtype="int64")})
+
+    return (ds.map_batches(add_cell, batch_format="pandas")
+            .groupby("part").map_groups(windows, batch_format="pandas"))

@@ -700,6 +700,35 @@ class TestEventsExtra:
         assert (df["window_start"] % 900 == 0).all()
 
 
+    def test_ntile_buckets_pandas_replay(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.textops import ntile_buckets
+
+        got = (ntile_buckets(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        docs = pq.read_table(
+            "%s/documents.parquet" % SF,
+            columns=["doc_id", "lang", "n_chars"]).to_pandas()
+        docs = docs.sort_values(["lang", "n_chars", "doc_id"])
+        docs["rn"] = docs.groupby("lang").cumcount() + 1
+        n = docs.groupby("lang")["doc_id"].transform("size")
+        size, rem = n // 4, n % 4
+        big = docs["rn"] <= (size + 1) * rem
+        docs["ntile4"] = np.where(
+            big, (docs["rn"] - 1) // (size + 1) + 1,
+            rem + (docs["rn"] - 1 - (size + 1) * rem) // size + 1)
+        docs["cume_cnt"] = docs.groupby(["lang", "n_chars"])["rn"] \
+            .transform("max")
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        for col in ("rn", "ntile4", "cume_cnt"):
+            assert (got[col].to_numpy("int64")
+                    == docs[col].to_numpy("int64")).all(), col
+        # quartiles are equi-height within each lang (±1)
+        sizes = got.groupby(["lang", "ntile4"]).size()
+        spread = sizes.groupby(level=0).agg(lambda s: s.max() - s.min())
+        assert (spread <= 1).all()
+
     def test_debounce_sequential_replay(self, ray_session):
         import pyarrow.parquet as pq
 
