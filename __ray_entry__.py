@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import kg_cycle_nodes as _kg_cycles
     from kgx.components import graph_random_walks as _walks
     from kgx.components import sssp_weighted as _sssp
+    from kgx.components import luby_mis as _luby_mis
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_set_cover": traindata.greedy_set_cover,
         "debounce_events": events.debounce_events,
         "ntile_buckets": textops.ntile_buckets,
+        "luby_mis": _luby_mis,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

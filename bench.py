@@ -120,6 +120,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import scc as _scc
     from kgx.components import kg_subtree_sizes as _subtree
     from kgx.components import sssp_weighted as _sssp_weighted
+    from kgx.components import luby_mis as _luby_mis
 
     def consume(ds):
         # stream-consume without driver materialization; gated ops may
@@ -196,6 +197,7 @@ def run_queries(sf_dir: str) -> dict:
         "greedy_set_cover": lambda: traindata.greedy_set_cover(sf_dir),
         "debounce_events": lambda: events.debounce_events(sf_dir),
         "ntile_buckets": lambda: textops.ntile_buckets(sf_dir),
+        "luby_mis": lambda: _luby_mis(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

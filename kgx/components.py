@@ -2331,3 +2331,233 @@ def sssp_weighted(sf_dir: str, seed_mod: int = 97, k: int = 5,
         lambda df: pd.DataFrame({"vec_id": df["node"].astype("int64"),
                                  "dist": df["dist"].astype("int64")}),
         batch_format="pandas")
+
+
+def _mis_prio(nodes: np.ndarray) -> np.ndarray:
+    """Deterministic Luby priority per node: md5-u64('mis:'||node) >> 1
+    (shifted into int64 so both engines compare signed); ties broken by
+    node id in the comparison rule, never here."""
+    from .traindata import _md5_u64
+
+    return np.fromiter((_md5_u64("mis:%d" % n) >> 1 for n in nodes),
+                       dtype=np.int64, count=len(nodes))
+
+
+def _mis_round_local(status: dict, prio: dict, adj: dict) -> dict:
+    """One synchronous two-phase Luby round (the exact rule the SQL
+    oracle unrolls): an undecided node with an MIS neighbour is
+    excluded; otherwise it enters the MIS iff no undecided neighbour
+    beats it on (prio, node)."""
+    out = {}
+    for n, st in status.items():
+        if st != 0:
+            out[n] = st
+            continue
+        nbrs = adj[n]
+        if any(status[v] == 1 for v in nbrs):
+            out[n] = 2
+        elif not any(status[v] == 0
+                     and (prio[v], v) < (prio[n], n) for v in nbrs):
+            out[n] = 1
+        else:
+            out[n] = 0
+    return out
+
+
+def luby_mis(sf_dir: str, rounds: int = 8, threshold: float = 0.8,
+             num_partitions: Optional[int] = None,
+             small_graph_threshold: int = 2_000_000):
+    """(doc_id, status) — deterministic Luby MAXIMAL INDEPENDENT SET
+    (Luby 1986, the canonical parallel symmetry-breaking primitive)
+    over the near-dup pair graph: with fixed md5 priorities the
+    synchronous rounds converge to the lexicographically-first MIS —
+    the "keep a maximal non-conflicting subset" selection that
+    near-dup survivorship, exam-question decontamination and parallel
+    scheduling all reduce to. status 1 = in the MIS, 2 = excluded by
+    an MIS neighbour (0 = still undecided if ``rounds`` was cut short
+    — fixed-round semantics keep the oracle static; convergence by
+    round 8 is pinned by test on this corpus, and MIS/exclusion
+    decisions are final the moment they are made).
+
+    Round rule (two-phase, identical in the SQL unroll): an undecided
+    node with an MIS neighbour → excluded; otherwise it enters the
+    MIS iff no undecided neighbour beats it on (md5-priority, node).
+
+    Scale shape: ≤``small_graph_threshold``-edge graphs solve in ONE
+    task (the kcore gate — the pair graph is the small, duplicated
+    fraction of the corpus); above it each round is TWO bucketed
+    co-groups over edge-sized fixed-width rows — attach neighbour
+    status (per-batch combiner folds each node's partial
+    any-MIS-nbr / min-undecided-(prio,nbr) so the second exchange
+    carries node-sized partials), then merge with own status. Both
+    paths pinned row-identical by test; priorities re-derive from
+    md5 in-task, nothing ships.
+    """
+    from collections import defaultdict
+
+    from .dedup import jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas").materialize()
+
+    if edges.count() <= small_graph_threshold:
+        e = edges.to_pandas()
+        nodes = np.unique(np.concatenate([e["a"].to_numpy("int64"),
+                                          e["b"].to_numpy("int64")]))
+        prio = dict(zip(nodes.tolist(), _mis_prio(nodes).tolist()))
+        adj = defaultdict(set)
+        for a, b in zip(e["a"], e["b"]):
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+        status = {int(n): 0 for n in nodes}
+        for _ in range(rounds):
+            nxt = _mis_round_local(status, prio, adj)
+            if nxt == status:
+                break
+            status = nxt
+        return pd.DataFrame({
+            "doc_id": pd.Series(sorted(status), dtype="int64"),
+            "status": pd.Series([status[n] for n in sorted(status)],
+                                dtype="int64")})
+
+    # distributed: bidirectional adjacency bucketed by NBR once; per
+    # round ship only the node-sized status vector
+    def bidir(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": pd.concat([df["a"], df["b"]], ignore_index=True)
+            .astype("int64"),
+            "nbr": pd.concat([df["b"], df["a"]], ignore_index=True)
+            .astype("int64")})
+        out["status"] = np.int64(0)  # schema-aligns with status rows
+        out["bucket"] = (pd.util.hash_pandas_object(out["nbr"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    adj_ds = edges.map_batches(bidir, batch_format="pandas").materialize()
+    seeds = adj_ds.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"]})
+        .drop_duplicates().assign(status=np.int64(0)),
+        batch_format="pandas")
+    # global dedup of node rows: one node-hash co-group
+    statuses = _dedup_nodes(seeds, nparts).materialize()
+
+    for _ in range(rounds):
+        st_tag = statuses.map_batches(
+            lambda df: pd.DataFrame({
+                "node": np.int64(-1), "nbr": df["node"],
+                "status": df["status"],
+                "bucket": (pd.util.hash_pandas_object(
+                    df["node"], index=False) % nparts).astype("int32")}),
+            batch_format="pandas")
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            st = df[df["node"] == -1][["nbr", "status"]] \
+                .rename(columns={"nbr": "n2", "status": "st_nbr"})
+            ed = df[df["node"] != -1][["node", "nbr"]]
+            m = ed.merge(st, left_on="nbr", right_on="n2")
+            if m.empty:
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "any_mis": pd.Series([], dtype="int64"),
+                    "has_und": pd.Series([], dtype="int64"),
+                    "min_prio": pd.Series([], dtype="int64"),
+                    "min_nbr": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int32")})
+            m = m.assign(prio=_mis_prio(m["nbr"].to_numpy("int64")))
+            und = m[m["st_nbr"] == 0].sort_values(["prio", "nbr"])
+            best = und.groupby("node", as_index=False).first()
+            mis = (m.assign(is_mis=(m["st_nbr"] == 1).astype("int64"))
+                   .groupby("node", as_index=False)["is_mis"].max())
+            out = mis.merge(
+                best[["node", "prio", "nbr"]], on="node", how="left")
+            # NO int64-max sentinel: it would round-trip through the
+            # merge's float64 NaN path and overflow to INT64_MIN —
+            # carry an explicit has_und flag instead (fill 0 is exact)
+            out["has_und"] = (~out["prio"].isna()).astype("int64")
+            out["prio"] = out["prio"].fillna(0).astype("int64")
+            out["nbr"] = out["nbr"].fillna(0).astype("int64")
+            return pd.DataFrame({
+                "node": out["node"].astype("int64"),
+                "any_mis": out["is_mis"].astype("int64"),
+                "has_und": out["has_und"],
+                "min_prio": out["prio"], "min_nbr": out["nbr"],
+                "bucket": (pd.util.hash_pandas_object(
+                    out["node"], index=False) % nparts).astype("int32")})
+
+        partials = (adj_ds.union(st_tag)
+                    .groupby("bucket")
+                    .map_groups(attach, batch_format="pandas"))
+
+        st_side = statuses.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"], "any_mis": np.int64(-1),
+                "has_und": np.int64(0),
+                "min_prio": df["status"],  # carries own status
+                "min_nbr": np.int64(-1),
+                "bucket": (pd.util.hash_pandas_object(
+                    df["node"], index=False) % nparts).astype("int32")}),
+            batch_format="pandas")
+
+        def decide(df: pd.DataFrame) -> pd.DataFrame:
+            own = df[df["any_mis"] == -1][["node", "min_prio"]] \
+                .rename(columns={"min_prio": "status"})
+            pp = df[df["any_mis"] != -1]
+            if len(pp):
+                amax = pp.groupby("node", as_index=False).agg(
+                    any_mis=("any_mis", "max"))
+                und = pp[pp["has_und"] == 1] \
+                    .sort_values(["min_prio", "min_nbr"])
+                best = und.groupby("node", as_index=False).agg(
+                    min_prio=("min_prio", "first"),
+                    min_nbr=("min_nbr", "first"))
+                m = (own.merge(amax, on="node", how="left")
+                     .merge(best, on="node", how="left"))
+            else:
+                m = own.assign(any_mis=0, min_prio=np.nan, min_nbr=np.nan)
+            m["any_mis"] = m["any_mis"].fillna(0).astype("int64")
+            has_und = (~m["min_prio"].isna()).to_numpy()
+            m["min_prio"] = m["min_prio"].fillna(0).astype("int64")
+            m["min_nbr"] = m["min_nbr"].fillna(0).astype("int64")
+            own_prio = _mis_prio(m["node"].to_numpy("int64"))
+            undec = m["status"].to_numpy("int64") == 0
+            excl = undec & (m["any_mis"].to_numpy("int64") == 1)
+            beats = ~has_und | (
+                (own_prio < m["min_prio"].to_numpy("int64"))
+                | ((own_prio == m["min_prio"].to_numpy("int64"))
+                   & (m["node"].to_numpy("int64")
+                      < m["min_nbr"].to_numpy("int64"))))
+            wins = undec & ~excl & beats
+            st = m["status"].to_numpy("int64").copy()
+            st[excl] = 2
+            st[wins] = 1
+            return pd.DataFrame({"node": m["node"].astype("int64"),
+                                 "status": pd.Series(st, dtype="int64")})
+
+        statuses = (partials.union(st_side)
+                    .groupby("bucket")
+                    .map_groups(decide, batch_format="pandas")
+                    .repartition(nparts).materialize())
+
+    return statuses.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
+                                 "status": df["status"].astype("int64")}),
+        batch_format="pandas")
+
+
+def _dedup_nodes(statuses, nparts: int):
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node", "status"]].copy()
+        out["bucket"] = (pd.util.hash_pandas_object(out["node"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    return (statuses.map_batches(tag, batch_format="pandas")
+            .groupby("bucket").map_groups(
+                lambda df: df.drop_duplicates("node")[["node", "status"]],
+                batch_format="pandas"))

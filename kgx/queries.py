@@ -5701,3 +5701,54 @@ SELECT doc_id, lang, n_chars,
 FROM documents
 WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
 """
+
+
+def _luby_sql(rounds: int = 8) -> str:
+    """Exact mirror of components.luby_mis: jaccard_pairs edge CTE,
+    md5 priorities, and ``rounds`` unrolled two-phase Luby steps —
+    an undecided node with an MIS neighbour is excluded, else it
+    enters the MIS iff no undecided neighbour beats it on
+    (prio, node). Fixed-round on both sides."""
+    parts = ["""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), adj AS (
+  SELECT a AS node, b AS nbr FROM e0
+  UNION ALL SELECT b, a FROM e0
+), p AS (
+  SELECT DISTINCT node,
+         CAST((('0x' || substr(md5('mis:' || node), 1, 16))::UBIGINT >> 1)
+              AS BIGINT) AS prio
+  FROM adj
+), s0 AS (
+  SELECT DISTINCT node, CAST(0 AS BIGINT) AS status FROM adj
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+s{r} AS MATERIALIZED (
+  SELECT s.node,
+    CAST(CASE WHEN s.status <> 0 THEN s.status
+         WHEN EXISTS (
+           SELECT 1 FROM adj a JOIN s{r - 1} t ON t.node = a.nbr
+           WHERE a.node = s.node AND t.status = 1) THEN 2
+         WHEN NOT EXISTS (
+           SELECT 1 FROM adj a JOIN s{r - 1} t ON t.node = a.nbr
+           JOIN p pn ON pn.node = a.nbr JOIN p po ON po.node = s.node
+           WHERE a.node = s.node AND t.status = 0
+             AND (pn.prio < po.prio
+                  OR (pn.prio = po.prio AND a.nbr < s.node))) THEN 1
+         ELSE 0 END AS BIGINT) AS status
+  FROM s{r - 1} s)""")
+    parts.append(f"""
+SELECT node AS doc_id, status FROM s{rounds}""")
+    return "".join(parts)
+
+
+DOC_ORACLES["luby_mis"] = _luby_sql()

@@ -5270,3 +5270,41 @@ class TestBenfordDigits:
         s = int(out["expected_q6"].sum())
         assert abs(s - 10**6 * n_orders) <= 9  # floor loss per digit
         assert int(out["dev_ppm"].abs().max()) > 20_000
+
+
+class TestLubyMis:
+    def test_mis_valid_and_converged(self, ray_session):
+        from kgx.components import luby_mis
+        from kgx.dedup import jaccard_pairs
+
+        got = luby_mis(SF)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        st = dict(zip(got["doc_id"].astype(int),
+                      got["status"].astype(int)))
+        edges = jaccard_pairs(SF).to_pandas()
+        # converged by round 8 on this corpus
+        assert set(st.values()) <= {1, 2}
+        # independence: no edge inside the MIS
+        for a, b in zip(edges["doc_id_a"].astype(int),
+                        edges["doc_id_b"].astype(int)):
+            assert not (st[a] == 1 and st[b] == 1)
+        # maximality: every excluded node has an MIS neighbour
+        nbr_mis = {n: False for n in st}
+        for a, b in zip(edges["doc_id_a"].astype(int),
+                        edges["doc_id_b"].astype(int)):
+            if st[b] == 1:
+                nbr_mis[a] = True
+            if st[a] == 1:
+                nbr_mis[b] = True
+        assert all(nbr_mis[n] for n, s in st.items() if s == 2)
+        assert (got["status"] == 1).sum() > 0
+
+    def test_mis_gate_matches_distributed(self, ray_session):
+        from kgx.components import luby_mis
+
+        gate = luby_mis(SF)
+        gate = gate.to_pandas() if hasattr(gate, "to_pandas") else gate
+        dist = luby_mis(SF, small_graph_threshold=0).to_pandas()
+        g = gate.sort_values("doc_id").reset_index(drop=True)
+        d = dist.sort_values("doc_id").reset_index(drop=True)
+        assert g.astype("int64").equals(d.astype("int64"))
