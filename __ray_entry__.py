@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events": events.debounce_events,
         "ntile_buckets": textops.ntile_buckets,
         "luby_mis": _luby_mis,
+        "xcorr_daily": events.xcorr_daily,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -198,6 +198,7 @@ def run_queries(sf_dir: str) -> dict:
         "debounce_events": lambda: events.debounce_events(sf_dir),
         "ntile_buckets": lambda: textops.ntile_buckets(sf_dir),
         "luby_mis": lambda: _luby_mis(sf_dir),
+        "xcorr_daily": lambda: events.xcorr_daily(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

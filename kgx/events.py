@@ -1663,3 +1663,41 @@ def debounce_events(sf_dir: str, window_minutes: int = 1440):
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pandas"))
+
+
+def xcorr_daily(sf_dir: str, type_x: str = "view",
+                type_y: str = "purchase", max_lag: int = 7):
+    """(lag, n_pairs, cov_num, var_x_num, var_y_num) — CROSS-
+    correlation sufficient statistics between two event types' dense
+    daily count series at lags 0..``max_lag`` (does `view` activity
+    lead `purchase` activity, and by how many days — the
+    marketing-attribution / leading-indicator diagnostic). Pairs are
+    (x_t, y_{t+lag}) over the zero-filled shared grid; as in
+    autocorr_daily the Pearson numerators are exact integers
+    (cov_num = n·Σxy − Σx·Σy) and r divides out downstream.
+
+    Scale shape: inherits dense_daily_counts' combiner (the exchange
+    carries daily cells, never events); the per-lag fold runs on the
+    output-sized dense frame driver-side in Python bigints.
+    """
+    dense = dense_daily_counts(sf_dir)
+    g = dense[dense["event_type"].isin([type_x, type_y])]
+    piv = (g.pivot_table(index="day", columns="event_type",
+                         values="n_events", fill_value=0)
+           .sort_index())
+    x = [int(v) for v in piv[type_x]]
+    y = [int(v) for v in piv[type_y]]
+    rows = []
+    for lag in range(max_lag + 1):
+        xs = x[:len(x) - lag] if lag else x
+        ys = y[lag:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        rows.append((lag, n, n * sxy - sx * sy,
+                     n * sxx - sx * sx, n * syy - sy * sy))
+    return pd.DataFrame(
+        rows, columns=["lag", "n_pairs", "cov_num",
+                       "var_x_num", "var_y_num"]).astype("int64")

@@ -5752,3 +5752,37 @@ SELECT node AS doc_id, status FROM s{rounds}""")
 
 
 DOC_ORACLES["luby_mis"] = _luby_sql()
+
+# lagged cross-correlation: same dense-grid + integer-numerator
+# contract as autocorr_daily, one row per lag 0..7
+DOC_ORACLES["xcorr_daily"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM events
+        WHERE event_type IN ('view', 'purchase')) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span)))
+              AS day) d
+  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+x AS (SELECT day, n FROM grid WHERE event_type = 'view'),
+y AS (SELECT day, n FROM grid WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT l.lag, x.n AS xv, y.n AS yv
+  FROM (SELECT unnest(generate_series(0, 7)) AS lag) l
+  JOIN x ON true
+  JOIN y ON y.day = x.day + l.lag)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * sum(xv * yv) - sum(xv) * sum(yv) AS BIGINT)
+         AS cov_num,
+       CAST(count(*) * sum(xv * xv) - sum(xv) * sum(xv) AS BIGINT)
+         AS var_x_num,
+       CAST(count(*) * sum(yv * yv) - sum(yv) * sum(yv) AS BIGINT)
+         AS var_y_num
+FROM pairs GROUP BY lag
+"""

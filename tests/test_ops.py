@@ -5308,3 +5308,27 @@ class TestLubyMis:
         g = gate.sort_values("doc_id").reset_index(drop=True)
         d = dist.sort_values("doc_id").reset_index(drop=True)
         assert g.astype("int64").equals(d.astype("int64"))
+
+
+class TestXcorrDaily:
+    def test_lag0_matches_numpy_corrcoef(self, ray_session):
+        from kgx.events import dense_daily_counts, xcorr_daily
+
+        got = xcorr_daily(SF)
+        dense = dense_daily_counts(SF)
+        piv = (dense[dense["event_type"].isin(["view", "purchase"])]
+               .pivot_table(index="day", columns="event_type",
+                            values="n_events", fill_value=0)
+               .sort_index())
+        for lag in (0, 3):
+            x = piv["view"].to_numpy(float)
+            y = piv["purchase"].to_numpy(float)
+            xs = x[:len(x) - lag] if lag else x
+            ys = y[lag:]
+            want = np.corrcoef(xs, ys)[0, 1]
+            r = got[got["lag"] == lag].iloc[0]
+            have = r["cov_num"] / np.sqrt(
+                float(r["var_x_num"]) * float(r["var_y_num"]))
+            assert abs(want - have) < 1e-9
+        assert (got["n_pairs"].to_numpy()
+                == got["n_pairs"].iloc[0] - got["lag"].to_numpy()).all()
