@@ -1525,7 +1525,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 
 
 def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
-                  num_partitions: Optional[int] = None, q: int = 1 << 20):
+                  num_partitions: Optional[int] = None, q: int = 1 << 20,
+                  force_general: bool = False):
     """(doc_id_a, doc_id_b, sim_q) — ALL unordered doc pairs with
     token-set Jaccard >= tn/td, EXACT and COMPLETE: the
     prefix-filtering set-similarity join (Chaudhuri et al. ICDE 2006;
@@ -1573,6 +1574,17 @@ def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
     order = sorted(zip(dfreq["sum(n)"].astype(int), dfreq["tok"]))
     rank_ref = ray.put({t: i for i, (_, t) in enumerate(order)})
     assert len(order) < (1 << 31)
+
+    if len(order) <= 63 and not force_general:
+        # BITSET fast path: the whole vocabulary fits one int64 mask
+        # (rank == bit), so |A∩B|/|A∪B| are popcounts of mask ANDs and
+        # the emit-once token is the lowest set bit of the ANDed
+        # prefix masks — the verify is fully vectorized, no per-pair
+        # set intersection. Answer pinned identical to the general
+        # path (tests). Real corpora land here for char-level /
+        # small-alphabet set joins; word-level vocabularies take the
+        # packed-vector path below.
+        return _ssjoin_bitset(ds, rank_ref, tn, td, nparts, q)
 
     def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
         rank = _bcast_get(rank_ref)
@@ -1689,3 +1701,71 @@ def cdc_chunks(sf_dir: str, mod: int = 16):
             "chunk_md5": pd.Series(out_md5, dtype="object")})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def _ssjoin_bitset(ds, rank_ref, tn: int, td: int, nparts: int, q: int):
+    """ssjoin_prefix's ≤63-token-vocabulary plan: one int64 bitmask per
+    doc. Same prefix rows, same exchange, vectorized popcount verify."""
+    from .traindata import _bcast_get
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rank = _bcast_get(rank_ref)
+        out_tok, out_doc, out_mask, out_pmask = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = set(text.split(" "))
+            r = np.sort(np.fromiter((rank[t] for t in toks),
+                                    dtype=np.int64, count=len(toks)))
+            n = len(r)
+            alpha = -((-tn * n) // td)
+            p = n - alpha + 1
+            mask = 0
+            for b in r.tolist():
+                mask |= 1 << b
+            pmask = 0
+            for b in r[:p].tolist():
+                pmask |= 1 << b
+            for tk in r[:p].tolist():
+                out_tok.append(tk)
+                out_doc.append(doc_id)
+                out_mask.append(mask)
+                out_pmask.append(pmask)
+        out = pd.DataFrame({
+            "tok": pd.Series(out_tok, dtype="int64"),
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "mask": pd.Series(out_mask, dtype="int64"),
+            "pmask": pd.Series(out_pmask, dtype="int64")})
+        out["part"] = (pd.util.hash_pandas_object(out["tok"], index=False)
+                       % nparts).astype("int32")
+        return out
+
+    def pop64(x: np.ndarray) -> np.ndarray:
+        return _popcount64(x.view(np.uint64))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["tok", "doc_id", "mask", "pmask"]]
+        m = d.merge(d, on="tok")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        empty = pd.DataFrame({
+            "doc_id_a": pd.Series([], dtype="int64"),
+            "doc_id_b": pd.Series([], dtype="int64"),
+            "sim_q": pd.Series([], dtype="int64")})
+        if m.empty:
+            return empty
+        ma = m["mask_x"].to_numpy("int64")
+        mb = m["mask_y"].to_numpy("int64")
+        inter = pop64(ma & mb)
+        union = pop64(ma) + pop64(mb) - inter
+        both = m["pmask_x"].to_numpy("int64") & m["pmask_y"].to_numpy("int64")
+        # lowest common prefix bit: popcount((v & -v) - 1) == index
+        low = (both & -both) - 1
+        keep = ((td * inter >= tn * union)
+                & (pop64(low) == m["tok"].to_numpy("int64")))
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "doc_id_a": m["doc_id_x"].to_numpy("int64")[keep],
+            "doc_id_b": m["doc_id_y"].to_numpy("int64")[keep],
+            "sim_q": (q * inter[keep]) // union[keep]})
+
+    return (ds.map_batches(prefix_rows, batch_format="pandas")
+            .groupby("part").map_groups(verify, batch_format="pandas"))

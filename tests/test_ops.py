@@ -464,6 +464,16 @@ class TestDedup:
         assert len(full) == len(full.drop_duplicates(["doc_id_a",
                                                       "doc_id_b"]))
 
+    def test_ssjoin_bitset_matches_general_path(self, ray_session):
+        from kgx.dedup import ssjoin_prefix
+
+        key = lambda df: set(map(tuple, df[["doc_id_a", "doc_id_b",
+                                            "sim_q"]].values))
+        fast = ssjoin_prefix(SF).to_pandas()  # ≤63-vocab bitset path
+        gen = ssjoin_prefix(SF, force_general=True).to_pandas()
+        assert key(fast) == key(gen)
+        assert len(fast) == len(gen)
+
     def test_ssjoin_prefix_brute_force_replay(self, ray_session):
         import duckdb
 
