@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_buckets": textops.ntile_buckets,
         "luby_mis": _luby_mis,
         "xcorr_daily": events.xcorr_daily,
+        "snm_pairs": dedup.snm_pairs,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

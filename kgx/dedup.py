@@ -1769,3 +1769,102 @@ def _ssjoin_bitset(ds, rank_ref, tn: int, td: int, nparts: int, q: int):
 
     return (ds.map_batches(prefix_rows, batch_format="pandas")
             .groupby("part").map_groups(verify, batch_format="pandas"))
+
+
+def snm_pairs(sf_dir: str, window: int = 5,
+              num_partitions: Optional[int] = None):
+    """(name_a, name_b, gap) — SORTED NEIGHBORHOOD METHOD candidate
+    generation (Hernández & Stolfo, SIGMOD 1995 — the classic
+    record-linkage blocking alternative to key equality): sort all
+    customer names by a scrambling sort key (the reversed name) and
+    emit every pair within ``window`` positions of each other
+    (gap = rank distance, 1..window). Downstream matchers (typo_pairs'
+    verify, linkage_scores) consume these candidates; SNM catches
+    near-keys that differ in their leading characters, which prefix /
+    equality blocking misses.
+
+    Scale shape: the global RANK comes without a global sort — the
+    shard_corpus trick: the first byte of the sort key is ORDER-
+    ALIGNED with the lexicographic order, so 256 range buckets + a
+    tiny per-bucket count aggregate give broadcast rank offsets and
+    each bucket sorts only its own rows. The windowed self-join then
+    needs each bucket's LAST ``window`` ranks replicated to the
+    buckets holding the next ``window`` ranks (HALO / ghost rows —
+    the boundary-exchange pattern of every sorted sliding-window
+    join); each pair is emitted at exactly ONE bucket, the one owning
+    its higher-rank member. Two fixed-width exchanges total.
+    """
+    import ray
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _bread("%s/customer.parquet" % sf_dir, columns=["c_name"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        names = df["c_name"].astype(str)
+        rev = names.map(lambda s: s[::-1])
+        return pd.DataFrame({
+            "skey": rev, "name": names,
+            "rbucket": rev.map(lambda s: ord(s[0]) if s else 0)
+            .astype("int64")})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    # tiny aggregate: rows per range bucket → global rank offsets
+    counts = (keyed_ds.map_batches(
+        lambda df: df.groupby("rbucket", as_index=False).size()
+        .rename(columns={"size": "n"}), batch_format="pandas")
+        .to_pandas().groupby("rbucket")["n"].sum().sort_index())
+    offsets, acc = {}, 0
+    for b, n in counts.items():
+        offsets[int(b)] = acc
+        acc += int(n)
+    total = acc
+    bucket_lo = dict(offsets)
+
+    def rank_and_halo(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["skey", "name"]).reset_index(drop=True)
+        rb = int(df["rbucket"].iloc[0])
+        grank = offsets[rb] + np.arange(len(df), dtype=np.int64)
+        rows = [pd.DataFrame({"grank": grank, "name": df["name"],
+                              "owner": np.int64(1), "tbucket": rb})]
+        # halo: a row must ALSO visit every bucket whose rank range
+        # starts within (grank, grank + window]
+        for tb, lo in bucket_lo.items():
+            if tb == rb:
+                continue
+            need = (grank < lo) & (lo <= grank + window)
+            if need.any():
+                rows.append(pd.DataFrame({
+                    "grank": grank[need], "name": df["name"][need],
+                    "owner": np.int64(0), "tbucket": tb}))
+        out = pd.concat(rows, ignore_index=True)
+        out["part"] = (out["tbucket"] % nparts).astype("int32")
+        return out
+
+    def window_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_g = [], [], []
+        for _, g in df.groupby("tbucket", sort=False):
+            g = g.sort_values("grank").reset_index(drop=True)
+            rk = g["grank"].to_numpy("int64")
+            nm = g["name"].to_numpy()
+            own = g["owner"].to_numpy("int64")
+            # per owner row b: partners with rank in [rk_b-window, rk_b-1]
+            for i in range(len(g)):
+                if own[i] != 1:
+                    continue
+                j = i - 1
+                while j >= 0 and rk[i] - rk[j] <= window:
+                    out_a.append(nm[j])
+                    out_b.append(nm[i])
+                    out_g.append(rk[i] - rk[j])
+                    j -= 1
+        return pd.DataFrame({
+            "name_a": pd.Series(out_a, dtype="object"),
+            "name_b": pd.Series(out_b, dtype="object"),
+            "gap": pd.Series(out_g, dtype="int64")})
+
+    return (keyed_ds.groupby("rbucket")
+            .map_groups(rank_and_halo, batch_format="pandas")
+            .groupby("part").map_groups(window_pairs,
+                                        batch_format="pandas"))

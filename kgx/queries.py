@@ -5786,3 +5786,16 @@ SELECT CAST(lag AS BIGINT) AS lag,
          AS var_y_num
 FROM pairs GROUP BY lag
 """
+
+# Sorted Neighborhood Method: global rank over the scrambling sort key
+# (reversed name — unique, so the order is total), pairs within the
+# rank window, gap = rank distance
+DOC_ORACLES["snm_pairs"] = """
+WITH r AS (
+  SELECT c_name AS name,
+         row_number() OVER (ORDER BY reverse(c_name)) AS rk
+  FROM customer)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(b.rk - a.rk AS BIGINT) AS gap
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
+"""

@@ -5342,3 +5342,35 @@ class TestXcorrDaily:
             assert abs(want - have) < 1e-9
         assert (got["n_pairs"].to_numpy()
                 == got["n_pairs"].iloc[0] - got["lag"].to_numpy()).all()
+
+
+class TestSnmPairs:
+    def test_snm_local_replay(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.dedup import snm_pairs
+
+        got = snm_pairs(SF).to_pandas()
+        names = sorted(
+            pq.read_table("%s/customer.parquet" % SF,
+                          columns=["c_name"]).to_pandas()["c_name"]
+            .astype(str), key=lambda s: s[::-1])
+        want = set()
+        for i, a in enumerate(names):
+            for g in range(1, 6):
+                if i + g < len(names):
+                    want.add((a, names[i + g], g))
+        assert set(map(tuple, got[["name_a", "name_b", "gap"]]
+                       .values)) == want
+        # exact count identity: 5N − 15
+        assert len(got) == 5 * len(names) - 15
+        assert len(got) == len(got.drop_duplicates())  # exactly-once
+
+    def test_snm_halo_crosses_buckets(self, ray_session):
+        # pairs whose reversed names start with different bytes can
+        # only come from halo replication across range buckets
+        from kgx.dedup import snm_pairs
+
+        got = snm_pairs(SF).to_pandas()
+        cross = got[got["name_a"].str[-1] != got["name_b"].str[-1]]
+        assert len(cross) > 0
