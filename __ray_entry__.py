@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "luby_mis": _luby_mis,
         "xcorr_daily": events.xcorr_daily,
         "snm_pairs": dedup.snm_pairs,
+        "cusum_changepoint": events.cusum_changepoint,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -200,6 +200,7 @@ def run_queries(sf_dir: str) -> dict:
         "luby_mis": lambda: _luby_mis(sf_dir),
         "xcorr_daily": lambda: events.xcorr_daily(sf_dir),
         "snm_pairs": lambda: dedup.snm_pairs(sf_dir),
+        "cusum_changepoint": lambda: events.cusum_changepoint(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

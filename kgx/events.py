@@ -1701,3 +1701,33 @@ def xcorr_daily(sf_dir: str, type_x: str = "view",
     return pd.DataFrame(
         rows, columns=["lag", "n_pairs", "cov_num",
                        "var_x_num", "var_y_num"]).astype("int64")
+
+
+def cusum_changepoint(sf_dir: str):
+    """(event_type, day, cusum, alarm) — one-sided CUSUM drift
+    detection (Page 1954) over each type's dense daily count series:
+    S_d = max(0, S_{d-1} + (n_d − ref)) with ref = the type's exact
+    integer mean (floor), alarm when S_d exceeds ref // 2. Where
+    median/MAD (daily_anomalies) flags single-day spikes, CUSUM
+    accumulates small persistent shifts — the drift-vs-spike pair
+    every ops/DQ monitor runs together. The max-clamp makes the walk
+    genuinely sequential (no prefix-sum shortcut), all state integer.
+
+    Scale shape: inherits dense_daily_counts' combiner (the exchange
+    carries daily cells, never events); the clamped walk runs on the
+    output-sized dense frame driver-side.
+    """
+    dense = dense_daily_counts(sf_dir)
+    rows = []
+    for et, g in dense.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        v = [int(x) for x in g["n_events"]]
+        ref = sum(v) // len(v)
+        thr = ref // 2
+        s = 0
+        for day, x in zip(g["day"], v):
+            s = max(0, s + x - ref)
+            rows.append((str(et), int(day), s, 1 if s > thr else 0))
+    return pd.DataFrame(
+        rows, columns=["event_type", "day", "cusum", "alarm"]).astype(
+        {"day": "int64", "cusum": "int64", "alarm": "int64"})

@@ -5799,3 +5799,38 @@ SELECT a.name AS name_a, b.name AS name_b,
        CAST(b.rk - a.rk AS BIGINT) AS gap
 FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
 """
+
+# Page's CUSUM over the dense grid: the clamped walk is a recursive
+# CTE over the (type, position) chain; ref/threshold exact integers
+DOC_ORACLES["cusum_changepoint"] = """
+WITH RECURSIVE c0 AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c0),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c0.n, 0) AS n,
+         row_number() OVER (PARTITION BY t.event_type ORDER BY d.day)
+           AS pos
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span)))
+              AS day) d
+  LEFT JOIN c0 ON c0.event_type = t.event_type AND c0.day = d.day),
+ref AS (
+  SELECT event_type, CAST(sum(n) // count(*) AS BIGINT) AS ref
+  FROM grid GROUP BY event_type),
+walk AS (
+  SELECT g.event_type, g.day, g.pos,
+         greatest(0, g.n - r.ref) AS s
+  FROM grid g JOIN ref r USING (event_type) WHERE g.pos = 1
+  UNION ALL
+  SELECT g.event_type, g.day, g.pos,
+         greatest(0, w.s + g.n - r.ref)
+  FROM walk w
+  JOIN grid g ON g.event_type = w.event_type AND g.pos = w.pos + 1
+  JOIN ref r ON r.event_type = g.event_type)
+SELECT w.event_type, w.day, CAST(w.s AS BIGINT) AS cusum,
+       CAST(CASE WHEN w.s > r.ref // 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS alarm
+FROM walk w JOIN ref r USING (event_type)
+"""

@@ -5374,3 +5374,25 @@ class TestSnmPairs:
         got = snm_pairs(SF).to_pandas()
         cross = got[got["name_a"].str[-1] != got["name_b"].str[-1]]
         assert len(cross) > 0
+
+
+class TestCusum:
+    def test_cusum_clamped_walk_replay(self, ray_session):
+        from kgx.events import cusum_changepoint, dense_daily_counts
+
+        got = cusum_changepoint(SF)
+        dense = dense_daily_counts(SF)
+        for et, g in dense.groupby("event_type"):
+            g = g.sort_values("day")
+            v = [int(x) for x in g["n_events"]]
+            ref = sum(v) // len(v)
+            s, want = 0, []
+            for x in v:
+                s = max(0, s + x - ref)
+                want.append(s)
+            have = got[got["event_type"] == et].sort_values("day")
+            assert have["cusum"].tolist() == want
+            assert (have["alarm"]
+                    == (have["cusum"] > ref // 2).astype(int)).all()
+        assert got["alarm"].sum() > 0  # non-vacuous
+        assert (got["cusum"] >= 0).all()
