@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xcorr_daily": events.xcorr_daily,
         "snm_pairs": dedup.snm_pairs,
         "cusum_changepoint": events.cusum_changepoint,
+        "bucketed_join": sources.bucketed_join,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

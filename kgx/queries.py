@@ -5834,3 +5834,16 @@ SELECT w.event_type, w.day, CAST(w.s AS BIGINT) AS cusum,
          AS alarm
 FROM walk w JOIN ref r USING (event_type)
 """
+
+# storage-layout co-partitioned join: the oracle is the plain join +
+# aggregate truth — a wrong bucket routing loses/duplicates custkeys
+# and breaks the hash
+DOC_ORACLES["bucketed_join"] = """
+SELECT c.c_custkey AS custkey,
+       CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_nationkey
+"""

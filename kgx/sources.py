@@ -22,6 +22,7 @@ import hashlib
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 
 from .readers import bounded_read_parquet as _bread
@@ -313,3 +314,84 @@ def gzip_ndjson_roundtrip(sf_dir: str):
         return _digest_batch(pd.DataFrame(rows))
 
     return files.map_batches(decode, batch_format="pyarrow")
+
+
+def bucketed_join(sf_dir: str, num_buckets: int = 16):
+    """(custkey, nationkey, n_orders, sum_cents) — the STORAGE-LAYOUT
+    co-partitioned join (Hive/Spark ``CLUSTERED BY ... INTO n
+    BUCKETS``): customer and orders are both exported bucketed by
+    ``custkey % num_buckets``, and the join then runs as one
+    independent task per bucket reading the two ALIGNED bucket
+    directories — ZERO exchange at query time. At 100 TB this moves
+    the join's all-to-all out of every query and into the (one-time,
+    map-only) layout write: the fact tables are shuffled once when
+    written, never again, and bucket tasks scale embarrassingly.
+
+    Scale shape: two map-only bucketed writes (write_parquet
+    partition_cols — each block appends to its buckets' directories),
+    then |buckets| independent read+join tasks, each touching only
+    its own two directories. Orders pre-aggregate per custkey inside
+    the bucket task; INNER semantics (customers with no orders drop —
+    customer_order_counts is the LEFT variant).
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    out = _roundtrip_dir(sf_dir, "bucketed")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.isfile(marker):
+        shutil.rmtree(out, ignore_errors=True)
+
+        def bkt(col):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["bkt"] = (df[col].astype("int64")
+                             % num_buckets).astype("int64")
+                return df
+            return fn
+
+        cust = _bread("%s/customer.parquet" % sf_dir,
+                      columns=["c_custkey", "c_nationkey"])
+        cust.map_batches(bkt("c_custkey"), batch_format="pandas") \
+            .write_parquet(os.path.join(out, "customer"),
+                           partition_cols=["bkt"])
+        orders = _bread("%s/orders.parquet" % sf_dir,
+                        columns=["o_custkey", "o_totalprice"])
+        orders.map_batches(bkt("o_custkey"), batch_format="pandas") \
+            .write_parquet(os.path.join(out, "orders"),
+                           partition_cols=["bkt"])
+        with open(marker, "w") as fp:
+            fp.write("ok")
+
+    buckets = ray.data.from_items(
+        [{"bkt": b} for b in range(num_buckets)])
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b in df["bkt"]:
+            cdir = os.path.join(out, "customer", "bkt=%d" % b)
+            odir = os.path.join(out, "orders", "bkt=%d" % b)
+            empty = pd.DataFrame({
+                "custkey": pd.Series([], dtype="int64"),
+                "nationkey": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64")})
+            if not (os.path.isdir(cdir) and os.path.isdir(odir)):
+                outs.append(empty)
+                continue
+            c = pq.read_table(cdir).to_pandas()
+            o = pq.read_table(odir).to_pandas()
+            o["cents"] = np.floor(
+                o["o_totalprice"] * 100 + 0.5).astype("int64")
+            agg = o.groupby("o_custkey", as_index=False).agg(
+                n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+            m = c.merge(agg, left_on="c_custkey", right_on="o_custkey")
+            outs.append(pd.DataFrame({
+                "custkey": m["c_custkey"].astype("int64"),
+                "nationkey": m["c_nationkey"].astype("int64"),
+                "n_orders": m["n_orders"].astype("int64"),
+                "sum_cents": m["sum_cents"].astype("int64")}))
+        return pd.concat(outs, ignore_index=True)
+
+    return buckets.map_batches(join_bucket, batch_format="pandas",
+                               batch_size=1)

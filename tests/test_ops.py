@@ -5396,3 +5396,40 @@ class TestCusum:
                     == (have["cusum"] > ref // 2).astype(int)).all()
         assert got["alarm"].sum() > 0  # non-vacuous
         assert (got["cusum"] >= 0).all()
+
+
+class TestBucketedJoin:
+    def test_layout_is_aligned_and_complete(self, ray_session):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from kgx.sources import _roundtrip_dir, bucketed_join
+
+        got = bucketed_join(SF).to_pandas()
+        # every key lives ONLY in its own bucket directory on both
+        # sides — the invariant that makes the exchange-free join sound
+        out = _roundtrip_dir(SF, "bucketed")
+        for side, col in (("customer", "c_custkey"),
+                          ("orders", "o_custkey")):
+            for b in range(16):
+                d = os.path.join(out, side, "bkt=%d" % b)
+                if not os.path.isdir(d):
+                    continue
+                keys = pq.read_table(d, columns=[col]).to_pandas()[col]
+                assert (keys.astype("int64") % 16 == b).all()
+        # and the join result matches a driver-side replay
+        cust = pq.read_table("%s/customer.parquet" % SF).to_pandas()
+        orders = pq.read_table("%s/orders.parquet" % SF).to_pandas()
+        orders["cents"] = np.floor(
+            orders["o_totalprice"] * 100 + 0.5).astype("int64")
+        agg = orders.groupby("o_custkey", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+        want = cust.merge(agg, left_on="c_custkey", right_on="o_custkey")
+        assert len(got) == len(want)
+        g = got.sort_values("custkey").reset_index(drop=True)
+        w = want.sort_values("c_custkey").reset_index(drop=True)
+        assert (g["n_orders"].to_numpy()
+                == w["n_orders"].to_numpy()).all()
+        assert (g["sum_cents"].to_numpy()
+                == w["sum_cents"].to_numpy()).all()
