@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": dedup.snm_pairs,
         "cusum_changepoint": events.cusum_changepoint,
         "bucketed_join": sources.bucketed_join,
+        "wordpiece_encode": traindata.wordpiece_encode,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

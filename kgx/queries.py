@@ -5847,3 +5847,42 @@ SELECT c.c_custkey AS custkey,
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_nationkey
 """
+
+
+def _wordpiece_sql(num_merges: int = 4) -> str:
+    """Replay of traindata.wordpiece_encode: the bpe_train chain
+    supplies the learned pieces; the longest-match step table m(word,
+    pos → step) is precomputed non-recursively (DuckDB recursive terms
+    reject correlated subqueries), and the greedy cursor walk is a
+    recursive join over it."""
+    union_pieces = " UNION SELECT l || r AS piece FROM b%d" * num_merges
+    union_pieces = union_pieces % tuple(range(1, num_merges + 1))
+    return _bpe_chain(num_merges, walk_through_last=False) + f"""
+, pieces AS MATERIALIZED (
+  SELECT DISTINCT substr(word, i, 1) AS piece
+  FROM vocab, unnest(generate_series(1, len(word))) t(i)
+  {union_pieces}
+), m AS MATERIALIZED (
+  SELECT v.word, t.i AS pos, max(len(p.piece)) AS step
+  FROM vocab v, unnest(generate_series(1, len(v.word))) t(i)
+  JOIN pieces p ON substr(v.word, t.i, len(p.piece)) = p.piece
+  GROUP BY 1, 2
+), wpwalk(word, pos, cnt) AS (
+  SELECT word, 1, 0 FROM vocab
+  UNION ALL
+  SELECT w.word, w.pos + m.step, w.cnt + 1
+  FROM wpwalk w JOIN m ON m.word = w.word AND m.pos = w.pos
+), wl AS (
+  SELECT word, CAST(cnt AS BIGINT) AS n
+  FROM wpwalk WHERE pos > len(word)
+), dt AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wl.n) AS BIGINT) AS n_wp_tokens
+FROM dt d JOIN wl ON wl.word = d.word
+GROUP BY d.doc_id
+"""
+
+
+DOC_ORACLES["wordpiece_encode"] = _wordpiece_sql()

@@ -2381,3 +2381,75 @@ def greedy_set_cover(sf_dir: str, k: int = 8, shingle_k: int = 3):
 
     return pd.DataFrame(rows, columns=["rnd", "doc_id", "gain",
                                        "covered_after"]).astype("int64")
+
+
+def _wp_pieces(sf_dir: str, num_merges: int) -> set:
+    """WordPiece inventory: every character of the corpus vocabulary
+    plus the ``num_merges`` BPE-trained merged pieces (BERT's vocab is
+    built by BPE-style training and APPLIED by longest-match — this op
+    mirrors that split)."""
+    trained = bpe_train(sf_dir, num_merges=num_merges)
+    pieces = {l + r for l, r in zip(trained["l"], trained["r"])}
+    vocab = _read_documents(sf_dir, columns=["text"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"ch": sorted({c for t in df["text"] for c in t
+                           if c != " "})}),
+        batch_format="pandas").to_pandas()
+    pieces |= set(vocab["ch"].astype(str))
+    return pieces
+
+
+def _wp_encode_word(word: str, pieces: set, max_len: int) -> int:
+    """Greedy longest-match-first token count of one word (the
+    WordPiece / BERT apply walk; single chars are all in the
+    inventory, so the walk is total)."""
+    pos, cnt = 0, 0
+    n = len(word)
+    while pos < n:
+        step = 1
+        for ln in range(min(max_len, n - pos), 0, -1):
+            if word[pos:pos + ln] in pieces:
+                step = ln
+                break
+        pos += step
+        cnt += 1
+    return cnt
+
+
+def wordpiece_encode(sf_dir: str, num_merges: int = 4):
+    """(doc_id, n_words, n_wp_tokens) — WordPiece tokenization (Wu et
+    al. 2016; the BERT apply algorithm): per word, repeatedly take the
+    LONGEST inventory piece matching at the cursor. The inventory is
+    the corpus's characters plus the ``bpe_train``-learned merged
+    pieces — the production split where a BPE-style trainer builds the
+    vocab and a longest-match encoder applies it. Differs from
+    ``bpe_encode``'s merge-ORDER walk by algorithm (longest-match is
+    order-free), and the two counts are compared by test.
+
+    Scale shape: training as in bpe_train (corpus read once into a
+    vocabulary); the piece inventory is tiny and broadcasts via
+    closure into ONE map-only encoding pass, with a per-worker
+    word→count cache amortizing the walk to once per distinct word.
+    Zero shuffles in the apply stage.
+    """
+    pieces = _wp_pieces(sf_dir, num_merges)
+    max_len = max(len(p) for p in pieces)
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def encode(df: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        def wlen(w: str) -> int:
+            n = _cache.get(w)
+            if n is None:
+                n = _wp_encode_word(w, pieces, max_len)
+                _cache[w] = n
+            return n
+
+        toks = df["text"].str.split(" ")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_words": toks.str.len().astype("int64"),
+            "n_wp_tokens": toks.map(
+                lambda ws: sum(wlen(w) for w in ws)).astype("int64"),
+        })
+
+    return ds.map_batches(encode, batch_format="pandas")
