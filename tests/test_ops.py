@@ -5433,3 +5433,48 @@ class TestBucketedJoin:
                 == w["n_orders"].to_numpy()).all()
         assert (g["sum_cents"].to_numpy()
                 == w["sum_cents"].to_numpy()).all()
+
+
+class TestWordpiece:
+    def test_wordpiece_local_replay(self, ray_session):
+        import duckdb
+
+        from kgx.traindata import (_wp_encode_word, _wp_pieces,
+                                   wordpiece_encode)
+
+        got = wordpiece_encode(SF).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        pieces = _wp_pieces(SF, 4)
+        mx = max(len(p) for p in pieces)
+        docs = duckdb.sql(
+            "SELECT doc_id, text FROM read_parquet('%s/documents.parquet')"
+            " ORDER BY doc_id" % SF).df()
+        want_tok = [sum(_wp_encode_word(w, pieces, mx)
+                        for w in t.split(" ")) for t in docs["text"]]
+        assert got["n_wp_tokens"].tolist() == want_tok
+        assert (got["n_words"].to_numpy()
+                == docs["text"].str.split(" ").str.len().to_numpy()).all()
+
+    def test_wordpiece_longest_match_semantics(self):
+        from kgx.traindata import _wp_encode_word
+
+        pieces = {"a", "b", "c", "ab", "abc"}
+        assert _wp_encode_word("abc", pieces, 3) == 1   # longest wins
+        assert _wp_encode_word("abab", pieces, 3) == 2  # ab + ab
+        assert _wp_encode_word("cba", pieces, 3) == 3   # chars only
+        # longest-match can beat merge-order BPE: merges (a,b) then
+        # (ab,c) leave "xabc" as [x, ab, c] (3) under BPE order if the
+        # cursor passed x first, but longest-match takes x, abc (2)
+        assert _wp_encode_word("xabc", pieces | {"x"}, 3) == 2
+
+    def test_wordpiece_counts_bounded_by_bpe(self, ray_session):
+        # empirical pin on this deterministic corpus: with the
+        # inventory built FROM the BPE merges, longest-match never
+        # loses to the merge-order walk here (not a theorem — greedy
+        # longest-match is not globally optimal in general)
+        from kgx.traindata import bpe_encode, wordpiece_encode
+
+        wp = wordpiece_encode(SF).to_pandas().sort_values("doc_id")
+        bpe = bpe_encode(SF).to_pandas().sort_values("doc_id")
+        assert (wp["n_wp_tokens"].to_numpy()
+                <= bpe["n_bpe_tokens"].to_numpy()).all()
