@@ -203,6 +203,7 @@ def run_queries(sf_dir: str) -> dict:
         "cusum_changepoint": lambda: events.cusum_changepoint(sf_dir),
         "bucketed_join": lambda: sources.bucketed_join(sf_dir),
         "wordpiece_encode": lambda: traindata.wordpiece_encode(sf_dir),
+        "zonemap_pruned_read": lambda: sources.zonemap_pruned_read(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

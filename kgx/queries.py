@@ -5886,3 +5886,12 @@ GROUP BY d.doc_id
 
 
 DOC_ORACLES["wordpiece_encode"] = _wordpiece_sql()
+
+# zone-map pruning: the oracle is the plain range scan — pruning may
+# only change which bytes are read, never the answer
+DOC_ORACLES["zonemap_pruned_read"] = """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5
+FROM documents WHERE length(text) BETWEEN 200 AND 280
+"""

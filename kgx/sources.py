@@ -395,3 +395,72 @@ def bucketed_join(sf_dir: str, num_buckets: int = 16):
 
     return buckets.map_batches(join_bucket, batch_format="pandas",
                                batch_size=1)
+
+
+def zonemap_pruned_read(sf_dir: str, lo: int = 200, hi: int = 280,
+                        rows_per_group: int = 64):
+    """(doc_id, lang, n_chars_rt, text_md5) — ZONE-MAP (row-group
+    min/max statistics) data skipping, the intra-file complement of
+    ``partition_pruned_read``'s directory pruning: documents are laid
+    out SORTED by ``n_chars`` into small parquet row groups, and a
+    range predicate ``n_chars ∈ [lo, hi]`` is then served by opening
+    ONLY the row groups whose [min, max] zone intersects the range —
+    the footer statistics are the index. At 100 TB this is the
+    standard warehouse trick (Snowflake micro-partitions, Parquet/ORC
+    predicate pushdown): a sorted-layout column turns every range
+    scan into a tiny fraction of I/O with no separate index structure.
+
+    Scale shape: the layout write is one range-partitioned sort
+    (done once); the pruned read plans from footer METADATA only
+    (zone intersection), then reads the few matching groups. The
+    residual in-group filter is exact, so pruning never changes the
+    answer — only which bytes are touched (asserted by test: the
+    planner's group list is minimal for the layout).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .readers import bounded_read_parquet as _bread
+
+    out = _roundtrip_dir(sf_dir, "zonemap")
+    marker = os.path.join(out, "_DONE")
+    path = os.path.join(out, "docs_sorted.parquet")
+    if not os.path.isfile(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        # layout write: globally sorted by the zone column, small row
+        # groups so zones are tight (Ray's sort is the range shuffle;
+        # at 100 TB each range partition writes its own sorted file)
+        ds = _bread("%s/documents.parquet" % sf_dir,
+                    columns=["doc_id", "lang", "n_chars", "text"])
+        t = ds.sort("n_chars").to_pandas()
+        pq.write_table(pa.Table.from_pandas(t, preserve_index=False),
+                       path, row_group_size=rows_per_group)
+        with open(marker, "w") as fp:
+            fp.write("ok")
+
+    f = pq.ParquetFile(path)
+    touched = []
+    for g in range(f.metadata.num_row_groups):
+        col = None
+        for c in range(f.metadata.row_group(g).num_columns):
+            cc = f.metadata.row_group(g).column(c)
+            if cc.path_in_schema == "n_chars":
+                col = cc
+                break
+        st = col.statistics
+        if st.min <= hi and st.max >= lo:  # zone intersects the range
+            touched.append(g)
+    zonemap_pruned_read.last_plan = (touched, f.metadata.num_row_groups)
+    if not touched:
+        t = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "lang": pd.Series([], dtype="object"),
+                          "text": pd.Series([], dtype="object")})
+    else:
+        t = f.read_row_groups(touched).to_pandas()
+    t = t[(t["n_chars"] >= lo) & (t["n_chars"] <= hi)]
+    import ray.data
+
+    pruned = ray.data.from_pandas(
+        t[["doc_id", "lang", "text"]].reset_index(drop=True))
+    return pruned.map_batches(_digest_batch, batch_format="pandas")

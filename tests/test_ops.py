@@ -5478,3 +5478,39 @@ class TestWordpiece:
         bpe = bpe_encode(SF).to_pandas().sort_values("doc_id")
         assert (wp["n_wp_tokens"].to_numpy()
                 <= bpe["n_bpe_tokens"].to_numpy()).all()
+
+
+class TestZonemapRead:
+    def test_pruning_is_real_and_answer_preserving(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.sources import _roundtrip_dir, zonemap_pruned_read
+
+        got = zonemap_pruned_read(SF).to_pandas()
+        touched, total = zonemap_pruned_read.last_plan
+        # pruning actually skips most of the file on the sorted layout
+        assert len(touched) < total / 2
+        assert len(touched) >= 1
+        # the plan is sound AND minimal for the zones: touched groups
+        # intersect [200, 280], untouched ones provably cannot
+        import os
+
+        f = pq.ParquetFile(os.path.join(_roundtrip_dir(SF, "zonemap"),
+                                        "docs_sorted.parquet"))
+        for g in range(total):
+            rg = f.metadata.row_group(g)
+            st = next(rg.column(c).statistics
+                      for c in range(rg.num_columns)
+                      if rg.column(c).path_in_schema == "n_chars")
+            if g in touched:
+                assert st.min <= 280 and st.max >= 200
+            else:
+                assert st.max < 200 or st.min > 280
+        # answer == full-scan truth
+        import duckdb
+
+        want = duckdb.sql(
+            "SELECT count(*) FROM read_parquet("
+            "'%s/documents.parquet') WHERE length(text)"
+            " BETWEEN 200 AND 280" % SF).fetchone()[0]
+        assert len(got) == want
