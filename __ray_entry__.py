@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": sources.bucketed_join,
         "wordpiece_encode": traindata.wordpiece_encode,
         "zonemap_pruned_read": sources.zonemap_pruned_read,
+        "theil_sen_daily": events.theil_sen_daily,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -204,6 +204,7 @@ def run_queries(sf_dir: str) -> dict:
         "bucketed_join": lambda: sources.bucketed_join(sf_dir),
         "wordpiece_encode": lambda: traindata.wordpiece_encode(sf_dir),
         "zonemap_pruned_read": lambda: sources.zonemap_pruned_read(sf_dir),
+        "theil_sen_daily": lambda: events.theil_sen_daily(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -1731,3 +1731,46 @@ def cusum_changepoint(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["event_type", "day", "cusum", "alarm"]).astype(
         {"day": "int64", "cusum": "int64", "alarm": "int64"})
+
+
+def theil_sen_daily(sf_dir: str):
+    """(event_type, n_pairs, slope_q6_med, intercept_q6) — Theil–Sen
+    ROBUST trend estimation per event type over the dense daily count
+    series: the median of all C(D,2) pairwise slopes (a single
+    outlier day cannot tip the estimate the way OLS's squared loss
+    can — the robust counterpart of linreg_tokens). Slopes quantize
+    as trunc(10⁶·Δn / Δday) (DuckDB ``//`` truncates toward zero, so
+    the engine mirrors trunc-division on negatives, the benford
+    contract); the median is the lower median, matching
+    quantile_disc(0.5); intercept_q6 = lower median of
+    10⁶·n_d − slope_q6_med·d over the days.
+
+    Scale shape: inherits dense_daily_counts' combiner; the D²-pair
+    sweep runs on the output-sized dense frame driver-side in exact
+    integers (D = corpus day span, independent of corpus row count).
+    """
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    dense = dense_daily_counts(sf_dir)
+    rows = []
+    for et, g in dense.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        days = [int(d) for d in g["day"]]
+        v = [int(x) for x in g["n_events"]]
+        slopes = []
+        for i in range(len(v)):
+            for j in range(i + 1, len(v)):
+                slopes.append(trunc_div(1000000 * (v[j] - v[i]),
+                                        days[j] - days[i]))
+        slopes.sort()
+        med = slopes[(len(slopes) - 1) // 2]
+        inter = sorted(1000000 * x - med * d for d, x in zip(days, v))
+        imed = inter[(len(inter) - 1) // 2]
+        rows.append((str(et), len(slopes), med, imed))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_pairs", "slope_q6_med",
+                       "intercept_q6"]).astype(
+        {"n_pairs": "int64", "slope_q6_med": "int64",
+         "intercept_q6": "int64"})

@@ -5895,3 +5895,33 @@ SELECT doc_id, lang,
        md5(text) AS text_md5
 FROM documents WHERE length(text) BETWEEN 200 AND 280
 """
+
+# Theil-Sen: pairwise trunc-division slopes over the dense grid,
+# lower-median via quantile_disc on both slope and intercept
+DOC_ORACLES["theil_sen_daily"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span)))
+              AS day) d
+  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+slopes AS (
+  SELECT a.event_type,
+         (1000000 * (b.n - a.n)) // (b.day - a.day) AS s
+  FROM grid a JOIN grid b
+    ON b.event_type = a.event_type AND b.day > a.day),
+med AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(quantile_disc(s, 0.5) AS BIGINT) AS slope_q6_med
+  FROM slopes GROUP BY event_type)
+SELECT m.event_type, m.n_pairs, m.slope_q6_med,
+       CAST(quantile_disc(1000000 * g.n - m.slope_q6_med * g.day, 0.5)
+            AS BIGINT) AS intercept_q6
+FROM grid g JOIN med m USING (event_type)
+GROUP BY m.event_type, m.n_pairs, m.slope_q6_med
+"""

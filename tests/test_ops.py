@@ -5514,3 +5514,28 @@ class TestZonemapRead:
             "'%s/documents.parquet') WHERE length(text)"
             " BETWEEN 200 AND 280" % SF).fetchone()[0]
         assert len(got) == want
+
+
+class TestTheilSen:
+    def test_theil_sen_replay_and_trunc_rule(self, ray_session):
+        from kgx.events import dense_daily_counts, theil_sen_daily
+
+        got = theil_sen_daily(SF)
+        dense = dense_daily_counts(SF)
+        for et, g in dense.groupby("event_type"):
+            g = g.sort_values("day")
+            days = g["day"].astype(int).tolist()
+            v = g["n_events"].astype(int).tolist()
+            slopes = []
+            for i in range(len(v)):
+                for j in range(i + 1, len(v)):
+                    num, den = 1000000 * (v[j] - v[i]), days[j] - days[i]
+                    q = abs(num) // den
+                    slopes.append(q if num >= 0 else -q)
+            slopes.sort()
+            med = slopes[(len(slopes) - 1) // 2]
+            r = got[got["event_type"] == et].iloc[0]
+            assert int(r["slope_q6_med"]) == med
+            assert int(r["n_pairs"]) == len(slopes)
+        assert len(got) == 5
+        assert (got["n_pairs"] == got["n_pairs"].iloc[0]).all()
