@@ -1774,3 +1774,70 @@ def theil_sen_daily(sf_dir: str):
                        "intercept_q6"]).astype(
         {"n_pairs": "int64", "slope_q6_med": "int64",
          "intercept_q6": "int64"})
+
+
+def pit_join(sf_dir: str):
+    """(event_id, user_id, version_event_id, age_us) — the POINT-IN-
+    TIME (temporal validity) join: each *purchase* event matched to
+    the SCD2 dimension version (``scd2_intervals`` row of the same
+    user) whose [valid_from, valid_to) interval CONTAINS its
+    timestamp — the "which version of the record was true when this
+    fact happened" join behind every feature-store / ML-leakage-safe
+    training join. Differs from ``events_asof`` (nearest earlier
+    EVENT) in semantics: PIT matches an interval, and a fact at
+    exactly valid_from matches its own opening version (age_us = 0).
+
+    Scale shape: ONE hash(user) co-group of facts with the user's
+    version intervals; inside the bucket one sort + searchsorted
+    probe per fact (O((F+V)·log V) per partition, no interval
+    expansion). The version side here derives from the same event
+    log, so the op is self-contained and the oracle composes the
+    independently-oracled scd2 CTE.
+    """
+    SENTINEL = 4102444800000000
+    nparts = _nparts()
+    ds = _read_events(sf_dir, columns=["user_id", "event_id", "ts",
+                                       "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        tus = ((df["ts"] - pd.Timestamp(0))
+               // pd.Timedelta(microseconds=1)).astype("int64")
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "tus": tus,
+            "is_fact": (df["event_type"] == "purchase").astype("int8"),
+            "bucket": (pd.util.hash_pandas_object(
+                df["user_id"], index=False) % nparts).astype("int32")})
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        df = df.sort_values(["user_id", "tus", "event_id"]) \
+            .reset_index(drop=True)
+        for _, g in df.groupby("user_id", sort=False):
+            starts = g["tus"].to_numpy("int64")
+            vids = g["event_id"].to_numpy("int64")
+            facts = g[g["is_fact"] == 1]
+            if facts.empty:
+                continue
+            ft = facts["tus"].to_numpy("int64")
+            # version = last interval with valid_from <= ts (ties on
+            # equal ts resolve to the LAST of the equal-ts versions,
+            # matching scd2's (ts, event_id) order where earlier
+            # same-ts versions close instantly)
+            idx = np.searchsorted(starts, ft, side="right") - 1
+            out.append(pd.DataFrame({
+                "event_id": facts["event_id"].to_numpy("int64"),
+                "user_id": facts["user_id"].to_numpy("int64"),
+                "version_event_id": vids[idx],
+                "age_us": ft - starts[idx]}))
+        if not out:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "version_event_id": pd.Series([], dtype="int64"),
+                "age_us": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("bucket").map_groups(probe, batch_format="pandas"))

@@ -5925,3 +5925,16 @@ SELECT m.event_type, m.n_pairs, m.slope_q6_med,
 FROM grid g JOIN med m USING (event_type)
 GROUP BY m.event_type, m.n_pairs, m.slope_q6_med
 """
+
+# point-in-time join: composes the independently-oracled scd2 CTE; the
+# [from, to) containment gives exactly one version per fact
+DOC_ORACLES["pit_join"] = (
+    "WITH s AS (" + DOC_ORACLES["scd2_intervals"] + """),
+f AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+  FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, s.event_id AS version_event_id,
+       CAST(f.tus - s.valid_from_us AS BIGINT) AS age_us
+FROM f JOIN s ON s.user_id = f.user_id
+             AND f.tus >= s.valid_from_us AND f.tus < s.valid_to_us
+""")

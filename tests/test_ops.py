@@ -5539,3 +5539,28 @@ class TestTheilSen:
             assert int(r["n_pairs"]) == len(slopes)
         assert len(got) == 5
         assert (got["n_pairs"] == got["n_pairs"].iloc[0]).all()
+
+
+class TestPitJoin:
+    def test_pit_containment_and_self_version(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.events import pit_join, scd2_intervals
+
+        got = pit_join(SF).to_pandas()
+        iv = scd2_intervals(SF).to_pandas().set_index("event_id")
+        ev = pq.read_table("%s/events.parquet" % SF).to_pandas()
+        ev["tus"] = ((ev["ts"] - pd.Timestamp(0))
+                     // pd.Timedelta(microseconds=1)).astype("int64")
+        tus = dict(zip(ev["event_id"].astype(int), ev["tus"]))
+        n_purch = int((ev["event_type"] == "purchase").sum())
+        assert len(got) == n_purch  # exactly one version per fact
+        for r in got.itertuples(index=False):
+            v = iv.loc[int(r.version_event_id)]
+            t = tus[int(r.event_id)]
+            assert v["valid_from_us"] <= t < v["valid_to_us"]
+            assert r.age_us == t - v["valid_from_us"]
+        # a purchase with no earlier same-user event matches ITSELF
+        assert (got["age_us"] >= 0).all()
+        self_matched = got[got["event_id"] == got["version_event_id"]]
+        assert len(self_matched) > 0 and (self_matched["age_us"] == 0).all()
