@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_pruned_read": sources.zonemap_pruned_read,
         "theil_sen_daily": events.theil_sen_daily,
         "pit_join": events.pit_join,
+        "ks_drift": textops.ks_drift,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

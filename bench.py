@@ -206,6 +206,7 @@ def run_queries(sf_dir: str) -> dict:
         "zonemap_pruned_read": lambda: sources.zonemap_pruned_read(sf_dir),
         "theil_sen_daily": lambda: events.theil_sen_daily(sf_dir),
         "pit_join": lambda: events.pit_join(sf_dir),
+        "ks_drift": lambda: textops.ks_drift(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -5938,3 +5938,33 @@ SELECT f.event_id, f.user_id, s.event_id AS version_event_id,
 FROM f JOIN s ON s.user_id = f.user_id
              AND f.tus >= s.valid_from_us AND f.tus < s.valid_to_us
 """)
+
+# exact two-sample KS: denominator-cleared max CDF gap over the
+# bounded length domain; ties broken to the smallest attaining length
+DOC_ORACLES["ks_drift"] = """
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(doc_id || ':psi'), 1, 16))::UBIGINT
+              % 2 AS BIGINT) AS split,
+         length(text) AS v
+  FROM documents),
+tot AS (
+  SELECT sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM s),
+cum AS (
+  SELECT v,
+         sum(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END))
+           OVER (ORDER BY v) AS cum_a,
+         sum(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END))
+           OVER (ORDER BY v) AS cum_b
+  FROM s GROUP BY v),
+gaps AS (
+  SELECT v, abs(cum_a * tot.n_b - cum_b * tot.n_a) AS d
+  FROM cum, tot)
+SELECT CAST(tot.n_a AS BIGINT) AS n_a, CAST(tot.n_b AS BIGINT) AS n_b,
+       CAST((SELECT max(d) FROM gaps) AS BIGINT) AS d_num,
+       CAST(tot.n_a * tot.n_b AS BIGINT) AS d_den,
+       CAST((SELECT min(v) FROM gaps
+             WHERE d = (SELECT max(d) FROM gaps)) AS BIGINT) AS at_value
+FROM tot
+"""

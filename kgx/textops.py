@@ -1944,3 +1944,52 @@ def ntile_buckets(sf_dir: str, tiles: int = 4,
 
     return (ds.map_batches(add_cell, batch_format="pandas")
             .groupby("part").map_groups(windows, batch_format="pandas"))
+
+
+def ks_drift(sf_dir: str):
+    """(n_a, n_b, d_num, d_den, at_value) — EXACT two-sample
+    Kolmogorov–Smirnov statistic between the two md5-parity corpus
+    halves (psi_drift's split) over document length: D = max_x
+    |ECDF_A(x) − ECDF_B(x)| kept exact by clearing denominators —
+    d_num = max_x |cumA(x)·n_b − cumB(x)·n_a|, d_den = n_a·n_b, and
+    ``at_value`` the smallest length attaining the max. KS is the
+    nonparametric drift test PSI's binned score complements: it
+    needs no binning choice and is sensitive anywhere in the CDF.
+
+    Scale shape: one per-batch (split, n_chars) histogram combiner
+    (bounded length domain — the exchange carries histogram cells,
+    never documents), cumulative walk on the output-sized table
+    driver-side in exact integers.
+    """
+    from .traindata import _md5_u64
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sp = np.array([_md5_u64("%d:psi" % d) % 2
+                       for d in df["doc_id"]], dtype="int64")
+        g = (pd.DataFrame({"split": sp,
+                           "n_chars": df["n_chars"].astype("int64")})
+             .groupby(["split", "n_chars"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g.astype({"split": "int64", "n_chars": "int64",
+                         "n": "int64"})
+
+    h = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby(["split", "n_chars"], as_index=False)["n"].sum())
+    piv = (h.pivot_table(index="n_chars", columns="split", values="n",
+                         fill_value=0).sort_index())
+    ca = [int(x) for x in piv.get(0, pd.Series(dtype=int))]
+    cb = [int(x) for x in piv.get(1, pd.Series(dtype=int))]
+    vals = [int(v) for v in piv.index]
+    n_a, n_b = sum(ca), sum(cb)
+    best, at, cum_a, cum_b = -1, -1, 0, 0
+    for v, a, b in zip(vals, ca, cb):
+        cum_a += a
+        cum_b += b
+        d = abs(cum_a * n_b - cum_b * n_a)
+        if d > best:
+            best, at = d, v
+    return pd.DataFrame([(n_a, n_b, best, n_a * n_b, at)],
+                        columns=["n_a", "n_b", "d_num", "d_den",
+                                 "at_value"]).astype("int64")

@@ -5564,3 +5564,31 @@ class TestPitJoin:
         assert (got["age_us"] >= 0).all()
         self_matched = got[got["event_id"] == got["version_event_id"]]
         assert len(self_matched) > 0 and (self_matched["age_us"] == 0).all()
+
+
+class TestKsDrift:
+    def test_ks_matches_ecdf_replay(self, ray_session):
+        import duckdb
+
+        from kgx.textops import ks_drift
+        from kgx.traindata import _md5_u64
+
+        got = ks_drift(SF).iloc[0]
+        docs = duckdb.sql(
+            "SELECT doc_id, length(text) AS v FROM "
+            "read_parquet('%s/documents.parquet')" % SF).df()
+        a = sorted(v for d, v in zip(docs["doc_id"], docs["v"])
+                   if _md5_u64("%d:psi" % d) % 2 == 0)
+        b = sorted(v for d, v in zip(docs["doc_id"], docs["v"])
+                   if _md5_u64("%d:psi" % d) % 2 == 1)
+        na, nb = len(a), len(b)
+        best = 0
+        for x in sorted(set(a) | set(b)):
+            ca = sum(1 for t in a if t <= x)
+            cb = sum(1 for t in b if t <= x)
+            best = max(best, abs(ca * nb - cb * na))
+        assert int(got["d_num"]) == best
+        assert int(got["d_den"]) == na * nb
+        assert int(got["n_a"]) == na and int(got["n_b"]) == nb
+        # same underlying corpus halves → D statistic is small
+        assert best / (na * nb) < 0.2
