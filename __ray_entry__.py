@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import graph_random_walks as _walks
     from kgx.components import sssp_weighted as _sssp
     from kgx.components import luby_mis as _luby_mis
+    from kgx.components import powerlaw_alpha as _powerlaw_alpha
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_daily": events.theil_sen_daily,
         "pit_join": events.pit_join,
         "ks_drift": textops.ks_drift,
+        "powerlaw_alpha": _powerlaw_alpha,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -121,6 +121,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import kg_subtree_sizes as _subtree
     from kgx.components import sssp_weighted as _sssp_weighted
     from kgx.components import luby_mis as _luby_mis
+    from kgx.components import powerlaw_alpha as _powerlaw_alpha
 
     def consume(ds):
         # stream-consume without driver materialization; gated ops may
@@ -207,6 +208,7 @@ def run_queries(sf_dir: str) -> dict:
         "theil_sen_daily": lambda: events.theil_sen_daily(sf_dir),
         "pit_join": lambda: events.pit_join(sf_dir),
         "ks_drift": lambda: textops.ks_drift(sf_dir),
+        "powerlaw_alpha": lambda: _powerlaw_alpha(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -2561,3 +2561,44 @@ def _dedup_nodes(statuses, nparts: int):
             .groupby("bucket").map_groups(
                 lambda df: df.drop_duplicates("node")[["node", "status"]],
                 batch_format="pandas"))
+
+
+def powerlaw_alpha(sf_dir: str, threshold: float = 0.8,
+                   num_partitions: Optional[int] = None):
+    """(n_nodes, s_q6, alpha_q6, d_max) — maximum-likelihood power-law
+    exponent of the near-dup pair graph's degree distribution
+    (Clauset, Shalizi & Newman 2009, eq. 3.1 with d_min = 1):
+    α = 1 + n / Σᵢ ln dᵢ. Heavy-tailed degrees are the standard
+    web/dup-graph diagnostic — α ≲ 2.5 signals hub-dominated
+    duplication (one template swallowing the corpus) vs scattered
+    pair noise. Exactness contract: the sum is quantized PER DISTINCT
+    DEGREE (s_q6 = Σ_d cnt_d · floor(10⁶·ln d) — one shared-libm ln
+    per degree value, integer-weighted, order-independent) and
+    alpha_q6 = 10⁶ + (10¹²·n) // s_q6 in exact integers.
+
+    Scale shape: degrees from the per-batch value_counts combiner +
+    one node-hash exchange (_edge_degrees); the distinct-degree
+    histogram is output-sized and folds driver-side.
+    """
+    import math
+
+    from .dedup import jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas")
+    deg = _edge_degrees(edges, nparts)
+    hist = (deg.map_batches(
+        lambda df: df.groupby("deg", as_index=False).size()
+        .rename(columns={"size": "cnt"}), batch_format="pandas")
+        .to_pandas().groupby("deg")["cnt"].sum())
+    n = int(hist.sum())
+    s_q6 = sum(int(c) * math.floor(1000000.0 * math.log(int(d)))
+               for d, c in hist.items())
+    alpha_q6 = 1000000 + (1000000000000 * n) // s_q6
+    return pd.DataFrame(
+        [(n, s_q6, alpha_q6, int(hist.index.max()))],
+        columns=["n_nodes", "s_q6", "alpha_q6", "d_max"]).astype("int64")

@@ -5968,3 +5968,34 @@ SELECT CAST(tot.n_a AS BIGINT) AS n_a, CAST(tot.n_b AS BIGINT) AS n_b,
              WHERE d = (SELECT max(d) FROM gaps)) AS BIGINT) AS at_value
 FROM tot
 """
+
+# CSN power-law MLE: degrees from the jaccard edge CTE, one shared-libm
+# ln per distinct degree, integer-weighted order-independent sum
+DOC_ORACLES["powerlaw_alpha"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), deg AS (
+  SELECT node, count(*) AS dg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY node
+), h AS (
+  SELECT dg, count(*) AS cnt FROM deg GROUP BY dg
+), agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt * CAST(floor(1000000.0 * ln(CAST(dg AS DOUBLE)))
+                             AS BIGINT)) AS BIGINT) AS s_q6,
+         CAST(max(dg) AS BIGINT) AS d_max
+  FROM h)
+SELECT n AS n_nodes, s_q6,
+       CAST(1000000 + (1000000000000 * CAST(n AS HUGEINT)) // s_q6
+            AS BIGINT) AS alpha_q6,
+       d_max
+FROM agg
+"""

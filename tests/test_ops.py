@@ -5592,3 +5592,23 @@ class TestKsDrift:
         assert int(got["n_a"]) == na and int(got["n_b"]) == nb
         # same underlying corpus halves → D statistic is small
         assert best / (na * nb) < 0.2
+
+
+class TestPowerlawAlpha:
+    def test_alpha_mle_replay(self, ray_session):
+        import math
+
+        from kgx.components import powerlaw_alpha
+        from kgx.dedup import jaccard_pairs
+
+        got = powerlaw_alpha(SF).iloc[0]
+        e = jaccard_pairs(SF).to_pandas()
+        deg = pd.concat([e["doc_id_a"], e["doc_id_b"]]).value_counts()
+        n = len(deg)
+        s = sum(math.floor(1e6 * math.log(int(d))) for d in deg)
+        assert int(got["n_nodes"]) == n
+        assert int(got["s_q6"]) == s
+        assert int(got["alpha_q6"]) == 1000000 + (10**12 * n) // s
+        # exact float alpha within a quantization step
+        alpha = 1 + n / sum(math.log(int(d)) for d in deg)
+        assert abs(int(got["alpha_q6"]) / 1e6 - alpha) < 1e-3
