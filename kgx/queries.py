@@ -5999,3 +5999,60 @@ SELECT n AS n_nodes, s_q6,
        d_max
 FROM agg
 """
+
+# exact silhouette over the kmeans_lloyd clustering: the pairwise sum
+# collapses to cluster sufficient statistics (n·|x|² + Q − 2x·M);
+# fraction order by cross-multiplication, trunc-division quantization
+DOC_ORACLES["silhouette_eval"] = (
+    "WITH km AS MATERIALIZED (SELECT * FROM ("
+    + DOC_ORACLES["kmeans_lloyd"] + """) t),
+v2 AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS j,
+         CAST(floor(1024.0 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)
+           AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+nrm AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS q FROM v2
+  GROUP BY vec_id),
+cs AS MATERIALIZED (
+  SELECT km.cluster, v2.j, CAST(sum(v2.x) AS BIGINT) AS m
+  FROM v2 JOIN km USING (vec_id) GROUP BY 1, 2),
+cn AS MATERIALIZED (
+  SELECT km.cluster, CAST(count(*) AS BIGINT) AS n_c,
+         CAST(sum(nrm.q) AS BIGINT) AS qc
+  FROM km JOIN nrm USING (vec_id) GROUP BY 1),
+dots AS MATERIALIZED (
+  SELECT v2.vec_id, cs.cluster, CAST(sum(v2.x * cs.m) AS BIGINT) AS dot
+  FROM v2 JOIN cs USING (j) GROUP BY 1, 2),
+sic AS MATERIALIZED (
+  SELECT d.vec_id, d.cluster,
+         cn.n_c * nrm.q + cn.qc - 2 * d.dot AS ss, cn.n_c
+  FROM dots d JOIN cn USING (cluster)
+  JOIN nrm ON nrm.vec_id = d.vec_id),
+own AS (
+  SELECT s.vec_id, km.cluster, s.ss AS sa, s.n_c - 1 AS da
+  FROM sic s JOIN km ON km.vec_id = s.vec_id
+                    AND km.cluster = s.cluster),
+cand AS (
+  SELECT s.vec_id, s.cluster, s.ss, s.n_c
+  FROM sic s JOIN km ON km.vec_id = s.vec_id
+                    AND km.cluster <> s.cluster
+  WHERE s.n_c > 0),
+best AS (
+  SELECT c1.vec_id, c1.cluster AS b_cluster, c1.ss AS sb,
+         c1.n_c AS db
+  FROM cand c1 WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.vec_id = c1.vec_id
+      AND (c2.ss * c1.n_c < c1.ss * c2.n_c
+           OR (c2.ss * c1.n_c = c1.ss * c2.n_c
+               AND c2.cluster < c1.cluster))))
+SELECT o.vec_id, o.cluster, b.b_cluster,
+       CAST(CASE WHEN o.da <= 0 THEN 0
+                 WHEN greatest(o.sa * b.db, b.sb * o.da) = 0 THEN 0
+                 ELSE (1000000 * CAST(b.sb * o.da - o.sa * b.db
+                                      AS HUGEINT))
+                      // CAST(greatest(o.sa * b.db, b.sb * o.da)
+                              AS HUGEINT)
+            END AS BIGINT) AS s_q6
+FROM own o JOIN best b USING (vec_id)
+""")

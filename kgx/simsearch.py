@@ -761,16 +761,40 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, rounds: int = 2,
     centroid. Output is the final assignment under the trained
     centroids. Zero data-sized all-to-alls; ``rounds``+1 corpus passes.
     """
-    import ray.data
+    Cf = _lloyd_centroids(sf_dir, k, rounds, scale)
+
+    def final_assign(df: pd.DataFrame) -> pd.DataFrame:
+        vid, Vq = _quantize_batch(df, scale)
+        return pd.DataFrame({
+            "vec_id": pd.Series(vid, dtype="int64"),
+            "cluster": pd.Series(_lloyd_assign(Vq, Cf), dtype="int64")})
+
+    return _bread("%s/embeddings.parquet" % sf_dir,
+                  columns=["vec_id", "embedding"]) \
+        .map_batches(final_assign, batch_format="pandas")
+
+
+def _quantize_batch(df: pd.DataFrame, scale: int):
+    V = np.array(df["embedding"].tolist(), dtype=np.float64)
+    return (df["vec_id"].to_numpy(dtype="int64"),
+            np.floor(float(scale) * V).astype(np.int64))
+
+
+def _lloyd_assign(Vq: np.ndarray, Cm: np.ndarray) -> np.ndarray:
+    d2 = ((Vq * Vq).sum(axis=1)[:, None]
+          - 2 * (Vq @ Cm.T)
+          + (Cm * Cm).sum(axis=1)[None, :])
+    return np.argmin(d2, axis=1).astype(np.int64)  # ties → lowest c
+
+
+def _lloyd_centroids(sf_dir: str, k: int, rounds: int,
+                     scale: int) -> np.ndarray:
+    """The kmeans_lloyd training loop, factored so silhouette_eval can
+    reuse the trained model — arithmetic unchanged (oracle-pinned)."""
 
     def load_batches():
         return _bread("%s/embeddings.parquet" % sf_dir,
-                                     columns=["vec_id", "embedding"])
-
-    def quantize(df: pd.DataFrame):
-        V = np.array(df["embedding"].tolist(), dtype=np.float64)
-        return (df["vec_id"].to_numpy(dtype="int64"),
-                np.floor(float(scale) * V).astype(np.int64))
+                      columns=["vec_id", "embedding"])
 
     # deterministic init: k lowest vec_ids, cluster index by vec_id rank
     import pyarrow.parquet as pq
@@ -784,18 +808,12 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, rounds: int = 2,
         dtype=np.float64)).astype(np.int64)
     d = C.shape[1]
 
-    def assign(Vq: np.ndarray, Cm: np.ndarray) -> np.ndarray:
-        d2 = ((Vq * Vq).sum(axis=1)[:, None]
-              - 2 * (Vq @ Cm.T)
-              + (Cm * Cm).sum(axis=1)[None, :])
-        return np.argmin(d2, axis=1).astype(np.int64)  # ties → lowest c
-
     for _ in range(rounds):
         Cm = C.copy()
 
         def partials(df: pd.DataFrame) -> pd.DataFrame:
-            _, Vq = quantize(df)
-            a = assign(Vq, Cm)
+            _, Vq = _quantize_batch(df, scale)
+            a = _lloyd_assign(Vq, Cm)
             S = np.zeros((k, d), dtype=np.int64)
             np.add.at(S, a, Vq)
             cnt = np.bincount(a, minlength=k).astype(np.int64)
@@ -822,16 +840,7 @@ def kmeans_lloyd(sf_dir: str, k: int = 8, rounds: int = 2,
 
         del Cm
 
-    Cf = C.copy()
-
-    def final_assign(df: pd.DataFrame) -> pd.DataFrame:
-        vid, Vq = quantize(df)
-        return pd.DataFrame({
-            "vec_id": pd.Series(vid, dtype="int64"),
-            "cluster": pd.Series(assign(Vq, Cf), dtype="int64")})
-
-    return load_batches().map_batches(final_assign,
-                                      batch_format="pandas")
+    return C
 
 
 def label_centroids(sf_dir: str, scale: int = 1 << 10):
@@ -1121,3 +1130,100 @@ def mutual_knn(sf_dir: str, k: int = 5,
     return (edges.map_batches(tag, batch_format="pandas")
             .groupby("part").map_groups(keep_mutual,
                                         batch_format="pandas"))
+
+
+def silhouette_eval(sf_dir: str, k: int = 8, rounds: int = 2,
+                    scale: int = 1 << 10):
+    """(vec_id, cluster, b_cluster, s_q6) — EXACT silhouette scores
+    (Rousseeuw 1987, on squared quantized distances) for the
+    kmeans_lloyd clustering: a(i) = mean d² to own-cluster mates,
+    b(i) = min over other clusters of mean d² — s = (b−a)/max(a,b),
+    the standard clustering-quality evaluation. The O(N²) pairwise
+    definition collapses to CLUSTER SUFFICIENT STATISTICS:
+    Σ_{j∈c}‖xᵢ−xⱼ‖² = n_c·‖xᵢ‖² + Q_c − 2·xᵢ·M_c, so after training
+    the whole evaluation is ONE stats-combiner pass plus ONE map-only
+    scoring pass — no pairwise join at any corpus size.
+
+    Exactness: coordinates are kmeans_lloyd's int64 quantization, so
+    every S_c(i) is an exact integer (bounded while N < 2³⁷ at this
+    scale); fraction comparisons cross-multiply, b ties go to the
+    lowest cluster, s_q6 = trunc(10⁶·(b−a)/max(a,b)) mirroring
+    DuckDB's truncating ``//`` on the negative side; singleton
+    clusters score 0 by the standard convention.
+    """
+    C = _lloyd_centroids(sf_dir, k, rounds, scale)
+    d = C.shape[1]
+
+    def load():
+        return _bread("%s/embeddings.parquet" % sf_dir,
+                      columns=["vec_id", "embedding"])
+
+    def stat_partials(df: pd.DataFrame) -> pd.DataFrame:
+        _, Vq = _quantize_batch(df, scale)
+        a = _lloyd_assign(Vq, C)
+        S = np.zeros((k, d), dtype=np.int64)
+        np.add.at(S, a, Vq)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        q = np.zeros(k, dtype=np.int64)
+        np.add.at(q, a, (Vq * Vq).sum(axis=1))
+        cs = np.repeat(np.arange(k, dtype=np.int64), d)
+        js = np.tile(np.arange(d, dtype=np.int64), k)
+        out = pd.DataFrame({"c": cs, "j": js, "s": S.ravel()})
+        extra = pd.DataFrame({
+            "c": np.tile(np.arange(k, dtype=np.int64), 2),
+            "j": np.repeat(np.array([-1, -2], dtype=np.int64), k),
+            "s": np.concatenate([cnt, q])})
+        return pd.concat([out, extra], ignore_index=True)
+
+    agg = (load().map_batches(stat_partials, batch_format="pandas")
+           .to_pandas().groupby(["c", "j"], as_index=False)["s"].sum())
+    n_c = [int(agg[(agg["c"] == c) & (agg["j"] == -1)]["s"].sum())
+           for c in range(k)]
+    q_c = [int(agg[(agg["c"] == c) & (agg["j"] == -2)]["s"].sum())
+           for c in range(k)]
+    M = np.zeros((k, d), dtype=np.int64)
+    sums = agg[agg["j"] >= 0]
+    for c in range(k):
+        row = sums[sums["c"] == c].sort_values("j")["s"]
+        if len(row):
+            M[c] = row.to_numpy("int64")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        vid, Vq = _quantize_batch(df, scale)
+        a = _lloyd_assign(Vq, C)
+        qi = (Vq * Vq).sum(axis=1)
+        dots = Vq @ M.T  # exact while N < 2^37
+        out_b, out_s = np.zeros(len(vid), dtype=np.int64), \
+            np.zeros(len(vid), dtype=np.int64)
+        for i in range(len(vid)):
+            own = int(a[i])
+            sa = int(n_c[own]) * int(qi[i]) + q_c[own] \
+                - 2 * int(dots[i, own])
+            da = n_c[own] - 1
+            bc, sb, db = -1, 0, 0
+            for c in range(k):
+                if c == own or n_c[c] == 0:
+                    continue
+                sc = int(n_c[c]) * int(qi[i]) + q_c[c] \
+                    - 2 * int(dots[i, c])
+                if bc < 0 or sc * db < sb * n_c[c]:
+                    bc, sb, db = c, sc, n_c[c]
+            if da <= 0 or bc < 0:
+                out_b[i], out_s[i] = bc, 0
+                continue
+            bn, an = sb * da, sa * db
+            den = max(an, bn)
+            if den == 0:
+                out_b[i], out_s[i] = bc, 0
+                continue
+            num = bn - an
+            qv = (1000000 * abs(num)) // den
+            out_b[i] = bc
+            out_s[i] = qv if num >= 0 else -qv
+        return pd.DataFrame({
+            "vec_id": pd.Series(vid, dtype="int64"),
+            "cluster": pd.Series(a, dtype="int64"),
+            "b_cluster": pd.Series(out_b, dtype="int64"),
+            "s_q6": pd.Series(out_s, dtype="int64")})
+
+    return load().map_batches(score, batch_format="pandas")

@@ -5612,3 +5612,44 @@ class TestPowerlawAlpha:
         # exact float alpha within a quantization step
         alpha = 1 + n / sum(math.log(int(d)) for d in deg)
         assert abs(int(got["alpha_q6"]) / 1e6 - alpha) < 1e-3
+
+
+class TestSilhouette:
+    def test_silhouette_pairwise_replay(self, ray_session):
+        # the sufficient-statistics shortcut == the O(N²) definition
+        import pyarrow.parquet as pq
+
+        from kgx.simsearch import silhouette_eval
+
+        got = silhouette_eval(SF).to_pandas().sort_values("vec_id") \
+            .reset_index(drop=True)
+        tbl = pq.read_table("%s/embeddings.parquet" % SF).to_pandas()
+        tbl = tbl.sort_values("vec_id").reset_index(drop=True)
+        X = np.floor(1024.0 * np.array(tbl["embedding"].tolist(),
+                                       dtype=np.float64)).astype(np.int64)
+        a = got["cluster"].to_numpy("int64")  # trust assignment (oracled)
+        D2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+        for i in range(0, len(X), 37):  # spot-check a spread of rows
+            own = a[i]
+            mates = np.flatnonzero(a == own)
+            sa = int(D2[i, mates].sum())
+            da = len(mates) - 1
+            best = None
+            for c in sorted(set(a.tolist())):
+                if c == own:
+                    continue
+                rows = np.flatnonzero(a == c)
+                sc, nc = int(D2[i, rows].sum()), len(rows)
+                if best is None or sc * best[2] < best[1] * nc:
+                    best = (c, sc, nc)
+            bc, sb, db = best
+            assert int(got.loc[i, "b_cluster"]) == bc
+            if da <= 0:
+                assert int(got.loc[i, "s_q6"]) == 0
+                continue
+            num, den = sb * da - sa * db, max(sa * db, sb * da)
+            q = (1000000 * abs(num)) // den
+            assert int(got.loc[i, "s_q6"]) == (q if num >= 0 else -q)
+        # a clustering should mostly score positive
+        assert (got["s_q6"] > 0).mean() > 0.5
+        assert got["s_q6"].between(-1000000, 1000000).all()
