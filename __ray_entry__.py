@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": textops.ks_drift,
         "powerlaw_alpha": _powerlaw_alpha,
         "silhouette_eval": simsearch.silhouette_eval,
+        "hrw_assign": traindata.hrw_assign,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -210,6 +210,7 @@ def run_queries(sf_dir: str) -> dict:
         "ks_drift": lambda: textops.ks_drift(sf_dir),
         "powerlaw_alpha": lambda: _powerlaw_alpha(sf_dir),
         "silhouette_eval": lambda: simsearch.silhouette_eval(sf_dir),
+        "hrw_assign": lambda: traindata.hrw_assign(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

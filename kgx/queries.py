@@ -6056,3 +6056,22 @@ SELECT o.vec_id, o.cluster, b.b_cluster,
             END AS BIGINT) AS s_q6
 FROM own o JOIN best b USING (vec_id)
 """)
+
+# rendezvous hashing: per-(doc, shard) md5 weights, argmax via
+# row_number (u64 compare == the engine's uint64 argmax; ties
+# impossible at md5 scale but broken identically by shard)
+DOC_ORACLES["hrw_assign"] = """
+WITH w AS (
+  SELECT doc_id, s AS shard,
+         ('0x' || substr(md5(doc_id || ':shard' || s), 1, 16))::UBIGINT
+           AS h
+  FROM documents, (SELECT unnest(generate_series(0, 7)) AS s)),
+r AS (
+  SELECT doc_id, shard, h,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY h DESC, shard) AS rn
+  FROM w)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(h >> 1 AS BIGINT) AS win_hash
+FROM r WHERE rn = 1
+"""

@@ -2453,3 +2453,33 @@ def wordpiece_encode(sf_dir: str, num_merges: int = 4):
         })
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def hrw_assign(sf_dir: str, n_shards: int = 8):
+    """(doc_id, shard, win_hash) — RENDEZVOUS (highest-random-weight)
+    hashing (Thaler & Ravishankar 1996): each doc goes to the shard
+    maximizing md5(doc_id:shard) — the consistent-hashing assignment
+    behind stable shard/cache/worker placement. Its defining property
+    (pinned by test): removing one shard re-routes ONLY that shard's
+    keys — every other key keeps its placement, unlike mod-N hashing
+    where nearly all keys move.
+
+    Scale shape: map-only, zero exchanges; the per-row argmax is over
+    ``n_shards`` md5 evaluations.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        H = np.array([[_md5_u64("%d:shard%d" % (d, s))
+                       for s in range(n_shards)] for d in ids],
+                     dtype=np.uint64)
+        shard = H.argmax(axis=1).astype("int64")
+        win = H.max(axis=1)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "shard": pd.Series(shard, dtype="int64"),
+            "win_hash": pd.Series([int(x) >> 1 for x in win],
+                                  dtype="int64")})
+
+    return ds.map_batches(assign, batch_format="pandas")

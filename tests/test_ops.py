@@ -5653,3 +5653,26 @@ class TestSilhouette:
         # a clustering should mostly score positive
         assert (got["s_q6"] > 0).mean() > 0.5
         assert got["s_q6"].between(-1000000, 1000000).all()
+
+
+class TestHrwAssign:
+    def test_hrw_stability_under_shard_removal(self, ray_session):
+        from kgx.traindata import _md5_u64, hrw_assign
+
+        got = hrw_assign(SF).to_pandas()
+        # replay + THE property: dropping shard 3 moves only shard-3 keys
+        moved, stayed = 0, 0
+        for doc_id, shard in zip(got["doc_id"].astype(int),
+                                 got["shard"].astype(int)):
+            h = [_md5_u64("%d:shard%d" % (doc_id, s)) for s in range(8)]
+            assert int(np.argmax(h)) == shard
+            h7 = [x for s, x in enumerate(h) if s != 3]
+            new = int(np.argmax(h7))
+            new = new if new < 3 else new + 1
+            if shard == 3:
+                moved += 1
+                assert new != 3
+            else:
+                stayed += 1
+                assert new == shard  # untouched keys never move
+        assert moved > 0 and stayed > 0
