@@ -6075,3 +6075,32 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
        CAST(h >> 1 AS BIGINT) AS win_hash
 FROM r WHERE rn = 1
 """
+
+# leakage-safe grouped K-fold: component = min reachable doc through
+# the near-dup graph (self if isolated), fold from md5 of the label
+DOC_ORACLES["group_kfold"] = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), e AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach AS (
+  SELECT a AS node, b AS r FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+), comp AS (
+  SELECT doc_id,
+         COALESCE((SELECT least(min(r), doc_id) FROM reach
+                   WHERE node = doc_id), doc_id) AS component
+  FROM documents)
+SELECT doc_id, component,
+       CAST(('0x' || substr(md5('fold:' || component), 1, 16))::UBIGINT
+            % 5 AS BIGINT) AS fold
+FROM comp
+"""

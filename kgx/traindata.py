@@ -2483,3 +2483,66 @@ def hrw_assign(sf_dir: str, n_shards: int = 8):
                                   dtype="int64")})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def group_kfold(sf_dir: str, n_folds: int = 5, threshold: float = 0.8,
+                num_partitions: Optional[int] = None):
+    """(doc_id, component, fold) — LEAKAGE-SAFE grouped K-fold
+    assignment: near-duplicate documents (the ``jaccard_pairs``
+    graph's connected components) always land in the SAME fold —
+    fold = md5('fold:' || component_min) % n_folds — so a model
+    evaluated on fold i never saw a near-copy of its eval docs in
+    training (the GroupKFold discipline; random splits leak through
+    duplicates and overstate accuracy). Singleton docs are their own
+    component.
+
+    Scale shape: pairs → distributed union-find (components.py) →
+    one doc-hash bucketed co-group attaching the component label
+    (absent → self), fold derived map-side from md5. Nothing
+    corpus-sized is ever collected on the driver.
+    """
+    import ray
+
+    from kgx.components import connected_components
+    from kgx.dedup import jaccard_pairs
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    docs = _read_documents(sf_dir, columns=["doc_id"])
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas").materialize()
+    comp = connected_components(edges, num_partitions=nparts)
+
+    def tag(side: int, key: str, val: Optional[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "doc_id": df[key].astype("int64"),
+                "component": (df[val].astype("int64") if val
+                              else df[key].astype("int64")),
+                "side": np.int8(side)})
+            out["bucket"] = (pd.util.hash_pandas_object(
+                out["doc_id"], index=False) % nparts).astype("int32")
+            return out
+        return fn
+
+    u = docs.map_batches(tag(0, "doc_id", None),
+                         batch_format="pandas").union(
+        comp.map_batches(tag(1, "node", "component"),
+                         batch_format="pandas"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[df["side"] == 0][["doc_id", "component"]]
+        lab = df[df["side"] == 1][["doc_id", "component"]] \
+            .rename(columns={"component": "lbl"})
+        m = base.merge(lab, on="doc_id", how="left")
+        compv = m["lbl"].fillna(m["component"]).astype("int64")
+        fold = pd.Series([_md5_u64("fold:%d" % c) % n_folds
+                          for c in compv],
+                         dtype="int64", index=m.index)
+        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                             "component": compv, "fold": fold})
+
+    return u.groupby("bucket").map_groups(attach, batch_format="pandas")

@@ -5676,3 +5676,23 @@ class TestHrwAssign:
                 stayed += 1
                 assert new == shard  # untouched keys never move
         assert moved > 0 and stayed > 0
+
+
+class TestGroupKfold:
+    def test_near_dups_share_folds(self, ray_session):
+        from kgx.dedup import jaccard_pairs
+        from kgx.traindata import group_kfold
+
+        got = group_kfold(SF).to_pandas()
+        fold = dict(zip(got["doc_id"].astype(int),
+                        got["fold"].astype(int)))
+        comp = dict(zip(got["doc_id"].astype(int),
+                        got["component"].astype(int)))
+        pairs = jaccard_pairs(SF).to_pandas()
+        assert len(pairs) > 0
+        for a, b in zip(pairs["doc_id_a"].astype(int),
+                        pairs["doc_id_b"].astype(int)):
+            assert comp[a] == comp[b]  # leakage-safety: same group
+            assert fold[a] == fold[b]  # ⇒ same fold
+        assert len(got) == 500
+        assert got["fold"].nunique() == 5  # all folds populated
