@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette_eval": simsearch.silhouette_eval,
         "hrw_assign": traindata.hrw_assign,
         "group_kfold": traindata.group_kfold,
+        "scene_cuts": multimodal.scene_cuts,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

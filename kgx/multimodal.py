@@ -525,3 +525,45 @@ def y4m_frame_stats(sf_dir: str, width: int = 16, height: int = 8,
 
     return ds.map_batches(fn, batch_format="pandas",
                           batch_size=batch_size)
+
+
+def scene_cuts(sf_dir: str, width: int = 16, height: int = 8,
+               thr: int = 4096, batch_size: int = 64):
+    """(doc_id, frame_idx, sad, is_cut) — SHOT-BOUNDARY / scene-cut
+    detection over REAL decoded video: each document's synthesized
+    YUV4MPEG2 stream decodes through the marker-walking
+    ``decode_y4m``, and every consecutive frame pair reduces to its
+    Sum of Absolute Differences (SAD, the classic cut detector);
+    frames whose SAD exceeds ``thr`` (4096 = mean per-pixel delta 32
+    at 16×8) flag a cut. The content-navigation primitive a video
+    curation pipeline runs right after decode — frame deltas, not
+    frame contents, drive clip segmentation.
+
+    Map-only over small batches (the y4m_frame_stats shape); the SQL
+    oracle replays SAD from document bytes because the synthesis is
+    deterministic and the corpus ASCII (codepoint == byte,
+    zero-padded tail).
+    """
+    ds = _bread("%s/documents.parquet" % sf_dir,
+                columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, sads, cuts = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            frames = decode_y4m(encode_y4m(text.encode("utf-8"),
+                                           width, height)) \
+                .astype(np.int64)
+            for f in range(1, frames.shape[0]):
+                sad = int(np.abs(frames[f] - frames[f - 1]).sum())
+                doc_ids.append(int(doc_id))
+                idxs.append(f)
+                sads.append(sad)
+                cuts.append(1 if sad > thr else 0)
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int64"),
+            "sad": pd.Series(sads, dtype="int64"),
+            "is_cut": pd.Series(cuts, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas",
+                          batch_size=batch_size)

@@ -6104,3 +6104,29 @@ SELECT doc_id, component,
             % 5 AS BIGINT) AS fold
 FROM comp
 """
+
+# scene cuts: SAD between consecutive frames replayed from document
+# bytes (frame f pixel p = codepoint at f*128+p+1, zero-padded tail)
+DOC_ORACLES["scene_cuts"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+fr AS (
+  SELECT doc_id, text, n, greatest(1, (n + 127) // 128) AS nf FROM d),
+fs AS (
+  SELECT doc_id, text, n,
+         unnest(generate_series(1, nf - 1)) AS frame_idx
+  FROM fr WHERE nf > 1),
+px AS (
+  SELECT doc_id, frame_idx,
+         abs(CASE WHEN frame_idx * 128 + i <= n
+                  THEN ascii(substr(text, frame_idx * 128 + i, 1))
+                  ELSE 0 END
+             - CASE WHEN (frame_idx - 1) * 128 + i <= n
+                    THEN ascii(substr(text, (frame_idx - 1) * 128 + i, 1))
+                    ELSE 0 END) AS dv
+  FROM fs, (SELECT unnest(generate_series(1, 128)) AS i) s)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sum(dv) AS BIGINT) AS sad,
+       CAST(CASE WHEN sum(dv) > 4096 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_cut
+FROM px GROUP BY doc_id, frame_idx
+"""

@@ -5696,3 +5696,28 @@ class TestGroupKfold:
             assert fold[a] == fold[b]  # ⇒ same fold
         assert len(got) == 500
         assert got["fold"].nunique() == 5  # all folds populated
+
+
+class TestSceneCuts:
+    def test_sad_replay_from_decoded_frames(self, ray_session):
+        import duckdb
+
+        from kgx.multimodal import decode_y4m, encode_y4m, scene_cuts
+
+        got = scene_cuts(SF).to_pandas()
+        docs = duckdb.sql(
+            "SELECT doc_id, text FROM read_parquet("
+            "'%s/documents.parquet') LIMIT 20" % SF).df()
+        for doc_id, text in zip(docs["doc_id"].astype(int),
+                                docs["text"]):
+            fr = decode_y4m(encode_y4m(text.encode())).astype(np.int64)
+            g = got[got["doc_id"] == doc_id].sort_values("frame_idx")
+            assert len(g) == fr.shape[0] - 1
+            for r in g.itertuples(index=False):
+                want = int(np.abs(fr[int(r.frame_idx)]
+                                  - fr[int(r.frame_idx) - 1]).sum())
+                assert int(r.sad) == want
+                assert int(r.is_cut) == (1 if want > 4096 else 0)
+        # both classes present: the detector separates content deltas
+        # (real text) from padding deltas (tail frames)
+        assert 0 < got["is_cut"].mean() < 1
