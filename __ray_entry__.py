@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hrw_assign": traindata.hrw_assign,
         "group_kfold": traindata.group_kfold,
         "scene_cuts": multimodal.scene_cuts,
+        "ams_f2": traindata.ams_f2,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -6130,3 +6130,18 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
          AS is_cut
 FROM px GROUP BY doc_id, frame_idx
 """
+
+# AMS F2 sketch: md5-parity signs make the linear sketch exactly
+# replayable — z_sum per sketch from the token-instance stream
+DOC_ORACLES["ams_f2"] = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+z AS (
+  SELECT s.s AS sketch_id,
+         CAST(sum(CASE WHEN ('0x' || substr(md5(s.s || ':' || tok),
+                                            1, 16))::UBIGINT % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS z_sum
+  FROM toks, (SELECT unnest(generate_series(0, 15)) AS s) s
+  GROUP BY s.s)
+SELECT sketch_id, z_sum, CAST(z_sum * z_sum AS BIGINT) AS z2 FROM z
+"""

@@ -2546,3 +2546,46 @@ def group_kfold(sf_dir: str, n_folds: int = 5, threshold: float = 0.8,
                              "component": compv, "fold": fold})
 
     return u.groupby("bucket").map_groups(attach, batch_format="pandas")
+
+
+def ams_f2(sf_dir: str, n_sketches: int = 16):
+    """(sketch_id, z_sum, z2) — the ALON–MATIAS–SZEGEDY F₂ sketch
+    (STOC 1996): for each of ``n_sketches`` independent ±1 hash
+    functions s, Z_s = Σ_tokens sign_s(tok)·freq(tok); each Z_s² is an
+    unbiased estimate of the second frequency moment Σ f_t² (the
+    token-frequency "self-join size" — skew/heavy-hitter mass that
+    drives join and shuffle cost models). Signs derive from
+    md5(s || ':' || tok) parity, so the sketch — a LINEAR function of
+    the frequency vector — replays exactly in SQL, and the estimate's
+    variance is pinned against the true F₂ by test.
+
+    Scale shape: the sketch is linear ⇒ per-batch partials are just
+    per-sketch signed sums (an ``n_sketches``-cell combiner); zero
+    all-to-alls, driver folds n_batches × n_sketches cells. The
+    textbook mergeable-sketch contract (like HLL's register max,
+    CMS's cell add).
+    """
+    ds = _read_documents(sf_dir, columns=["text"])
+    S = n_sketches
+
+    def partial(df: pd.DataFrame, _signs={}) -> pd.DataFrame:
+        z = np.zeros(S, dtype=np.int64)
+        for text in df["text"]:
+            for tok in text.split(" "):
+                sg = _signs.get(tok)
+                if sg is None:
+                    sg = np.array(
+                        [1 if _md5_u64("%d:%s" % (s, tok)) % 2 == 0
+                         else -1 for s in range(S)], dtype=np.int64)
+                    _signs[tok] = sg
+                z += sg
+        return pd.DataFrame({"sketch_id": np.arange(S, dtype=np.int64),
+                             "z": z})
+
+    agg = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("sketch_id", as_index=False)["z"].sum())
+    z = agg.sort_values("sketch_id")["z"].astype("int64")
+    return pd.DataFrame({
+        "sketch_id": np.arange(S, dtype=np.int64),
+        "z_sum": z.to_numpy(),
+        "z2": (z * z).to_numpy()}).astype("int64")

@@ -5721,3 +5721,21 @@ class TestSceneCuts:
         # both classes present: the detector separates content deltas
         # (real text) from padding deltas (tail frames)
         assert 0 < got["is_cut"].mean() < 1
+
+
+class TestAmsF2:
+    def test_ams_estimates_true_f2(self, ray_session):
+        import duckdb
+
+        from kgx.traindata import ams_f2
+
+        got = ams_f2(SF)
+        assert len(got) == 16
+        assert (got["z2"] == got["z_sum"] ** 2).all()
+        truth = duckdb.sql(
+            "SELECT sum(c * c) FROM (SELECT count(*) AS c FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM "
+            "read_parquet('%s/documents.parquet')) GROUP BY tok)"
+            % SF).fetchone()[0]
+        est = got["z2"].mean()
+        assert abs(est - truth) / truth < 0.5  # 16-sketch variance bound
