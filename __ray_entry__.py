@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_kfold": traindata.group_kfold,
         "scene_cuts": multimodal.scene_cuts,
         "ams_f2": traindata.ams_f2,
+        "classifier_agreement": textops.classifier_agreement,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

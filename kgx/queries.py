@@ -6145,3 +6145,25 @@ z AS (
   GROUP BY s.s)
 SELECT sketch_id, z_sum, CAST(z_sum * z_sum AS BIGINT) AS z2 FROM z
 """
+
+# Cohen's kappa between the heuristic and trained language classifiers:
+# both full prediction chains nested as derived tables, margins joined
+DOC_ORACLES["classifier_agreement"] = (
+    "WITH nb AS MATERIALIZED (SELECT * FROM ("
+    + DOC_ORACLES["naive_bayes_langid"] + """)),
+j AS (SELECT d.lang AS a, nb.nb_pred AS b
+      FROM documents d JOIN nb USING (doc_id)),
+ct AS (SELECT a, b, count(*) AS c FROM j GROUP BY a, b),
+rm AS (SELECT a AS l, sum(c) AS rc FROM ct GROUP BY a),
+cm AS (SELECT b AS l, sum(c) AS cc FROM ct GROUP BY b),
+agg AS (
+  SELECT (SELECT sum(c) FROM ct) AS n,
+         (SELECT COALESCE(sum(c), 0) FROM ct WHERE a = b) AS diag,
+         (SELECT sum(rm.rc * cm.cc)
+          FROM rm JOIN cm USING (l)) AS pe_num)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(diag AS BIGINT) AS n_agree,
+       CAST(pe_num AS BIGINT) AS pe_num,
+       CAST((1000000 * CAST(n * diag - pe_num AS HUGEINT))
+            // CAST(n * n - pe_num AS HUGEINT) AS BIGINT) AS kappa_q6
+FROM agg
+""")

@@ -5739,3 +5739,37 @@ class TestAmsF2:
             % SF).fetchone()[0]
         est = got["z2"].mean()
         assert abs(est - truth) / truth < 0.5  # 16-sketch variance bound
+
+
+class TestClassifierAgreement:
+    def test_kappa_replay_and_chance_exposure(self, ray_session):
+        import duckdb
+
+        from kgx.textops import classifier_agreement
+        from kgx.traindata import naive_bayes_langid
+
+        got = classifier_agreement(SF).iloc[0]
+        a = duckdb.sql(
+            "SELECT doc_id, lang FROM read_parquet("
+            "'%s/documents.parquet')" % SF).df() \
+            .set_index("doc_id")["lang"]
+        b = naive_bayes_langid(SF).to_pandas() \
+            .set_index("doc_id")["nb_pred"]
+        j = pd.DataFrame({"a": a, "b": b}).dropna()
+        n = len(j)
+        diag = int((j["a"] == j["b"]).sum())
+        rm = j["a"].value_counts()
+        cm = j["b"].value_counts()
+        pe = sum(int(rm[l]) * int(cm[l])
+                 for l in set(rm.index) & set(cm.index))
+        assert int(got["n_docs"]) == n
+        assert int(got["n_agree"]) == diag
+        assert int(got["pe_num"]) == pe
+        num, den = 1000000 * (n * diag - pe), n * n - pe
+        q = abs(num) // den
+        assert int(got["kappa_q6"]) == (q if num >= 0 else -q)
+        # the corpus labels are text-independent: raw accuracy looks
+        # "above chance" (33% vs 20% uniform) but kappa exposes the
+        # prior-matching floor — agreement is chance-level
+        assert diag / n > 0.25
+        assert abs(int(got["kappa_q6"])) < 100000  # |kappa| < 0.1
