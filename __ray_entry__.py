@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_cuts": multimodal.scene_cuts,
         "ams_f2": traindata.ams_f2,
         "classifier_agreement": textops.classifier_agreement,
+        "rank_stability": textops.rank_stability,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -6167,3 +6167,41 @@ SELECT CAST(n AS BIGINT) AS n_docs, CAST(diag AS BIGINT) AS n_agree,
             // CAST(n * n - pe_num AS HUGEINT) AS BIGINT) AS kappa_q6
 FROM agg
 """)
+
+# Kendall-tau rank stability of the global top-20 terms between the
+# md5-parity halves; within-half ranks by (count DESC, token)
+DOC_ORACLES["rank_stability"] = """
+WITH toks AS (
+  SELECT CAST(('0x' || substr(md5(doc_id || ':psi'), 1, 16))::UBIGINT
+              % 2 AS BIGINT) AS split,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+counts AS (SELECT split, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+tot AS (SELECT tok, sum(n) AS n FROM counts GROUP BY tok),
+top AS (SELECT tok FROM tot ORDER BY n DESC, tok LIMIT 20),
+ra AS (
+  SELECT top.tok,
+         row_number() OVER (ORDER BY COALESCE(c.n, 0) DESC, top.tok)
+           AS r
+  FROM top LEFT JOIN counts c ON c.tok = top.tok AND c.split = 0),
+rb AS (
+  SELECT top.tok,
+         row_number() OVER (ORDER BY COALESCE(c.n, 0) DESC, top.tok)
+           AS r
+  FROM top LEFT JOIN counts c ON c.tok = top.tok AND c.split = 1),
+pr AS (
+  SELECT (a1.r - a2.r) * (b1.r - b2.r) AS s
+  FROM ra a1 JOIN ra a2 ON a1.tok < a2.tok
+  JOIN rb b1 ON b1.tok = a1.tok
+  JOIN rb b2 ON b2.tok = a2.tok),
+agg AS (
+  SELECT count(*) AS np,
+         sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN s > 0 THEN 0 ELSE 1 END) AS d
+  FROM pr)
+SELECT CAST((SELECT count(*) FROM top) AS BIGINT) AS n_terms,
+       CAST(np AS BIGINT) AS n_pairs, CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       CAST((1000000 * (c - d)) // np AS BIGINT) AS tau_q6
+FROM agg
+"""

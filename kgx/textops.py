@@ -2063,3 +2063,70 @@ def classifier_agreement(sf_dir: str, num_partitions: Optional[int] = None):
         [(n, diag, pe_num, kappa_q6)],
         columns=["n_docs", "n_agree", "pe_num",
                  "kappa_q6"]).astype("int64")
+
+
+def rank_stability(sf_dir: str, k: int = 20):
+    """(n_terms, n_pairs, concordant, discordant, tau_q6) — KENDALL-τ
+    rank stability of the top-``k`` global terms between the two
+    md5-parity corpus halves (psi_drift's split): rank each of the
+    overall-top-k terms by frequency within half A and within half B
+    (ties → term text, a total order), count concordant/discordant
+    term pairs, τ = (C − D)/C(n,2). The rank-churn counterpart of
+    psi/ks value-drift — "did the vocabulary ORDER shift between
+    crawls", exact in integers end to end
+    (tau_q6 = trunc(10⁶·(C−D)/(n·(n−1)/2))).
+
+    Scale shape: one (split, token) value_counts combiner (the
+    exchange carries vocabulary cells); top-k selection and the k²
+    pair sweep fold on the output-sized table driver-side.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        from .traindata import _md5_u64
+
+        sp = pd.Series([_md5_u64("%d:psi" % d) % 2
+                        for d in df["doc_id"]], index=df.index)
+        d = pl.from_pandas(pd.DataFrame({"split": sp,
+                                         "text": df["text"]}))
+        vc = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t")
+              .group_by(["split", "t"]).agg(pl.len().cast(pl.Int64)
+                                            .alias("n")))
+        return vc.rename({"t": "tok"}).to_pandas()
+
+    h = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby(["split", "tok"], as_index=False)["n"].sum())
+    tot = h.groupby("tok")["n"].sum()
+    # top-k by (count DESC, token ASC) — total order both engines share
+    top = [t for _, t in sorted(
+        ((-int(c), t) for t, c in tot.items()))][:k]
+    a = {t: int(h[(h["split"] == 0) & (h["tok"] == t)]["n"].sum())
+         for t in top}
+    b = {t: int(h[(h["split"] == 1) & (h["tok"] == t)]["n"].sum())
+         for t in top}
+    # ranks inside each half by (count DESC, token ASC)
+    ra = {t: i for i, t in enumerate(
+        [t for _, t in sorted(((-a[t], t) for t in top))])}
+    rb = {t: i for i, t in enumerate(
+        [t for _, t in sorted(((-b[t], t) for t in top))])}
+    conc = disc = 0
+    for i, t1 in enumerate(top):
+        for t2 in top[i + 1:]:
+            s1 = ra[t1] - ra[t2]
+            s2 = rb[t1] - rb[t2]
+            if s1 * s2 > 0:
+                conc += 1
+            else:
+                disc += 1
+    n = len(top)
+    pairs = n * (n - 1) // 2
+    num = 1000000 * (conc - disc)
+    q = abs(num) // pairs
+    tau_q6 = q if num >= 0 else -q
+    return pd.DataFrame(
+        [(n, pairs, conc, disc, tau_q6)],
+        columns=["n_terms", "n_pairs", "concordant", "discordant",
+                 "tau_q6"]).astype("int64")

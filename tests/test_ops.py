@@ -5773,3 +5773,22 @@ class TestClassifierAgreement:
         # prior-matching floor — agreement is chance-level
         assert diag / n > 0.25
         assert abs(int(got["kappa_q6"])) < 100000  # |kappa| < 0.1
+
+
+class TestRankStability:
+    def test_tau_identities(self, ray_session):
+        from kgx.textops import rank_stability
+
+        got = rank_stability(SF).iloc[0]
+        n, np_, c, d = (int(got["n_terms"]), int(got["n_pairs"]),
+                        int(got["concordant"]), int(got["discordant"]))
+        assert np_ == n * (n - 1) // 2
+        assert c + d == np_
+        num = 1000000 * (c - d)
+        q = abs(num) // np_
+        assert int(got["tau_q6"]) == (q if num >= 0 else -q)
+        # the templated corpus's near-uniform term counts make the
+        # between-half rank order noise-dominated: tau is honestly
+        # near zero here (0.063 at sf0.001, deterministic) — the
+        # metric *detecting* churn is the point; bounds still hold
+        assert -1000000 <= int(got["tau_q6"]) <= 1000000
