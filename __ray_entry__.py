@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_f2": traindata.ams_f2,
         "classifier_agreement": textops.classifier_agreement,
         "rank_stability": textops.rank_stability,
+        "delta_dedup": sources.delta_dedup,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -6205,3 +6205,25 @@ SELECT CAST((SELECT count(*) FROM top) AS BIGINT) AS n_terms,
        CAST((1000000 * (c - d)) // np AS BIGINT) AS tau_q6
 FROM agg
 """
+
+# incremental delta-vs-base dedup on the first-5-token key: a delta
+# (odd) doc duplicates iff a base (even) doc or an earlier delta doc
+# shares its key; dup_of = the minimum such doc_id
+DOC_ORACLES["delta_dedup"] = """
+WITH k AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS key
+  FROM documents),
+delta AS (SELECT * FROM k WHERE doc_id % 2 = 1),
+cand AS (
+  SELECT d.doc_id, min(o.doc_id) AS dup_of
+  FROM delta d JOIN k o
+    ON o.key = d.key
+   AND (o.doc_id % 2 = 0 OR o.doc_id < d.doc_id)
+  GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN c.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_dup,
+       CAST(COALESCE(c.dup_of, -1) AS BIGINT) AS dup_of
+FROM delta d LEFT JOIN cand c USING (doc_id)
+"""

@@ -464,3 +464,88 @@ def zonemap_pruned_read(sf_dir: str, lo: int = 200, hi: int = 280,
     pruned = ray.data.from_pandas(
         t[["doc_id", "lang", "text"]].reset_index(drop=True))
     return pruned.map_batches(_digest_batch, batch_format="pandas")
+
+
+def delta_dedup(sf_dir: str, num_buckets: int = 16):
+    """(doc_id, is_dup, dup_of) — INCREMENTAL ingestion dedup: the odd
+    doc_ids arrive as today's delta and are checked against a
+    persistent BUCKETED digest index of the already-ingested base
+    (even doc_ids) — the production crawl shape, where yesterday's
+    corpus must never be rescanned to admit today's batch. The dedup
+    key is md5 of the first five tokens (leading-boilerplate /
+    URL-ish identity; exact-text keys are unique on this corpus). A
+    delta doc is a duplicate iff some base doc or an EARLIER delta
+    doc shares its key; dup_of is the minimum such doc_id (−1 when
+    unique).
+
+    Scale shape: the base index is written ONCE, bucketed by
+    key-hash % num_buckets (the bucketed_join layout); each delta
+    batch routes to its key buckets and every bucket task opens ONLY
+    its own base directory — per-delta cost tracks the delta, not
+    the corpus. Within-delta dedup resolves in the same bucket task
+    (same key ⇒ same bucket).
+    """
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from .traindata import _md5_u64
+
+    out = _roundtrip_dir(sf_dir, "deltadedup")
+    marker = os.path.join(out, "_DONE")
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        prefs = [" ".join(t.split(" ")[:5]) for t in df["text"]]
+        keys = [hashlib.md5(p.encode("utf-8")).hexdigest()
+                for p in prefs]
+        # lists, not Series: a filtered df's index would misalign a
+        # fresh RangeIndex Series into NaNs (the typo_pairs lesson)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "key": pd.Series(keys, dtype="object"),
+            "bkt": pd.Series([_md5_u64(k) % num_buckets for k in keys],
+                             dtype="int64")})
+
+    ds = _bread("%s/documents.parquet" % sf_dir,
+                columns=["doc_id", "text"])
+    if not os.path.isfile(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        base = ds.map_batches(
+            lambda df: keyed(df[df["doc_id"] % 2 == 0]),
+            batch_format="pandas")
+        base.write_parquet(os.path.join(out, "base"),
+                           partition_cols=["bkt"])
+        with open(marker, "w") as fp:
+            fp.write("ok")
+
+    delta = ds.map_batches(
+        lambda df: keyed(df[df["doc_id"] % 2 == 1]),
+        batch_format="pandas")
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(df["bkt"].iloc[0])
+        bdir = os.path.join(out, "base", "bkt=%d" % bkt)
+        if os.path.isdir(bdir):
+            base = pq.read_table(bdir).to_pandas()[["doc_id", "key"]]
+        else:
+            base = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "key": pd.Series([], dtype="object")})
+        d = df.sort_values("doc_id").reset_index(drop=True)
+        best: dict = {}
+        for k, i in zip(base["key"], base["doc_id"].astype("int64")):
+            if k not in best or i < best[k]:
+                best[k] = int(i)
+        out_dup, out_of = [], []
+        for k, i in zip(d["key"], d["doc_id"].astype("int64")):
+            hit = best.get(k)
+            out_dup.append(1 if hit is not None else 0)
+            out_of.append(hit if hit is not None else -1)
+            # this delta doc now guards later same-key delta docs
+            if k not in best or i < best[k]:
+                best[k] = int(i)
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].astype("int64"),
+            "is_dup": pd.Series(out_dup, dtype="int64"),
+            "dup_of": pd.Series(out_of, dtype="int64")})
+
+    return delta.groupby("bkt").map_groups(check, batch_format="pandas")

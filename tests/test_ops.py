@@ -5792,3 +5792,41 @@ class TestRankStability:
         # near zero here (0.063 at sf0.001, deterministic) — the
         # metric *detecting* churn is the point; bounds still hold
         assert -1000000 <= int(got["tau_q6"]) <= 1000000
+
+
+class TestDeltaDedup:
+    def test_delta_dedup_replay_and_bucket_isolation(self, ray_session):
+        import os
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from kgx.sources import _roundtrip_dir, delta_dedup
+        from kgx.traindata import _md5_u64
+
+        got = delta_dedup(SF).to_pandas()
+        docs = duckdb.sql(
+            "SELECT doc_id, array_to_string(string_split(text,' ')[1:5],"
+            " ' ') AS key FROM read_parquet('%s/documents.parquet')"
+            % SF).df()
+        key = dict(zip(docs["doc_id"].astype(int), docs["key"]))
+        want = {}
+        for i in sorted(k for k in key if k % 2 == 1):
+            cands = [j for j in key
+                     if key[j] == key[i] and (j % 2 == 0 or j < i)]
+            want[i] = min(cands) if cands else -1
+        got_d = dict(zip(got["doc_id"].astype(int),
+                         got["dup_of"].astype(int)))
+        assert got_d == want
+        assert (got["is_dup"] == (got["dup_of"] >= 0).astype(int)).all()
+        assert got["is_dup"].sum() > 0  # non-vacuous
+        # base bucket isolation: every key hashed to its directory
+        import hashlib
+
+        out = _roundtrip_dir(SF, "deltadedup")
+        for b in range(16):
+            d = os.path.join(out, "base", "bkt=%d" % b)
+            if not os.path.isdir(d):
+                continue
+            ks = pq.read_table(d, columns=["key"]).to_pandas()["key"]
+            assert all(_md5_u64(k) % 16 == b for k in ks)
