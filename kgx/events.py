@@ -1530,7 +1530,7 @@ def rate_limit_replay(sf_dir: str):
 
 
 def session_overlap_pairs(sf_dir: str, gap_minutes: int = _GAP_MINUTES,
-                          cell_hours: int = 24,
+                          cell_hours: int = 1,
                           num_partitions: Optional[int] = None):
     """(user_a, session_a, user_b, session_b, ovl_us) — the cross-user
     INTERVAL OVERLAP JOIN: every pair of sessions from two different

@@ -6227,3 +6227,29 @@ SELECT d.doc_id,
        CAST(COALESCE(c.dup_of, -1) AS BIGINT) AS dup_of
 FROM delta d LEFT JOIN cand c USING (doc_id)
 """
+
+# Bloomjoin pruning ledger: the filter's bits replay exactly from md5,
+# so pass/true/false-positive counts are all oracle-checkable
+DOC_ORACLES["bloom_semijoin"] = """
+WITH seg AS (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+bset AS (
+  SELECT DISTINCT ('0x' || substr(md5(h.h || ':ck' || k), 1, 16))::UBIGINT
+           % 4096 AS bit
+  FROM seg, (SELECT unnest(generate_series(0, 1)) AS h) h),
+o AS (
+  SELECT o_custkey AS ck,
+         (SELECT count(*) FROM (SELECT unnest(generate_series(0, 1)) AS h) h
+          WHERE ('0x' || substr(md5(h.h || ':ck' || o_custkey), 1, 16))::UBIGINT
+                % 4096 IN (SELECT bit FROM bset)) = 2 AS pass,
+         o_custkey IN (SELECT k FROM seg) AS tru
+  FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_bloom,
+       CAST(sum(CASE WHEN pass AND tru THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_match,
+       CAST(sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positive
+FROM o
+"""

@@ -2773,3 +2773,64 @@ def benford_digits(sf_dir: str):
         rows.append((d, n, exp_q6, dev))
     return pd.DataFrame(rows, columns=["digit", "n", "expected_q6",
                                        "dev_ppm"]).astype("int64")
+
+
+def bloom_semijoin(sf_dir: str, segment: str = "BUILDING",
+                   m_bits: int = 4096, n_hashes: int = 2):
+    """(n_orders, n_pass_bloom, n_true_match, n_false_positive) — the
+    BLOOM SEMI-JOIN REDUCTION (Bloomjoin, Mackert & Lohman 1986): the
+    small side (custkeys of the '%(seg)s' market segment) compresses
+    to an ``m_bits``-bit Bloom filter shipped once; the big side
+    (orders) is pruned map-side BEFORE any join shuffle would run —
+    the classic trick that turns a distributed join's all-to-all into
+    a broadcast + a filtered (much smaller) exchange. Emits the exact
+    pruning ledger: bloom-pass count, true matches, and the filter's
+    false positives (counted against the real key set, so the
+    precision of the reduction is itself oracle-checked — Bloom
+    guarantees NO false negatives, pinned by test).
+
+    Scale shape: one dimension-side scan builds the filter (tiny),
+    one map-only pass over orders with a 4-int per-batch combiner;
+    zero all-to-alls.
+    """ % {"seg": segment}
+    import ray
+
+    from .readers import bounded_read_parquet as _bread
+    from .traindata import _bcast_get, _md5_u64
+
+    cust = _bread("%s/customer.parquet" % sf_dir,
+                  columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(int(k) for k, s in zip(cust["c_custkey"],
+                                      cust["c_mktsegment"])
+               if s == segment)
+    bits = np.zeros(m_bits, dtype=bool)
+    for k in keys:
+        for h in range(n_hashes):
+            bits[_md5_u64("%d:ck%d" % (h, k)) % m_bits] = True
+    ref = ray.put((np.packbits(bits), frozenset(keys)))
+
+    orders = _bread("%s/orders.parquet" % sf_dir, columns=["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        packed, true_keys = _bcast_get(ref)
+        b = np.unpackbits(packed).astype(bool)
+        n = len(df)
+        npass = ntrue = nfp = 0
+        for ck in df["o_custkey"].astype("int64"):
+            ck = int(ck)
+            hit = all(b[_md5_u64("%d:ck%d" % (h, ck)) % m_bits]
+                      for h in range(n_hashes))
+            if hit:
+                npass += 1
+                if ck in true_keys:
+                    ntrue += 1
+                else:
+                    nfp += 1
+        return pd.DataFrame([(n, npass, ntrue, nfp)],
+                            columns=["n_orders", "n_pass_bloom",
+                                     "n_true_match",
+                                     "n_false_positive"])
+
+    p = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame([p.sum().tolist()],
+                        columns=list(p.columns)).astype("int64")

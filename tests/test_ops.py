@@ -5830,3 +5830,27 @@ class TestDeltaDedup:
                 continue
             ks = pq.read_table(d, columns=["key"]).to_pandas()["key"]
             assert all(_md5_u64(k) % 16 == b for k in ks)
+
+
+class TestBloomSemijoin:
+    def test_no_false_negatives_and_ledger(self, ray_session):
+        import duckdb
+
+        from kgx.relational import bloom_semijoin
+
+        got = bloom_semijoin(SF).iloc[0]
+        truth = duckdb.sql(
+            "SELECT count(*), sum(CASE WHEN o_custkey IN ("
+            "SELECT c_custkey FROM read_parquet('%s/customer.parquet')"
+            " WHERE c_mktsegment = 'BUILDING') THEN 1 ELSE 0 END)"
+            " FROM read_parquet('%s/orders.parquet')"
+            % (SF, SF)).fetchone()
+        n_orders, n_true = int(truth[0]), int(truth[1])
+        assert int(got["n_orders"]) == n_orders
+        # Bloom guarantee: every true match passes (no false negatives)
+        assert int(got["n_true_match"]) == n_true
+        assert (int(got["n_pass_bloom"])
+                == int(got["n_true_match"])
+                + int(got["n_false_positive"]))
+        # the reduction actually prunes most of the big side
+        assert int(got["n_pass_bloom"]) < n_orders
