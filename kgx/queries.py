@@ -6253,3 +6253,48 @@ SELECT CAST(count(*) AS BIGINT) AS n_orders,
          AS n_false_positive
 FROM o
 """
+
+# merkle range checksums: both snapshots' row checksums summed mod 2^63
+# per (level, key range); FULL OUTER on the cell table, missing side 0
+DOC_ORACLES["merkle_ranges"] = """
+WITH a AS (
+  SELECT doc_id AS k, md5(text) AS h FROM documents),
+b0 AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id || ':mk'), 1, 16))::UBIGINT % 100
+           AS r
+  FROM documents),
+b AS (
+  SELECT doc_id AS k,
+         md5(CASE WHEN r = 1 THEN text || ' v2' ELSE text END) AS h
+  FROM b0 WHERE r <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000, md5('added doc ' || doc_id)
+  FROM b0 WHERE r = 2),
+ca AS (
+  SELECT lvl.level,
+         CASE WHEN lvl.level = 0 THEN k // 8 ELSE k // 64 END
+           AS range_id,
+         CAST(sum(CAST(('0x' || substr(md5(k || ':' || h), 1, 16))
+                       ::UBIGINT % 9223372036854775808 AS HUGEINT))
+              % 9223372036854775808 AS BIGINT) AS ck
+  FROM a, (SELECT unnest([0, 1]) AS level) lvl
+  GROUP BY 1, 2),
+cb AS (
+  SELECT lvl.level,
+         CASE WHEN lvl.level = 0 THEN k // 8 ELSE k // 64 END
+           AS range_id,
+         CAST(sum(CAST(('0x' || substr(md5(k || ':' || h), 1, 16))
+                       ::UBIGINT % 9223372036854775808 AS HUGEINT))
+              % 9223372036854775808 AS BIGINT) AS ck
+  FROM b, (SELECT unnest([0, 1]) AS level) lvl
+  GROUP BY 1, 2)
+SELECT COALESCE(ca.level, cb.level) AS level,
+       COALESCE(ca.range_id, cb.range_id) AS range_id,
+       CAST(COALESCE(ca.ck, 0) AS BIGINT) AS ck_a,
+       CAST(COALESCE(cb.ck, 0) AS BIGINT) AS ck_b,
+       CAST(CASE WHEN COALESCE(ca.ck, 0) <> COALESCE(cb.ck, 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS differs
+FROM ca FULL OUTER JOIN cb
+  ON cb.level = ca.level AND cb.range_id = ca.range_id
+"""

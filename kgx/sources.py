@@ -549,3 +549,77 @@ def delta_dedup(sf_dir: str, num_buckets: int = 16):
             "dup_of": pd.Series(out_of, dtype="int64")})
 
     return delta.groupby("bkt").map_groups(check, batch_format="pandas")
+
+
+def merkle_ranges(sf_dir: str, leaf_width: int = 8, fanout: int = 8):
+    """(level, range_id, ck_a, ck_b, differs) — MERKLE RANGE-TREE set
+    reconciliation (the Dynamo/Cassandra anti-entropy drill-down):
+    both snapshots (A = documents; B = table_cdc_diff's derived
+    delete/edit/insert snapshot) reduce to order-independent
+    checksums per doc_id key range — leaves of ``leaf_width`` keys,
+    parents of ``fanout`` leaves — and two replicas reconcile by
+    comparing log-many checksums top-down, transferring rows only for
+    leaf ranges that actually differ. Unchanged ranges are provably
+    never flagged (checksums are functions of the row set; pinned by
+    test against the row-level CDC truth).
+
+    Scale shape: map-only — per-batch (level, range, side) partial
+    sums of md5-u64 row checksums mod 2⁶³ (the table_checksums
+    algebra), folded driver-side over the output-sized cell table;
+    zero all-to-alls.
+    """
+    import hashlib
+
+    from .traindata import _md5_u64
+
+    M = 1 << 63
+    docs = _bread("%s/documents.parquet" % sf_dir,
+                  columns=["doc_id", "text"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []  # (level, range, side, partial)
+        acc: dict = {}
+
+        def add(k: int, h: str, side: int):
+            c = _md5_u64("%d:%s" % (k, h)) % M
+            leaf = k // leaf_width
+            for level, rid in ((0, leaf), (1, leaf // fanout)):
+                key = (level, rid, side)
+                acc[key] = (acc.get(key, 0) + c) % M
+
+        for d, t in zip(df["doc_id"].astype("int64"),
+                        df["text"].astype(str)):
+            d = int(d)
+            h_a = hashlib.md5(t.encode("utf-8")).hexdigest()
+            add(d, h_a, 0)
+            r = _md5_u64("%d:mk" % d) % 100
+            if r == 0:
+                pass  # deleted in B
+            elif r == 1:
+                add(d, hashlib.md5((t + " v2").encode("utf-8"))
+                    .hexdigest(), 1)
+            else:
+                add(d, h_a, 1)
+            if r == 2:
+                add(d + 1_000_000_000,
+                    hashlib.md5(("added doc %d" % d).encode("utf-8"))
+                    .hexdigest(), 1)
+        out = pd.DataFrame(
+            [(lv, rid, sd, pc) for (lv, rid, sd), pc in acc.items()],
+            columns=["level", "range_id", "side", "partial"])
+        return out.astype("int64")
+
+    cell = (docs.map_batches(cells, batch_format="pandas").to_pandas()
+            .groupby(["level", "range_id", "side"])["partial"]
+            .apply(lambda s: int(sum(int(x) for x in s) % M))
+            .reset_index())
+    piv = cell.pivot_table(index=["level", "range_id"],
+                           columns="side", values="partial",
+                           fill_value=0, aggfunc="first").reset_index()
+    ck_a = piv.get(0, pd.Series(0, index=piv.index)).astype("int64")
+    ck_b = piv.get(1, pd.Series(0, index=piv.index)).astype("int64")
+    return pd.DataFrame({
+        "level": piv["level"].astype("int64"),
+        "range_id": piv["range_id"].astype("int64"),
+        "ck_a": ck_a, "ck_b": ck_b,
+        "differs": (ck_a != ck_b).astype("int64")})

@@ -5854,3 +5854,36 @@ class TestBloomSemijoin:
                 + int(got["n_false_positive"]))
         # the reduction actually prunes most of the big side
         assert int(got["n_pass_bloom"]) < n_orders
+
+
+class TestMerkleRanges:
+    def test_drilldown_consistent_with_cdc_truth(self, ray_session):
+        from kgx.sources import merkle_ranges
+        from kgx.traindata import _md5_u64
+
+        got = merkle_ranges(SF)
+        # true changed key set under the sparse :mk rule
+        changed_keys = set()
+        for d in range(500):
+            r = _md5_u64("%d:mk" % d) % 100
+            if r in (0, 1):
+                changed_keys.add(d)
+            if r == 2:
+                changed_keys.add(d + 1_000_000_000)
+        changed_leaves = {k // 8 for k in changed_keys}
+        leaves = got[got["level"] == 0]
+        flagged = set(leaves.loc[leaves["differs"] == 1, "range_id"]
+                      .astype(int))
+        # no false positives: an unflagged leaf contains no change
+        for rid in set(leaves["range_id"].astype(int)) - flagged:
+            assert rid not in changed_leaves
+        # and every flagged leaf really contains a change
+        assert flagged == changed_leaves
+        # drill-down: every differing leaf's parent differs
+        parents = got[got["level"] == 1]
+        pdiff = set(parents.loc[parents["differs"] == 1, "range_id"]
+                    .astype(int))
+        assert {r // 8 for r in flagged} == pdiff
+        assert len(pdiff) < len(parents)  # parents prune the drill-down
+        # reconciliation transfers a fraction of the ranges
+        assert 0 < len(flagged) < len(leaves)
