@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_dedup": sources.delta_dedup,
         "bloom_semijoin": relational.bloom_semijoin,
         "merkle_ranges": sources.merkle_ranges,
+        "mann_kendall": events.mann_kendall,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

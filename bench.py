@@ -219,6 +219,7 @@ def run_queries(sf_dir: str) -> dict:
         "delta_dedup": lambda: sources.delta_dedup(sf_dir),
         "bloom_semijoin": lambda: relational.bloom_semijoin(sf_dir),
         "merkle_ranges": lambda: sources.merkle_ranges(sf_dir),
+        "mann_kendall": lambda: events.mann_kendall(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -1841,3 +1841,38 @@ def pit_join(sf_dir: str):
 
     return (ds.map_batches(tag, batch_format="pandas")
             .groupby("bucket").map_groups(probe, batch_format="pandas"))
+
+
+def mann_kendall(sf_dir: str):
+    """(event_type, n_days, s_stat, var18) — the MANN–KENDALL trend
+    TEST over each type's dense daily series: S = Σ_{i<j}
+    sign(n_j − n_i) (positive ⇒ rising trend), with the tie-corrected
+    variance kept exact as var18 = 18·Var(S) = n(n−1)(2n+5) −
+    Σ_ties t(t−1)(2t+5). The significance companion of
+    ``theil_sen_daily``'s slope estimate — z = S/√(Var) divides out
+    downstream; everything emitted is an exact integer.
+
+    Scale shape: inherits dense_daily_counts' combiner; the pair
+    sweep and tie histogram fold on the output-sized dense frame
+    driver-side.
+    """
+    dense = dense_daily_counts(sf_dir)
+    rows = []
+    for et, g in dense.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        v = [int(x) for x in g["n_events"]]
+        n = len(v)
+        s = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = v[j] - v[i]
+                s += (d > 0) - (d < 0)
+        ties = pd.Series(v).value_counts()
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            int(t) * (int(t) - 1) * (2 * int(t) + 5)
+            for t in ties if int(t) > 1)
+        rows.append((str(et), n, s, var18))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_days", "s_stat",
+                       "var18"]).astype(
+        {"n_days": "int64", "s_stat": "int64", "var18": "int64"})

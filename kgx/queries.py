@@ -6298,3 +6298,39 @@ SELECT COALESCE(ca.level, cb.level) AS level,
 FROM ca FULL OUTER JOIN cb
   ON cb.level = ca.level AND cb.range_id = ca.range_id
 """
+
+# Mann-Kendall S + tie-corrected 18*Var(S) over the dense grid
+DOC_ORACLES["mann_kendall"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span)))
+              AS day) d
+  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+s AS (
+  SELECT a.event_type,
+         sum(CASE WHEN b.n > a.n THEN 1
+                  WHEN b.n < a.n THEN -1 ELSE 0 END) AS s_stat
+  FROM grid a JOIN grid b
+    ON b.event_type = a.event_type AND b.day > a.day
+  GROUP BY a.event_type),
+nd AS (SELECT event_type, count(*) AS n FROM grid GROUP BY event_type),
+ties AS (
+  SELECT event_type,
+         COALESCE(sum(CASE WHEN t > 1
+                           THEN t * (t - 1) * (2 * t + 5)
+                           ELSE 0 END), 0) AS corr
+  FROM (SELECT event_type, n AS val, count(*) AS t FROM grid
+        GROUP BY event_type, n)
+  GROUP BY event_type)
+SELECT s.event_type, CAST(nd.n AS BIGINT) AS n_days,
+       CAST(s.s_stat AS BIGINT) AS s_stat,
+       CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.corr AS BIGINT)
+         AS var18
+FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
+"""

@@ -5887,3 +5887,22 @@ class TestMerkleRanges:
         assert len(pdiff) < len(parents)  # parents prune the drill-down
         # reconciliation transfers a fraction of the ranges
         assert 0 < len(flagged) < len(leaves)
+
+
+class TestMannKendall:
+    def test_mk_replay_and_kendall_consistency(self, ray_session):
+        from kgx.events import dense_daily_counts, mann_kendall
+
+        got = mann_kendall(SF)
+        dense = dense_daily_counts(SF)
+        for et, g in dense.groupby("event_type"):
+            v = [int(x) for x in g.sort_values("day")["n_events"]]
+            n = len(v)
+            s = sum((v[j] > v[i]) - (v[j] < v[i])
+                    for i in range(n) for j in range(i + 1, n))
+            r = got[got["event_type"] == et].iloc[0]
+            assert int(r["s_stat"]) == s
+            assert int(r["n_days"]) == n
+            # |S| bounded by untied pair count; var positive
+            assert abs(s) <= n * (n - 1) // 2
+            assert int(r["var18"]) > 0
