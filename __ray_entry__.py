@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import sssp_weighted as _sssp
     from kgx.components import luby_mis as _luby_mis
     from kgx.components import powerlaw_alpha as _powerlaw_alpha
+    from kgx.components import diameter_estimate as _diameter_estimate
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": relational.bloom_semijoin,
         "merkle_ranges": sources.merkle_ranges,
         "mann_kendall": events.mann_kendall,
+        "diameter_estimate": _diameter_estimate,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -122,6 +122,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import sssp_weighted as _sssp_weighted
     from kgx.components import luby_mis as _luby_mis
     from kgx.components import powerlaw_alpha as _powerlaw_alpha
+    from kgx.components import diameter_estimate as _diameter_estimate
 
     def consume(ds):
         # stream-consume without driver materialization; gated ops may
@@ -220,6 +221,7 @@ def run_queries(sf_dir: str) -> dict:
         "bloom_semijoin": lambda: relational.bloom_semijoin(sf_dir),
         "merkle_ranges": lambda: sources.merkle_ranges(sf_dir),
         "mann_kendall": lambda: events.mann_kendall(sf_dir),
+        "diameter_estimate": lambda: _diameter_estimate(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

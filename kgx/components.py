@@ -2602,3 +2602,53 @@ def powerlaw_alpha(sf_dir: str, threshold: float = 0.8,
     return pd.DataFrame(
         [(n, s_q6, alpha_q6, int(hist.index.max()))],
         columns=["n_nodes", "s_q6", "alpha_q6", "d_max"]).astype("int64")
+
+
+def diameter_estimate(sf_dir: str, k: int = 5,
+                      small_graph_threshold: int = 2_000_000):
+    """(start_node, sweep1_ecc, far_node, sweep2_ecc) — DOUBLE-SWEEP
+    diameter lower bound (Magnien, Latapy & Habib, JEA 2009) of the
+    symmetrized exact k-NN graph: BFS from the minimum vec_id, hop to
+    the farthest reached node (ties → min id), BFS again from there —
+    the second eccentricity is the classical tight diameter estimate
+    at two traversals' cost (exact diameter is all-pairs). The
+    graph-metrology op (how many hops wide is the semantic graph)
+    every embedding-space diagnostic starts with.
+
+    Scale shape: two ``bfs_levels`` traversals (level-synchronous,
+    frontier-only shuffles; single-task gate under the threshold)
+    over knn_graph's independently-oracled edge set; only eccentricity
+    scalars leave the second sweep.
+    """
+    import pyarrow.parquet as pq_
+
+    from .simsearch import knn_graph
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([
+            pd.DataFrame({"src": df["vec_id"].astype("int64"),
+                          "dst": df["neighbor_id"].astype("int64")}),
+            pd.DataFrame({"src": df["neighbor_id"].astype("int64"),
+                          "dst": df["vec_id"].astype("int64")})],
+            ignore_index=True)
+
+    edges = knn_graph(sf_dir, k=k).map_batches(
+        sym, batch_format="pandas").materialize()
+    ids = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                         columns=["vec_id"]).column("vec_id").to_pylist()
+    start = min(int(v) for v in ids)
+
+    d1 = bfs_levels(edges, [start],
+                    small_graph_threshold=small_graph_threshold)
+    d1 = d1.to_pandas() if hasattr(d1, "to_pandas") else d1
+    ecc1 = int(d1["dist"].max())
+    far = int(d1.loc[d1["dist"] == ecc1, "node"].min())
+
+    d2 = bfs_levels(edges, [far],
+                    small_graph_threshold=small_graph_threshold)
+    d2 = d2.to_pandas() if hasattr(d2, "to_pandas") else d2
+    ecc2 = int(d2["dist"].max())
+    return pd.DataFrame(
+        [(start, ecc1, far, ecc2)],
+        columns=["start_node", "sweep1_ecc", "far_node",
+                 "sweep2_ecc"]).astype("int64")

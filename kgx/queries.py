@@ -6334,3 +6334,39 @@ SELECT s.event_type, CAST(nd.n AS BIGINT) AS n_days,
          AS var18
 FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
 """
+
+# double-sweep diameter bound: two bounded min-hop walks over the
+# symmetrized exact k-NN edges; far node = min id at max first-sweep
+# eccentricity
+DOC_ORACLES["diameter_estimate"] = """
+WITH RECURSIVE s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),
+r AS (
+  SELECT vid, nid,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY sim DESC, nid) AS rk
+  FROM s),
+e AS (
+  SELECT vid AS a, nid AS b FROM r WHERE rk <= 5
+  UNION
+  SELECT nid AS a, vid AS b FROM r WHERE rk <= 5),
+w1 AS (
+  SELECT (SELECT min(vec_id) FROM embeddings) AS node, 0 AS d
+  UNION
+  SELECT e.b, w.d + 1 FROM w1 w JOIN e ON e.a = w.node WHERE w.d < 16),
+d1 AS (SELECT node, min(d) AS d FROM w1 GROUP BY node),
+ecc1 AS (SELECT max(d) AS v FROM d1),
+far AS (SELECT min(node) AS v FROM d1 WHERE d = (SELECT v FROM ecc1)),
+w2 AS (
+  SELECT (SELECT v FROM far) AS node, 0 AS d
+  UNION
+  SELECT e.b, w.d + 1 FROM w2 w JOIN e ON e.a = w.node WHERE w.d < 16),
+d2 AS (SELECT node, min(d) AS d FROM w2 GROUP BY node)
+SELECT CAST((SELECT min(vec_id) FROM embeddings) AS BIGINT)
+         AS start_node,
+       CAST((SELECT v FROM ecc1) AS BIGINT) AS sweep1_ecc,
+       CAST((SELECT v FROM far) AS BIGINT) AS far_node,
+       CAST((SELECT max(d) FROM d2) AS BIGINT) AS sweep2_ecc
+"""

@@ -5906,3 +5906,40 @@ class TestMannKendall:
             # |S| bounded by untied pair count; var positive
             assert abs(s) <= n * (n - 1) // 2
             assert int(r["var18"]) > 0
+
+
+class TestDiameterEstimate:
+    def test_double_sweep_bound_properties(self, ray_session):
+        from collections import deque
+
+        from kgx.components import diameter_estimate
+        from kgx.simsearch import knn_graph
+
+        got = diameter_estimate(SF).iloc[0]
+        e = knn_graph(SF).to_pandas()
+        adj: dict = {}
+        for a, b in zip(e["vec_id"].astype(int),
+                        e["neighbor_id"].astype(int)):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+        def bfs(src):
+            dist = {src: 0}
+            dq = deque([src])
+            while dq:
+                u = dq.popleft()
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        dq.append(v)
+            return dist
+
+        d1 = bfs(int(got["start_node"]))
+        assert int(got["sweep1_ecc"]) == max(d1.values())
+        far = min(n for n, d in d1.items()
+                  if d == int(got["sweep1_ecc"]))
+        assert int(got["far_node"]) == far
+        d2 = bfs(far)
+        assert int(got["sweep2_ecc"]) == max(d2.values())
+        # the second sweep's eccentricity is the better (>=) bound
+        assert int(got["sweep2_ecc"]) >= int(got["sweep1_ecc"])
