@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merkle_ranges": sources.merkle_ranges,
         "mann_kendall": events.mann_kendall,
         "diameter_estimate": _diameter_estimate,
+        "dbscan_clusters": dedup.dbscan_clusters,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

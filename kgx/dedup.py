@@ -1868,3 +1868,177 @@ def snm_pairs(sf_dir: str, window: int = 5,
             .map_groups(rank_and_halo, batch_format="pandas")
             .groupby("part").map_groups(window_pairs,
                                         batch_format="pandas"))
+
+
+def _attach_flag(rows, flags, key: str, out_col: str, nparts: int,
+                 fill: int = 0):
+    """Dataset[rows] ⟕ Dataset[(node, flag)] on ``key`` → rows +
+    ``out_col`` (``fill`` when absent) — a schema-preserving bucketed
+    left join (the luby_mis union-tag pattern)."""
+    cols = [c for c in rows.schema().names]
+
+    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__side"] = np.int8(0)
+        out["__flag"] = np.int64(0)
+        out["__bucket"] = (pd.util.hash_pandas_object(
+            out[key], index=False) % nparts).astype("int32")
+        return out
+
+    def tag_flags(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: np.int64(0) for c in cols},
+                           index=df.index)
+        out[key] = df["node"].astype("int64")
+        out["__side"] = np.int8(1)
+        out["__flag"] = df["flag"].astype("int64")
+        out["__bucket"] = (pd.util.hash_pandas_object(
+            out[key], index=False) % nparts).astype("int32")
+        return out
+
+    u = rows.map_batches(tag_rows, batch_format="pandas").union(
+        flags.map_batches(tag_flags, batch_format="pandas"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == 0][cols]
+        f = (df[df["__side"] == 1][[key, "__flag"]]
+             .groupby(key, as_index=False)["__flag"].max())
+        m = lhs.merge(f, on=key, how="left")
+        m[out_col] = m["__flag"].fillna(fill).astype("int64")
+        return m[cols + [out_col]]
+
+    return u.groupby("__bucket").map_groups(merge,
+                                            batch_format="pandas")
+
+
+def dbscan_clusters(sf_dir: str, threshold: float = 0.35,
+                    min_pts: int = 3,
+                    num_partitions: Optional[int] = None):
+    """(vec_id, role, cluster) — DBSCAN density clustering (Ester et
+    al. KDD 1996, the test-of-time clustering that needs no k and
+    calls sparse points noise): eps-neighbors = exact cosine ≥
+    ``threshold`` pairs (``embedding_near_dup``'s block-grid join),
+    CORE points have ≥ ``min_pts`` neighbors (role 1, clustered as
+    connected components of core–core edges, label = min core id),
+    BORDER points are non-core with a core neighbor (role 2, joined
+    to the minimum neighboring core label — the deterministic
+    tie rule), everything else is NOISE (role 0, cluster −1).
+
+    Scale shape: one degree exchange (value_counts combiner), two
+    schema-preserving flag attaches onto the pair list, the
+    union-find component loop over core–core edges, one label
+    attach for borders, and a final doc-hash co-group unioning roles
+    over all vectors. Every stage is the bucketed fixed-width-row
+    machinery the graph ops share; the pair list (the only data-sized
+    table) is bounded by the eps-join output.
+    """
+    import ray
+
+    from .components import _edge_degrees, connected_components
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    pairs = embedding_near_dup(sf_dir, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["vec_id_a"].astype("int64"),
+                                 "b": df["vec_id_b"].astype("int64")}),
+        batch_format="pandas").materialize()
+    deg = _edge_degrees(edges, nparts)
+    core = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "flag": (df["deg"] >= min_pts).astype("int64")}),
+        batch_format="pandas")
+
+    e1 = _attach_flag(edges, core, "a", "fa", nparts)
+    e2 = _attach_flag(e1, core, "b", "fb", nparts).materialize()
+
+    cc_edges = e2.map_batches(
+        lambda df: df[(df["fa"] == 1) & (df["fb"] == 1)][["a", "b"]],
+        batch_format="pandas")
+    comp = connected_components(cc_edges, num_partitions=nparts)
+    labels = comp.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "flag": df["component"].astype("int64")}),
+        batch_format="pandas")
+    # isolated cores (no core neighbour) are their own cluster — they
+    # don't appear in cc_edges, so default label = self (attached last)
+
+    # border candidates: one core endpoint; rows (noncore, corenode)
+    bc = e2.map_batches(
+        lambda df: pd.concat([
+            df[(df["fa"] == 1) & (df["fb"] == 0)].rename(
+                columns={"b": "nc", "a": "cr"})[["nc", "cr"]],
+            df[(df["fb"] == 1) & (df["fa"] == 0)].rename(
+                columns={"a": "nc", "b": "cr"})[["nc", "cr"]]],
+            ignore_index=True),
+        batch_format="pandas")
+    bl = _attach_flag(bc, labels, "cr", "lbl", nparts, fill=-1)
+    # an isolated core (no core neighbour) never entered cc_edges: its
+    # cluster label is itself — resolve the -1 fill to the core id
+    bl = bl.map_batches(
+        lambda df: df.assign(lbl=np.where(df["lbl"] < 0, df["cr"],
+                                          df["lbl"]).astype("int64")),
+        batch_format="pandas")
+
+    import pyarrow.parquet as pq_
+    all_ids = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                             columns=["vec_id"]).column("vec_id") \
+        .to_pylist()
+    base = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": pd.Series(sorted(all_ids), dtype="int64")}))
+
+    def tag(side: int, cols_fn):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = cols_fn(df)
+            out["side"] = np.int8(side)
+            out["bucket"] = (pd.util.hash_pandas_object(
+                out["vec_id"], index=False) % nparts).astype("int32")
+            return out
+        return fn
+
+    u = base.map_batches(
+        tag(0, lambda df: pd.DataFrame(
+            {"vec_id": df["vec_id"].astype("int64"),
+             "val": np.int64(0)})), batch_format="pandas") \
+        .union(core.map_batches(
+            tag(1, lambda df: pd.DataFrame(
+                {"vec_id": df["node"].astype("int64"),
+                 "val": df["flag"].astype("int64")})),
+            batch_format="pandas")) \
+        .union(labels.map_batches(
+            tag(2, lambda df: pd.DataFrame(
+                {"vec_id": df["node"].astype("int64"),
+                 "val": df["flag"].astype("int64")})),
+            batch_format="pandas")) \
+        .union(bl.map_batches(
+            tag(3, lambda df: pd.DataFrame(
+                {"vec_id": df["nc"].astype("int64"),
+                 "val": df["lbl"].astype("int64")})),
+            batch_format="pandas"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[df["side"] == 0][["vec_id"]].drop_duplicates()
+        isc = df[(df["side"] == 1) & (df["val"] == 1)]["vec_id"]
+        lab = df[df["side"] == 2].groupby("vec_id")["val"].min()
+        bmin = df[df["side"] == 3].groupby("vec_id")["val"].min()
+        roles, clusters = [], []
+        core_set = set(isc.astype(int))
+        for v in ids["vec_id"].astype(int):
+            if v in core_set:
+                roles.append(1)
+                clusters.append(int(lab.get(v, v)))  # isolated → self
+            elif v in bmin.index:
+                roles.append(2)
+                clusters.append(int(bmin[v]))
+            else:
+                roles.append(0)
+                clusters.append(-1)
+        return pd.DataFrame({
+            "vec_id": ids["vec_id"].astype("int64").to_numpy(),
+            "role": pd.Series(roles, dtype="int64").to_numpy(),
+            "cluster": pd.Series(clusters, dtype="int64").to_numpy()})
+
+    return u.groupby("bucket").map_groups(finalize,
+                                          batch_format="pandas")

@@ -6370,3 +6370,43 @@ SELECT CAST((SELECT min(vec_id) FROM embeddings) AS BIGINT)
        CAST((SELECT v FROM far) AS BIGINT) AS far_node,
        CAST((SELECT max(d) FROM d2) AS BIGINT) AS sweep2_ecc
 """
+
+# DBSCAN: eps-pairs (exact cosine join), degree >= min_pts cores,
+# core-core reachability labels (min reachable core), borders to the
+# min neighbouring core label, everything else noise
+DOC_ORACLES["dbscan_clusters"] = """
+WITH RECURSIVE e AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+adjn AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT node, count(*) AS dg FROM adjn GROUP BY node),
+core AS (SELECT node FROM deg WHERE dg >= 3),
+cce AS (
+  SELECT e.a, e.b FROM e
+  JOIN core ca ON ca.node = e.a JOIN core cb ON cb.node = e.b),
+cadj AS (SELECT a AS x, b AS y FROM cce UNION SELECT b, a FROM cce),
+reach AS (
+  SELECT x AS node, y AS r FROM cadj
+  UNION
+  SELECT reach.node, cadj.y FROM reach JOIN cadj ON cadj.x = reach.r),
+lab AS (
+  SELECT c.node, least(c.node, COALESCE(min(r.r), c.node)) AS lbl
+  FROM core c LEFT JOIN reach r ON r.node = c.node
+  GROUP BY c.node),
+border AS (
+  SELECT adjn.node AS nc, min(lab.lbl) AS lbl
+  FROM adjn JOIN core ON core.node = adjn.nbr
+  JOIN lab ON lab.node = adjn.nbr
+  WHERE adjn.node NOT IN (SELECT node FROM core)
+  GROUP BY adjn.node)
+SELECT em.vec_id,
+       CAST(CASE WHEN l.lbl IS NOT NULL THEN 1
+                 WHEN b2.lbl IS NOT NULL THEN 2
+                 ELSE 0 END AS BIGINT) AS role,
+       CAST(COALESCE(l.lbl, b2.lbl, -1) AS BIGINT) AS cluster
+FROM embeddings em
+LEFT JOIN lab l ON l.node = em.vec_id
+LEFT JOIN border b2 ON b2.nc = em.vec_id
+"""

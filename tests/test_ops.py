@@ -5943,3 +5943,43 @@ class TestDiameterEstimate:
         assert int(got["sweep2_ecc"]) == max(d2.values())
         # the second sweep's eccentricity is the better (>=) bound
         assert int(got["sweep2_ecc"]) >= int(got["sweep1_ecc"])
+
+
+class TestDbscan:
+    def test_dbscan_invariants(self, ray_session):
+        from kgx.dedup import dbscan_clusters, embedding_near_dup
+
+        got = dbscan_clusters(SF).to_pandas()
+        pairs = embedding_near_dup(SF, threshold=0.35).to_pandas()
+        deg: dict = {}
+        adj: dict = {}
+        for a, b in zip(pairs["vec_id_a"].astype(int),
+                        pairs["vec_id_b"].astype(int)):
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        role = dict(zip(got["vec_id"].astype(int),
+                        got["role"].astype(int)))
+        clus = dict(zip(got["vec_id"].astype(int),
+                        got["cluster"].astype(int)))
+        assert len(got) == 500
+        for v, r in role.items():
+            if r == 1:
+                assert deg.get(v, 0) >= 3
+                assert clus[v] >= 0
+            elif r == 2:
+                assert deg.get(v, 0) < 3
+                assert any(role[u] == 1 for u in adj.get(v, ()))
+                # border label = min neighbouring core's cluster
+                assert clus[v] == min(clus[u] for u in adj[v]
+                                      if role[u] == 1)
+            else:
+                assert not any(role[u] == 1 for u in adj.get(v, ()))
+                assert clus[v] == -1
+        # core-core edges never cross clusters
+        for a, b in zip(pairs["vec_id_a"].astype(int),
+                        pairs["vec_id_b"].astype(int)):
+            if role[a] == 1 and role[b] == 1:
+                assert clus[a] == clus[b]
+        assert {0, 1, 2} <= set(role.values())  # all roles present
