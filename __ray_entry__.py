@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": events.mann_kendall,
         "diameter_estimate": _diameter_estimate,
         "dbscan_clusters": dedup.dbscan_clusters,
+        "pseudonymize": textops.pseudonymize,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -6410,3 +6410,27 @@ FROM embeddings em
 LEFT JOIN lab l ON l.node = em.vec_id
 LEFT JOIN border b2 ON b2.nc = em.vec_id
 """
+
+# pseudonymization: the oracle rebuilds the text from the injection
+# rule with identical md5 surrogates — any regex miss breaks the hash
+DOC_ORACLES["pseudonymize"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_emails,
+       text
+       || CASE WHEN doc_id % 5 = 0
+          THEN ' contact user' ||
+               (('0x' || substr(md5('user' || doc_id
+                                     || '@example.com'), 1, 16))
+                ::UBIGINT % 1000000000000)::VARCHAR
+               || '@anon.example now'
+          ELSE '' END
+       || CASE WHEN doc_id % 7 = 0
+          THEN ' mail user' ||
+               (('0x' || substr(md5('admin@test.org'), 1, 16))
+                ::UBIGINT % 1000000000000)::VARCHAR
+               || '@anon.example'
+          ELSE '' END AS pseudo
+FROM documents
+"""

@@ -5983,3 +5983,29 @@ class TestDbscan:
             if role[a] == 1 and role[b] == 1:
                 assert clus[a] == clus[b]
         assert {0, 1, 2} <= set(role.values())  # all roles present
+
+
+class TestPseudonymize:
+    def test_referential_integrity(self, ray_session):
+        import re
+
+        from kgx.textops import pseudonymize
+
+        got = pseudonymize(SF).to_pandas()
+        sur = re.compile(r"user\d+@anon\.example")
+        # the shared identity admin@test.org maps to ONE surrogate
+        shared = set()
+        for doc_id, t in zip(got["doc_id"].astype(int), got["pseudo"]):
+            if doc_id % 7 == 0:
+                shared.update(m for m in sur.findall(t)
+                              if t.endswith(m))
+        assert len(shared) == 1
+        # distinct per-doc identities stay distinct
+        per_doc = {}
+        for doc_id, t in zip(got["doc_id"].astype(int), got["pseudo"]):
+            if doc_id % 5 == 0:
+                per_doc[doc_id] = sur.findall(t)[0]
+        assert len(set(per_doc.values())) == len(per_doc)
+        # no raw email survives
+        raw = re.compile(r"@example\.com|@test\.org")
+        assert not any(raw.search(t) for t in got["pseudo"])
