@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_estimate": _diameter_estimate,
         "dbscan_clusters": dedup.dbscan_clusters,
         "pseudonymize": textops.pseudonymize,
+        "max_streak": events.max_streak,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -224,6 +224,7 @@ def run_queries(sf_dir: str) -> dict:
         "diameter_estimate": lambda: _diameter_estimate(sf_dir),
         "dbscan_clusters": lambda: dedup.dbscan_clusters(sf_dir),
         "pseudonymize": lambda: textops.pseudonymize(sf_dir),
+        "max_streak": lambda: events.max_streak(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

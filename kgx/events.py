@@ -1876,3 +1876,46 @@ def mann_kendall(sf_dir: str):
         rows, columns=["event_type", "n_days", "s_stat",
                        "var18"]).astype(
         {"n_days": "int64", "s_stat": "int64", "var18": "int64"})
+
+
+def max_streak(sf_dir: str):
+    """(user_id, n_active_days, max_streak) — longest run of
+    CONSECUTIVE active days per user: the canonical gaps-and-islands
+    identity (day − dense_rank(day) is constant within an island), the
+    engagement-streak metric every retention dashboard carries next
+    to cohort curves. Exact integers; days are epoch days.
+
+    Scale shape: a per-batch distinct (user, day) combiner collapses
+    events BEFORE the shuffle (the cohort_retention discipline), one
+    hash(user) exchange, and the island sweep is vectorized across
+    ALL users of a bucket (sort + rank-difference grouping).
+    """
+    nparts = _nparts()
+    ds = _read_events(sf_dir, columns=["user_id", "ts"])
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        day = ((df["ts"] - pd.Timestamp(0))
+               // pd.Timedelta(microseconds=1)) // 86400000000
+        out = (pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "day": day.astype("int64")})
+               .drop_duplicates())
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["user_id"], index=False) % nparts).astype("int32")
+        return out
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df[["user_id", "day"]].drop_duplicates()
+             .sort_values(["user_id", "day"]).reset_index(drop=True))
+        rnk = d.groupby("user_id").cumcount()
+        island = d["day"] - rnk  # constant within a consecutive run
+        g = (d.assign(island=island)
+             .groupby(["user_id", "island"]).size()
+             .groupby("user_id").agg(["sum", "max"]))
+        return pd.DataFrame({
+            "user_id": g.index.astype("int64"),
+            "n_active_days": g["sum"].astype("int64").to_numpy(),
+            "max_streak": g["max"].astype("int64").to_numpy()})
+
+    return (ds.map_batches(combiner, batch_format="pandas")
+            .groupby("bucket").map_groups(streaks,
+                                          batch_format="pandas"))

@@ -6434,3 +6434,22 @@ SELECT doc_id,
           ELSE '' END AS pseudo
 FROM documents
 """
+
+# gaps-and-islands longest streak: day - row_number is constant
+# within a consecutive run
+DOC_ORACLES["max_streak"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events),
+i AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id
+                                  ORDER BY day) AS island
+  FROM d),
+runs AS (
+  SELECT user_id, island, count(*) AS len
+  FROM i GROUP BY user_id, island)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM runs GROUP BY user_id
+"""

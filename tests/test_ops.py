@@ -6009,3 +6009,26 @@ class TestPseudonymize:
         # no raw email survives
         raw = re.compile(r"@example\.com|@test\.org")
         assert not any(raw.search(t) for t in got["pseudo"])
+
+
+class TestMaxStreak:
+    def test_streak_replay(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.events import max_streak
+
+        got = max_streak(SF).to_pandas()
+        ev = pq.read_table("%s/events.parquet" % SF).to_pandas()
+        ev["day"] = (((ev["ts"] - pd.Timestamp(0))
+                      // pd.Timedelta(microseconds=1))
+                     // 86400000000).astype("int64")
+        for uid, g in ev.groupby("user_id"):
+            days = sorted(set(g["day"]))
+            best = run = 1
+            for a, b in zip(days, days[1:]):
+                run = run + 1 if b == a + 1 else 1
+                best = max(best, run)
+            r = got[got["user_id"] == uid].iloc[0]
+            assert int(r["n_active_days"]) == len(days)
+            assert int(r["max_streak"]) == best
+        assert (got["max_streak"] <= got["n_active_days"]).all()
