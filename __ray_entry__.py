@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_clusters": dedup.dbscan_clusters,
         "pseudonymize": textops.pseudonymize,
         "max_streak": events.max_streak,
+        "hll_sliding_users": traindata.hll_sliding_users,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

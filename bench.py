@@ -225,6 +225,7 @@ def run_queries(sf_dir: str) -> dict:
         "dbscan_clusters": lambda: dedup.dbscan_clusters(sf_dir),
         "pseudonymize": lambda: textops.pseudonymize(sf_dir),
         "max_streak": lambda: events.max_streak(sf_dir),
+        "hll_sliding_users": lambda: traindata.hll_sliding_users(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

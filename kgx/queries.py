@@ -6453,3 +6453,56 @@ SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
        CAST(max(len) AS BIGINT) AS max_streak
 FROM runs GROUP BY user_id
 """
+
+# sliding-window HLL: per-day registers merged by max over each 7-day
+# window; the hll_user_counts estimator algebra per window
+DOC_ORACLES["hll_sliding_users"] = r"""
+WITH h AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS h
+  FROM events
+), reg AS (
+  SELECT day, CAST(h >> 56 AS BIGINT) AS j,
+         h & CAST(72057594037927935 AS UBIGINT) AS v
+  FROM h
+), pw AS (
+  SELECT p, CAST(1 AS UBIGINT) << CAST(p AS INTEGER) AS tp
+  FROM range(0, 56) t(p)
+), bl AS (
+  SELECT reg.day, reg.j, reg.v,
+         coalesce(max(pw.p) + 1, 0) AS bitlen
+  FROM reg LEFT JOIN pw ON reg.v >= pw.tp
+  GROUP BY reg.day, reg.j, reg.v
+), rho AS (
+  SELECT day, j, max(57 - bitlen) AS mj FROM bl GROUP BY day, j
+), span AS (SELECT min(day) AS lo, max(day) AS hi FROM rho),
+wins AS (
+  SELECT unnest(generate_series((SELECT lo FROM span),
+                                (SELECT hi FROM span) - 6)) AS w
+), wreg AS (
+  SELECT wins.w, r.j, coalesce(max(rho.mj), 0) AS mj
+  FROM wins CROSS JOIN range(0, 256) r(j)
+  LEFT JOIN rho ON rho.j = r.j
+                AND rho.day BETWEEN wins.w AND wins.w + 6
+  GROUP BY wins.w, r.j
+), agg AS (
+  SELECT w,
+         sum(CAST('18446744073709551616' AS HUGEINT)
+             // (CAST(1 AS UBIGINT) << CAST(mj AS INTEGER))) AS s,
+         CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros
+  FROM wreg GROUP BY w
+), est AS (
+  SELECT w, zeros,
+         (CAST(7213 AS HUGEINT) * 256000 * 256 * 256
+          * CAST('18446744073709551616' AS HUGEINT))
+         // (CAST(10000 AS HUGEINT) * 257079 * s) AS raw
+  FROM agg)
+SELECT CAST(w AS BIGINT) AS win_start_day,
+       zeros AS zero_registers,
+       CAST(CASE WHEN raw * 2 <= 5 * 256 AND zeros > 0
+            THEN CAST(floor(256.0 * ln(256.0 / zeros)) AS HUGEINT)
+            ELSE raw END AS BIGINT) AS est_distinct
+FROM est
+"""

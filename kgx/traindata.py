@@ -2589,3 +2589,64 @@ def ams_f2(sf_dir: str, n_sketches: int = 16):
         "sketch_id": np.arange(S, dtype=np.int64),
         "z_sum": z.to_numpy(),
         "z2": (z * z).to_numpy()}).astype("int64")
+
+
+def hll_sliding_users(sf_dir: str, window_days: int = 7, p: int = 8):
+    """(win_start_day, zero_registers, est_distinct) — distinct users
+    per SLIDING 7-day window via HyperLogLog register merging: each
+    day's m-byte register sketch is built ONCE (combiner + one tiny
+    co-group), and every window's sketch is the elementwise MAX of
+    its days' sketches — the mergeability property that lets a
+    streaming analytics store answer any window from per-interval
+    sketches without ever re-touching events (re-scanning raw events
+    per window is the anti-pattern this op replaces). Estimator in
+    exact integers (``_hll_estimate``); window merges fold on the
+    output-sized (day, register) table driver-side.
+    """
+    from .textops import token_hash64
+
+    m = 1 << p
+    ds = _bread("%s/events.parquet" % sf_dir,
+                columns=["ts", "user_id"])
+    pows = (np.uint64(1) << np.arange(0, 64 - p,
+                                      dtype=np.uint64)).astype(np.uint64)
+
+    def registers(df: pd.DataFrame) -> pd.DataFrame:
+        day = (((df["ts"] - pd.Timestamp(0))
+                // pd.Timedelta(microseconds=1))
+               // 86400000000).astype("int64")
+        hs = np.array([token_hash64(str(int(u)))
+                       for u in df["user_id"]], dtype=np.uint64)
+        j = (hs >> np.uint64(64 - p)).astype(np.int64)
+        v = hs & np.uint64((1 << (64 - p)) - 1)
+        bitlen = np.searchsorted(pows, v, side="right")
+        rho = (64 - p) - bitlen + 1
+        t = pd.DataFrame({"day": day, "j": j,
+                          "rho": rho.astype("int64")})
+        g = t.groupby(["day", "j"], as_index=False)["rho"].max()
+        g["bucket"] = (g["day"] % 16).astype("int32")
+        return g
+
+    def merge_regs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["day", "j"], as_index=False)["rho"].max()
+
+    cells = (ds.map_batches(registers, batch_format="pandas")
+             .groupby("bucket").map_groups(merge_regs,
+                                           batch_format="pandas")
+             .to_pandas())
+    d0, d1 = int(cells["day"].min()), int(cells["day"].max())
+    by_day = {d: np.zeros(m, dtype=np.int64) for d in range(d0, d1 + 1)}
+    for d, j, r in zip(cells["day"].astype(int),
+                       cells["j"].astype(int),
+                       cells["rho"].astype(int)):
+        by_day[d][j] = max(by_day[d][j], r)
+    rows = []
+    for w in range(d0, d1 - window_days + 2):
+        regs = np.zeros(m, dtype=np.int64)
+        for d in range(w, w + window_days):
+            np.maximum(regs, by_day[d], out=regs)
+        est, zeros = _hll_estimate(regs.tolist(), m)
+        rows.append((w, zeros, est))
+    return pd.DataFrame(
+        rows, columns=["win_start_day", "zero_registers",
+                       "est_distinct"]).astype("int64")

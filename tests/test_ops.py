@@ -6032,3 +6032,23 @@ class TestMaxStreak:
             assert int(r["n_active_days"]) == len(days)
             assert int(r["max_streak"]) == best
         assert (got["max_streak"] <= got["n_active_days"]).all()
+
+
+class TestHllSliding:
+    def test_window_estimates_track_exact(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import hll_sliding_users
+
+        got = hll_sliding_users(SF)
+        ev = pq.read_table("%s/events.parquet" % SF).to_pandas()
+        ev["day"] = (((ev["ts"] - pd.Timestamp(0))
+                      // pd.Timedelta(microseconds=1))
+                     // 86400000000).astype("int64")
+        for r in got.itertuples(index=False):
+            w = int(r.win_start_day)
+            truth = ev[(ev["day"] >= w) & (ev["day"] <= w + 6)] \
+                ["user_id"].nunique()
+            if truth:
+                assert abs(int(r.est_distinct) - truth) / truth < 0.25
+        assert len(got) >= 10  # real sliding coverage
