@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import luby_mis as _luby_mis
     from kgx.components import powerlaw_alpha as _powerlaw_alpha
     from kgx.components import diameter_estimate as _diameter_estimate
+    from kgx.components import modularity_score as _modularity_score
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudonymize": textops.pseudonymize,
         "max_streak": events.max_streak,
         "hll_sliding_users": traindata.hll_sliding_users,
+        "modularity_score": _modularity_score,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

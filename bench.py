@@ -123,6 +123,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import luby_mis as _luby_mis
     from kgx.components import powerlaw_alpha as _powerlaw_alpha
     from kgx.components import diameter_estimate as _diameter_estimate
+    from kgx.components import modularity_score as _modularity_score
 
     def consume(ds):
         # stream-consume without driver materialization; gated ops may
@@ -226,6 +227,7 @@ def run_queries(sf_dir: str) -> dict:
         "pseudonymize": lambda: textops.pseudonymize(sf_dir),
         "max_streak": lambda: events.max_streak(sf_dir),
         "hll_sliding_users": lambda: traindata.hll_sliding_users(sf_dir),
+        "modularity_score": lambda: _modularity_score(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

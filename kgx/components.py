@@ -2652,3 +2652,51 @@ def diameter_estimate(sf_dir: str, k: int = 5,
         [(start, ecc1, far, ecc2)],
         columns=["start_node", "sweep1_ecc", "far_node",
                  "sweep2_ecc"]).astype("int64")
+
+
+def modularity_score(sf_dir: str, rounds: int = 4,
+                     threshold: float = 0.8,
+                     num_partitions: Optional[int] = None):
+    """(n_communities, m_edges, q_num, q_den) — NEWMAN MODULARITY of
+    the label-propagation communities over the near-dup pair graph
+    (Newman & Girvan 2004): Q = Σ_c [e_c/m − (d_c/2m)²], kept EXACT
+    by clearing denominators — q_num = Σ_c (4m·e_c − d_c²),
+    q_den = 4m², Q = q_num/q_den. The community-quality evaluation
+    that pairs with silhouette_eval's kmeans score: Q near 0 means
+    the partition is no better than random edge placement, dense dup
+    clusters push it toward 1.
+
+    Scale shape: the LPA labels attach to both edge endpoints through
+    the schema-preserving bucketed flag join (dedup._attach_flag);
+    e_c and d_c fold from edge-sized partials into community-sized
+    aggregates; the final algebra is output-sized driver bigints.
+    """
+    from .dedup import _attach_flag, jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas").materialize()
+    lp = label_propagation(sf_dir, rounds=rounds, threshold=threshold,
+                           num_partitions=nparts)
+    lp = lp.to_pandas() if hasattr(lp, "to_pandas") else lp
+    import ray.data
+    labels = ray.data.from_pandas(pd.DataFrame({
+        "node": lp["doc_id"].astype("int64"),
+        "flag": lp["label"].astype("int64")}))
+
+    e1 = _attach_flag(edges, labels, "a", "la", nparts, fill=-1)
+    e2 = _attach_flag(e1, labels, "b", "lb", nparts,
+                      fill=-1).to_pandas()
+    assert (e2["la"] >= 0).all() and (e2["lb"] >= 0).all()
+    m = len(e2)
+    ec = (e2[e2["la"] == e2["lb"]].groupby("la").size())
+    dc = pd.concat([e2["la"], e2["lb"]]).value_counts()
+    q_num = sum(4 * m * int(ec.get(c, 0)) - int(d) * int(d)
+                for c, d in dc.items())
+    return pd.DataFrame(
+        [(int(dc.index.nunique()), m, q_num, 4 * m * m)],
+        columns=["n_communities", "m_edges", "q_num",
+                 "q_den"]).astype("int64")

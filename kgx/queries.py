@@ -6506,3 +6506,36 @@ SELECT CAST(w AS BIGINT) AS win_start_day,
             ELSE raw END AS BIGINT) AS est_distinct
 FROM est
 """
+
+# Newman modularity of the LPA communities, denominators cleared:
+# q_num = sum_c (4m*e_c - d_c^2), q_den = 4m^2
+DOC_ORACLES["modularity_score"] = (
+    "WITH lp AS MATERIALIZED (SELECT * FROM ("
+    + DOC_ORACLES["label_propagation"] + """)),
+d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), ed AS (
+  SELECT e0.a, e0.b, la.label AS la, lb.label AS lb
+  FROM e0 JOIN lp la ON la.doc_id = e0.a
+  JOIN lp lb ON lb.doc_id = e0.b
+), mm AS (SELECT count(*) AS m FROM ed),
+ec AS (SELECT la AS c, count(*) AS e FROM ed WHERE la = lb GROUP BY la),
+dcv AS (
+  SELECT c, count(*) AS d FROM (
+    SELECT la AS c FROM ed UNION ALL SELECT lb FROM ed)
+  GROUP BY c)
+SELECT CAST((SELECT count(*) FROM dcv) AS BIGINT) AS n_communities,
+       CAST(mm.m AS BIGINT) AS m_edges,
+       CAST((SELECT sum(4 * mm.m * COALESCE(ec.e, 0)
+                        - CAST(dcv.d AS HUGEINT) * dcv.d)
+             FROM dcv LEFT JOIN ec USING (c)) AS BIGINT) AS q_num,
+       CAST(4 * CAST(mm.m AS HUGEINT) * mm.m AS BIGINT) AS q_den
+FROM mm
+""")

@@ -6052,3 +6052,32 @@ class TestHllSliding:
             if truth:
                 assert abs(int(r.est_distinct) - truth) / truth < 0.25
         assert len(got) >= 10  # real sliding coverage
+
+
+class TestModularity:
+    def test_modularity_replay_and_quality(self, ray_session):
+        from kgx.components import label_propagation, modularity_score
+        from kgx.dedup import jaccard_pairs
+
+        got = modularity_score(SF).iloc[0]
+        lp = label_propagation(SF)
+        lp = lp.to_pandas() if hasattr(lp, "to_pandas") else lp
+        lab = dict(zip(lp["doc_id"].astype(int),
+                       lp["label"].astype(int)))
+        e = jaccard_pairs(SF).to_pandas()
+        m = len(e)
+        ec: dict = {}
+        dc: dict = {}
+        for a, b in zip(e["doc_id_a"].astype(int),
+                        e["doc_id_b"].astype(int)):
+            la, lb = lab[a], lab[b]
+            dc[la] = dc.get(la, 0) + 1
+            dc[lb] = dc.get(lb, 0) + 1
+            if la == lb:
+                ec[la] = ec.get(la, 0) + 1
+        q_num = sum(4 * m * ec.get(c, 0) - d * d for c, d in dc.items())
+        assert int(got["q_num"]) == q_num
+        assert int(got["m_edges"]) == m
+        assert int(got["q_den"]) == 4 * m * m
+        # dup clusters are near-cliques: strong community structure
+        assert q_num / (4 * m * m) > 0.5
