@@ -228,6 +228,7 @@ def run_queries(sf_dir: str) -> dict:
         "max_streak": lambda: events.max_streak(sf_dir),
         "hll_sliding_users": lambda: traindata.hll_sliding_users(sf_dir),
         "modularity_score": lambda: _modularity_score(sf_dir),
+        "percolation_curve": lambda: dedup.percolation_curve(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -2042,3 +2042,51 @@ def dbscan_clusters(sf_dir: str, threshold: float = 0.35,
 
     return u.groupby("bucket").map_groups(finalize,
                                           batch_format="pandas")
+
+
+def percolation_curve(sf_dir: str,
+                      thresholds=(50, 60, 70, 80, 90),
+                      num_partitions: Optional[int] = None):
+    """(thr_pct, n_edges, n_touched, n_components, max_component) —
+    the DEDUP-THRESHOLD SENSITIVITY CURVE: sweep the Jaccard
+    threshold and report, per setting, how the near-dup pair graph
+    percolates — edge count, touched nodes, component count and the
+    LARGEST component's size. This is the analysis that picks a
+    production dedup threshold: set it too low and a giant connected
+    component swallows the corpus (near_dup_dedup would then delete
+    almost everything via transitive merging — the classic
+    percolation failure); the curve shows exactly where that phase
+    transition starts.
+
+    Scale shape: per threshold, one blocked pair stage + the
+    union-find component loop (both the shared machinery);
+    per-threshold summaries are output-sized driver folds. The sweep
+    shares nothing across thresholds by design — each point is the
+    exact graph a production run at that setting would see.
+    """
+    import ray
+
+    from .components import connected_components
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    rows = []
+    for t in thresholds:
+        pairs = jaccard_pairs(sf_dir, t / 100.0,
+                              num_partitions=nparts)
+        e = pairs.to_pandas()
+        n_edges = len(e)
+        if n_edges == 0:
+            rows.append((t, 0, 0, 0, 0))
+            continue
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "a": e["doc_id_a"].astype("int64"),
+            "b": e["doc_id_b"].astype("int64")}))
+        comp = connected_components(edges, num_partitions=nparts)
+        comp = comp.to_pandas() if hasattr(comp, "to_pandas") else comp
+        sizes = comp.groupby("component").size()
+        rows.append((t, n_edges, len(comp), len(sizes),
+                     int(sizes.max())))
+    return pd.DataFrame(
+        rows, columns=["thr_pct", "n_edges", "n_touched",
+                       "n_components", "max_component"]).astype("int64")

@@ -6539,3 +6539,45 @@ SELECT CAST((SELECT count(*) FROM dcv) AS BIGINT) AS n_communities,
        CAST(4 * CAST(mm.m AS HUGEINT) * mm.m AS BIGINT) AS q_den
 FROM mm
 """)
+
+
+def _percolation_sql(thresholds=(50, 60, 70, 80, 90)) -> str:
+    """One reachability chain per threshold (comp = min reachable),
+    summaries unioned — the dedup-threshold percolation curve."""
+    parts = ["""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+)"""]
+    sels = []
+    for t in thresholds:
+        parts.append(f""",
+e{t} AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks)
+           - len(list_intersect(a.toks, b.toks))) >= {t} / 100.0
+), u{t} AS (
+  SELECT a AS x, b AS y FROM e{t} UNION SELECT b, a FROM e{t}
+), r{t} AS (
+  SELECT x AS node, y AS r FROM u{t}
+  UNION
+  SELECT r{t}.node, u{t}.y FROM r{t} JOIN u{t} ON u{t}.x = r{t}.r
+), c{t} AS (
+  SELECT node, least(node, min(r)) AS comp
+  FROM r{t} GROUP BY node
+), s{t} AS (SELECT comp, count(*) AS sz FROM c{t} GROUP BY comp)""")
+        sels.append(
+            f"SELECT CAST({t} AS BIGINT) AS thr_pct,"
+            f" CAST((SELECT count(*) FROM e{t}) AS BIGINT) AS n_edges,"
+            f" CAST(COALESCE((SELECT sum(sz) FROM s{t}), 0) AS BIGINT)"
+            f" AS n_touched,"
+            f" CAST(COALESCE((SELECT count(*) FROM s{t}), 0) AS BIGINT)"
+            f" AS n_components,"
+            f" CAST(COALESCE((SELECT max(sz) FROM s{t}), 0) AS BIGINT)"
+            f" AS max_component")
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+DOC_ORACLES["percolation_curve"] = _percolation_sql()

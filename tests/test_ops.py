@@ -6081,3 +6081,20 @@ class TestModularity:
         assert int(got["q_den"]) == 4 * m * m
         # dup clusters are near-cliques: strong community structure
         assert q_num / (4 * m * m) > 0.5
+
+
+class TestPercolationCurve:
+    def test_monotone_in_threshold(self, ray_session):
+        from kgx.dedup import jaccard_pairs, percolation_curve
+
+        got = percolation_curve(SF)
+        assert got["thr_pct"].tolist() == [50, 60, 70, 80, 90]
+        # raising the threshold only removes edges/mass
+        for col in ("n_edges", "n_touched", "max_component"):
+            v = got[col].to_numpy()
+            assert (v[:-1] >= v[1:]).all(), col
+        # the 80% row agrees with the independently-oracled pair stage
+        e80 = jaccard_pairs(SF).to_pandas()
+        assert int(got.loc[got["thr_pct"] == 80, "n_edges"].iloc[0]) \
+            == len(e80)
+        assert (got["n_components"] <= got["n_touched"]).all()
