@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_sliding_users": traindata.hll_sliding_users,
         "modularity_score": _modularity_score,
         "percolation_curve": dedup.percolation_curve,
+        "burst_intervals": events.burst_intervals,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

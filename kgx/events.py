@@ -1919,3 +1919,67 @@ def max_streak(sf_dir: str):
     return (ds.map_batches(combiner, batch_format="pandas")
             .groupby("bucket").map_groups(streaks,
                                           batch_format="pandas"))
+
+
+def burst_intervals(sf_dir: str, g_cost: int = 2_000_000):
+    """(event_type, day, state, c0, c1) — KLEINBERG BURST DETECTION
+    (Kleinberg, KDD 2002; the trending-topic primitive): a 2-state
+    automaton over each type's dense daily counts — base state emits
+    at the series mean rate λ₀ = S/D, burst state at λ₁ = (6/5)λ₀
+    (this corpus's daily fluctuations are ±20%, so a 1.2× burst rate
+    flags sustained high-count runs — ~3% of days — where 2× would
+    never fire); entering the burst state costs ``g_cost``. ``state`` is the
+    exact VITERBI minimum-cost labeling (ties prefer base), and
+    c0/c1 are the forward costs so the whole DP — not just its
+    answer — is oracle-checked. Day costs are the float-portability
+    contract: cost_j = (10⁶·S_j)//D − floor(10⁶·(c·(ln S_j − ln D)))
+    — one fixed-order IEEE tree into the shared libm ln on
+    integer-valued doubles (constant-per-day terms cancel across
+    states, so dropping ln c! is exact for the argmin).
+
+    Scale shape: inherits dense_daily_counts' combiner; the DP and
+    backtrack run on the output-sized dense frame driver-side.
+    """
+    import math
+
+    dense = dense_daily_counts(sf_dir)
+    rows = []
+    for et, g in dense.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        days = [int(d) for d in g["day"]]
+        v = [int(x) for x in g["n_events"]]
+        D = len(v)
+        S = sum(v)
+        lam_q = [(1000000 * S) // D, (1000000 * 6 * S) // (5 * D)]
+        lnS = [math.log(S), math.log(6 * S)]
+        lnDj = [math.log(D), math.log(5 * D)]
+
+        def day_cost(c: int, j: int) -> int:
+            return lam_q[j] - math.floor(
+                1000000.0 * (c * (lnS[j] - lnDj[j])))
+
+        c0 = day_cost(v[0], 0)
+        c1 = g_cost + day_cost(v[0], 1)  # burst entry from base start
+        hist = [(c0, c1, -1, -1)]
+        for t in range(1, D):
+            p0 = 0 if c0 <= c1 else 1
+            p1 = 0 if c0 + g_cost <= c1 else 1
+            n0 = min(c0, c1) + day_cost(v[t], 0)
+            n1 = min(c0 + g_cost, c1) + day_cost(v[t], 1)
+            hist.append((n0, n1, p0, p1))
+            c0, c1 = n0, n1
+        # backtrack
+        state = 0 if c0 <= c1 else 1
+        states = [0] * D
+        for t in range(D - 1, -1, -1):
+            states[t] = state
+            if t > 0:
+                state = hist[t][2] if state == 0 else hist[t][3]
+        for t in range(D):
+            rows.append((str(et), days[t], states[t],
+                         hist[t][0], hist[t][1]))
+    return pd.DataFrame(
+        rows, columns=["event_type", "day", "state", "c0",
+                       "c1"]).astype(
+        {"day": "int64", "state": "int64", "c0": "int64",
+         "c1": "int64"})

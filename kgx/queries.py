@@ -6581,3 +6581,63 @@ e{t} AS MATERIALIZED (
 
 
 DOC_ORACLES["percolation_curve"] = _percolation_sql()
+
+# Kleinberg burst Viterbi: forward recursive CTE carrying (c0, c1,
+# predecessor decisions) per (type, position), then a backward
+# recursive walk re-deriving the optimal state labels
+DOC_ORACLES["burst_intervals"] = """
+WITH RECURSIVE cgrid AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM cgrid),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(cgrid.n, 0) AS n,
+         row_number() OVER (PARTITION BY t.event_type ORDER BY d.day)
+           AS pos
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span)))
+              AS day) d
+  LEFT JOIN cgrid ON cgrid.event_type = t.event_type
+                  AND cgrid.day = d.day),
+stats AS (
+  SELECT event_type, sum(n) AS s, count(*) AS nd
+  FROM grid GROUP BY event_type),
+costs AS (
+  SELECT g.event_type, g.day, g.pos,
+         (1000000 * st.s) // st.nd
+         - CAST(floor(1000000.0 * (g.n * (ln(1.0 * st.s)
+                                          - ln(1.0 * st.nd))))
+                AS BIGINT) AS k0,
+         (1000000 * 6 * st.s) // (5 * st.nd)
+         - CAST(floor(1000000.0 * (g.n * (ln(1.0 * 6 * st.s)
+                                          - ln(1.0 * 5 * st.nd))))
+                AS BIGINT) AS k1,
+         st.nd
+  FROM grid g JOIN stats st USING (event_type)),
+fwd AS (
+  SELECT event_type, day, pos, nd,
+         k0 AS c0, 2000000 + k1 AS c1,
+         CAST(-1 AS BIGINT) AS p0, CAST(-1 AS BIGINT) AS p1
+  FROM costs WHERE pos = 1
+  UNION ALL
+  SELECT c.event_type, c.day, c.pos, c.nd,
+         least(f.c0, f.c1) + c.k0,
+         least(f.c0 + 2000000, f.c1) + c.k1,
+         CAST(CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS BIGINT),
+         CAST(CASE WHEN f.c0 + 2000000 <= f.c1 THEN 0 ELSE 1 END
+              AS BIGINT)
+  FROM fwd f JOIN costs c ON c.event_type = f.event_type
+                          AND c.pos = f.pos + 1),
+back AS (
+  SELECT event_type, day, pos, c0, c1, p0, p1,
+         CAST(CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS BIGINT) AS state
+  FROM fwd WHERE pos = nd
+  UNION ALL
+  SELECT f.event_type, f.day, f.pos, f.c0, f.c1, f.p0, f.p1,
+         CASE WHEN b.state = 0 THEN b.p0 ELSE b.p1 END
+  FROM back b JOIN fwd f ON f.event_type = b.event_type
+                         AND f.pos = b.pos - 1)
+SELECT event_type, day, state, CAST(c0 AS BIGINT) AS c0,
+       CAST(c1 AS BIGINT) AS c1 FROM back
+"""

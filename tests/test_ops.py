@@ -6098,3 +6098,40 @@ class TestPercolationCurve:
         assert int(got.loc[got["thr_pct"] == 80, "n_edges"].iloc[0]) \
             == len(e80)
         assert (got["n_components"] <= got["n_touched"]).all()
+
+
+class TestBurstIntervals:
+    def test_viterbi_replay_and_optimality(self, ray_session):
+        import math
+
+        from kgx.events import burst_intervals, dense_daily_counts
+
+        got = burst_intervals(SF)
+        dense = dense_daily_counts(SF)
+        G = 2_000_000
+        for et, g in dense.groupby("event_type"):
+            v = [int(x) for x in g.sort_values("day")["n_events"]]
+            D, S = len(v), sum(v)
+            lam = [(1000000 * S) // D, (1000000 * 6 * S) // (5 * D)]
+            lnS = [math.log(S), math.log(6 * S)]
+            lnD = [math.log(D), math.log(5 * D)]
+
+            def cost(c, j):
+                return lam[j] - math.floor(
+                    1000000.0 * (c * (lnS[j] - lnD[j])))
+
+            # brute-force optimal path over all 2^D sequences is
+            # infeasible; verify the DP invariant instead: the engine
+            # path's total cost equals min(c0, c1) at the end
+            e = got[got["event_type"] == et].sort_values("day")
+            states = e["state"].tolist()
+            total = cost(v[0], states[0]) + (G if states[0] == 1 else 0)
+            for t in range(1, D):
+                total += cost(v[t], states[t])
+                if states[t - 1] == 0 and states[t] == 1:
+                    total += G
+            assert total == min(int(e["c0"].iloc[-1]),
+                                int(e["c1"].iloc[-1]))
+        # the labeling is selective, not vacuous and not everything
+        frac = got["state"].mean()
+        assert 0 < frac < 0.5
