@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_score": _modularity_score,
         "percolation_curve": dedup.percolation_curve,
         "burst_intervals": events.burst_intervals,
+        "coordinated_sample": relational.coordinated_sample,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -6641,3 +6641,25 @@ back AS (
 SELECT event_type, day, state, CAST(c0 AS BIGINT) AS c0,
        CAST(c1 AS BIGINT) AS c1 FROM back
 """
+
+# coordinated key-hash sampling: the shared md5 rule replays exactly;
+# referential completeness makes n_joined == n_lineitems
+DOC_ORACLES["coordinated_sample"] = """
+WITH so AS (
+  SELECT o_orderkey FROM orders
+  WHERE ('0x' || substr(md5('ok' || o_orderkey), 1, 16))::UBIGINT
+        % 20 = 0),
+sl AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE ('0x' || substr(md5('ok' || l_orderkey), 1, 16))::UBIGINT
+        % 20 = 0)
+SELECT CAST((SELECT count(*) FROM so) AS BIGINT) AS n_orders,
+       CAST((SELECT count(*) FROM sl) AS BIGINT) AS n_lineitems,
+       CAST((SELECT count(*) FROM sl JOIN so
+             ON so.o_orderkey = sl.l_orderkey) AS BIGINT) AS n_joined,
+       CAST(COALESCE((SELECT sum(cents) FROM sl JOIN so
+                      ON so.o_orderkey = sl.l_orderkey), 0) AS BIGINT)
+         AS revenue_cents
+"""

@@ -2834,3 +2834,82 @@ def bloom_semijoin(sf_dir: str, segment: str = "BUILDING",
     p = orders.map_batches(partial, batch_format="pandas").to_pandas()
     return pd.DataFrame([p.sum().tolist()],
                         columns=list(p.columns)).astype("int64")
+
+
+def coordinated_sample(sf_dir: str, mod: int = 20):
+    """(n_orders, n_lineitems, n_joined, revenue_cents) — COORDINATED
+    (join-preserving) sampling across tables (the join-synopsis
+    principle, Gibbons et al.): orders AND lineitems are both sampled
+    by the SAME key-hash rule md5(orderkey) % mod == 0, so the join
+    of the samples IS the sample of the join — every sampled
+    lineitem's order is present (referential completeness, pinned by
+    test), unlike independent per-table Bernoulli sampling where a
+    1/20 × 1/20 join survives at 1/400 and is referentially broken.
+    The debugging/estimation substrate for 100 TB pipelines: run the
+    full query shape on 5% of the join graph.
+
+    Scale shape: two map-only hash-filtered scans (the sample rule
+    needs no coordination beyond the shared hash), one combiner-fed
+    orderkey co-group for the join counts; revenue exact cents.
+    """
+    import ray
+
+    from .readers import bounded_read_parquet as _bread
+    from .traindata import _md5_u64
+
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def keep(keys) -> np.ndarray:
+        return np.array([_md5_u64("ok%d" % int(k)) % mod == 0
+                         for k in keys], dtype=bool)
+
+    orders = _bread("%s/orders.parquet" % sf_dir,
+                    columns=["o_orderkey"])
+    line = _bread("%s/lineitem.parquet" % sf_dir,
+                  columns=["l_orderkey", "l_extendedprice"])
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].astype("int64")[keep(df["o_orderkey"])]
+        out = pd.DataFrame({"k": k.to_numpy("int64"),
+                            "n_l": np.int64(0),
+                            "cents": np.int64(0),
+                            "side": np.int8(0)})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["k"], index=False) % nparts).astype("int32")
+        return out
+
+    def l_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = keep(df["l_orderkey"])
+        d = df[m]
+        cents = np.floor(d["l_extendedprice"].to_numpy("float64")
+                         * 100 + 0.5).astype("int64")
+        g = pd.DataFrame({"k": d["l_orderkey"].to_numpy("int64"),
+                          "cents": cents}) \
+            .groupby("k", as_index=False).agg(
+                n_l=("cents", "size"), cents=("cents", "sum"))
+        out = pd.DataFrame({"k": g["k"].astype("int64"),
+                            "n_l": g["n_l"].astype("int64"),
+                            "cents": g["cents"].astype("int64"),
+                            "side": np.int8(1)})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["k"], index=False) % nparts).astype("int32")
+        return out
+
+    u = orders.map_batches(o_rows, batch_format="pandas").union(
+        line.map_batches(l_rows, batch_format="pandas"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]["k"].drop_duplicates()
+        l = df[df["side"] == 1].groupby("k", as_index=False) \
+            .agg(n_l=("n_l", "sum"), cents=("cents", "sum"))
+        joined = l[l["k"].isin(set(o))]
+        return pd.DataFrame([(
+            len(o), int(l["n_l"].sum()), int(joined["n_l"].sum()),
+            int(joined["cents"].sum()))],
+            columns=["n_orders", "n_lineitems", "n_joined",
+                     "revenue_cents"])
+
+    p = (u.groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    return pd.DataFrame([p.sum().tolist()],
+                        columns=list(p.columns)).astype("int64")

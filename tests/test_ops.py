@@ -6135,3 +6135,16 @@ class TestBurstIntervals:
         # the labeling is selective, not vacuous and not everything
         frac = got["state"].mean()
         assert 0 < frac < 0.5
+
+
+class TestCoordinatedSample:
+    def test_referential_completeness(self, ray_session):
+        from kgx.relational import coordinated_sample
+
+        got = coordinated_sample(SF).iloc[0]
+        # the join-preservation property: every sampled lineitem's
+        # order is in the sample (independent sampling would not give
+        # n_joined == n_lineitems)
+        assert int(got["n_joined"]) == int(got["n_lineitems"])
+        assert int(got["n_orders"]) > 0
+        assert int(got["revenue_cents"]) > 0
