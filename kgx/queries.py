@@ -6663,3 +6663,36 @@ SELECT CAST((SELECT count(*) FROM so) AS BIGINT) AS n_orders,
                       ON so.o_orderkey = sl.l_orderkey), 0) AS BIGINT)
          AS revenue_cents
 """
+
+# learned-index audit: OLS CDF fit + max position error, all HUGEINT
+# with denominators cleared; // truncation matches the engine's
+# sign-handled quantization
+DOC_ORACLES["learned_index_audit"] = """
+WITH v AS (SELECT length(text) AS x FROM documents),
+h AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+r AS (
+  SELECT x, c,
+         COALESCE(sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS rnk
+  FROM h),
+st AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS n,
+         CAST(sum(c * x) AS HUGEINT) AS sx,
+         CAST(sum(CAST(c AS HUGEINT) * rnk) AS HUGEINT) AS sy,
+         CAST(sum(CAST(c AS HUGEINT) * x * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(c AS HUGEINT) * x * rnk) AS HUGEINT) AS sxy
+  FROM r),
+fit AS (
+  SELECT n, n * (n * sxx - sx * sx) AS den,
+         n * (n * sxy - sx * sy) AS b_n,
+         (n * sxx - sx * sx) * sy - (n * sxy - sx * sy) * sx AS a_n
+  FROM st),
+err AS (
+  SELECT max(abs(f.den * r.rnk - (f.b_n * r.x + f.a_n))) AS me
+  FROM r, fit f)
+SELECT CAST(f.n AS BIGINT) AS n,
+       CAST((1000000 * f.b_n) // f.den AS BIGINT) AS b_q6,
+       CAST((1000000 * f.a_n) // f.den AS BIGINT) AS a_q6,
+       CAST((1000000 * e.me) // f.den AS BIGINT) AS max_err_rows_q6
+FROM fit f, err e
+"""

@@ -2166,3 +2166,60 @@ def pseudonymize(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def learned_index_audit(sf_dir: str):
+    """(n, b_q6, a_q6, max_err_rows_q6) — LEARNED-INDEX error audit
+    (Kraska et al., SIGMOD 2018): fit the linear CDF model
+    position ≈ a + b·key over document length (key = n_chars, true
+    position = count of strictly-smaller rows) and report the model's
+    maximum position error — the lookup window a learned index must
+    search around its prediction, THE number that decides whether the
+    model replaces a B-tree level. Everything exact: OLS normal
+    equations in bigints with denominators cleared
+    (den = n(nΣxx−Sx²), pred·den = b_n·x + a_n), per-key errors
+    |den·rank − (b_n·x + a_n)| evaluated on the distinct-value
+    histogram (rows of equal key share a rank), quantized by
+    trunc-division at 10⁶.
+
+    Scale shape: ONE histogram-combiner pass (the mad_chars
+    exchange); suffstats, fit and the per-distinct-value error sweep
+    fold on the output-sized histogram driver-side.
+    """
+    ds = _read_documents(sf_dir, columns=["n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        return g.astype({"n_chars": "int64", "cnt": "int64"})
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby("n_chars", as_index=False)["cnt"].sum()
+         .sort_values("n_chars"))
+    vals = [int(v) for v in h["n_chars"]]
+    cnts = [int(c) for c in h["cnt"]]
+    n = sum(cnts)
+    # rank (first position) per distinct value + OLS suffstats over ROWS
+    ranks, acc = [], 0
+    sx = sy = sxx = sxy = 0
+    for v, c in zip(vals, cnts):
+        ranks.append(acc)
+        sx += c * v
+        sy += c * acc
+        sxx += c * v * v
+        sxy += c * v * acc
+        acc += c
+    den = n * (n * sxx - sx * sx)
+    b_n = n * (n * sxy - sx * sy)
+    a_n = (n * sxx - sx * sx) * sy - (n * sxy - sx * sy) * sx
+    max_err = max(abs(den * r - (b_n * v + a_n))
+                  for v, r in zip(vals, ranks))
+
+    def tq(num: int, d: int) -> int:
+        q = (1000000 * abs(num)) // d
+        return q if num >= 0 else -q
+
+    return pd.DataFrame(
+        [(n, tq(b_n, den), tq(a_n, den), tq(max_err, den))],
+        columns=["n", "b_q6", "a_q6",
+                 "max_err_rows_q6"]).astype("int64")

@@ -6148,3 +6148,26 @@ class TestCoordinatedSample:
         assert int(got["n_joined"]) == int(got["n_lineitems"])
         assert int(got["n_orders"]) > 0
         assert int(got["revenue_cents"]) > 0
+
+
+class TestLearnedIndex:
+    def test_fit_matches_numpy_and_bound_holds(self, ray_session):
+        import duckdb
+
+        from kgx.textops import learned_index_audit
+
+        got = learned_index_audit(SF).iloc[0]
+        lens = duckdb.sql(
+            "SELECT length(text) AS x FROM read_parquet("
+            "'%s/documents.parquet')" % SF).df()["x"].to_numpy(float)
+        xs = np.sort(lens)
+        ranks = np.searchsorted(xs, xs, side="left").astype(float)
+        b, a = np.polyfit(xs, ranks, 1)
+        assert abs(int(got["b_q6"]) / 1e6 - b) < 1e-3
+        assert abs(int(got["a_q6"]) / 1e6 - a) < 2.0  # intercept scale
+        # the reported window really bounds every prediction error
+        pred = a + b * xs
+        worst = np.abs(pred - ranks).max()
+        assert abs(int(got["max_err_rows_q6"]) / 1e6 - worst) < 0.01
+        # and the model is useful: window << n
+        assert int(got["max_err_rows_q6"]) < 1e6 * int(got["n"]) / 4
