@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_intervals": events.burst_intervals,
         "coordinated_sample": relational.coordinated_sample,
         "learned_index_audit": textops.learned_index_audit,
+        "zorder_values": sources.zorder_values,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

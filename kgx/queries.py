@@ -6696,3 +6696,29 @@ SELECT CAST(f.n AS BIGINT) AS n,
        CAST((1000000 * e.me) // f.den AS BIGINT) AS max_err_rows_q6
 FROM fit f, err e
 """
+
+# Morton interleave replayed bit-by-bit via a generate_series join
+DOC_ORACLES["zorder_values"] = """
+WITH pt AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('x:' || doc_id), 1, 16))::UBIGINT
+           % 1048576 AS x,
+         ('0x' || substr(md5('y:' || doc_id), 1, 16))::UBIGINT
+           % 1048576 AS y
+  FROM documents),
+bitsum AS (
+  SELECT doc_id,
+         sum((((x >> 10) >> i) & 1) * (CAST(1 AS UBIGINT)
+                                       << CAST(2 * i AS INTEGER))
+             + (((y >> 10) >> i) & 1) * (CAST(1 AS UBIGINT)
+                                         << CAST(2 * i + 1 AS INTEGER)))
+           AS z
+  FROM pt, (SELECT unnest(generate_series(0, 9)) AS i)
+  GROUP BY doc_id)
+SELECT pt.doc_id, CAST(pt.x AS BIGINT) AS x, CAST(pt.y AS BIGINT) AS y,
+       CAST(b.z AS BIGINT) AS zval,
+       CAST(CASE WHEN pt.x BETWEEN 100000 AND 400000
+                  AND pt.y BETWEEN 200000 AND 600000
+            THEN 1 ELSE 0 END AS BIGINT) AS in_box
+FROM pt JOIN bitsum b USING (doc_id)
+"""

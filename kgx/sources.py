@@ -623,3 +623,50 @@ def merkle_ranges(sf_dir: str, leaf_width: int = 8, fanout: int = 8):
         "range_id": piv["range_id"].astype("int64"),
         "ck_a": ck_a, "ck_b": ck_b,
         "differs": (ck_a != ck_b).astype("int64")})
+
+
+def zorder_values(sf_dir: str, bits: int = 10,
+                  box=(100_000, 400_000, 200_000, 600_000)):
+    """(doc_id, x, y, zval, in_box) — Z-ORDER (Morton) space-filling
+    curve values over the deterministic 2-D point set
+    (spatial_neighbor_pairs' md5 coordinates, rescaled to ``bits``
+    bits per axis): zval interleaves the two coordinates' bits, the
+    multi-dimensional LAYOUT key behind Databricks ZORDER BY /
+    Iceberg sort orders — sorting by zval co-locates 2-D neighbors so
+    a box predicate touches a small, nearly-contiguous zval range,
+    where a 1-D sort scatters one axis completely (the locality win
+    is pinned by test as rank-span contiguity). ``in_box`` flags the
+    benchmark box query.
+
+    Scale shape: map-only (the curve value is per-row arithmetic);
+    the layout write + zonemap pruning composes with
+    zonemap_pruned_read's machinery at 100 TB.
+    """
+    from .traindata import _md5_u64
+
+    G = 1 << 20
+    shift = 20 - bits
+    x0, x1, y0, y1 = box
+    ds = _bread("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        xs = np.array([_md5_u64("x:%d" % d) % G for d in ids],
+                      dtype="int64")
+        ys = np.array([_md5_u64("y:%d" % d) % G for d in ids],
+                      dtype="int64")
+        xb = xs >> shift
+        yb = ys >> shift
+        z = np.zeros(len(ids), dtype="int64")
+        for i in range(bits):
+            z |= (((xb >> i) & 1) << (2 * i)) \
+                | (((yb >> i) & 1) << (2 * i + 1))
+        return pd.DataFrame({
+            "doc_id": ids.to_numpy("int64"),
+            "x": xs, "y": ys,
+            "zval": z,
+            "in_box": (((xs >= x0) & (xs <= x1)
+                        & (ys >= y0) & (ys <= y1))
+                       .astype("int64"))})
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -6171,3 +6171,29 @@ class TestLearnedIndex:
         assert abs(int(got["max_err_rows_q6"]) / 1e6 - worst) < 0.01
         # and the model is useful: window << n
         assert int(got["max_err_rows_q6"]) < 1e6 * int(got["n"]) / 4
+
+
+class TestZorder:
+    def test_zorder_locality_beats_1d_sort(self, ray_session):
+        from kgx.sources import zorder_values
+
+        got = zorder_values(SF).to_pandas()
+        # interleave replay on a few rows
+        for r in got.head(20).itertuples(index=False):
+            xb, yb = int(r.x) >> 10, int(r.y) >> 10
+            z = 0
+            for i in range(10):
+                z |= ((xb >> i) & 1) << (2 * i)
+                z |= ((yb >> i) & 1) << (2 * i + 1)
+            assert z == int(r.zval)
+        box = got[got["in_box"] == 1]
+        assert 0 < len(box) < len(got)
+
+        def span_over_count(order_col):
+            rk = got.sort_values(order_col).reset_index(drop=True)
+            pos = rk.index[rk["in_box"] == 1]
+            return (pos.max() - pos.min() + 1) / len(pos)
+
+        # the box's rows sit in a tighter rank window under z-order
+        # than under a 1-D x sort (which scatters the y constraint)
+        assert span_over_count("zval") < span_over_count("x")
