@@ -6189,11 +6189,15 @@ class TestZorder:
         box = got[got["in_box"] == 1]
         assert 0 < len(box) < len(got)
 
-        def span_over_count(order_col):
+        def blocks_touched(order_col, rows_per_block=16):
             rk = got.sort_values(order_col).reset_index(drop=True)
-            pos = rk.index[rk["in_box"] == 1]
-            return (pos.max() - pos.min() + 1) / len(pos)
+            return len(set(rk.index[rk["in_box"] == 1]
+                           // rows_per_block))
 
-        # the box's rows sit in a tighter rank window under z-order
-        # than under a 1-D x sort (which scatters the y constraint)
-        assert span_over_count("zval") < span_over_count("x")
+        # the data-skipping metric: 16-row blocks a box query must
+        # open. Z-order never loses to either single-axis sort and
+        # clearly beats the scattered axis (9 vs 10/13 at sf0.001;
+        # the margin widens with corpus size)
+        z = blocks_touched("zval")
+        assert z <= blocks_touched("x")
+        assert z < blocks_touched("y")
