@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coordinated_sample": relational.coordinated_sample,
         "learned_index_audit": textops.learned_index_audit,
         "zorder_values": sources.zorder_values,
+        "anova_f": textops.anova_f,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

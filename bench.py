@@ -233,6 +233,7 @@ def run_queries(sf_dir: str) -> dict:
         "coordinated_sample": lambda: relational.coordinated_sample(sf_dir),
         "learned_index_audit": lambda: textops.learned_index_audit(sf_dir),
         "zorder_values": lambda: sources.zorder_values(sf_dir),
+        "anova_f": lambda: textops.anova_f(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -6722,3 +6722,40 @@ SELECT pt.doc_id, CAST(pt.x AS BIGINT) AS x, CAST(pt.y AS BIGINT) AS y,
             THEN 1 ELSE 0 END AS BIGINT) AS in_box
 FROM pt JOIN bitsum b USING (doc_id)
 """
+
+# one-way ANOVA with all fractions cleared over n*prod(n_g); the
+# group product folds via exp(sum(ln)) being unsafe — use a
+# recursive product over the ordered group list instead
+DOC_ORACLES["anova_f"] = """
+WITH RECURSIVE g AS (
+  SELECT lang, CAST(count(*) AS HUGEINT) AS ng,
+         CAST(sum(length(text)) AS HUGEINT) AS s,
+         CAST(sum(CAST(length(text) AS HUGEINT) * length(text))
+              AS HUGEINT) AS q,
+         row_number() OVER (ORDER BY lang) AS rn
+  FROM documents GROUP BY lang),
+prod AS (
+  SELECT rn, ng AS p FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.rn, prod.p * g.ng FROM prod
+  JOIN g ON g.rn = prod.rn + 1),
+pp AS (SELECT max_by(p, rn) AS p FROM prod),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k,
+         CAST(sum(ng) AS HUGEINT) AS n,
+         CAST(sum(s) AS HUGEINT) AS st,
+         CAST(sum(q) AS HUGEINT) AS qt,
+         CAST(sum(s * s * ((SELECT p FROM pp) // ng)) AS HUGEINT)
+           AS sg2
+  FROM g)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST((100 * (n * sg2 - st * st * (SELECT p FROM pp)))
+            // (n * (SELECT p FROM pp)) AS BIGINT) AS ssb_q2,
+       CAST((100 * (qt * n * (SELECT p FROM pp) - n * sg2))
+            // (n * (SELECT p FROM pp)) AS BIGINT) AS ssw_q2,
+       CAST((1000000 * (n * sg2 - st * st * (SELECT p FROM pp))
+             * (n - k))
+            // ((qt * n * (SELECT p FROM pp) - n * sg2) * (k - 1))
+            AS BIGINT) AS f_q6
+FROM tot
+"""

@@ -2223,3 +2223,52 @@ def learned_index_audit(sf_dir: str):
         [(n, tq(b_n, den), tq(a_n, den), tq(max_err, den))],
         columns=["n", "b_q6", "a_q6",
                  "max_err_rows_q6"]).astype("int64")
+
+
+def anova_f(sf_dir: str):
+    """(k, n, ssb_q2, ssw_q2, f_q6) — one-way ANOVA of document
+    length across the language groups: between-group and within-group
+    sums of squares from exact integer sufficient statistics
+    (SSB = Σ S_g²/n_g − S²/n, SSW = Q − Σ S_g²/n_g — all fractions
+    cleared over n·Πn_g in Python bigints), F = (SSB/(k−1)) /
+    (SSW/(n−k)) trunc-quantized at 10⁶. The multi-group extension of
+    ab_test_zstat — does a column differ across partitions, the DQ
+    question behind per-source drift triage.
+
+    Scale shape: ONE map-only pass — a per-batch ≤|langs|-row
+    (n, Σx, Σx²) combiner; the algebra folds on the group-sized frame
+    driver-side.
+    """
+    ds = _read_documents(sf_dir, columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].astype("int64")
+        g = pd.DataFrame({"lang": df["lang"].astype(str), "x": x,
+                          "xx": x * x}) \
+            .groupby("lang", as_index=False).agg(
+                n=("x", "size"), s=("x", "sum"), q=("xx", "sum"))
+        return g.astype({"n": "int64", "s": "int64", "q": "int64"})
+
+    h = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby("lang", as_index=False).sum(numeric_only=True))
+    ns = [int(v) for v in h["n"]]
+    ss = [int(v) for v in h["s"]]
+    qs = [int(v) for v in h["q"]]
+    k = len(ns)
+    n = sum(ns)
+    S = sum(ss)
+    Q = sum(qs)
+    P = 1
+    for g_n in ns:
+        P *= g_n
+    # cleared over n·P: SSB·n·P and SSW·n·P are exact integers
+    sg2 = sum(s * s * (P // g_n) for s, g_n in zip(ss, ns))
+    ssb_np = n * sg2 - S * S * P
+    ssw_np = Q * n * P - n * sg2
+    f_num = 1000000 * ssb_np * (n - k)
+    f_den = ssw_np * (k - 1)
+    return pd.DataFrame(
+        [(k, n, (100 * ssb_np) // (n * P), (100 * ssw_np) // (n * P),
+          f_num // f_den)],
+        columns=["k", "n", "ssb_q2", "ssw_q2",
+                 "f_q6"]).astype("int64")

@@ -6201,3 +6201,26 @@ class TestZorder:
         z = blocks_touched("zval")
         assert z <= blocks_touched("x")
         assert z < blocks_touched("y")
+
+
+class TestAnovaF:
+    def test_anova_matches_float_replay(self, ray_session):
+        import duckdb
+
+        from kgx.textops import anova_f
+
+        got = anova_f(SF).iloc[0]
+        df = duckdb.sql(
+            "SELECT lang, length(text) AS x FROM read_parquet("
+            "'%s/documents.parquet')" % SF).df()
+        n, k = len(df), df["lang"].nunique()
+        grand = df["x"].mean()
+        ssb = sum(len(g) * (g["x"].mean() - grand) ** 2
+                  for _, g in df.groupby("lang"))
+        ssw = sum(((g["x"] - g["x"].mean()) ** 2).sum()
+                  for _, g in df.groupby("lang"))
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert int(got["k"]) == k and int(got["n"]) == n
+        assert abs(int(got["ssb_q2"]) / 100 - ssb) < 1.0
+        assert abs(int(got["ssw_q2"]) / 100 - ssw) < 1.0
+        assert abs(int(got["f_q6"]) / 1e6 - f) < 1e-4
