@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import powerlaw_alpha as _powerlaw_alpha
     from kgx.components import diameter_estimate as _diameter_estimate
     from kgx.components import modularity_score as _modularity_score
+    from kgx.components import ktruss as _ktruss
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -154,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "learned_index_audit": textops.learned_index_audit,
         "zorder_values": sources.zorder_values,
         "anova_f": textops.anova_f,
+        "ktruss": _ktruss,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

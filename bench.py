@@ -124,6 +124,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import powerlaw_alpha as _powerlaw_alpha
     from kgx.components import diameter_estimate as _diameter_estimate
     from kgx.components import modularity_score as _modularity_score
+    from kgx.components import ktruss as _ktruss
 
     def consume(ds):
         # stream-consume without driver materialization; gated ops may
@@ -234,6 +235,7 @@ def run_queries(sf_dir: str) -> dict:
         "learned_index_audit": lambda: textops.learned_index_audit(sf_dir),
         "zorder_values": lambda: sources.zorder_values(sf_dir),
         "anova_f": lambda: textops.anova_f(sf_dir),
+        "ktruss": lambda: _ktruss(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -2700,3 +2700,241 @@ def modularity_score(sf_dir: str, rounds: int = 4,
         [(int(dc.index.nunique()), m, q_num, 4 * m * m)],
         columns=["n_communities", "m_edges", "q_num",
                  "q_den"]).astype("int64")
+
+
+def _truss_support_local(e: np.ndarray) -> np.ndarray:
+    """support[i] = number of triangles containing edge i (local)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in e:
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    return np.fromiter(
+        (len(adj[int(a)] & adj[int(b)]) for a, b in e),
+        dtype=np.int64, count=len(e))
+
+
+def ktruss(sf_dir: str, k: int = 4, rounds: int = 3,
+           threshold: float = 0.8,
+           num_partitions: Optional[int] = None,
+           small_graph_threshold: int = 2_000_000):
+    """(a, b, support) — fixed-round k-TRUSS peeling (Cohen 2008) of
+    the near-dup pair graph: each round drops every edge in fewer
+    than k−2 triangles, the EDGE-grade refinement of k-core that
+    separates genuinely dense duplicate communities from chains of
+    incidental pairs (a path survives any 2-core but no 4-truss).
+    Output = surviving edges with their final triangle support;
+    fixed-round semantics keep the oracle static, with the fixpoint
+    reached well inside ``rounds`` on near-clique dup graphs (pinned
+    by the rounds-vs-rounds+1 test).
+
+    Scale shape: ≤``small_graph_threshold``-edge graphs peel in ONE
+    task. Above it, each round computes per-edge support with the
+    degree-ordered triangle enumeration (orient toward the
+    higher-(degree, node) endpoint — every node's out-degree is
+    bounded ~√E so wedge generation never explodes at a hub): wedge
+    candidates meet oriented edges in ONE edge-key co-group, each
+    found triangle credits its three edges, credits settle in a
+    second edge-key exchange, and the peel is an edge semi-join.
+    Both paths pinned row-identical by test.
+    """
+    from .dedup import jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas").materialize()
+
+    if edges.count() <= small_graph_threshold:
+        e = edges.to_pandas()[["a", "b"]].to_numpy("int64")
+        for _ in range(rounds):
+            if not len(e):
+                break
+            sup = _truss_support_local(e)
+            keep = sup >= k - 2
+            if keep.all():
+                break
+            e = e[keep]
+        sup = (_truss_support_local(e) if len(e)
+               else np.zeros(0, dtype=np.int64))
+        return pd.DataFrame({
+            "a": pd.Series(e[:, 0] if len(e) else [], dtype="int64"),
+            "b": pd.Series(e[:, 1] if len(e) else [], dtype="int64"),
+            "support": pd.Series(sup, dtype="int64")})
+
+    cur = edges
+    for rnd in range(rounds + 1):  # +1: final pass only computes support
+        sup = _edge_support(cur, nparts)
+        if rnd == rounds:
+            return sup
+        # repartition between rounds: shuffle output block counts
+        # otherwise compound (144 blocks after one peel) and the next
+        # support pass drowns in per-block orchestration — the
+        # sssp/pagerank lesson, measured 5 s → 122 s per round
+        cur = sup.map_batches(
+            lambda df: df.loc[df["support"] >= k - 2, ["a", "b"]],
+            batch_format="pandas").repartition(nparts).materialize()
+    return sup
+
+
+def _edge_support(edges, nparts: int):
+    """Dataset[(a,b)] → Dataset[(a, b, support)] — per-edge triangle
+    counts via degree-ordered wedge enumeration (each triangle found
+    once, crediting its three edges)."""
+    deg = _edge_degrees(edges, nparts)
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["a", "b"]].copy()
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["a"], index=False) % nparts).astype("int32")
+        return out
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df["node"].astype("int64"),
+                            "b": np.int64(-1),
+                            "deg": df["deg"].astype("int64")})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["a"], index=False) % nparts).astype("int32")
+        return out
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["b"] == -1][["a", "deg"]]
+        e = df[df["b"] != -1][["a", "b"]]
+        return e.merge(d, on="a").rename(columns={"deg": "da"})
+
+    ea = (edges.map_batches(
+        lambda df: df.assign(deg=np.int64(0)), batch_format="pandas")
+        .map_batches(tag_edge, batch_format="pandas")
+        .union(deg.map_batches(tag_deg, batch_format="pandas"))
+        .groupby("bucket").map_groups(attach_a, batch_format="pandas"))
+
+    def tag_edge_b(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["a", "b", "da"]].copy()
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["b"], index=False) % nparts).astype("int32")
+        return out
+
+    def tag_deg_b(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": np.int64(-1),
+                            "b": df["node"].astype("int64"),
+                            "da": df["deg"].astype("int64")})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["b"], index=False) % nparts).astype("int32")
+        return out
+
+    def attach_b(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["a"] == -1][["b", "da"]].rename(columns={"da": "db"})
+        e = df[df["a"] != -1][["a", "b", "da"]]
+        return e.merge(d, on="b")
+
+    eab = (ea.map_batches(tag_edge_b, batch_format="pandas")
+           .union(deg.map_batches(tag_deg_b, batch_format="pandas"))
+           .groupby("bucket").map_groups(attach_b,
+                                         batch_format="pandas")
+           .materialize())
+
+    # orient each edge toward the higher-(deg, node) endpoint
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy("int64")
+        b = df["b"].to_numpy("int64")
+        da = df["da"].to_numpy("int64")
+        db = df["db"].to_numpy("int64")
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        out = pd.DataFrame({"src": src, "dst": dst})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["src"], index=False) % nparts).astype("int32")
+        return out
+
+    oriented = eab.map_batches(orient,
+                               batch_format="pandas").materialize()
+
+    # wedges at each source: candidate closing pair (u, v) + apex
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, g in df.groupby("src", sort=False):
+            ds_ = np.sort(g["dst"].to_numpy("int64"))
+            n = len(ds_)
+            if n < 2:
+                continue
+            iu, iv = np.triu_indices(n, k=1)
+            outs.append(pd.DataFrame({
+                "u": ds_[iu], "v": ds_[iv],
+                "apex": np.int64(src)}))
+        if not outs:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64"),
+                                 "apex": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([],
+                                                     dtype="int32")})
+        out = pd.concat(outs, ignore_index=True)
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["u"].astype(str) + ":" + out["v"].astype(str),
+            index=False) % nparts).astype("int32")
+        return out
+
+    wedge_ds = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pandas")
+
+    # canonical (min, max) edge key rows for the closing-edge probe
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(df["src"], df["dst"]).astype("int64")
+        b = np.maximum(df["src"], df["dst"]).astype("int64")
+        out = pd.DataFrame({"u": a, "v": b, "apex": np.int64(-1)})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["u"].astype(str) + ":" + out["v"].astype(str),
+            index=False) % nparts).astype("int32")
+        return out
+
+    def close_and_credit(df: pd.DataFrame) -> pd.DataFrame:
+        have = df[df["apex"] == -1][["u", "v"]].drop_duplicates()
+        cand = df[df["apex"] != -1]
+        m = cand.merge(have, on=["u", "v"])
+        if m.empty:
+            return pd.DataFrame({"ca": pd.Series([], dtype="int64"),
+                                 "cb": pd.Series([], dtype="int64")})
+        # credit all three edges of each triangle (canonical order)
+        u = m["u"].to_numpy("int64")
+        v = m["v"].to_numpy("int64")
+        x = m["apex"].to_numpy("int64")
+        ca = np.concatenate([u, np.minimum(x, u), np.minimum(x, v)])
+        cb = np.concatenate([v, np.maximum(x, u), np.maximum(x, v)])
+        return pd.DataFrame({"ca": ca, "cb": cb})
+
+    credits = (wedge_ds.union(oriented.map_batches(
+        edge_keys, batch_format="pandas"))
+        .groupby("bucket").map_groups(close_and_credit,
+                                      batch_format="pandas"))
+
+    def credit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["ca", "cb"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["bucket"] = (pd.util.hash_pandas_object(
+            g["ca"].astype(str) + ":" + g["cb"].astype(str),
+            index=False) % nparts).astype("int32")
+        return g
+
+    def edge_side(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(df["src"], df["dst"]).astype("int64")
+        b = np.maximum(df["src"], df["dst"]).astype("int64")
+        out = pd.DataFrame({"ca": a, "cb": b, "n": np.int64(0)})
+        out["bucket"] = (pd.util.hash_pandas_object(
+            out["ca"].astype(str) + ":" + out["cb"].astype(str),
+            index=False) % nparts).astype("int32")
+        return out
+
+    def settle(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["ca", "cb"], as_index=False)["n"].sum()
+        return pd.DataFrame({"a": g["ca"].astype("int64"),
+                             "b": g["cb"].astype("int64"),
+                             "support": g["n"].astype("int64")})
+
+    return (credits.map_batches(credit_partial, batch_format="pandas")
+            .union(oriented.map_batches(edge_side,
+                                        batch_format="pandas"))
+            .groupby("bucket").map_groups(settle,
+                                          batch_format="pandas"))

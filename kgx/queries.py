@@ -6759,3 +6759,49 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS f_q6
 FROM tot
 """
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled k-truss peel: per round a triple-join triangle
+    enumeration, per-edge support via UNION ALL credits, then the
+    support filter; final support recomputed on the surviving set."""
+    parts = ["""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), e0 AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+)"""]
+    for r in range(1, rounds + 2):
+        prev = "e%d" % (r - 1)
+        parts.append(f""",
+tri{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1 JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b
+), s{r} AS MATERIALIZED (
+  SELECT a, b, count(*) AS c FROM (
+    SELECT x AS a, y AS b FROM tri{r}
+    UNION ALL SELECT x, z FROM tri{r}
+    UNION ALL SELECT y, z FROM tri{r})
+  GROUP BY a, b
+)""")
+        if r <= rounds:
+            parts.append(f""",
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN s{r} s ON s.a = e.a AND s.b = e.b
+  WHERE s.c >= {k - 2}
+)""")
+    parts.append(f"""
+SELECT e.a, e.b, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+FROM e{rounds} e LEFT JOIN s{rounds + 1} s
+  ON s.a = e.a AND s.b = e.b""")
+    return "".join(parts)
+
+
+DOC_ORACLES["ktruss"] = _ktruss_sql()

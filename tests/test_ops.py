@@ -6224,3 +6224,42 @@ class TestAnovaF:
         assert abs(int(got["ssb_q2"]) / 100 - ssb) < 1.0
         assert abs(int(got["ssw_q2"]) / 100 - ssw) < 1.0
         assert abs(int(got["f_q6"]) / 1e6 - f) < 1e-4
+
+
+class TestKtruss:
+    def test_truss_invariants_and_convergence(self, ray_session):
+        from kgx.components import ktruss
+        from kgx.dedup import jaccard_pairs
+
+        got = ktruss(SF)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        all_e = jaccard_pairs(SF).to_pandas()
+        assert 0 < len(got) < len(all_e)  # real peeling happened
+        # every surviving edge's support is its triangle count in the
+        # surviving subgraph, and meets the truss bar (converged)
+        adj: dict = {}
+        for a, b in zip(got["a"].astype(int), got["b"].astype(int)):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for r in got.itertuples(index=False):
+            want = len(adj[int(r.a)] & adj[int(r.b)])
+            assert int(r.support) == want
+            assert want >= 2  # k=4 ⇒ support ≥ k−2 at the fixpoint
+        # fixed-round == fixed-round+1 (fixpoint inside 3 rounds)
+        again = ktruss(SF, rounds=4)
+        again = (again.to_pandas() if hasattr(again, "to_pandas")
+                 else again)
+        key = lambda df: set(map(tuple, df[["a", "b", "support"]]
+                                 .values))
+        assert key(got) == key(again)
+
+    def test_truss_gate_matches_distributed(self, ray_session):
+        from kgx.components import ktruss
+
+        gate = ktruss(SF)
+        gate = gate.to_pandas() if hasattr(gate, "to_pandas") else gate
+        dist = ktruss(SF, small_graph_threshold=0)
+        dist = dist.to_pandas() if hasattr(dist, "to_pandas") else dist
+        key = lambda df: set(map(tuple, df[["a", "b", "support"]]
+                                 .values))
+        assert key(gate) == key(dist)
