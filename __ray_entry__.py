@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_values": sources.zorder_values,
         "anova_f": textops.anova_f,
         "ktruss": _ktruss,
+        "wav_frame_features": multimodal.wav_frame_features,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -567,3 +567,43 @@ def scene_cuts(sf_dir: str, width: int = 16, height: int = 8,
 
     return ds.map_batches(fn, batch_format="pandas",
                           batch_size=batch_size)
+
+
+def wav_frame_features(sf_dir: str, frame: int = 64,
+                       batch_size: int = 64):
+    """(doc_id, frame_idx, energy, zcr) — framewise AUDIO FEATURE
+    extraction over REAL decoded PCM: each document's synthesized
+    RIFF/WAVE stream decodes through the chunk-walking
+    ``decode_wav``, and every ``frame``-sample window reduces to its
+    exact integer energy (Σ s², the VAD/loudness feature) and
+    zero-crossing rate (strict sign flips between adjacent samples —
+    the classic voiced/unvoiced discriminator). The first feature
+    stage every audio curation pipeline runs after decode;
+    square-root-free so both engines stay in exact integers.
+
+    Map-only over small batches (the wav_pcm_stats shape); the SQL
+    oracle replays the little-endian int16 samples from document
+    bytes.
+    """
+    ds = _bread("%s/documents.parquet" % sf_dir,
+                columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, en, zc = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            s = decode_wav(encode_wav(text.encode("utf-8"))) \
+                .astype(np.int64)
+            for f in range(0, len(s), frame):
+                w = s[f:f + frame]
+                doc_ids.append(int(doc_id))
+                idxs.append(f // frame)
+                en.append(int((w * w).sum()))
+                zc.append(int((w[:-1] * w[1:] < 0).sum()))
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int64"),
+            "energy": pd.Series(en, dtype="int64"),
+            "zcr": pd.Series(zc, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas",
+                          batch_size=batch_size)

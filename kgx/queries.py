@@ -6805,3 +6805,31 @@ FROM e{rounds} e LEFT JOIN s{rounds + 1} s
 
 
 DOC_ORACLES["ktruss"] = _ktruss_sql()
+
+# framewise audio features replayed from document bytes: little-endian
+# int16 samples, 64-sample frames, exact energy + strict sign flips
+DOC_ORACLES["wav_frame_features"] = """
+WITH ch AS (
+  SELECT doc_id, text, len(text) AS n,
+         unnest(generate_series(1, (len(text) + 1) // 2)) AS i
+  FROM documents
+), smp AS (
+  SELECT doc_id, i,
+         (SELECT CASE WHEN x < 32768 THEN x ELSE x - 65536 END
+          FROM (SELECT ascii(substr(text, 2*i - 1, 1))
+                + 256 * (CASE WHEN 2*i <= n
+                         THEN ascii(substr(text, 2*i, 1))
+                         ELSE 0 END) AS x)) AS s
+  FROM ch
+), fr AS (
+  SELECT doc_id, i, s, (i - 1) // 64 AS frame_idx,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM smp
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(sum(CASE WHEN ((i - 1) % 64) < 63 AND nxt IS NOT NULL
+                      AND s * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS zcr
+FROM fr GROUP BY doc_id, frame_idx
+"""

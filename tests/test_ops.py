@@ -6263,3 +6263,26 @@ class TestKtruss:
         key = lambda df: set(map(tuple, df[["a", "b", "support"]]
                                  .values))
         assert key(gate) == key(dist)
+
+
+class TestWavFrameFeatures:
+    def test_frame_replay_from_decoded_samples(self, ray_session):
+        import duckdb
+
+        from kgx.multimodal import (decode_wav, encode_wav,
+                                    wav_frame_features)
+
+        got = wav_frame_features(SF).to_pandas()
+        docs = duckdb.sql(
+            "SELECT doc_id, text FROM read_parquet("
+            "'%s/documents.parquet') LIMIT 15" % SF).df()
+        for doc_id, text in zip(docs["doc_id"].astype(int),
+                                docs["text"]):
+            s = decode_wav(encode_wav(text.encode())).astype(np.int64)
+            g = got[got["doc_id"] == doc_id].sort_values("frame_idx")
+            assert len(g) == -(-len(s) // 64)
+            for r in g.itertuples(index=False):
+                w = s[int(r.frame_idx) * 64:(int(r.frame_idx) + 1) * 64]
+                assert int(r.energy) == int((w * w).sum())
+                assert int(r.zcr) == int((w[:-1] * w[1:] < 0).sum())
+        assert (got["zcr"] > 0).any() and (got["energy"] > 0).all()
