@@ -576,8 +576,11 @@ def wav_frame_features(sf_dir: str, frame: int = 64,
     RIFF/WAVE stream decodes through the chunk-walking
     ``decode_wav``, and every ``frame``-sample window reduces to its
     exact integer energy (Σ s², the VAD/loudness feature) and
-    zero-crossing rate (strict sign flips between adjacent samples —
-    the classic voiced/unvoiced discriminator). The first feature
+    zero-crossing rate (strict sign flips between adjacent
+    DC-CENTERED samples — the classic voiced/unvoiced discriminator;
+    ASCII-synthesized PCM has a strong positive DC bias, so as in
+    production ZCR the bias is removed first — here the fixed
+    synthesis midpoint 20000). The first feature
     stage every audio curation pipeline runs after decode;
     square-root-free so both engines stay in exact integers.
 
@@ -598,7 +601,8 @@ def wav_frame_features(sf_dir: str, frame: int = 64,
                 doc_ids.append(int(doc_id))
                 idxs.append(f // frame)
                 en.append(int((w * w).sum()))
-                zc.append(int((w[:-1] * w[1:] < 0).sum()))
+                c = w - 20000  # DC-bias removal before ZCR
+                zc.append(int((c[:-1] * c[1:] < 0).sum()))
         return pd.DataFrame({
             "doc_id": pd.Series(doc_ids, dtype="int64"),
             "frame_idx": pd.Series(idxs, dtype="int64"),

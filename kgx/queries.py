@@ -6829,7 +6829,8 @@ WITH ch AS (
 SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(sum(s * s) AS BIGINT) AS energy,
        CAST(sum(CASE WHEN ((i - 1) % 64) < 63 AND nxt IS NOT NULL
-                      AND s * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AND (s - 20000) * (nxt - 20000) < 0
+                 THEN 1 ELSE 0 END) AS BIGINT)
          AS zcr
 FROM fr GROUP BY doc_id, frame_idx
 """
