@@ -611,3 +611,44 @@ def wav_frame_features(sf_dir: str, frame: int = 64,
 
     return ds.map_batches(fn, batch_format="pandas",
                           batch_size=batch_size)
+
+
+def bmp_dhash(sf_dir: str, batch_size: int = 64):
+    """(doc_id, dhash_q, n_cols) — PERCEPTUAL difference hash over
+    REAL decoded images (the dHash family behind image near-dup
+    detection): each document's bytes become a 24-bit BMP, decode
+    through the header/stride/flip-walking ``decode_bmp``, collapse
+    to 32 integer column luma sums (gray = (R+G+B) per pixel — the
+    //3 divides out of sign comparisons), and emit the 31
+    column-gradient sign bits as one integer. Two images differing
+    by brightness scaling or small noise keep most gradient signs —
+    the property exact byte hashing lacks; pair via simhash_pairs'
+    banded hamming machinery at scale.
+
+    Map-only (the y4m/bmp shape); the oracle replays column sums
+    from document bytes (pixel (r, c) covers bytes 96r+3c..+2,
+    zero-padded grid).
+    """
+    ds = _bread("%s/documents.parquet" % sf_dir,
+                columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, hashes, ncols = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            img = decode_bmp(encode_bmp(text.encode("utf-8"))) \
+                .astype(np.int64)
+            col = img.sum(axis=(0, 2))  # per-column luma (R+G+B) sum
+            bits = (col[:-1] > col[1:]).astype(np.int64)
+            h = 0
+            for b in bits:
+                h = (h << 1) | int(b)
+            doc_ids.append(int(doc_id))
+            hashes.append(h)
+            ncols.append(len(col))
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "dhash_q": pd.Series(hashes, dtype="int64"),
+            "n_cols": pd.Series(ncols, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas",
+                          batch_size=batch_size)

@@ -6834,3 +6834,30 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
          AS zcr
 FROM fr GROUP BY doc_id, frame_idx
 """
+
+# dHash: per-column byte sums (pixel (r,c) = bytes 96r+3c..+2,
+# zero-padded), gradient sign bits packed big-endian-first
+DOC_ORACLES["bmp_dhash"] = """
+WITH px AS (
+  SELECT doc_id, ((i - 1) % 96) // 3 AS c,
+         ascii(substr(text, i, 1)) AS v
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents)
+), col AS (
+  SELECT d.doc_id, g.c, COALESCE(sum(px.v), 0) AS s
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS c) g
+  LEFT JOIN px ON px.doc_id = d.doc_id AND px.c = g.c
+  GROUP BY d.doc_id, g.c
+), bits AS (
+  SELECT a.doc_id, a.c,
+         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM col a JOIN col b ON b.doc_id = a.doc_id AND b.c = a.c + 1
+)
+SELECT doc_id,
+       CAST(sum(bit * (CAST(1 AS UBIGINT) << CAST(30 - c AS INTEGER)))
+            AS BIGINT) AS dhash_q,
+       CAST(32 AS BIGINT) AS n_cols
+FROM bits GROUP BY doc_id
+"""

@@ -6287,3 +6287,36 @@ class TestWavFrameFeatures:
                 c = w - 20000
                 assert int(r.zcr) == int((c[:-1] * c[1:] < 0).sum())
         assert (got["zcr"] > 0).any() and (got["energy"] > 0).all()
+
+
+class TestBmpDhash:
+    def test_dhash_replay_and_perceptual_property(self, ray_session):
+        from kgx.multimodal import bmp_dhash, decode_bmp, encode_bmp
+
+        got = bmp_dhash(SF).to_pandas()
+        assert len(got) == 500
+        assert got["dhash_q"].between(0, (1 << 31) - 1).all()
+        # replay a few + the PERCEPTUAL property: doubling brightness
+        # (scaling every byte) keeps the hash identical, while byte
+        # hashing would change completely
+        sample = got.head(10)
+        for r in sample.itertuples(index=False):
+            import duckdb
+
+            text = duckdb.sql(
+                "SELECT text FROM read_parquet("
+                "'%s/documents.parquet') WHERE doc_id = %d"
+                % (SF, int(r.doc_id))).fetchone()[0]
+            img = decode_bmp(encode_bmp(text.encode())).astype(np.int64)
+            col = img.sum(axis=(0, 2))
+            h = 0
+            for b in (col[:-1] > col[1:]).astype(int):
+                h = (h << 1) | int(b)
+            assert h == int(r.dhash_q)
+            # brightness-scaled image: same gradient signs
+            col2 = col * 2
+            h2 = 0
+            for b in (col2[:-1] > col2[1:]).astype(int):
+                h2 = (h2 << 1) | int(b)
+            assert h2 == h
+        assert got["dhash_q"].nunique() > 400  # discriminative
