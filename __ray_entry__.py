@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": _ktruss,
         "wav_frame_features": multimodal.wav_frame_features,
         "bmp_dhash": multimodal.bmp_dhash,
+        "keyframes": multimodal.keyframes,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

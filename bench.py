@@ -238,6 +238,7 @@ def run_queries(sf_dir: str) -> dict:
         "ktruss": lambda: _ktruss(sf_dir),
         "wav_frame_features": lambda: multimodal.wav_frame_features(sf_dir),
         "bmp_dhash": lambda: multimodal.bmp_dhash(sf_dir),
+        "keyframes": lambda: multimodal.keyframes(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -652,3 +652,39 @@ def bmp_dhash(sf_dir: str, batch_size: int = 64):
 
     return ds.map_batches(fn, batch_format="pandas",
                           batch_size=batch_size)
+
+
+def keyframes(sf_dir: str, width: int = 16, height: int = 8,
+              thr: int = 4096, batch_size: int = 64):
+    """(doc_id, frame_idx, luma_sum) — KEYFRAME selection over real
+    decoded video: frame 0 plus every frame opening a new shot
+    (``scene_cuts``' SAD > thr rule), each reduced to its luma sum —
+    the temporal downsample a video curation pipeline stores instead
+    of all frames (here ~half the frames survive; on real footage the
+    reduction is 100×). Composes the independently-oracled cut rule;
+    map-only over small batches.
+    """
+    ds = _bread("%s/documents.parquet" % sf_dir,
+                columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, idxs, sums = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            frames = decode_y4m(encode_y4m(text.encode("utf-8"),
+                                           width, height)) \
+                .astype(np.int64)
+            for f in range(frames.shape[0]):
+                if f > 0:
+                    sad = int(np.abs(frames[f] - frames[f - 1]).sum())
+                    if sad <= thr:
+                        continue
+                doc_ids.append(int(doc_id))
+                idxs.append(f)
+                sums.append(int(frames[f].sum()))
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int64"),
+            "luma_sum": pd.Series(sums, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas",
+                          batch_size=batch_size)

@@ -6861,3 +6861,28 @@ SELECT doc_id,
        CAST(32 AS BIGINT) AS n_cols
 FROM bits GROUP BY doc_id
 """
+
+# keyframes = frame 0 + scene_cuts' flagged frames, with luma sums
+DOC_ORACLES["keyframes"] = (
+    "WITH cuts AS (" + DOC_ORACLES["scene_cuts"] + """),
+fr AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(generate_series(
+             0, greatest(1, (length(text) + 127) // 128) - 1))
+           AS frame_idx
+  FROM documents),
+keep AS (
+  SELECT f.doc_id, f.frame_idx, f.text, f.n
+  FROM fr f LEFT JOIN cuts c
+    ON c.doc_id = f.doc_id AND c.frame_idx = f.frame_idx
+  WHERE f.frame_idx = 0 OR c.is_cut = 1),
+px AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN frame_idx * 128 + i <= n
+              THEN ascii(substr(text, frame_idx * 128 + i, 1))
+              ELSE 0 END AS v
+  FROM keep, (SELECT unnest(generate_series(1, 128)) AS i) s)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sum(v) AS BIGINT) AS luma_sum
+FROM px GROUP BY doc_id, frame_idx
+""")

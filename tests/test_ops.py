@@ -6320,3 +6320,22 @@ class TestBmpDhash:
                 h2 = (h2 << 1) | int(b)
             assert h2 == h
         assert got["dhash_q"].nunique() > 400  # discriminative
+
+
+class TestKeyframes:
+    def test_keyframes_compose_cuts(self, ray_session):
+        from kgx.multimodal import keyframes, scene_cuts
+
+        kf = keyframes(SF).to_pandas()
+        cuts = scene_cuts(SF).to_pandas()
+        want = set()
+        for doc_id in kf["doc_id"].unique():
+            want.add((int(doc_id), 0))
+        for r in cuts[cuts["is_cut"] == 1].itertuples(index=False):
+            want.add((int(r.doc_id), int(r.frame_idx)))
+        got = set(zip(kf["doc_id"].astype(int),
+                      kf["frame_idx"].astype(int)))
+        assert got == want
+        # a real temporal downsample: strictly fewer than all frames
+        total_frames = len(cuts) + kf["doc_id"].nunique()
+        assert len(kf) < total_frames
