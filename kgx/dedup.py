@@ -1910,9 +1910,55 @@ def _attach_flag(rows, flags, key: str, out_col: str, nparts: int,
                                             batch_format="pandas")
 
 
+def _local_dbscan(sf_dir: str, edges, min_pts: int) -> pd.DataFrame:
+    """Single-task DBSCAN over a materialized pair list — same core /
+    border / noise rules and tie conventions as the distributed path."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq_
+
+    e = edges.to_pandas()
+    adj = defaultdict(set)
+    for a, b in zip(e["a"].astype(int), e["b"].astype(int)):
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {v for v, nb in adj.items() if len(nb) >= min_pts}
+    # components of core-core edges via union-find
+    parent = {v: v for v in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(e["a"].astype(int), e["b"].astype(int)):
+        if a in core and b in core:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    # find() yields the component minimum: unions always point the
+    # larger root at the smaller, so every tree's root is its min
+    label = {v: find(v) for v in core}
+    all_ids = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                             columns=["vec_id"]).column("vec_id")         .to_pylist()
+    rows = []
+    for v in sorted(int(x) for x in all_ids):
+        if v in core:
+            rows.append((v, 1, label[v]))
+        else:
+            cn = [label[u] for u in adj.get(v, ()) if u in core]
+            if cn:
+                rows.append((v, 2, min(cn)))
+            else:
+                rows.append((v, 0, -1))
+    return pd.DataFrame(rows, columns=["vec_id", "role", "cluster"])         .astype("int64")
+
+
 def dbscan_clusters(sf_dir: str, threshold: float = 0.35,
                     min_pts: int = 3,
-                    num_partitions: Optional[int] = None):
+                    num_partitions: Optional[int] = None,
+                    small_graph_threshold: int = 2_000_000):
     """(vec_id, role, cluster) — DBSCAN density clustering (Ester et
     al. KDD 1996, the test-of-time clustering that needs no k and
     calls sparse points noise): eps-neighbors = exact cosine ≥
@@ -1943,6 +1989,11 @@ def dbscan_clusters(sf_dir: str, threshold: float = 0.35,
         lambda df: pd.DataFrame({"a": df["vec_id_a"].astype("int64"),
                                  "b": df["vec_id_b"].astype("int64")}),
         batch_format="pandas").materialize()
+    if edges.count() <= small_graph_threshold:
+        # the six chained graph stages are pure orchestration below
+        # millions of pairs (the kcore/ktruss gate) — row-identical
+        # by exactness, pinned by test
+        return _local_dbscan(sf_dir, edges, min_pts)
     deg = _edge_degrees(edges, nparts)
     core = deg.map_batches(
         lambda df: pd.DataFrame(

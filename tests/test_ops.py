@@ -5946,10 +5946,22 @@ class TestDiameterEstimate:
 
 
 class TestDbscan:
+    def test_dbscan_gate_matches_distributed(self, ray_session):
+        from kgx.dedup import dbscan_clusters
+
+        gate = dbscan_clusters(SF)
+        gate = (gate.to_pandas() if hasattr(gate, "to_pandas")
+                else gate)
+        dist = dbscan_clusters(SF, small_graph_threshold=0).to_pandas()
+        key = lambda df: set(map(tuple, df[["vec_id", "role",
+                                            "cluster"]].values))
+        assert key(gate) == key(dist)
+
     def test_dbscan_invariants(self, ray_session):
         from kgx.dedup import dbscan_clusters, embedding_near_dup
 
-        got = dbscan_clusters(SF).to_pandas()
+        got = dbscan_clusters(SF)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
         pairs = embedding_near_dup(SF, threshold=0.35).to_pandas()
         deg: dict = {}
         adj: dict = {}
