@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import diameter_estimate as _diameter_estimate
     from kgx.components import modularity_score as _modularity_score
     from kgx.components import ktruss as _ktruss
+    from kgx.components import rich_club as _rich_club
 
     return {
         # KG-construction pipeline (SURVEY §2)
@@ -159,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_frame_features": multimodal.wav_frame_features,
         "bmp_dhash": multimodal.bmp_dhash,
         "keyframes": multimodal.keyframes,
+        "rich_club": _rich_club,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -125,6 +125,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import diameter_estimate as _diameter_estimate
     from kgx.components import modularity_score as _modularity_score
     from kgx.components import ktruss as _ktruss
+    from kgx.components import rich_club as _rich_club
 
     def consume(ds):
         # stream-consume without driver materialization; gated ops may
@@ -239,6 +240,7 @@ def run_queries(sf_dir: str) -> dict:
         "wav_frame_features": lambda: multimodal.wav_frame_features(sf_dir),
         "bmp_dhash": lambda: multimodal.bmp_dhash(sf_dir),
         "keyframes": lambda: multimodal.keyframes(sf_dir),
+        "rich_club": lambda: _rich_club(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

@@ -2938,3 +2938,62 @@ def _edge_support(edges, nparts: int):
                                         batch_format="pandas"))
             .groupby("bucket").map_groups(settle,
                                           batch_format="pandas"))
+
+
+def rich_club(sf_dir: str, ks=(2, 4, 8), threshold: float = 0.8,
+              num_partitions: Optional[int] = None,
+              small_graph_threshold: int = 2_000_000):
+    """(k, n_rich, e_rich, phi_q6) — RICH-CLUB coefficients of the
+    near-dup pair graph (Colizza et al., Nature Physics 2006): for
+    each degree cutoff k, the edge density φ(k) = 2·E_k /
+    (N_k·(N_k−1)) among nodes of degree > k — do the hubs wire to
+    each other (template families sharing boilerplate) or spread
+    across the corpus. Exact integers; φ trunc-quantized at 10⁶.
+
+    Scale shape: one degree exchange (value_counts combiner); edge
+    lists at or below ``small_graph_threshold`` fold in a single
+    task (the shared graph-op gate — the pair graph is the corpus's
+    duplicated fraction); above it each cutoff filters edge
+    endpoints through two schema-preserving flag joins and E_k folds
+    from edge-sized count partials. Both paths share the degree
+    table; pinned identical by test.
+    """
+    from .dedup import _attach_flag, jaccard_pairs
+
+    nparts = num_partitions or _nparts()
+    pairs = jaccard_pairs(sf_dir, threshold, num_partitions=nparts)
+    edges = pairs.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                                 "b": df["doc_id_b"].astype("int64")}),
+        batch_format="pandas").materialize()
+    deg = _edge_degrees(edges, nparts).materialize()
+    degp = deg.to_pandas()  # dimension-sized: one row per rich node
+    da = dict(zip(degp["node"].astype(int), degp["deg"].astype(int)))
+    rows = []
+    small = edges.count() <= small_graph_threshold
+    e = edges.to_pandas() if small else None
+    for k in ks:
+        rich = {v for v, d in da.items() if d > k}
+        nk = len(rich)
+        if small:
+            ek = sum(1 for a, b in zip(e["a"].astype(int),
+                                       e["b"].astype(int))
+                     if a in rich and b in rich)
+        else:
+            flags = deg.map_batches(
+                lambda df, k=k: pd.DataFrame(
+                    {"node": df["node"].astype("int64"),
+                     "flag": (df["deg"] > k).astype("int64")}),
+                batch_format="pandas")
+            e1 = _attach_flag(edges, flags, "a", "fa", nparts)
+            e2 = _attach_flag(e1, flags, "b", "fb", nparts)
+            ek = int(e2.map_batches(
+                lambda df: pd.DataFrame({"n": [int(
+                    ((df["fa"] == 1) & (df["fb"] == 1)).sum())]}),
+                batch_format="pandas").to_pandas()["n"].sum())
+        denom = nk * (nk - 1)
+        phi = (1000000 * 2 * ek) // denom if denom else 0
+        rows.append((k, nk, ek, phi))
+    return pd.DataFrame(
+        rows, columns=["k", "n_rich", "e_rich",
+                       "phi_q6"]).astype("int64")

@@ -6886,3 +6886,34 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(sum(v) AS BIGINT) AS luma_sum
 FROM px GROUP BY doc_id, frame_idx
 """)
+
+# rich-club: per cutoff, edges among nodes of degree > k
+DOC_ORACLES["rich_club"] = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+), deg AS (
+  SELECT node, count(*) AS dg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY node
+), ks AS (SELECT unnest([2, 4, 8]) AS k),
+stats AS (
+  SELECT ks.k,
+         (SELECT count(*) FROM deg WHERE dg > ks.k) AS n_rich,
+         (SELECT count(*) FROM e0
+          JOIN deg d1 ON d1.node = e0.a AND d1.dg > ks.k
+          JOIN deg d2 ON d2.node = e0.b AND d2.dg > ks.k) AS e_rich
+  FROM ks)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_rich AS BIGINT) AS n_rich,
+       CAST(e_rich AS BIGINT) AS e_rich,
+       CAST(CASE WHEN n_rich > 1
+            THEN (1000000 * 2 * e_rich) // (n_rich * (n_rich - 1))
+            ELSE 0 END AS BIGINT) AS phi_q6
+FROM stats
+"""

@@ -6351,3 +6351,24 @@ class TestKeyframes:
         # a real temporal downsample: strictly fewer than all frames
         total_frames = len(cuts) + kf["doc_id"].nunique()
         assert len(kf) < total_frames
+
+
+class TestRichClub:
+    def test_rich_club_replay_and_paths_agree(self, ray_session):
+        from kgx.components import rich_club
+        from kgx.dedup import jaccard_pairs
+
+        got = rich_club(SF)
+        dist = rich_club(SF, small_graph_threshold=0)
+        assert got.astype("int64").equals(dist.astype("int64"))
+        e = jaccard_pairs(SF).to_pandas()
+        deg = pd.concat([e["doc_id_a"], e["doc_id_b"]]).value_counts()
+        for r in got.itertuples(index=False):
+            rich = set(deg[deg > int(r.k)].index.astype(int))
+            ek = sum(1 for a, b in zip(e["doc_id_a"].astype(int),
+                                       e["doc_id_b"].astype(int))
+                     if a in rich and b in rich)
+            assert int(r.n_rich) == len(rich)
+            assert int(r.e_rich) == ek
+        # density among hubs rises with the cutoff (club effect)
+        assert got["phi_q6"].is_monotonic_increasing
