@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_dhash": multimodal.bmp_dhash,
         "keyframes": multimodal.keyframes,
         "rich_club": _rich_club,
+        "pair_edit_stats": dedup.pair_edit_stats,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

@@ -6917,3 +6917,20 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n_rich AS BIGINT) AS n_rich,
             ELSE 0 END AS BIGINT) AS phi_q6
 FROM stats
 """
+
+# exact Levenshtein per blocked near-dup candidate pair; DuckDB's
+# levenshtein() is the independent reference implementation
+DOC_ORACLES["pair_edit_stats"] = """
+WITH d AS (
+  SELECT doc_id, text, list_distinct(string_split(text,' ')) AS toks,
+         string_split(text,' ')[1] AS blk FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       CAST(length(a.text) AS BIGINT) AS len_a,
+       CAST(length(b.text) AS BIGINT) AS len_b
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= 0.8
+"""

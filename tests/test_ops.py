@@ -6372,3 +6372,27 @@ class TestRichClub:
             assert int(r.e_rich) == ek
         # density among hubs rises with the cutoff (club effect)
         assert got["phi_q6"].is_monotonic_increasing
+
+
+class TestPairEditStats:
+    def test_lev_fuzz_and_metric_axioms(self, ray_session):
+        import random
+
+        from kgx.dedup import _lev, pair_edit_stats
+
+        rng = random.Random(11)
+        for _ in range(200):
+            a = "".join(rng.choice("abx ") for _ in range(rng.randint(0, 14)))
+            b = "".join(rng.choice("abx ") for _ in range(rng.randint(0, 14)))
+            d = _lev(a, b)
+            assert d == _lev(b, a)  # symmetry
+            assert d >= abs(len(a) - len(b))  # length lower bound
+            assert d <= max(len(a), len(b))  # replacement upper bound
+            if a == b:
+                assert d == 0
+        got = pair_edit_stats(SF).to_pandas()
+        assert len(got) > 1000
+        assert (got["lev"] >= (got["len_a"] - got["len_b"]).abs()).all()
+        assert (got["lev"]
+                <= got[["len_a", "len_b"]].max(axis=1)).all()
+        assert (got["lev"] > 0).all()  # corpus texts are unique
