@@ -1983,3 +1983,52 @@ def burst_intervals(sf_dir: str, g_cost: int = 2_000_000):
                        "c1"]).astype(
         {"day": "int64", "state": "int64", "c0": "int64",
          "c1": "int64"})
+
+
+def wilson_bounds(sf_dir: str):
+    """(day, n_trials, n_success, lo_q6, hi_q6) — WILSON SCORE 95%
+    interval for each day's purchase share among view+purchase events
+    (z = 2 exactly, so the classic formula clears to
+    (s + 2 ∓ 2·√(s·(n−s)/n + 1)) / (n + 4)): the
+    proportion-uncertainty primitive dashboards should use where the
+    naive ±√(p(1−p)/n) collapses at the boundaries. Float-portability
+    contract: one fixed-order IEEE tree of exactly-representable
+    integers into the correctly-rounded sqrt (the negative_samples
+    precedent — sqrt IS bit-portable, exp is not), floor-quantized
+    at 10⁶.
+
+    Scale shape: the daily (type, day) count combiner; the interval
+    algebra folds on the output-sized frame driver-side.
+    """
+    import math
+
+    nparts = _nparts()
+    ds = _read_events(sf_dir, columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = ((df["ts"] - pd.Timestamp(0))
+               // pd.Timedelta(microseconds=1)) // 86400000000
+        d = pd.DataFrame({"day": day.astype("int64"),
+                          "event_type": df["event_type"].astype(str)})
+        d = d[d["event_type"].isin(["view", "purchase"])]
+        g = (d.groupby(["day", "event_type"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g.astype({"day": "int64", "n": "int64"})
+
+    h = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby(["day", "event_type"], as_index=False)["n"].sum())
+    piv = (h.pivot_table(index="day", columns="event_type",
+                         values="n", fill_value=0).sort_index())
+    rows = []
+    for day in piv.index:
+        s = int(piv.loc[day].get("purchase", 0))
+        n = s + int(piv.loc[day].get("view", 0))
+        if n == 0:
+            continue
+        root = math.sqrt(s * (n - s) / n + 1.0)
+        lo = math.floor(1000000.0 * ((s + 2 - 2 * root) / (n + 4)))
+        hi = math.floor(1000000.0 * ((s + 2 + 2 * root) / (n + 4)))
+        rows.append((int(day), n, s, lo, hi))
+    return pd.DataFrame(
+        rows, columns=["day", "n_trials", "n_success", "lo_q6",
+                       "hi_q6"]).astype("int64")

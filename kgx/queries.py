@@ -6934,3 +6934,23 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
       >= 0.8
 """
+
+# Wilson z=2 interval: the identical fixed-order IEEE tree into the
+# correctly-rounded sqrt (bit-portable, unlike exp)
+DOC_ORACLES["wilson_bounds"] = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS s,
+         sum(CASE WHEN event_type IN ('view', 'purchase') THEN 1
+                  ELSE 0 END) AS n
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY day)
+SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_trials,
+       CAST(s AS BIGINT) AS n_success,
+       CAST(floor(1000000.0 * ((s + 2 - 2 * sqrt(s * (n - s) / n + 1.0))
+                               / (n + 4))) AS BIGINT) AS lo_q6,
+       CAST(floor(1000000.0 * ((s + 2 + 2 * sqrt(s * (n - s) / n + 1.0))
+                               / (n + 4))) AS BIGINT) AS hi_q6
+FROM c WHERE n > 0
+"""

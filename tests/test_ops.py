@@ -6396,3 +6396,23 @@ class TestPairEditStats:
         assert (got["lev"]
                 <= got[["len_a", "len_b"]].max(axis=1)).all()
         assert (got["lev"] > 0).all()  # corpus texts are unique
+
+
+class TestWilsonBounds:
+    def test_wilson_interval_properties(self, ray_session):
+        import math
+
+        from kgx.events import wilson_bounds
+
+        got = wilson_bounds(SF)
+        assert len(got) > 10
+        for r in got.itertuples(index=False):
+            n, s = int(r.n_trials), int(r.n_success)
+            root = math.sqrt(s * (n - s) / n + 1.0)
+            lo = math.floor(1e6 * ((s + 2 - 2 * root) / (n + 4)))
+            hi = math.floor(1e6 * ((s + 2 + 2 * root) / (n + 4)))
+            assert int(r.lo_q6) == lo and int(r.hi_q6) == hi
+            # the interval brackets the point estimate
+            p_q6 = 1e6 * s / n
+            assert lo <= p_q6 <= hi + 1
+            assert 0 <= lo <= hi <= 1000000
