@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _rich_club,
         "pair_edit_stats": dedup.pair_edit_stats,
         "wilson_bounds": events.wilson_bounds,
+        "hist_overlap": textops.hist_overlap,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         "semantic_dedup": dedup.semantic_dedup,

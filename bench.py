@@ -243,6 +243,7 @@ def run_queries(sf_dir: str) -> dict:
         "rich_club": lambda: _rich_club(sf_dir),
         "pair_edit_stats": lambda: dedup.pair_edit_stats(sf_dir),
         "wilson_bounds": lambda: events.wilson_bounds(sf_dir),
+        "hist_overlap": lambda: textops.hist_overlap(sf_dir),
         "item_similarity": lambda: relational.item_similarity(sf_dir),
         "partition_pruned_read":
             lambda: sources.partition_pruned_read(sf_dir),

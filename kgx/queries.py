@@ -6954,3 +6954,28 @@ SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_trials,
                                / (n + 4))) AS BIGINT) AS hi_q6
 FROM c WHERE n > 0
 """
+
+# histogram intersection with denominators cleared: per shared length
+# value min(c_a*n_b, c_b*n_a), absent side contributes zero
+DOC_ORACLES["hist_overlap"] = """
+WITH h AS (
+  SELECT lang, length(text) AS v, count(*) AS c
+  FROM documents GROUP BY lang, v),
+tot AS (SELECT lang, sum(c) AS n FROM h GROUP BY lang),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b
+  FROM tot a JOIN tot b ON a.lang < b.lang),
+ovl AS (
+  SELECT p.lang_a, p.lang_b,
+         sum(least(ha.c * p.n_b, hb.c * p.n_a)) AS s
+  FROM pairs p
+  JOIN h ha ON ha.lang = p.lang_a
+  JOIN h hb ON hb.lang = p.lang_b AND hb.v = ha.v
+  GROUP BY p.lang_a, p.lang_b)
+SELECT p.lang_a, p.lang_b, CAST(p.n_a AS BIGINT) AS n_a,
+       CAST(p.n_b AS BIGINT) AS n_b,
+       CAST((1000000 * COALESCE(o.s, 0)) // (p.n_a * p.n_b) AS BIGINT)
+         AS ovl_ppm
+FROM pairs p LEFT JOIN ovl o
+  ON o.lang_a = p.lang_a AND o.lang_b = p.lang_b
+"""

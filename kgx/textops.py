@@ -2272,3 +2272,43 @@ def anova_f(sf_dir: str):
           f_num // f_den)],
         columns=["k", "n", "ssb_q2", "ssw_q2",
                  "f_q6"]).astype("int64")
+
+
+def hist_overlap(sf_dir: str):
+    """(lang_a, lang_b, n_a, n_b, ovl_ppm) — pairwise HISTOGRAM
+    INTERSECTION similarity between the languages' document-length
+    distributions: Σ_v min(p_a(v), p_b(v)) — the direct
+    distribution-overlap matrix (1 = identical shapes, 0 = disjoint
+    support) that complements KS (max gap) and PSI (binned
+    log-ratio). Kept exact by clearing denominators:
+    ovl_ppm = Σ_v min(c_a(v)·n_b, c_b(v)·n_a) · 10⁶ // (n_a·n_b).
+
+    Scale shape: one (lang, length) histogram combiner (the
+    doc_rank exchange — documents never cross the wire); the
+    |langs|² pair sweep folds on the output-sized histogram
+    driver-side.
+    """
+    ds = _read_documents(sf_dir, columns=["lang", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["lang", "n_chars"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g.astype({"n_chars": "int64", "n": "int64"})
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby(["lang", "n_chars"], as_index=False)["n"].sum())
+    langs = sorted(h["lang"].unique())
+    cnt = {l: dict(zip(g["n_chars"].astype(int), g["n"].astype(int)))
+           for l, g in h.groupby("lang")}
+    tot = {l: sum(cnt[l].values()) for l in langs}
+    rows = []
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            na, nb = tot[la], tot[lb]
+            s = sum(min(cnt[la].get(v, 0) * nb, cnt[lb].get(v, 0) * na)
+                    for v in set(cnt[la]) | set(cnt[lb]))
+            rows.append((la, lb, na, nb, (1000000 * s) // (na * nb)))
+    return pd.DataFrame(
+        rows, columns=["lang_a", "lang_b", "n_a", "n_b",
+                       "ovl_ppm"]).astype(
+        {"n_a": "int64", "n_b": "int64", "ovl_ppm": "int64"})

@@ -6416,3 +6416,28 @@ class TestWilsonBounds:
             p_q6 = 1e6 * s / n
             assert lo <= p_q6 <= hi + 1
             assert 0 <= lo <= hi <= 1000000
+
+
+class TestHistOverlap:
+    def test_overlap_identities(self, ray_session):
+        import duckdb
+
+        from kgx.textops import hist_overlap
+
+        got = hist_overlap(SF)
+        assert len(got) == 10  # C(5,2) language pairs
+        assert got["ovl_ppm"].between(0, 1000000).all()
+        # direct replay of one pair
+        df = duckdb.sql(
+            "SELECT lang, length(text) AS v FROM read_parquet("
+            "'%s/documents.parquet')" % SF).df()
+        r = got.iloc[0]
+        a = df[df["lang"] == r["lang_a"]]["v"].value_counts()
+        b = df[df["lang"] == r["lang_b"]]["v"].value_counts()
+        na, nb = int(a.sum()), int(b.sum())
+        s = sum(min(int(a.get(v, 0)) * nb, int(b.get(v, 0)) * na)
+                for v in set(a.index) | set(b.index))
+        assert int(r["ovl_ppm"]) == (1000000 * s) // (na * nb)
+        # the languages share one length distribution by construction,
+        # so overlaps are substantial but not total (finite samples)
+        assert got["ovl_ppm"].min() > 100000
