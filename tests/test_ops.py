@@ -6380,11 +6380,14 @@ class TestPairEditStats:
 
         from kgx.dedup import _lev, pair_edit_stats
 
+        from kgx.dedup import _lev_myers
+
         rng = random.Random(11)
         for _ in range(200):
             a = "".join(rng.choice("abx ") for _ in range(rng.randint(0, 14)))
             b = "".join(rng.choice("abx ") for _ in range(rng.randint(0, 14)))
             d = _lev(a, b)
+            assert d == _lev_myers(a, b)  # both implementations agree
             assert d == _lev(b, a)  # symmetry
             assert d >= abs(len(a) - len(b))  # length lower bound
             assert d <= max(len(a), len(b))  # replacement upper bound
