@@ -1794,7 +1794,6 @@ def pit_join(sf_dir: str):
     log, so the op is self-contained and the oracle composes the
     independently-oracled scd2 CTE.
     """
-    SENTINEL = 4102444800000000
     nparts = _nparts()
     ds = _read_events(sf_dir, columns=["user_id", "event_id", "ts",
                                        "event_type"])

@@ -455,6 +455,7 @@ def zonemap_pruned_read(sf_dir: str, lo: int = 200, hi: int = 280,
     if not touched:
         t = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "lang": pd.Series([], dtype="object"),
+                          "n_chars": pd.Series([], dtype="int64"),
                           "text": pd.Series([], dtype="object")})
     else:
         t = f.read_row_groups(touched).to_pandas()

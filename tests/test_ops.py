@@ -5515,6 +5515,16 @@ class TestZonemapRead:
             " BETWEEN 200 AND 280" % SF).fetchone()[0]
         assert len(got) == want
 
+    def test_range_outside_data_span_returns_empty(self, ray_session):
+        from kgx.sources import zonemap_pruned_read
+
+        # no row group intersects [10^9, 2*10^9]: the empty-frame
+        # branch must still carry n_chars for the residual filter
+        got = zonemap_pruned_read(SF, lo=10 ** 9, hi=2 * 10 ** 9).to_pandas()
+        assert len(got) == 0
+        touched, total = zonemap_pruned_read.last_plan
+        assert touched == [] and total >= 1
+
 
 class TestTheilSen:
     def test_theil_sen_replay_and_trunc_rule(self, ray_session):
@@ -5943,6 +5953,13 @@ class TestDiameterEstimate:
         assert int(got["sweep2_ecc"]) == max(d2.values())
         # the second sweep's eccentricity is the better (>=) bound
         assert int(got["sweep2_ecc"]) >= int(got["sweep1_ecc"])
+        # the SQL oracle bounds both walks at depth 16 (WHERE w.d < 16)
+        # while the engine BFS is unbounded: if the graph's true
+        # eccentricity ever reaches the cap at a larger SF the oracle
+        # silently under-reports — fail loudly here instead
+        assert max(d1.values()) < 16 and max(d2.values()) < 16, (
+            "k-NN graph eccentricity reached the oracle's depth-16 cap; "
+            "raise the WHERE w.d < N bound in DOC_ORACLES['diameter_estimate']")
 
 
 class TestDbscan:
