@@ -1526,7 +1526,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3,
 
 def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
                   num_partitions: Optional[int] = None, q: int = 1 << 20,
-                  force_general: bool = False):
+                  force_general: bool = False, force_banded: bool = False,
+                  vocab_broadcast_limit: int = 5_000_000,
+                  cell_target: int = 4096):
     """(doc_id_a, doc_id_b, sim_q) — ALL unordered doc pairs with
     token-set Jaccard >= tn/td, EXACT and COMPLETE: the
     prefix-filtering set-similarity join (Chaudhuri et al. ICDE 2006;
@@ -1548,18 +1550,42 @@ def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
     verified pair is emitted at exactly ONE cell — the minimal common
     PREFIX token, decidable locally from the two carried vectors (no
     dedup pass). At 10^9 docs the rank map exceeds one broadcast:
-    bucket the order by (df-band, token-hash) so ranks derive from a
-    per-band offset table instead of a full dict.
+    above ``vocab_broadcast_limit`` distinct tokens (or under
+    ``force_banded``) the BANDED path replaces the driver-side
+    ``{token: rank}`` dict with a (df-band, token-hash-cell) bucketed
+    derivation — the driver ever holds only per-band sizes (≤ ~4160
+    rows) and per-cell counts (~vocab/``cell_target`` rows), ranks are
+    assigned inside a cell-bucketed group pass, and each doc's rank
+    vector is attached via two hash co-group exchanges instead of a
+    broadcast. Any injective total order yields the same exact join
+    (completeness holds per band-major order; verify is exact), so the
+    banded path is pinned pair-identical to the dict path by test.
     """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    return _ssjoin_prefix_ds(
+        ds, tn=tn, td=td, num_partitions=num_partitions, q=q,
+        force_general=force_general, force_banded=force_banded,
+        vocab_broadcast_limit=vocab_broadcast_limit,
+        cell_target=cell_target)
+
+
+def _ssjoin_prefix_ds(ds, *, tn: int = 4, td: int = 5,
+                      num_partitions: Optional[int] = None,
+                      q: int = 1 << 20, force_general: bool = False,
+                      force_banded: bool = False,
+                      vocab_broadcast_limit: int = 5_000_000,
+                      cell_target: int = 4096):
+    """Core of ``ssjoin_prefix`` over any (doc_id, text) Dataset."""
     import ray
 
     from .traindata import _bcast_get
 
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
-    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
-    # pass A: global document frequency → rarest-first total order
+    # pass A: global document frequency — per-batch distinct-doc token
+    # counts, then a hash(token)-bucketed co-group sum (the combiner
+    # pattern; Ray's native high-cardinality groupby is pathological)
     def local_df(df: pd.DataFrame) -> pd.DataFrame:
         import polars as pl
 
@@ -1567,13 +1593,32 @@ def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
         vc = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
               .drop("text").explode("t").unique(subset=["doc_id", "t"])
               .group_by("t").agg(pl.len().cast(pl.Int64).alias("n")))
-        return vc.rename({"t": "tok"}).to_pandas()
+        out = vc.rename({"t": "tok"}).to_pandas()
+        out["part"] = (pd.util.hash_pandas_object(out["tok"], index=False)
+                       % nparts).astype("int32")
+        return out
 
-    dfreq = (ds.map_batches(local_df, batch_format="pandas")
-             .groupby("tok").sum("n").to_pandas())
-    order = sorted(zip(dfreq["sum(n)"].astype(int), dfreq["tok"]))
+    def fold_df(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"tok": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64")})
+        g = df.groupby("tok", as_index=False)["n"].sum()
+        return pd.DataFrame({"tok": g["tok"],
+                             "df": g["n"].astype("int64")})
+
+    tokdf = (ds.map_batches(local_df, batch_format="pandas")
+             .groupby("part").map_groups(fold_df, batch_format="pandas")
+             .materialize())
+    vocab_n = tokdf.count()
+    assert vocab_n < (1 << 31)
+
+    if force_banded or vocab_n > vocab_broadcast_limit:
+        return _ssjoin_banded(ds, tokdf, tn=tn, td=td, nparts=nparts,
+                              q=q, cell_target=cell_target)
+
+    dfreq = tokdf.to_pandas()
+    order = sorted(zip(dfreq["df"].astype(int), dfreq["tok"]))
     rank_ref = ray.put({t: i for i, (_, t) in enumerate(order)})
-    assert len(order) < (1 << 31)
 
     if len(order) <= 63 and not force_general:
         # BITSET fast path: the whole vocabulary fits one int64 mask
@@ -1608,6 +1653,15 @@ def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
                        % nparts).astype("int32")
         return out
 
+    return (ds.map_batches(prefix_rows, batch_format="pandas")
+            .groupby("part").map_groups(_ssjoin_verify(tn, td, q),
+                                        batch_format="pandas"))
+
+
+def _ssjoin_verify(tn: int, td: int, q: int):
+    """Per-cell exact verify for the prefix join: candidates meet on a
+    prefix rank, verified td·|A∩B| >= tn·|A∪B| over the carried sorted
+    rank vectors, emitted only at the minimal common PREFIX rank."""
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         d = df[["tok", "doc_id", "blob"]]
         m = d.merge(d, on="tok")
@@ -1642,8 +1696,209 @@ def ssjoin_prefix(sf_dir: str, tn: int = 4, td: int = 5,
             "doc_id_b": pd.Series(out_b, dtype="int64"),
             "sim_q": pd.Series(out_s, dtype="int64")})
 
-    return (ds.map_batches(prefix_rows, batch_format="pandas")
-            .groupby("part").map_groups(verify, batch_format="pandas"))
+    return verify
+
+
+_SSJOIN_BAND_CAP = 4096  # exact df below, bit_length bands above
+
+
+def _ssjoin_band_of(dfv: np.ndarray) -> np.ndarray:
+    """df value → band id, monotone in df: exact below _SSJOIN_BAND_CAP,
+    bit_length (exact integer log2 via a powers-of-two searchsorted, no
+    float) above — ≤ _SSJOIN_BAND_CAP + 64 distinct bands ever."""
+    dfv = dfv.astype(np.int64)
+    pows = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+    bl = np.searchsorted(pows, dfv, side="right").astype(np.int64)
+    return np.where(dfv < _SSJOIN_BAND_CAP, dfv,
+                    np.int64(_SSJOIN_BAND_CAP) + bl)
+
+
+def _ssjoin_banded(ds, tokdf, *, tn: int, td: int, nparts: int, q: int,
+                   cell_target: int):
+    """The 10^9-token-vocabulary rank path: no driver-side {token: rank}
+    dict, no vocabulary broadcast. The injective band-major total order
+    is rank(t) = band_offset[band(df_t)] + cell_offset[(band, cb_t)] +
+    position-of-t-in-its-cell (cells = token-hash buckets sized
+    ~``cell_target``, positions by token sort inside one group task).
+    Driver state: per-band sizes (≤ ~4160 rows) and per-cell counts
+    (~vocab/cell_target rows) — both folded from bounded partials.
+    Docs get their rank vectors via a hash(token) co-group attach and a
+    hash(doc) regroup, then the standard prefix-cell exchange + verify.
+    Rarest-first still holds at band granularity (bands ascend in df),
+    which is what keeps prefix cells small; within-band order is
+    arbitrary-but-consistent, which exactness never depended on.
+    """
+    import ray
+
+    from .traindata import _bcast_get
+
+    # stage B1: band sizes (driver fold of bounded per-batch partials)
+    def band_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"band": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        band = _ssjoin_band_of(df["df"].to_numpy(np.int64))
+        g = pd.DataFrame({"band": band}).groupby(
+            "band", as_index=False).size()
+        return pd.DataFrame({"band": g["band"].astype("int64"),
+                             "cnt": g["size"].astype("int64")})
+
+    bparts = tokdf.map_batches(band_partial,
+                               batch_format="pandas").to_pandas()
+    bsizes = (bparts.groupby("band", as_index=False)["cnt"].sum()
+              .sort_values("band").reset_index(drop=True))
+    off = 0
+    band_meta = {}  # band -> (band_offset, n_cells_in_band)
+    for band, cnt in zip(bsizes["band"].astype(int),
+                         bsizes["cnt"].astype(int)):
+        band_meta[band] = (off, max(1, -(-cnt // cell_target)))
+        off += cnt
+    bmeta_ref = ray.put(band_meta)
+
+    def add_cell(df: pd.DataFrame) -> pd.DataFrame:
+        """tok, df → band, cb (token-hash cell within band), cellid."""
+        bmeta = _bcast_get(bmeta_ref)
+        band = _ssjoin_band_of(df["df"].to_numpy(np.int64))
+        ncells = np.fromiter((bmeta[int(b)][1] for b in band),
+                             dtype=np.int64, count=len(band))
+        h = pd.util.hash_pandas_object(df["tok"],
+                                       index=False).to_numpy(np.uint64)
+        cb = (h % ncells.astype(np.uint64)).astype(np.int64)
+        out = pd.DataFrame({"tok": df["tok"], "band": band, "cb": cb})
+        out["cellid"] = (out["band"].to_numpy(np.int64) << 32) | cb
+        return out
+
+    # stage B2: per-cell counts → within-band prefix offsets (driver
+    # fold; ~vocab/cell_target rows, e.g. 244k at 10^9 tokens)
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"cellid": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        c = add_cell(df)
+        g = c.groupby(["band", "cb"], as_index=False).size()
+        return pd.DataFrame({
+            "cellid": (g["band"].to_numpy(np.int64) << 32)
+            | g["cb"].to_numpy(np.int64),
+            "cnt": g["size"].astype("int64")})
+
+    cparts = tokdf.map_batches(cell_partial,
+                               batch_format="pandas").to_pandas()
+    cells = (cparts.groupby("cellid", as_index=False)["cnt"].sum()
+             .sort_values("cellid").reset_index(drop=True))
+    cid = cells["cellid"].to_numpy(np.int64)
+    ccnt = cells["cnt"].to_numpy(np.int64)
+    band_of_cell = cid >> 32
+    # cumulative within band: global cumsum minus each band's start
+    cum = np.concatenate([[0], np.cumsum(ccnt)[:-1]])
+    first_in_band = np.concatenate(
+        [[True], band_of_cell[1:] != band_of_cell[:-1]])
+    band_start = np.where(first_in_band, cum, 0)
+    band_start = np.maximum.accumulate(band_start)
+    boff = np.fromiter((band_meta[int(b)][0] for b in band_of_cell),
+                       dtype=np.int64, count=len(band_of_cell))
+    cell_off = {int(c): int(boff[i] + cum[i] - band_start[i])
+                for i, c in enumerate(cid)}
+    coff_ref = ray.put(cell_off)
+
+    # stage B3: rank assignment — cells co-grouped, position by token
+    def add_gpart(df: pd.DataFrame) -> pd.DataFrame:
+        c = add_cell(df)
+        c["gpart"] = (c["cellid"].to_numpy(np.uint64)
+                      % np.uint64(nparts)).astype("int32")
+        return c
+
+    def assign_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"tok": pd.Series([], dtype="object"),
+                                 "rank": pd.Series([], dtype="int64")})
+        coff = _bcast_get(coff_ref)
+        d = df.sort_values(["cellid", "tok"]).reset_index(drop=True)
+        cellv = d["cellid"].to_numpy(np.int64)
+        newcell = np.concatenate([[True], cellv[1:] != cellv[:-1]])
+        idx = np.arange(len(d), dtype=np.int64)
+        cellstart = np.maximum.accumulate(np.where(newcell, idx, 0))
+        pos = idx - cellstart
+        base = np.fromiter((coff[int(c)] for c in cellv),
+                           dtype=np.int64, count=len(cellv))
+        return pd.DataFrame({"tok": d["tok"],
+                             "rank": base + pos})
+
+    tokrank = (tokdf.map_batches(add_gpart, batch_format="pandas")
+               .groupby("gpart").map_groups(assign_ranks,
+                                            batch_format="pandas"))
+
+    # stage B4: attach ranks to doc tokens (hash(token) union co-group)
+    def doc_tok(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        d = pl.from_pandas(df[["doc_id", "text"]])
+        e = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
+             .drop("text").explode("t")
+             .unique(subset=["doc_id", "t"])).to_pandas()
+        out = pd.DataFrame({"doc_id": e["doc_id"].astype("int64"),
+                            "tok": e["t"],
+                            "rank": np.int64(0),
+                            "side": np.int8(0)})
+        out["part"] = (pd.util.hash_pandas_object(out["tok"], index=False)
+                       % nparts).astype("int32")
+        return out
+
+    def rank_side(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": np.int64(0),
+                            "tok": df["tok"],
+                            "rank": df["rank"].astype("int64"),
+                            "side": np.int8(1)})
+        out["part"] = (pd.util.hash_pandas_object(out["tok"], index=False)
+                       % nparts).astype("int32")
+        return out
+
+    def merge_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["side"] == 0][["doc_id", "tok"]]
+        rhs = df[df["side"] == 1][["tok", "rank"]]
+        if lhs.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64"),
+                                 "dpart": pd.Series([], dtype="int32")})
+        m = lhs.merge(rhs, on="tok", how="inner")
+        out = pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                            "rank": m["rank"].astype("int64")})
+        out["dpart"] = (pd.util.hash_pandas_object(
+            out["doc_id"], index=False) % nparts).astype("int32")
+        return out
+
+    docrank = (ds.map_batches(doc_tok, batch_format="pandas")
+               .union(tokrank.map_batches(rank_side,
+                                          batch_format="pandas"))
+               .groupby("part").map_groups(merge_ranks,
+                                           batch_format="pandas"))
+
+    # stage B5: per-doc vector rebuild (hash(doc) co-group) → prefix
+    # rows identical in shape to the dict path, then the shared verify
+    def emit_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        out_tok, out_doc, out_blob = [], [], []
+        if not df.empty:
+            d = df.sort_values(["doc_id", "rank"])
+            for doc_id, g in d.groupby("doc_id", sort=False):
+                r = g["rank"].to_numpy(np.int64).astype(np.int32)
+                n = len(r)
+                alpha = -((-tn * n) // td)
+                blob = r.tobytes()
+                for tk in r[:n - alpha + 1]:
+                    out_tok.append(tk)
+                    out_doc.append(doc_id)
+                    out_blob.append(blob)
+        out = pd.DataFrame({
+            "tok": pd.Series(out_tok, dtype="int64"),
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "blob": pd.Series(out_blob, dtype="object")})
+        out["part"] = (pd.util.hash_pandas_object(out["tok"], index=False)
+                       % nparts).astype("int32")
+        return out
+
+    return (docrank.groupby("dpart")
+            .map_groups(emit_prefix, batch_format="pandas")
+            .groupby("part").map_groups(_ssjoin_verify(tn, td, q),
+                                        batch_format="pandas"))
 
 
 def _cdc_split(toks, mod: int):

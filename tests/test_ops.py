@@ -474,6 +474,57 @@ class TestDedup:
         assert key(fast) == key(gen)
         assert len(fast) == len(gen)
 
+    def test_ssjoin_banded_matches_dict_path(self, ray_session):
+        # the 10^9-vocab rank path (no driver {token: rank} dict) is
+        # pinned pair-identical to the broadcast-dict path, including
+        # with cells forced tiny so multi-cell bands really occur
+        from kgx.dedup import ssjoin_prefix
+
+        key = lambda df: sorted(map(tuple, df[["doc_id_a", "doc_id_b",
+                                               "sim_q"]].values))
+        gen = ssjoin_prefix(SF, force_general=True).to_pandas()
+        band = ssjoin_prefix(SF, force_banded=True).to_pandas()
+        tiny = ssjoin_prefix(SF, force_banded=True,
+                             cell_target=4).to_pandas()
+        assert key(band) == key(gen)
+        assert key(tiny) == key(gen)
+
+    def test_ssjoin_banded_large_vocab_brute_force(self, ray_session):
+        # a corpus whose vocabulary (~1200 tokens) spreads over many
+        # (df-band, hash-cell) cells: banded ranks vs brute-force truth
+        import ray.data
+
+        from kgx.dedup import _ssjoin_prefix_ds
+
+        rows = []
+        for i in range(120):
+            base = ["w%d" % ((i * 7 + j) % 1100) for j in range(24)]
+            rows.append((2 * i, " ".join(base)))
+            # near-dup partner: one token substituted → J = 23/25
+            mut = list(base)
+            mut[5] = "x%d" % i
+            rows.append((2 * i + 1, " ".join(mut)))
+        import pandas as pd
+
+        docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+        ds = ray.data.from_pandas(docs)
+        got = _ssjoin_prefix_ds(ds, force_banded=True,
+                                cell_target=64).to_pandas()
+        sets = {int(i): set(t.split(" "))
+                for i, t in zip(docs["doc_id"], docs["text"])}
+        ids = sorted(sets)
+        want = {}
+        for ii, a in enumerate(ids):
+            for b in ids[ii + 1:]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                if 5 * inter >= 4 * union:
+                    want[(a, b)] = ((1 << 20) * inter) // union
+        got_d = {(int(r.doc_id_a), int(r.doc_id_b)): int(r.sim_q)
+                 for r in got.itertuples()}
+        assert got_d == want
+        assert len(want) >= 120  # every mutated pair qualifies
+
     def test_ssjoin_prefix_brute_force_replay(self, ray_session):
         import duckdb
 
