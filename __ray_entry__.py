@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_expand": q.kg_expand,
         "kg_degree_histogram": q.kg_degree_histogram,
         "kg_skosify": q.kg_skosify,
+        "kg_skosify_exchange": q.kg_skosify_exchange,
         "kg_broader_closure": _broader_closure,
         "kg_synthetic": q.kg_synthetic,
         "kg_incremental": q.kg_incremental,
@@ -336,8 +337,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _PREFIX = [
         # kg (the reference §2 surface, all 10)
         "kg_triples", "kg_pred_counts", "kg_dedup", "kg_expand",
-        "kg_degree_histogram", "kg_skosify", "kg_broader_closure",
-        "kg_synthetic", "kg_incremental", "kg_graph_diff",
+        "kg_degree_histogram", "kg_skosify", "kg_skosify_exchange",
+        "kg_broader_closure", "kg_synthetic", "kg_incremental",
+        "kg_graph_diff",
         # dedup / LSH
         "dedup_exact", "minhash_lsh_pairs", "near_dup_dedup_lsh",
         "simhash_pairs", "ssjoin_prefix", "semantic_dedup",
@@ -360,7 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank", "sameas_components", "scc", "triangle_count",
         "sssp_weighted",
         # text analysis
-        "token_counts", "gopher_filter", "tfidf_keywords",
+        "token_counts", "gopher_filter",
         # source formats
         "gzip_ndjson_roundtrip", "zonemap_pruned_read",
     ]

@@ -96,7 +96,7 @@ def main(argv=None) -> int:
                         default="dataset",
                         help="exchange = two-pass sort exchange for bulk "
                         "pages-dir runs (writes a sharded output dir; "
-                        "parquet or nt; no --include/--skosify)")
+                        "parquet or nt; no --include)")
     args = parser.parse_args(argv)
 
     from .config import PipelineConfig
@@ -156,9 +156,9 @@ def main(argv=None) -> int:
     if args.engine == "exchange":
         if not os.path.isdir(args.infile):
             parser.error("--engine exchange needs a pages parquet dir")
-        if args.include or args.skosify:
+        if args.include:
             parser.error("--engine exchange does not support "
-                         "--include/--skosify (use the dataset engine)")
+                         "--include (use the dataset engine)")
         if not args.outfile or args.outfile == "-":
             parser.error("--engine exchange writes a sharded output dir")
         if outformat not in ("parquet", "nt"):

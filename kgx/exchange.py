@@ -53,6 +53,11 @@ from .pipeline import ERROR_PRED, _FusedExtractLink
 
 _PAGE_COLUMNS = ["url", "html"]
 _SAMPLE_PAGES = 3072  # pilot size: ~30k sampled keys at ~10 triples/page
+_SKOS = "http://www.w3.org/2004/02/skos/core#"
+# --skosify closure edge cap for the driver-side path-doubling step; the
+# concept HIERARCHY is orders of magnitude smaller than the page corpus
+# (one broader edge per concept), so this bounds driver memory, not scale
+_SKOSIFY_EDGE_CAP = 5_000_000
 
 # low-cardinality payload columns (measured 11/3/3 distinct values vs
 # ~70 B/row as plain strings = 35% of shuffle traffic): dictionary-encode
@@ -114,18 +119,28 @@ def _keyed_tables(files: Sequence[str], config: PipelineConfig,
                 real.select(["subj", "pred", "obj", "obj_is_literal",
                              "obj_lang", "obj_datatype"]),
                 expand=config.expand))
-            yield keyed, errors.select(["url", "obj"])
+            broader = (real.filter(
+                pc.equal(real.column("pred"), _SKOS + "broader"))
+                .select(["subj", "obj"])
+                if config.skosify else _empty_edges())
+            yield keyed, errors.select(["url", "obj"]), broader
             if max_pages is not None and seen >= max_pages:
                 return
         if max_pages is not None and seen >= max_pages:
             return
 
 
+def _empty_edges() -> pa.Table:
+    return pa.table({"subj": pa.array([], pa.string()),
+                     "obj": pa.array([], pa.string())})
+
+
 @ray.remote
 def _sample_task(files: list, config: PipelineConfig, num_parts: int) -> list:
     """Pilot: extract a few thousand pages, return P-1 tkey quantiles."""
     keys: list = []
-    for keyed, _err in _keyed_tables(files, config, max_pages=_SAMPLE_PAGES):
+    for keyed, _err, _bro in _keyed_tables(files, config,
+                                           max_pages=_SAMPLE_PAGES):
         keys.append(keyed.column("tkey").to_numpy(zero_copy_only=False))
     if not keys:
         return []
@@ -223,11 +238,13 @@ def _map_task(files: list, config: PipelineConfig, num_parts: int,
     blocks on the pilot sample when partitioning — the sample's latency
     fully overlaps the first map wave.
     """
-    keyed_parts, err_parts = [], []
-    for keyed, err in _keyed_tables(files, config):
+    keyed_parts, err_parts, bro_parts = [], [], []
+    for keyed, err, bro in _keyed_tables(files, config):
         keyed_parts.append(keyed)
         if err.num_rows:
             err_parts.append(err)
+        if bro.num_rows:
+            bro_parts.append(bro)
     if not keyed_parts:
         slices = [_dict_encode(_empty_keyed_table())] * num_parts
     else:
@@ -237,7 +254,9 @@ def _map_task(files: list, config: PipelineConfig, num_parts: int,
     errors = (pa.concat_tables(err_parts) if err_parts
               else pa.table({"url": pa.array([], pa.string()),
                              "obj": pa.array([], pa.string())}))
-    return (*slices, errors)
+    broader = (pa.concat_tables(bro_parts) if bro_parts
+               else _empty_edges())
+    return (*slices, errors, broader)
 
 
 @ray.remote
@@ -250,6 +269,65 @@ def _reduce_task(part_idx: int, out_dir: str, fmt: str, keep_key: bool,
     """
     return _sort_dedup_write(part_idx, out_dir, fmt, list(slices),
                              keep_key=keep_key)
+
+
+def _skosify_closure_slices(broader_tables: list, boundaries: list,
+                            num_parts: int,
+                            config: PipelineConfig) -> list:
+    """--skosify on the exchange engine: transitive-close the collected
+    ``skos:broader`` edges (mc2skos.py:198-201 / examples/skosify.cfg
+    semantics — broaderTransitive plus, with skosify_narrower, the
+    inverse narrowerTransitive), key the new triples with the SAME tkey
+    construction as the map wave, and range-partition them against the
+    run's boundaries so they ride the existing reduce sort+dedup —
+    byte-identical to the Dataset engine's pre-canonicalize union
+    (pipeline._apply_skosify), pinned by test_exchange.py.
+
+    Partitioning assumption (stated per the custom-operator rule): the
+    concept HIERARCHY is tiny relative to the page corpus — one broader
+    edge per concept, ~10^5-10^6 for real vocabularies — so the closure
+    is one driver-side path-doubling step (log2(depth) rounds) guarded
+    by _SKOSIFY_EDGE_CAP; the closure OUTPUT still scatters into the
+    distributed reduce, never onto the driver's output path.
+    """
+    import pandas as pd
+
+    if broader_tables:
+        e = pa.concat_tables(broader_tables).to_pandas()
+        p = pd.DataFrame({"a": e["subj"].astype(str),
+                          "b": e["obj"].astype(str)}).drop_duplicates()
+    else:
+        p = pd.DataFrame({"a": pd.Series([], dtype="object"),
+                          "b": pd.Series([], dtype="object")})
+    if len(p) > _SKOSIFY_EDGE_CAP:
+        raise ValueError(
+            "--skosify hierarchy exceeds %d edges; route through the "
+            "Dataset engine (pipeline.run_pipeline) whose closure is "
+            "fully distributed" % _SKOSIFY_EDGE_CAP)
+    for _ in range(64):
+        step = p.merge(p, left_on="b", right_on="a", suffixes=("", "_r"))
+        step = pd.DataFrame({"a": step["a"], "b": step["b_r"]})
+        new = pd.concat([p, step], ignore_index=True).drop_duplicates()
+        if len(new) == len(p):
+            break
+        p = new
+    subj = list(p["a"])
+    obj = list(p["b"])
+    pred = [_SKOS + "broaderTransitive"] * len(p)
+    if config.skosify_narrower:
+        subj += list(p["b"])
+        obj += list(p["a"])
+        pred += [_SKOS + "narrowerTransitive"] * len(p)
+    n = len(subj)
+    tbl = pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "pred": pa.array(pred, pa.string()),
+        "obj": pa.array(obj, pa.string()),
+        "obj_is_literal": pa.array([False] * n, pa.bool_()),
+        "obj_lang": pa.nulls(n, pa.string()),
+        "obj_datatype": pa.nulls(n, pa.string())})
+    keyed = _dict_encode(_add_tkey_arrow(tbl, expand=config.expand))
+    return _range_partition_slices(keyed, boundaries, num_parts)
 
 
 def _load_partials(path: str, fingerprint) -> dict:
@@ -290,12 +368,6 @@ def write_canonical_graph(corpus, out_dir: str,
     in ``_partials.jsonl`` skip their sort+write.
     """
     config = config or PipelineConfig()
-    if config.skosify:
-        # the iterative transitive closure needs the materialized edge
-        # stream (pipeline._apply_skosify); that path stays on the Dataset
-        # engine — the exchange covers the expand/plain flagship shapes.
-        raise NotImplementedError(
-            "--skosify runs on the Dataset engine (pipeline.run_pipeline)")
     if keep_key and fmt != "parquet":
         raise ValueError("keep_key requires fmt='parquet'")
     files = _list_fragments(corpus)
@@ -334,13 +406,25 @@ def write_canonical_graph(corpus, out_dir: str,
     boundaries_ref = _sample_task.remote(files[::stride][:4], config, P)
 
     slice_refs: list = [[] for _ in range(P)]
-    err_refs = []
+    err_refs, broader_refs = [], []
     for g in groups:
-        rets = _map_task.options(num_returns=P + 1).remote(
+        rets = _map_task.options(num_returns=P + 2).remote(
             g, config, P, [boundaries_ref])
         for p in range(P):
             slice_refs[p].append(rets[p])
         err_refs.append(rets[P])
+        broader_refs.append(rets[P + 1])
+
+    if config.skosify:
+        # the closure needs every map's broader edges, so this gather IS
+        # the end of the map wave; the closure triples then scatter into
+        # the same range partitions and the reduces stay untouched. The
+        # non-skosify path keeps its fully pipelined reduce submission.
+        btables = [t for t in ray.get(broader_refs) if t.num_rows]
+        for p_idx, s in enumerate(_skosify_closure_slices(
+                btables, ray.get(boundaries_ref), P, config)):
+            if s.num_rows:
+                slice_refs[p_idx].append(ray.put(s))
 
     pending = {}
     for p in range(P):

@@ -77,6 +77,41 @@ def kg_skosify(sf_dir: str):
     return graph.map_batches(closure_only, batch_format="pandas")
 
 
+def kg_skosify_exchange(sf_dir: str):
+    """kg_skosify routed through the EXCHANGE engine: the documents-derived
+    corpus is written to page parquet, write_canonical_graph runs with
+    skosify=True (closure triples scatter into the range reduce —
+    exchange._skosify_closure_slices), and the closure predicates are
+    filtered back out. Same oracle SQL as kg_skosify, so the driver gate
+    hash-checks the exchange routing end-to-end."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .exchange import write_canonical_graph
+    from .pages import pages_from_documents
+
+    n = pq.read_metadata("%s/documents.parquet" % sf_dir).num_rows
+    root = "/tmp/kgx_skosify_exchange_%d" % n
+    shutil.rmtree(root, ignore_errors=True)
+    corpus = os.path.join(root, "pages")
+    pages_from_documents(sf_dir).write_parquet(corpus)
+    manifest = write_canonical_graph(
+        corpus, os.path.join(root, "graph"),
+        _doc_config(skosify=True))
+    shards = [os.path.join(root, "graph", p["file"])
+              for p in manifest["partitions"] if p["rows"]]
+    keep = {SKOS + "broaderTransitive", SKOS + "narrowerTransitive"}
+
+    def closure_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["pred"].isin(keep)][["subj", "pred", "obj"]]
+
+    return (ray.data.read_parquet(shards)
+            .map_batches(closure_only, batch_format="pandas"))
+
+
 def kg_synthetic(sf_dir: str):
     """Richer classification+authority corpus (153 hierarchy, notes,
     mappings, 765 component lists, WebDewey extras, deliberate duplicate
@@ -2218,6 +2253,15 @@ KG_ORACLES = {
         " CAST(obj_datatype AS VARCHAR) AS obj_datatype FROM raw))"
     ),
     "kg_skosify": _ANC_CTE + (
+        "SELECT 'http://example.org/doc/' || d AS subj,"
+        " 'http://www.w3.org/2004/02/skos/core#broaderTransitive' AS pred,"
+        " 'http://example.org/doc/' || a AS obj FROM anc"
+        " UNION ALL "
+        "SELECT 'http://example.org/doc/' || a,"
+        " 'http://www.w3.org/2004/02/skos/core#narrowerTransitive',"
+        " 'http://example.org/doc/' || d FROM anc"
+    ),
+    "kg_skosify_exchange": _ANC_CTE + (
         "SELECT 'http://example.org/doc/' || d AS subj,"
         " 'http://www.w3.org/2004/02/skos/core#broaderTransitive' AS pred,"
         " 'http://example.org/doc/' || a AS obj FROM anc"

@@ -162,10 +162,28 @@ def test_exchange_tiny_corpus_empty_partitions(ray_session, tmp_path):
     assert got.num_rows == manifest["rows"] == len(want)
 
 
-def test_exchange_rejects_skosify(corpus, tmp_path):
-    with pytest.raises(NotImplementedError):
-        write_canonical_graph(corpus, str(tmp_path / "x"),
-                              PipelineConfig(skosify=True))
+@pytest.mark.parametrize("expand", [False, True])
+def test_exchange_skosify_matches_dataset_engine(ray_session, corpus,
+                                                 tmp_path, expand):
+    """--skosify on the exchange engine: closure triples scatter into the
+    same range reduce and the output matches the Dataset engine's
+    pre-canonicalize union row-for-row."""
+    cfg = PipelineConfig(include_altlabels=True, include_components=True,
+                         skosify=True, expand=expand)
+    out = str(tmp_path / "graph")
+    manifest = write_canonical_graph(corpus, out, cfg, num_parts=5,
+                                     map_tasks=3)
+    _, got = _read_shards(out)
+    got_df = got.to_pandas()
+
+    want = _dataset_graph(corpus, cfg).to_pandas()
+    assert manifest["rows"] == len(got_df) == len(want)
+    a = got_df[KEY_COLS].sort_values(KEY_COLS).reset_index(drop=True)
+    b = want[KEY_COLS].sort_values(KEY_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the closure really fired: transitive triples exist in the output
+    assert (got_df["pred"].str.endswith("broaderTransitive")).any()
+    assert (got_df["pred"].str.endswith("narrowerTransitive")).any()
 
 
 def test_merge_matches_full_rebuild(ray_session, corpus, tmp_path):
