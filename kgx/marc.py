@@ -152,14 +152,15 @@ def _flatten_text(node: ET.Element) -> Tuple[Optional[str], bool]:
     the same string the reference produces, plus whether the raw node text
     was non-None (used by list extractions).
     """
-    children = list(node)
-    if children:
+    if len(node):
         value = ""
-        for child in children:
-            if child.tail is not None:
-                value += child.tail
+        for child in node:
+            tail = child.tail
+            if tail is not None:
+                value += tail
         return value, node.text is not None
-    return node.text, node.text is not None
+    text = node.text
+    return text, text is not None
 
 
 def _make_parser() -> ET.XMLParser:

@@ -48,7 +48,28 @@ class _FusedExtractLink:
         voc = linker.vocabularies
         config = self.config
 
-        out = []
+        # columnar assembly: the map wave is the measured >90% of the
+        # headline wall, so the output path builds 7 flat column lists
+        # (from_pydict) instead of one dict per triple (from_pylist) —
+        # less allocator churn per triple, which is exactly what the
+        # 32-way map wave contends on
+        c_url: list = []
+        c_subj: list = []
+        c_pred: list = []
+        c_obj: list = []
+        c_lit: list = []
+        c_lang: list = []
+        c_dt: list = []
+
+        def error_row(url, msg):
+            c_url.append(url)
+            c_subj.append(url)
+            c_pred.append(ERROR_PRED)
+            c_obj.append(msg)
+            c_lit.append(True)
+            c_lang.append(None)
+            c_dt.append(None)
+
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         for url, html in zip(urls, htmls):
@@ -57,10 +78,7 @@ class _FusedExtractLink:
             try:
                 elements = list(marc.iter_records_from_xml(html))
             except ET.ParseError as exc:
-                out.append({"url": url, "subj": url, "pred": ERROR_PRED,
-                            "obj": "xml parse error: %s" % exc,
-                            "obj_is_literal": True, "obj_lang": None,
-                            "obj_datatype": None})
+                error_row(url, "xml parse error: %s" % exc)
                 continue
             for elem in elements:
                 try:
@@ -72,22 +90,25 @@ class _FusedExtractLink:
                         continue
                     triples = emit_triples(parsed, scheme, voc, config)
                 except InvalidRecordError as exc:
-                    out.append({"url": url, "subj": url, "pred": ERROR_PRED,
-                                "obj": str(exc), "obj_is_literal": True,
-                                "obj_lang": None, "obj_datatype": None})
+                    error_row(url, str(exc))
                     continue
                 except Exception as exc:  # data-error contract: one malformed
                     # record must never fail the Ray task (extract.py catches
                     # broad Exception for the same reason)
-                    out.append({"url": url, "subj": url, "pred": ERROR_PRED,
-                                "obj": "%s: %s" % (type(exc).__name__, exc),
-                                "obj_is_literal": True,
-                                "obj_lang": None, "obj_datatype": None})
+                    error_row(url, "%s: %s" % (type(exc).__name__, exc))
                     continue
                 for t in triples:
-                    t["url"] = url
-                    out.append(t)
-        return pa.Table.from_pylist(out, schema=TRIPLES)
+                    c_url.append(url)
+                    c_subj.append(t["subj"])
+                    c_pred.append(t["pred"])
+                    c_obj.append(t["obj"])
+                    c_lit.append(t["obj_is_literal"])
+                    c_lang.append(t["obj_lang"])
+                    c_dt.append(t["obj_datatype"])
+        return pa.Table.from_pydict(
+            {"url": c_url, "subj": c_subj, "pred": c_pred, "obj": c_obj,
+             "obj_is_literal": c_lit, "obj_lang": c_lang,
+             "obj_datatype": c_dt}, schema=TRIPLES)
 
 
 def build_triples(pages, config: Optional[PipelineConfig] = None,

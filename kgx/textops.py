@@ -27,16 +27,20 @@ def _read_documents(sf_dir: str, columns=None):
 
 
 def token_counts(sf_dir: str):
-    """(doc_id, n_tokens) — whitespace tokenization, vectorized."""
+    """(doc_id, n_tokens) — whitespace tokenization as a zero-copy Arrow
+    kernel: tokens = separator count + 1 (split(" ") semantics), no
+    pandas object boxing anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
-        })
+    def fn(tbl: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(tbl.column("text"), " "),
+                   1).cast(pa.int64())
+        return pa.table({"doc_id": tbl.column("doc_id"), "n_tokens": n})
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quality(sf_dir: str):
@@ -44,16 +48,24 @@ def quality(sf_dir: str):
     max token repetition. Integer-valued so results are exactly portable."""
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_chars": df["text"].str.len().astype("int64"),
-            "n_tokens": toks.str.len().astype("int64"),
-            "n_uniq_tokens": [len(set(t)) for t in toks],
-        })
+    def fn(tbl) -> pd.DataFrame:
+        import polars as pl
 
-    return ds.map_batches(fn, batch_format="pandas")
+        d = pl.from_arrow(tbl.select(["doc_id", "text"]))
+        out = (d.with_columns(
+                   pl.col("text").str.len_chars().cast(pl.Int64)
+                   .alias("n_chars"),
+                   pl.col("text").str.split(" ").alias("t"))
+               .with_columns(
+                   pl.col("t").list.len().cast(pl.Int64)
+                   .alias("n_tokens"),
+                   pl.col("t").list.n_unique().cast(pl.Int64)
+                   .alias("n_uniq_tokens"))
+               .select(["doc_id", "n_chars", "n_tokens",
+                        "n_uniq_tokens"]))
+        return out.to_pandas()
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # gopher_filter's "word contains an alphabetic char" test (compiled once
@@ -242,6 +254,23 @@ def token_counts_bpe(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _local_token_counts_arrow(tbl):
+    """(tok, n) per-batch token-OCCURRENCE combiner, zero-copy Arrow →
+    polars (no pandas object boxing): split, explode, hash-aggregate.
+    Output cast back to (string, int64) so downstream Ray aggregates see
+    a stable non-large schema."""
+    import polars as pl
+    import pyarrow as pa
+
+    out = (pl.from_arrow(tbl.select(["text"]))
+           .with_columns(pl.col("text").str.split(" ").alias("t"))
+           .drop("text").explode("t")
+           .group_by("t").agg(pl.len().cast(pl.Int64).alias("n"))
+           .rename({"t": "tok"}))
+    return out.to_arrow().cast(
+        pa.schema([("tok", pa.string()), ("n", pa.int64())]))
+
+
 def top_terms(sf_dir: str, k: int = 100):
     """(tok, n) — the k most frequent whitespace tokens corpus-wide.
 
@@ -253,12 +282,8 @@ def top_terms(sf_dir: str, k: int = 100):
     deterministic."""
     ds = _read_documents(sf_dir, columns=["text"])
 
-    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["text"].str.split(" ").explode().value_counts()
-        return pd.DataFrame({"tok": vc.index.astype(str),
-                             "n": vc.to_numpy(dtype="int64")})
-
-    counts = (ds.map_batches(local_counts, batch_format="pandas")
+    counts = (ds.map_batches(_local_token_counts_arrow,
+                             batch_format="pyarrow", zero_copy_batch=True)
               .groupby("tok").sum("n"))
     counts = counts.map_batches(
         lambda df: df.rename(columns={"sum(n)": "n"}), batch_format="pandas")
@@ -361,10 +386,10 @@ def dup_ngram_stats(sf_dir: str, l: int = 8):
     nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
-    def windows(df: pd.DataFrame) -> pd.DataFrame:
+    def windows(tbl) -> pd.DataFrame:
         import polars as pl
 
-        d = pl.from_pandas(df[["doc_id", "text"]])
+        d = pl.from_arrow(tbl.select(["doc_id", "text"]))
         ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
               .drop("text").explode("t"))
         cols = [pl.col("t").shift(-k).over("doc_id") for k in range(1, l)]
@@ -390,7 +415,8 @@ def dup_ngram_stats(sf_dir: str, l: int = 8):
             "n_windows": m["c_all"].astype("int64"),
             "n_dup_positions": m["c_dup"].fillna(0).astype("int64")})
 
-    partials = (ds.map_batches(windows, batch_format="pandas")
+    partials = (ds.map_batches(windows, batch_format="pyarrow",
+                               zero_copy_batch=True)
                 .groupby("bucket").map_groups(bucket_reduce,
                                               batch_format="pandas"))
     # docs shorter than l tokens have zero windows: union zero rows so
@@ -441,21 +467,17 @@ def unigram_lm_score(sf_dir: str):
 
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
-    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["text"].str.split(" ").explode().value_counts()
-        return pd.DataFrame({"tok": vc.index.astype(str),
-                             "n": vc.to_numpy(dtype="int64")})
-
-    vocab = (ds.map_batches(local_counts, batch_format="pandas")
+    vocab = (ds.map_batches(_local_token_counts_arrow,
+                            batch_format="pyarrow", zero_copy_batch=True)
              .groupby("tok").sum("n").to_pandas())
     total = int(vocab["sum(n)"].sum())
     weights = {t: (int(n) * _LM_Q) // total
                for t, n in zip(vocab["tok"], vocab["sum(n)"])}
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(tbl):
         import polars as pl
 
-        d = pl.from_pandas(df[["doc_id", "text"]])
+        d = pl.from_arrow(tbl.select(["doc_id", "text"]))
         ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
               .drop("text").explode("t")
               .with_columns(pl.col("t").replace_strict(
@@ -465,7 +487,8 @@ def unigram_lm_score(sf_dir: str):
             pl.len().cast(pl.Int64).alias("n_tokens"))
         return out.to_pandas()
 
-    return ds.map_batches(score, batch_format="pandas")
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def bigram_lm_score(sf_dir: str, num_partitions: Optional[int] = None):
@@ -497,33 +520,31 @@ def bigram_lm_score(sf_dir: str, num_partitions: Optional[int] = None):
         4, int(ray.cluster_resources().get("CPU", 8)))
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
-    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["text"].str.split(" ").explode().value_counts()
-        return pd.DataFrame({"tok": vc.index.astype(str),
-                             "n": vc.to_numpy(dtype="int64")})
-
-    vocab = (ds.map_batches(local_counts, batch_format="pandas")
+    vocab = (ds.map_batches(_local_token_counts_arrow,
+                            batch_format="pyarrow", zero_copy_batch=True)
              .groupby("tok").sum("n").to_pandas())
     total = float(int(vocab["sum(n)"].sum()))
     uni = {t: int(n) for t, n in zip(vocab["tok"], vocab["sum(n)"])}
 
-    def bigram_rows(df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, vs, ws = [], [], []
-        zero = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            t = text.split(" ")
-            if len(t) < 2:
-                zero.append(doc_id)
-                continue
-            doc_ids.extend([doc_id] * (len(t) - 1))
-            vs.extend(t[:-1])
-            ws.extend(t[1:])
-        out = pd.DataFrame({"doc_id": pd.Series(doc_ids, dtype="int64"),
-                            "v": pd.Series(vs, dtype="object"),
-                            "w": pd.Series(ws, dtype="object")})
-        g = out.groupby(["doc_id", "v", "w"], as_index=False).size()
-        g = g.rename(columns={"size": "m"})
+    def bigram_rows(tbl) -> pd.DataFrame:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        # adjacent (v, w) pairs per doc, vectorized: explode + shift
+        # within the row (each input row is one document)
+        g = (pl.from_arrow(tbl.select(["doc_id", "text"]))
+             .with_columns(pl.col("text").str.split(" ").alias("t"))
+             .drop("text").with_row_index("r").explode("t")
+             .with_columns(pl.col("t").shift(-1).over("r").alias("w"))
+             .drop_nulls("w")
+             .group_by(["doc_id", "t", "w"])
+             .agg(pl.len().cast(pl.Int64).alias("m"))
+             .rename({"t": "v"})).to_pandas()
+        g["doc_id"] = g["doc_id"].astype("int64")
         # < 2-token docs ride along as sentinel rows (v = w = "")
+        zero = tbl.filter(pc.equal(
+            pc.count_substring(tbl.column("text"), " "),
+            0)).column("doc_id").to_pylist()
         if zero:
             g = pd.concat([g, pd.DataFrame({
                 "doc_id": pd.Series(zero, dtype="int64"),
@@ -561,7 +582,8 @@ def bigram_lm_score(sf_dir: str, num_partitions: Optional[int] = None):
                                  "s": pd.Series([], dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
-    partials = (ds.map_batches(bigram_rows, batch_format="pandas")
+    partials = (ds.map_batches(bigram_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
                 .groupby("bucket").map_groups(score_part,
                                               batch_format="pandas"))
 
@@ -671,31 +693,31 @@ def pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 100):
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
     nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
 
-    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["text"].str.split(" ").explode().value_counts()
-        return pd.DataFrame({"tok": vc.index.astype(str),
-                             "n": vc.to_numpy(dtype="int64")})
-
-    vocab = (ds.map_batches(local_counts, batch_format="pandas")
+    vocab = (ds.map_batches(_local_token_counts_arrow,
+                            batch_format="pyarrow", zero_copy_batch=True)
              .groupby("tok").sum("n").to_pandas())
     ucnt = {t: int(n) for t, n in zip(vocab["tok"], vocab["sum(n)"])}
     n_uni = int(vocab["sum(n)"].sum())
 
-    def bigram_meta(df: pd.DataFrame) -> pd.DataFrame:
-        nb = int((df["text"].str.count(" ")).sum())  # Σ (len_d − 1)
-        return pd.DataFrame({"nb": pd.Series([nb], dtype="int64")})
+    def bigram_meta(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    n_bi = int(ds.map_batches(bigram_meta, batch_format="pandas")
-               .sum("nb"))
+        nb = pc.sum(pc.count_substring(tbl.column("text"),
+                                       " ")).as_py() or 0  # Σ (len_d − 1)
+        return pa.table({"nb": pa.array([int(nb)], pa.int64())})
+
+    n_bi = int(ds.map_batches(bigram_meta, batch_format="pyarrow",
+                              zero_copy_batch=True).sum("nb"))
     assert n_uni < (1 << 53) and n_bi < (1 << 53), "quantize counts first"
     ln_n = math.log(float(n_uni))
     ln_b = math.log(float(n_bi))
 
-    def bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+    def bigram_partials(tbl) -> pd.DataFrame:
         import polars as pl
 
         # adjacent pairs inside each doc: zip t with its own tail
-        g = (pl.from_pandas(df[["text"]])
+        g = (pl.from_arrow(tbl.select(["text"]))
              .with_columns(pl.col("text").str.split(" ").alias("t"))
              .with_row_index("r")
              .explode("t")
@@ -726,7 +748,8 @@ def pmi_bigrams(sf_dir: str, min_count: int = 5, k: int = 100):
                               ascending=[False, True, True]).head(k))
         return out[["x", "y", "cxy", "pmi_q20"]].reset_index(drop=True)
 
-    return (ds.map_batches(bigram_partials, batch_format="pandas")
+    return (ds.map_batches(bigram_partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
             .groupby("part").map_groups(score_bucket, batch_format="pandas")
             .groupby("g").map_groups(final_topk, batch_format="pandas"))
 
@@ -829,10 +852,10 @@ def dedup_substrings(sf_dir: str, l: int = 8):
     nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
     ds = _read_documents(sf_dir, columns=["doc_id", "text"])
 
-    def windows(df: pd.DataFrame) -> pd.DataFrame:
+    def windows(tbl) -> pd.DataFrame:
         import polars as pl
 
-        d = pl.from_pandas(df[["doc_id", "text"]])
+        d = pl.from_arrow(tbl.select(["doc_id", "text"]))
         ex = (d.with_columns(pl.col("text").str.split(" ").alias("t"))
               .drop("text").explode("t"))
         ex = ex.with_columns(pl.int_range(pl.len()).over("doc_id")
@@ -884,7 +907,8 @@ def dedup_substrings(sf_dir: str, l: int = 8):
         return pd.DataFrame({"doc_id": out.index.astype("int64"),
                              "text_dedup": out.to_numpy().astype(str)})
 
-    cov = (ds.map_batches(windows, batch_format="pandas")
+    cov = (ds.map_batches(windows, batch_format="pyarrow",
+                          zero_copy_batch=True)
            .groupby("bucket").map_groups(dup_starts,
                                          batch_format="pandas"))
     docs = ds.map_batches(doc_rows, batch_format="pandas")
