@@ -132,6 +132,7 @@ def connected_components(edges, max_iters: int = 20,
     nparts = num_partitions or _nparts()
     edges = edges.materialize()
     if edges.count() <= small_graph_threshold:
+        connected_components.last_rounds = 0  # local gate, no loop
         return _local_components(edges)
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
@@ -164,6 +165,7 @@ def connected_components(edges, max_iters: int = 20,
                              "label": m["v_lbl"].astype("int64")})
 
     prev_sum = None
+    rounds = 0
     for _ in range(max_iters):
         # ONE co-grouped shuffle answers all three lookups against the
         # label table: neighbour messages through both edge directions and
@@ -181,11 +183,15 @@ def connected_components(edges, max_iters: int = 20,
         # the result so the next round's lineage starts flat
         labels = labels.repartition(nparts).materialize()
 
+        rounds += 1
         total = labels.sum("label")
         if total == prev_sum:
             break
         prev_sum = total
 
+    # observability for the skew tests: pointer jumping must keep this
+    # O(log diameter), never O(diameter)
+    connected_components.last_rounds = rounds
     return labels.map_batches(
         lambda df: df.rename(columns={"label": "component"}),
         batch_format="pandas")

@@ -223,6 +223,116 @@ class TestTextOps:
             assert df.loc[doc_id, "n_bigrams"] == max(0, len(toks) - 1)
 
 
+def _write_neardup_corpus(path, n_docs, skewed, L=50):
+    """Synthetic near-dup corpora for the skew kill-test.
+
+    uniform: n/2 clusters of exactly 2 near-identical docs, disjoint
+    vocabularies — many tiny components.
+    skewed:  n/2 docs are L-token sliding windows of ONE token stream
+    (consecutive windows share L-1 tokens → every link J=(L-1)/(L+1)
+    ≈ 0.96 ≥ 0.8), chaining into a single giant component that holds
+    ~all near-dup pairs; the other n/2 docs are vocabulary-disjoint
+    singletons."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    texts, ids = [], []
+    if skewed:
+        stream = ["c%d" % i for i in range(n_docs // 2 + L)]
+        for i in range(n_docs // 2):
+            ids.append(i)
+            texts.append(" ".join(stream[i:i + L]))
+        for i in range(n_docs // 2, n_docs):
+            ids.append(i)
+            texts.append(" ".join("s%d_%d" % (i, j) for j in range(L)))
+    else:
+        for i in range(n_docs // 2):
+            base = ["u%d_%d" % (i, j) for j in range(L)]
+            ids.append(2 * i)
+            texts.append(" ".join(base))
+            mut = list(base)
+            mut[7] = "m%d" % i
+            ids.append(2 * i + 1)
+            texts.append(" ".join(mut))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   os.path.join(path, "documents.parquet"))
+
+
+class TestSkewKill:
+    def test_giant_component_within_2x_of_uniform(self, ray_session):
+        """One template family holding ~all near-dup pairs (one giant
+        chained component) must not blow up the LSH→union-find→anti-join
+        chain: wall stays within 2x of a uniform many-tiny-clusters
+        corpus of the same size, and the giant component collapses to
+        exactly one survivor. (BASELINE.md records the 32-CPU
+        measurement at 10x this size.)"""
+        import time
+
+        from kgx.dedup import near_dup_dedup
+
+        n = 6000
+        walls = {}
+        survivors = {}
+        for name, skew in (("uniform", False), ("skew", True)):
+            p = "/tmp/kgx_skewtest_%s" % name
+            _write_neardup_corpus(p, n, skew)
+            t0 = time.time()
+            survivors[name] = len(near_dup_dedup(p, use_lsh=True)
+                                  .to_pandas())
+            walls[name] = time.time() - t0
+        # uniform: every 2-cluster keeps its min → exactly n/2 survive
+        assert survivors["uniform"] == n // 2
+        # skew: n/2 singletons + ONE survivor of the giant component
+        # (a handful of chain links may miss under minhash estimation)
+        assert n // 2 + 1 <= survivors["skew"] <= n // 2 + 10
+        assert walls["skew"] <= 2.0 * max(walls["uniform"], 1.0)
+
+    def test_distributed_union_find_path_graph_skew(self, ray_session):
+        """The distributed union-find itself (forced past the local
+        gate) on the two adversarial shapes: a 60k-node PATH (maximum
+        diameter — the giant chained dup family) must converge in
+        O(log n) pointer-jumping rounds, never O(diameter); 30k
+        disjoint 2-cliques pin the constant. Labels exact on both."""
+        import math
+
+        import pandas as pd
+        import ray.data
+
+        from kgx.components import connected_components
+
+        n = 60_000
+        path_edges = pd.DataFrame({
+            "a": pd.Series(range(n - 1), dtype="int64"),
+            "b": pd.Series(range(1, n), dtype="int64")})
+        clique_edges = pd.DataFrame({
+            "a": pd.Series(range(0, n, 2), dtype="int64"),
+            "b": pd.Series(range(1, n, 2), dtype="int64")})
+        rounds = {}
+        for name, e in (("cliques", clique_edges), ("path", path_edges)):
+            ds = ray.data.from_pandas(e)
+            comp = connected_components(
+                ds, small_graph_threshold=0).to_pandas()
+            rounds[name] = connected_components.last_rounds
+            if name == "path":
+                assert (comp["component"] == 0).all()
+                assert comp["node"].nunique() == n
+            else:
+                got = comp.sort_values("node").reset_index(drop=True)
+                assert (got["component"].to_numpy()
+                        == (got["node"].to_numpy() // 2 * 2)).all()
+        # cliques: min propagates in one round (+1 to detect fixpoint);
+        # path: label-of-label halves the chase distance each round →
+        # ceil(log2 n) + slack, NEVER the 60k rounds of naive min-hop
+        assert rounds["cliques"] <= 3
+        assert rounds["path"] <= math.ceil(math.log2(n)) + 3
+
+
 class TestDedup:
     def test_exact_survivors(self, ray_session):
         from kgx.dedup import dedup_exact
