@@ -96,7 +96,7 @@ def main(argv=None) -> int:
                         default="dataset",
                         help="exchange = two-pass sort exchange for bulk "
                         "pages-dir runs (writes a sharded output dir; "
-                        "parquet or nt; no --include)")
+                        "parquet or nt)")
     args = parser.parse_args(argv)
 
     from .config import PipelineConfig
@@ -156,9 +156,6 @@ def main(argv=None) -> int:
     if args.engine == "exchange":
         if not os.path.isdir(args.infile):
             parser.error("--engine exchange needs a pages parquet dir")
-        if args.include:
-            parser.error("--engine exchange does not support "
-                         "--include (use the dataset engine)")
         if not args.outfile or args.outfile == "-":
             parser.error("--engine exchange writes a sharded output dir")
         if outformat not in ("parquet", "nt"):
@@ -167,7 +164,8 @@ def main(argv=None) -> int:
 
         fmt = "parquet" if outformat == "parquet" else "ntriples"
         manifest = write_canonical_graph(args.infile, args.outfile, config,
-                                         fmt=fmt)
+                                         fmt=fmt,
+                                         include=args.include or None)
         print("wrote %d triples to %s (%d partitions)"
               % (manifest["rows"], args.outfile,
                  len(manifest["partitions"])))

@@ -271,6 +271,45 @@ def _reduce_task(part_idx: int, out_dir: str, fmt: str, keep_key: bool,
                              keep_key=keep_key)
 
 
+def _include_table(include, config: PipelineConfig):
+    """--include RDF preload for the exchange engine: parse the (small)
+    Turtle files driver-side into ONE GRAPH-schema table. The caller
+    keys it with the shared tkey construction and range-scatters it
+    into the existing reduce sort+dedup — Dataset-engine parity with
+    pipeline._union_includes running before canonicalize (reference:
+    mc2skos.py:284-288). Accepts file paths or pre-built pa.Tables.
+
+    Partitioning assumption: includes are vocabulary preloads (scheme
+    skeletons, upper ontologies) — MBs against a TB corpus — so one
+    driver-side parse is the right cost; the rows still dedup/sort in
+    the distributed reduce, never on the driver.
+    """
+    if not include:
+        return None
+    from .turtle import parse_turtle
+
+    items = include if isinstance(include, (list, tuple)) else [include]
+    tables = []
+    cols = ["subj", "pred", "obj", "obj_is_literal", "obj_lang",
+            "obj_datatype"]
+    for inc in items:
+        if isinstance(inc, pa.Table):
+            tables.append(inc.select(cols))
+            continue
+        with open(inc, encoding="utf-8") as fp:
+            trips = parse_turtle(fp.read())
+        tables.append(pa.table({
+            "subj": pa.array([t[0] for t in trips], pa.string()),
+            "pred": pa.array([t[1] for t in trips], pa.string()),
+            "obj": pa.array([t[2] for t in trips], pa.string()),
+            "obj_is_literal": pa.array([t[3] for t in trips], pa.bool_()),
+            "obj_lang": pa.array([t[4] for t in trips], pa.string()),
+            "obj_datatype": pa.array([t[5] for t in trips], pa.string()),
+        }))
+    out = pa.concat_tables(tables).combine_chunks()
+    return out if out.num_rows else None
+
+
 def _skosify_closure_slices(broader_tables: list, boundaries: list,
                             num_parts: int,
                             config: PipelineConfig) -> list:
@@ -352,7 +391,8 @@ def write_canonical_graph(corpus, out_dir: str,
                           map_tasks: Optional[int] = None,
                           fingerprint: Optional[str] = None,
                           fmt: str = "parquet",
-                          keep_key: bool = False) -> dict:
+                          keep_key: bool = False,
+                          include=None) -> dict:
     """pages parquet → canonical sorted graph shards, in two passes.
 
     ``corpus`` — a directory of page parquet fragments (or a file list).
@@ -415,14 +455,35 @@ def write_canonical_graph(corpus, out_dir: str,
         err_refs.append(rets[P])
         broader_refs.append(rets[P + 1])
 
+    inc_tbl = _include_table(include, config)
+    if inc_tbl is not None or config.skosify:
+        boundaries_eager = ray.get(boundaries_ref)
+    if inc_tbl is not None:
+        # --include preload scatters into the same range partitions as
+        # the map wave; dedup against extracted triples happens in the
+        # shared reduce (Dataset parity: union before canonicalize)
+        keyed_inc = _dict_encode(_add_tkey_arrow(inc_tbl,
+                                                 expand=config.expand))
+        for p_idx, s in enumerate(_range_partition_slices(
+                keyed_inc, boundaries_eager, P)):
+            if s.num_rows:
+                slice_refs[p_idx].append(ray.put(s))
     if config.skosify:
         # the closure needs every map's broader edges, so this gather IS
         # the end of the map wave; the closure triples then scatter into
         # the same range partitions and the reduces stay untouched. The
         # non-skosify path keeps its fully pipelined reduce submission.
         btables = [t for t in ray.get(broader_refs) if t.num_rows]
+        if inc_tbl is not None:
+            # Dataset parity: includes union in BEFORE the skosify pass,
+            # so their broader edges feed the closure too
+            inc_bro = inc_tbl.filter(pc.equal(
+                inc_tbl.column("pred"),
+                _SKOS + "broader")).select(["subj", "obj"])
+            if inc_bro.num_rows:
+                btables.append(inc_bro)
         for p_idx, s in enumerate(_skosify_closure_slices(
-                btables, ray.get(boundaries_ref), P, config)):
+                btables, boundaries_eager, P, config)):
             if s.num_rows:
                 slice_refs[p_idx].append(ray.put(s))
 
@@ -478,6 +539,9 @@ def write_canonical_graph(corpus, out_dir: str,
         "phase_sec": {"map_wave": round(t_maps_done - t0, 3),
                       "reduce_tail": round(t_reduce_done - t_maps_done, 3)},
         "config": config.semantic_options(),
+        "include": [os.path.basename(p) if isinstance(p, str) else "<table>"
+                    for p in (include if isinstance(include, (list, tuple))
+                              else [include] if include is not None else [])],
         "engine": "exchange",
         "skipped": False,
     }

@@ -162,6 +162,49 @@ def test_exchange_tiny_corpus_empty_partitions(ray_session, tmp_path):
     assert got.num_rows == manifest["rows"] == len(want)
 
 
+def test_exchange_include_matches_dataset_engine(ray_session, corpus,
+                                                 tmp_path):
+    """--include preload through the exchange engine: the parsed RDF
+    scatters into the same range reduce; with skosify on, include
+    broader edges feed the closure — parity with the Dataset engine's
+    union-before-skosify-before-canonicalize, row-for-row."""
+    inc = tmp_path / "scheme.ttl"
+    inc.write_text(
+        "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+        "<http://example.org/inc/A> a skos:Concept ;\n"
+        '  skos:prefLabel "Included A"@en ;\n'
+        "  skos:broader <http://example.org/inc/B> .\n"
+        "<http://example.org/inc/B> skos:broader "
+        "<http://example.org/inc/C> .\n")
+    cfg = PipelineConfig(include_altlabels=True, skosify=True)
+    out = str(tmp_path / "graph")
+    manifest = write_canonical_graph(corpus, out, cfg, num_parts=5,
+                                     map_tasks=3, include=[str(inc)])
+    _, got = _read_shards(out)
+    got_df = got.to_pandas()
+
+    import ray.data
+
+    from kgx.cli import _include_dataset
+    from kgx.pipeline import build_graph
+
+    pages = ray.data.read_parquet(corpus, columns=["url", "html"])
+    want = build_graph(pages, cfg,
+                       include=_include_dataset(str(inc))).to_pandas()
+    assert manifest["rows"] == len(got_df) == len(want)
+    assert manifest["include"] == ["scheme.ttl"]
+    a = got_df[KEY_COLS].sort_values(KEY_COLS).reset_index(drop=True)
+    b = want[KEY_COLS].sort_values(KEY_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the include really landed AND its broader chain closed
+    # transitively (A -> B -> C only exists via the include edges)
+    assert (got_df["subj"] == "http://example.org/inc/A").any()
+    bt = got_df[(got_df["subj"] == "http://example.org/inc/A")
+                & got_df["pred"].str.endswith("broaderTransitive")]
+    assert set(bt["obj"]) == {"http://example.org/inc/B",
+                              "http://example.org/inc/C"}
+
+
 @pytest.mark.parametrize("expand", [False, True])
 def test_exchange_skosify_matches_dataset_engine(ray_session, corpus,
                                                  tmp_path, expand):
