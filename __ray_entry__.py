@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dedup": q.kg_dedup,
         "kg_expand": q.kg_expand,
         "kg_degree_histogram": q.kg_degree_histogram,
+        "kg_label_conflicts": q.kg_label_conflicts,
         "kg_skosify": q.kg_skosify,
         "kg_skosify_exchange": q.kg_skosify_exchange,
         "kg_broader_closure": _broader_closure,

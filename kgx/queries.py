@@ -216,6 +216,54 @@ def kg_degree_histogram(sf_dir: str):
     )
 
 
+def kg_label_conflicts(sf_dir: str):
+    """(pred, label, lang, n_subjects) — SKOS label-conflict audit (the
+    skosify library's check_labels family, beyond the reference's own
+    cfg): every (predicate, literal, language) claimed as a prefLabel or
+    altLabel by MORE than one concept. Real KG hygiene — cross-concept
+    label collisions are what sameAs/closeMatch candidate generation and
+    editorial dedup queues key on.
+
+    Scale shape: labels are one-to-two rows per concept, so the
+    per-batch distinct combiner bounds shuffle rows at the label
+    vocabulary; one hash(label) co-group counts distinct subjects
+    exactly (a subject's labels may straddle batches); conflicts
+    (count > 1) survive. No driver materialization.
+    """
+    import ray
+
+    SKOS_ = "http://www.w3.org/2004/02/skos/core#"
+    keep = {SKOS_ + "prefLabel", SKOS_ + "altLabel"}
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    graph = doc_graph(sf_dir)
+
+    def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["pred"].isin(keep)]
+        out = pd.DataFrame({
+            "pred": d["pred"].astype(str),
+            "label": d["obj"].astype(str),
+            "lang": d["obj_lang"].astype(str),
+            "subj": d["subj"].astype(str),
+        }).drop_duplicates()
+        key = out["pred"] + "\x1f" + out["label"] + "\x1f" + out["lang"]
+        out["bucket"] = (pd.util.hash_pandas_object(key, index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def count_conflicts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["pred", "label", "lang", "subj"])
+             .groupby(["pred", "label", "lang"], as_index=False)["subj"]
+             .nunique().rename(columns={"subj": "n_subjects"}))
+        g = g[g["n_subjects"] > 1]
+        return pd.DataFrame({
+            "pred": g["pred"], "label": g["label"], "lang": g["lang"],
+            "n_subjects": g["n_subjects"].astype("int64")})
+
+    return (graph.map_batches(label_rows, batch_format="pandas")
+            .groupby("bucket").map_groups(count_conflicts,
+                                          batch_format="pandas"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL — the shared triple-construction CTE over `documents`
 # ---------------------------------------------------------------------------
@@ -2280,6 +2328,16 @@ KG_ORACLES = {
         "SELECT obj AS subj, 'http://www.w3.org/2004/02/skos/core#narrower' AS pred, "
         "subj AS obj FROM triples "
         "WHERE pred = 'http://www.w3.org/2004/02/skos/core#broader'"
+    ),
+    "kg_label_conflicts": TRIPLES_CTE + (
+        "SELECT pred, obj AS label, CAST(obj_lang AS VARCHAR) AS lang,"
+        " CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects"
+        " FROM triples"
+        " WHERE pred IN ("
+        "'http://www.w3.org/2004/02/skos/core#prefLabel',"
+        "'http://www.w3.org/2004/02/skos/core#altLabel')"
+        " GROUP BY pred, obj, obj_lang"
+        " HAVING count(DISTINCT subj) > 1"
     ),
     "kg_degree_histogram": TRIPLES_CTE + (
         "SELECT degree, count(*) AS n_subjects FROM ("
