@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_diff": q.kg_graph_diff,
         # text analysis
         "token_counts": textops.token_counts,
+        "entity_mentions": textops.entity_mentions,
         "token_counts_bpe": textops.token_counts_bpe,
         "top_terms": textops.top_terms,
         "top_terms_by_lang": textops.top_terms_by_lang,

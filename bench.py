@@ -138,6 +138,8 @@ def run_queries(sf_dir: str) -> dict:
 
     battery = {
         "kg_triples": lambda: q.kg_triples(sf_dir),
+        "kg_skosify_exchange": lambda: q.kg_skosify_exchange(sf_dir),
+        "kg_label_conflicts": lambda: q.kg_label_conflicts(sf_dir),
         "kg_expand": lambda: q.kg_expand(sf_dir),
         "kg_incremental": lambda: q.kg_incremental(sf_dir),
         "dedup_exact": lambda: dedup.dedup_exact(sf_dir),
@@ -149,6 +151,7 @@ def run_queries(sf_dir: str) -> dict:
         "knn_bruteforce": lambda: simsearch.knn_bruteforce(sf_dir),
         "knn_graph": lambda: simsearch.knn_graph(sf_dir),
         "token_counts": lambda: textops.token_counts(sf_dir),
+        "entity_mentions": lambda: textops.entity_mentions(sf_dir),
         "top_terms": lambda: textops.top_terms(sf_dir),
         "top_terms_by_lang": lambda: textops.top_terms_by_lang(sf_dir),
         "langid_confusion": lambda: textops.langid_confusion(sf_dir),

@@ -7081,3 +7081,17 @@ SELECT p.lang_a, p.lang_b, CAST(p.n_a AS BIGINT) AS n_a,
 FROM pairs p LEFT JOIN ovl o
   ON o.lang_a = p.lang_a AND o.lang_b = p.lang_b
 """
+
+# gazetteer mention detection: substring counts are exact token-adjacent
+# mention counts by gazetteer construction (see textops.MENTION_GAZETTEER);
+# replace()-length arithmetic counts the same non-overlapping occurrences
+DOC_ORACLES["entity_mentions"] = """
+WITH g(phrase) AS (VALUES ('fast table'), ('key agg'), ('sort window'),
+                          ('spark order'), ('value part'), ('batch merge'),
+                          ('query big'), ('stream group'))
+SELECT d.doc_id, g.phrase,
+       CAST((length(d.text) - length(replace(d.text, g.phrase, '')))
+            / length(g.phrase) AS BIGINT) AS n_mentions
+FROM documents d CROSS JOIN g
+WHERE length(d.text) - length(replace(d.text, g.phrase, '')) > 0
+"""

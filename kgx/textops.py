@@ -2336,3 +2336,52 @@ def hist_overlap(sf_dir: str):
         rows, columns=["lang_a", "lang_b", "n_a", "n_b",
                        "ovl_ppm"]).astype(
         {"n_a": "int64", "n_b": "int64", "ovl_ppm": "int64"})
+
+
+# Gazetteer for the mention-detection stage: two-token phrases over the
+# corpus vocabulary, chosen so no vocabulary token has a phrase-boundary
+# word as a proper prefix or suffix — substring occurrence count then
+# equals token-adjacent mention count exactly, and the SQL oracle's
+# replace()-length arithmetic counts the identical (non-overlapping)
+# occurrences.
+MENTION_GAZETTEER = (
+    "fast table", "key agg", "sort window", "spark order",
+    "value part", "batch merge", "query big", "stream group",
+)
+
+
+def entity_mentions(sf_dir: str, gazetteer=MENTION_GAZETTEER):
+    """(doc_id, phrase, n_mentions) — batched gazetteer MENTION DETECTION
+    over the web-text corpus (the north-star pipeline's stage between
+    extraction and entity linking): every occurrence of a concept-label
+    phrase in a document, counted exactly. The gazetteer is the small
+    side — broadcast once via closure capture, never shuffled; at a real
+    10^6-label vocabulary this becomes the actor-pool stage holding an
+    Aho–Corasick automaton per worker (kgx/link.py's per-worker cache is
+    the same pattern for the MARC linking dictionaries).
+
+    Scale shape: map-only, one pass, zero exchanges — per batch one
+    zero-copy Arrow ``count_substring`` kernel per phrase (the phrase
+    list is fixed; docs are the big axis). Emits only hits (n > 0).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    phrases = list(gazetteer)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        doc = tbl.column("doc_id")
+        text = tbl.column("text")
+        outs = []
+        for p in phrases:
+            n = pc.count_substring(text, p).cast(pa.int64())
+            mask = pc.greater(n, 0)
+            outs.append(pa.table({
+                "doc_id": pc.filter(doc, mask),
+                "phrase": pa.array([p] * pc.sum(pc.cast(mask, pa.int64())).as_py(),
+                                   pa.string()),
+                "n_mentions": pc.filter(n, mask)}))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
