@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_counts": textops.token_counts,
         "entity_mentions": textops.entity_mentions,
+        "entity_link": textops.entity_link,
         "token_counts_bpe": textops.token_counts_bpe,
         "top_terms": textops.top_terms,
         "top_terms_by_lang": textops.top_terms_by_lang,

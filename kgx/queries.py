@@ -7095,3 +7095,32 @@ SELECT d.doc_id, g.phrase,
 FROM documents d CROSS JOIN g
 WHERE length(d.text) - length(replace(d.text, g.phrase, '')) > 0
 """
+
+# entity linking: candidate senses scored by context-token occurrence,
+# winner = max score with ties to the lower sense id (row_number mirrors
+# np.argmax-first-maximum exactly)
+DOC_ORACLES["entity_link"] = """
+WITH cand(phrase, k, ctx) AS (VALUES
+  ('fast table', 1, 'scan'), ('fast table', 2, 'join'),
+  ('key agg', 1, 'hash'), ('key agg', 2, 'group'),
+  ('sort window', 1, 'order'), ('sort window', 2, 'stream'),
+  ('spark order', 1, 'batch'), ('spark order', 2, 'query'),
+  ('value part', 1, 'column'), ('value part', 2, 'row'),
+  ('batch merge', 1, 'slow'), ('batch merge', 2, 'small'),
+  ('query big', 1, 'filter'), ('query big', 2, 'vector'),
+  ('stream group', 1, 'customer'), ('stream group', 2, 'line')),
+m AS (
+  SELECT d.doc_id, c.phrase, c.k,
+         (length(d.text) - length(replace(d.text, c.ctx, '')))
+           / length(c.ctx) AS score
+  FROM documents d JOIN cand c
+    ON length(d.text) - length(replace(d.text, c.phrase, '')) > 0)
+SELECT doc_id, phrase,
+       'http://example.org/entity/' || replace(phrase, ' ', '_')
+         || '/' || CAST(k AS VARCHAR) AS uri,
+       CAST(score AS BIGINT) AS score
+FROM (SELECT m.*, row_number() OVER (
+        PARTITION BY doc_id, phrase ORDER BY score DESC, k) AS rn
+      FROM m)
+WHERE rn = 1
+"""

@@ -2385,3 +2385,72 @@ def entity_mentions(sf_dir: str, gazetteer=MENTION_GAZETTEER):
         return pa.concat_tables(outs)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Candidate table for the linking stage: each gazetteer phrase has two
+# candidate entity senses; a sense's CONTEXT token (substring-safe, see
+# MENTION_GAZETTEER note) scores it against the mentioning document.
+MENTION_CANDIDATES = {
+    "fast table": (("scan", 1), ("join", 2)),
+    "key agg": (("hash", 1), ("group", 2)),
+    "sort window": (("order", 1), ("stream", 2)),
+    "spark order": (("batch", 1), ("query", 2)),
+    "value part": (("column", 1), ("row", 2)),
+    "batch merge": (("slow", 1), ("small", 2)),
+    "query big": (("filter", 1), ("vector", 2)),
+    "stream group": (("customer", 1), ("line", 2)),
+}
+
+
+def entity_link(sf_dir: str):
+    """(doc_id, phrase, uri, score) — the ENTITY-LINKING stage over the
+    mention hits: each mentioned phrase has two candidate senses; the
+    winner is the sense whose context token occurs most in the document
+    (ties to the lower sense id) — candidate generation + context
+    scoring + deterministic argmax, the disambiguation shape the
+    north-star pipeline runs with vocabulary tries in an actor pool
+    (kgx/link.py holds the real MARC dictionaries the same way).
+
+    Scale shape: the candidate table is the broadcast small side
+    (closure capture); scoring is one zero-copy Arrow count_substring
+    per (phrase, sense) over the batch; map-only, zero exchanges, the
+    argmax is a local vectorized compare — never a shuffle.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    cands = {p: tuple(c) for p, c in MENTION_CANDIDATES.items()}
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        text = tbl.column("text")
+        out_doc, out_phr, out_uri, out_sc = [], [], [], []
+        for phrase, senses in cands.items():
+            nm = pc.count_substring(text, phrase).to_numpy(
+                zero_copy_only=False)
+            hit = nm > 0
+            if not hit.any():
+                continue
+            scores = np.stack(
+                [pc.count_substring(text, ctx).to_numpy(
+                    zero_copy_only=False) for ctx, _k in senses])
+            # argmax over senses, ties to the LOWER sense id (np.argmax
+            # returns the first maximum; senses are ordered by k)
+            win = np.argmax(scores, axis=0)
+            slug = phrase.replace(" ", "_")
+            for i in np.nonzero(hit)[0]:
+                k = senses[win[i]][1]
+                out_doc.append(int(doc[i]))
+                out_phr.append(phrase)
+                out_uri.append(
+                    "http://example.org/entity/%s/%d" % (slug, k))
+                out_sc.append(int(scores[win[i], i]))
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "phrase": pa.array(out_phr, pa.string()),
+            "uri": pa.array(out_uri, pa.string()),
+            "score": pa.array(out_sc, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
