@@ -535,6 +535,7 @@ def write_canonical_graph(corpus, out_dir: str,
         # tkey embeds a polars struct hash; a merge must re-derive the
         # IDENTICAL keys, so stamp the version for merge to verify
         "polars_version": __import__("polars").__version__,
+        "tkey_format": 2,
         "keep_key": keep_key,
         "phase_sec": {"map_wave": round(t_maps_done - t0, 3),
                       "reduce_tail": round(t_reduce_done - t_maps_done, 3)},
@@ -689,6 +690,13 @@ def _load_run_manifests(a_dir: str, a_name: str, b_dir: str, b_name: str):
                 "%s run was written under polars %s but this cluster runs "
                 "%s — tkey hashes are not reproducible across versions; "
                 "rebuild the run or pin polars" % (name, ver, cur))
+        fmtv = man.get("tkey_format", 1)
+        if fmtv != 2:
+            raise ValueError(
+                "%s run uses tkey format %s but this build writes format "
+                "2 (A-case subject folded into the sort key) — identical "
+                "triples would key differently across the merge; rebuild "
+                "the run" % (name, fmtv))
     return a_man, b_man
 
 
@@ -808,6 +816,7 @@ def merge_canonical_graphs(base_dir: str, delta_dir: str, out_dir: str,
         "copied_parts": sum(1 for r in ordered if r.get("copied")),
         "boundaries_hex": base_man["boundaries_hex"],
         "polars_version": __import__("polars").__version__,
+        "tkey_format": 2,
         "keep_key": keep_key,
         "config": base_man.get("config"),
         "engine": "exchange-merge",
