@@ -7124,3 +7124,18 @@ FROM (SELECT m.*, row_number() OVER (
       FROM m)
 WHERE rn = 1
 """
+
+# co-mention edges: docs mentioning both phrases of an unordered pair
+DOC_ORACLES["mention_cooccurrence"] = """
+WITH g(phrase) AS (VALUES ('fast table'), ('key agg'), ('sort window'),
+                          ('spark order'), ('value part'), ('batch merge'),
+                          ('query big'), ('stream group')),
+hit AS (
+  SELECT d.doc_id, g.phrase FROM documents d CROSS JOIN g
+  WHERE length(d.text) - length(replace(d.text, g.phrase, '')) > 0)
+SELECT a.phrase AS phrase_a, b.phrase AS phrase_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM hit a JOIN hit b
+  ON a.doc_id = b.doc_id AND a.phrase < b.phrase
+GROUP BY a.phrase, b.phrase
+"""

@@ -2454,3 +2454,53 @@ def entity_link(sf_dir: str):
             "score": pa.array(out_sc, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mention_cooccurrence(sf_dir: str, num_partitions: Optional[int] = None):
+    """(phrase_a, phrase_b, n_docs) — the CO-MENTION edge builder: for
+    every unordered pair of gazetteer phrases, the number of documents
+    mentioning BOTH. This is the classic KG-from-web-text edge
+    extraction (co-occurrence graphs feed relation candidates and
+    entity-embedding training); downstream the pair weights become
+    candidate (subj, related, obj) triples.
+
+    Scale shape: per batch, one zero-copy Arrow count_substring per
+    phrase builds a docs × phrases hit matrix; the C(|G|, 2) pair
+    counts collapse to ONE small partial per batch (a numpy matmul of
+    the 0/1 matrix — pairs are counted without materializing per-doc
+    pair rows), then the fixed-size partials fold driver-side. Zero
+    exchanges; the gazetteer (and so the partial) is O(|G|^2), never
+    O(docs).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    phrases = list(MENTION_GAZETTEER)
+    m = len(phrases)
+
+    def partials(tbl: pa.Table) -> pd.DataFrame:
+        text = tbl.column("text")
+        hits = np.stack([
+            (pc.count_substring(text, p).to_numpy(zero_copy_only=False)
+             > 0).astype(np.int64) for p in phrases])
+        co = hits @ hits.T  # phrases × phrases co-mention doc counts
+        ia, ib = np.triu_indices(m, k=1)
+        return pd.DataFrame({
+            "ai": ia.astype(np.int64), "bi": ib.astype(np.int64),
+            "n": co[ia, ib].astype(np.int64)})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .to_pandas().groupby(["ai", "bi"], as_index=False)["n"].sum())
+    agg = agg[agg["n"] > 0]
+    # unordered pairs present lexicographically (phrase_a < phrase_b),
+    # independent of gazetteer index order
+    pa_, pb_ = zip(*(sorted((phrases[a], phrases[b]))
+                     for a, b in zip(agg["ai"], agg["bi"]))) \
+        if len(agg) else ((), ())
+    return pd.DataFrame({
+        "phrase_a": pd.Series(pa_, dtype="object"),
+        "phrase_b": pd.Series(pb_, dtype="object"),
+        "n_docs": agg["n"].astype("int64").to_numpy()})
