@@ -188,27 +188,32 @@ def parse_record_element(elem: ET.Element) -> MarcRecord:
     leader = None
     controlfields: dict = {}
     datafields: List[Datafield] = []
+    # hot loop of the map wave: bind the helpers once per record
+    local = _localname
+    flatten = _flatten_text
+    mk_df = Datafield
+    mk_sf = Subfield
     for child in elem:
-        name = _localname(child.tag)
+        name = local(child.tag)
         if name == "leader":
-            leader, _ = _flatten_text(child)
+            leader, _ = flatten(child)
         elif name == "controlfield":
             tag = child.get("tag")
             if tag is not None and tag not in controlfields:
-                value, _ = _flatten_text(child)
+                value, _ = flatten(child)
                 controlfields[tag] = value
         elif name == "datafield":
-            df = Datafield(
+            df = mk_df(
                 tag=child.get("tag") or "",
                 ind1=child.get("ind1") or "",
                 ind2=child.get("ind2") or "",
             )
+            sub_append = df.subfields.append
             for sf in child:
-                if _localname(sf.tag) == "subfield":
-                    value, has_text = _flatten_text(sf)
-                    df.subfields.append(
-                        Subfield(code=sf.get("code") or "", value=value, has_text=has_text)
-                    )
+                if local(sf.tag) == "subfield":
+                    value, has_text = flatten(sf)
+                    sub_append(mk_sf(code=sf.get("code") or "",
+                                     value=value, has_text=has_text))
             datafields.append(df)
     return MarcRecord(leader=leader, controlfields=controlfields, datafields=datafields)
 

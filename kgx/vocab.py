@@ -199,8 +199,11 @@ class ConceptScheme:
         control number's ``(ORG)`` prefix is stripped, and whitespace in the
         final URI is replaced per scheme policy.
         """
-        template = {"concept": self.concept_template, "scheme": self.scheme_template}.get(uri_type)
-        if uri_type not in ("concept", "scheme"):
+        if uri_type == "concept":
+            template = self.concept_template
+        elif uri_type == "scheme":
+            template = self.scheme_template
+        else:
             raise ValueError("Unknown URI type: %s" % uri_type)
         if template is None:
             raise UnknownSchemeError(
