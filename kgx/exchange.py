@@ -437,7 +437,11 @@ def write_canonical_graph(corpus, out_dir: str,
     t0 = time.time()
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     P = num_parts or max(16, 2 * ncpu)
-    M = max(1, min(map_tasks or max(8, 2 * ncpu), len(files)))
+    # 4 tasks per CPU: late-binding over ~4 waves absorbs the per-task
+    # jitter a 2-wave schedule pays straight into the wall (measured
+    # ~4% on the 1.2M-page map wave at both 8 and 32 CPUs; the probe
+    # shows a 28% straggler spread across equal static shards at 32)
+    M = max(1, min(map_tasks or max(8, 4 * ncpu), len(files)))
     groups = [files[i::M] for i in range(M)]
 
     # pilot over a few evenly-spaced fragments (first-fragment-only would
