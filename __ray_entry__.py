@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_mentions": textops.entity_mentions,
         "entity_link": textops.entity_link,
         "mention_cooccurrence": textops.mention_cooccurrence,
+        "compression_ratio": textops.compression_ratio,
         "token_counts_bpe": textops.token_counts_bpe,
         "top_terms": textops.top_terms,
         "top_terms_by_lang": textops.top_terms_by_lang,

@@ -154,6 +154,7 @@ def run_queries(sf_dir: str) -> dict:
         "entity_mentions": lambda: textops.entity_mentions(sf_dir),
         "entity_link": lambda: textops.entity_link(sf_dir),
         "mention_cooccurrence": lambda: textops.mention_cooccurrence(sf_dir),
+        "compression_ratio": lambda: textops.compression_ratio(sf_dir),
         "top_terms": lambda: textops.top_terms(sf_dir),
         "top_terms_by_lang": lambda: textops.top_terms_by_lang(sf_dir),
         "langid_confusion": lambda: textops.langid_confusion(sf_dir),

@@ -2504,3 +2504,34 @@ def mention_cooccurrence(sf_dir: str, num_partitions: Optional[int] = None):
         "phrase_a": pd.Series(pa_, dtype="object"),
         "phrase_b": pd.Series(pb_, dtype="object"),
         "n_docs": agg["n"].astype("int64").to_numpy()})
+
+
+def compression_ratio(sf_dir: str, level: int = 6):
+    """(doc_id, n_bytes, n_compressed, ratio_ppm) — zlib compressibility
+    per document, the MassiveText/RefinedWeb quality signal: template
+    boilerplate and repetition compress far below natural text, so the
+    ratio (compressed/raw, ppm) separates machine-generated sludge from
+    prose. zlib level 6 output is deterministic for a given input and
+    zlib build, so results are stable across workers (pinned by a
+    replay test; no SQL oracle — DuckDB has no zlib, so the driver
+    records the weaker rows-only check like the other codec ops).
+
+    Scale shape: map-only, one pass; the per-doc compress is the
+    vectorization floor (zlib is C; the loop body is one C call per
+    row), and nothing ever leaves the batch but three ints per doc.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in df["text"]]
+        comp = [len(zlib.compress(b, level)) for b in raw]
+        nb = np.fromiter((len(b) for b in raw), dtype=np.int64,
+                         count=len(raw))
+        nc = np.asarray(comp, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_bytes": nb,
+            "n_compressed": nc,
+            "ratio_ppm": (1_000_000 * nc) // np.maximum(nb, 1)})
+
+    return ds.map_batches(fn, batch_format="pandas")

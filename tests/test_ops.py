@@ -333,6 +333,34 @@ class TestSkewKill:
         assert rounds["path"] <= math.ceil(math.log2(n)) + 3
 
 
+class TestCompressionRatio:
+    def test_replay_and_signal_direction(self, ray_session):
+        import zlib as _z
+
+        import duckdb
+
+        from kgx.textops import compression_ratio
+
+        got = compression_ratio(SF).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        docs = duckdb.sql(
+            "SELECT doc_id, text FROM read_parquet("
+            "'%s/documents.parquet') ORDER BY doc_id" % SF).df()
+        assert len(got) == len(docs)
+        for i in range(0, len(docs), 97):  # spot replay
+            b = docs["text"].iloc[i].encode("utf-8")
+            r = got.iloc[i]
+            assert int(r["n_bytes"]) == len(b)
+            assert int(r["n_compressed"]) == len(_z.compress(b, 6))
+            assert int(r["ratio_ppm"]) == (1_000_000
+                                           * int(r["n_compressed"])
+                                           ) // len(b)
+        # signal direction: a pure-repetition doc compresses far below
+        # the corpus median
+        rep = len(_z.compress(b"spam ham " * 60, 6))
+        assert 1_000_000 * rep // 540 < got["ratio_ppm"].median()
+
+
 class TestDedup:
     def test_exact_survivors(self, ray_session):
         from kgx.dedup import dedup_exact
