@@ -369,7 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_counts", "gopher_filter",
         # source formats
-        "gzip_ndjson_roundtrip", "zonemap_pruned_read",
+        "gzip_ndjson_roundtrip",
+        # web-text KG front end (mention detection -> linking)
+        "entity_link",
     ]
     out = {k: all_q[k] for k in _PREFIX}
     out.update(all_q)
