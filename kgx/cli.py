@@ -142,10 +142,15 @@ def main(argv=None) -> int:
     import ray
 
     # the CLI owns a Ray session ONLY if none exists — an in-process
-    # caller's (test's) session must survive this invocation
+    # caller's (test's) session must survive this invocation. Honor
+    # RAY_ADDRESS so `ray job submit` runs attach to the cluster the
+    # job runtime points at instead of forcing a fresh local instance
+    # (this sandbox presets RAY_ADDRESS=local, so behavior there is
+    # unchanged).
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(address="local", include_dashboard=False)
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
 
     import ray.data
 
