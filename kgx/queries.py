@@ -242,7 +242,9 @@ def kg_label_conflicts(sf_dir: str):
         out = pd.DataFrame({
             "pred": d["pred"].astype(str),
             "label": d["obj"].astype(str),
-            "lang": d["obj_lang"].astype(str),
+            # '' for untagged literals: astype(str) would coin "None"
+            # and pandas groupby would DROP real-None keys — both wrong
+            "lang": d["obj_lang"].fillna("").astype(str),
             "subj": d["subj"].astype(str),
         }).drop_duplicates()
         key = out["pred"] + "\x1f" + out["label"] + "\x1f" + out["lang"]
@@ -2330,7 +2332,8 @@ KG_ORACLES = {
         "WHERE pred = 'http://www.w3.org/2004/02/skos/core#broader'"
     ),
     "kg_label_conflicts": TRIPLES_CTE + (
-        "SELECT pred, obj AS label, CAST(obj_lang AS VARCHAR) AS lang,"
+        "SELECT pred, obj AS label,"
+        " COALESCE(CAST(obj_lang AS VARCHAR), '') AS lang,"
         " CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects"
         " FROM triples"
         " WHERE pred IN ("
