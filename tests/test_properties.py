@@ -173,3 +173,104 @@ class TestJaccardEscalationProperties:
         exact = _block_pairs_exact(ids, sets, threshold)
         esc = _block_pairs_escalated(ids, sets, threshold)
         assert sorted(exact) == esc
+
+
+class TestTkeyFormat2Properties:
+    """Fuzz the compact sort key (canonicalize._add_tkey_arrow format 2):
+    subject roundtrip through _dedup_sorted_block must be exact for
+    every URI shape (A-case folded, B/C embedded), and the sorted tkey
+    order must equal the reference 3-sorter rule (skey, subj, hash)."""
+
+    @staticmethod
+    def _mk_batch(subjects):
+        import pyarrow as pa
+
+        n = len(subjects)
+        return pa.table({
+            "subj": pa.array(subjects, pa.string()),
+            "pred": pa.array(["http://p/%d" % (i % 3) for i in range(n)],
+                             pa.string()),
+            "obj": pa.array(["o%d" % i for i in range(n)], pa.string()),
+            "obj_is_literal": pa.array([True] * n),
+            "obj_lang": pa.array([None] * n, pa.string()),
+            "obj_datatype": pa.array([None] * n, pa.string())})
+
+    @given(st.lists(
+        st.one_of(
+            # A-case: arbitrary printable URIs
+            st.text(alphabet=st.characters(min_codepoint=0x20,
+                                           max_codepoint=0x7e),
+                    min_size=1, max_size=40),
+            # B-case: dewey-style class URIs
+            st.from_regex(r"http://d\.x/class/[0-9]{1,3}\.[0-9]{1,3}/e23/",
+                          fullmatch=True),
+            # C-case: table--number URIs
+            st.from_regex(r"http://d\.x/class/[0-9A-Z]{1,2}--[0-9]{1,4}/e2/",
+                          fullmatch=True)),
+        min_size=1, max_size=30, unique=True))
+    @settings(max_examples=60, deadline=None)
+    def test_subject_roundtrip_and_order(self, subjects):
+        import re
+
+        import pyarrow.compute as pc
+
+        from kgx.canonicalize import (_add_tkey_arrow,
+                                      _dedup_sorted_block)
+        from kgx.materialize import sort_key
+
+        keyed = _add_tkey_arrow(self._mk_batch(subjects))
+        srt = keyed.take(pc.sort_indices(keyed.column("tkey")))
+        out = _dedup_sorted_block(srt)
+        # subject roundtrip: every input subject (with the separator
+        # stripped, as _add_tkey_arrow documents) comes back exactly
+        stripped = [s.replace("\x1f", "") for s in subjects]
+        assert sorted(out.column("subj").to_pylist()) == sorted(stripped)
+        # order law: tkey order == (reference sort key, subj) order
+        got_subjs = out.column("subj").to_pylist()
+        want = sorted(got_subjs, key=lambda s: (sort_key(s), s))
+        # hash tiebreak only applies WITHIN one subject; across
+        # subjects (unique here) the (skey, subj) order is total
+        assert got_subjs == want
+
+
+class TestSsjoinBandedFuzz:
+    def test_banded_equals_brute_force_random_corpora(self, ray_session):
+        """Randomized corpora through the banded rank path vs Python
+        brute force — vocabulary sized to force multi-cell bands."""
+        import random
+
+        import pandas as pd
+        import ray.data
+
+        from kgx.dedup import _ssjoin_prefix_ds
+
+        rng = random.Random(20260820)
+        for trial in range(3):
+            vocab = ["w%d" % i for i in range(rng.randint(50, 400))]
+            docs = []
+            for i in range(rng.randint(30, 80)):
+                k = rng.randint(5, 25)
+                toks = rng.sample(vocab, min(k, len(vocab)))
+                docs.append((i, " ".join(toks)))
+                if rng.random() < 0.5:  # planted near-dup
+                    mut = list(toks)
+                    if len(mut) >= 10:
+                        mut[rng.randrange(len(mut))] = "x%d" % i
+                    docs.append((1000 + i, " ".join(mut)))
+            df = pd.DataFrame(docs, columns=["doc_id", "text"])
+            got = _ssjoin_prefix_ds(
+                ray.data.from_pandas(df), force_banded=True,
+                cell_target=rng.choice([3, 16, 64])).to_pandas()
+            sets = {int(i): set(t.split(" "))
+                    for i, t in zip(df["doc_id"], df["text"])}
+            ids = sorted(sets)
+            want = {}
+            for a_i, a in enumerate(ids):
+                for b in ids[a_i + 1:]:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a]) + len(sets[b]) - inter
+                    if 5 * inter >= 4 * union:
+                        want[(a, b)] = ((1 << 20) * inter) // union
+            got_d = {(int(r.doc_id_a), int(r.doc_id_b)): int(r.sim_q)
+                     for r in got.itertuples()}
+            assert got_d == want, "trial %d" % trial
