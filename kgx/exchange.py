@@ -436,7 +436,17 @@ def write_canonical_graph(corpus, out_dir: str,
 
     t0 = time.time()
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    P = num_parts or max(16, 2 * ncpu)
+    if num_parts is not None:
+        P = num_parts
+    else:
+        # partition count must track DATA size, not just cluster size:
+        # at 100 TB a CPU-only default would write multi-TB shards. One
+        # partition per ~512 MB of input pages (triples ≈ pages bytes
+        # within ~2x on this extraction) keeps shards
+        # sort-in-memory-able and compaction-free for typical runs;
+        # compact_canonical_graph re-splits if merge chains grow them.
+        in_bytes = sum(os.path.getsize(f) for f in files)
+        P = max(16, 2 * ncpu, in_bytes // (512 << 20))
     # 4 tasks per CPU: late-binding over ~4 waves absorbs the per-task
     # jitter a 2-wave schedule pays straight into the wall (measured
     # ~4% on the 1.2M-page map wave at both 8 and 32 CPUs; the probe
