@@ -137,10 +137,18 @@ def _empty_edges() -> pa.Table:
 
 @ray.remote
 def _sample_task(files: list, config: PipelineConfig, num_parts: int) -> list:
-    """Pilot: extract a few thousand pages, return P-1 tkey quantiles."""
+    """Pilot: extract sample pages, return P-1 tkey quantiles.
+
+    The sample must scale with P, not stay fixed: at ~10 triples/page,
+    P-1 boundaries cut from max(3072, 10·P) pages keep ≥ ~100 keys per
+    partition, so quantile noise skews SIZES by a bounded factor
+    instead of collapsing whole partitions. Capped at 200k pages — at
+    that point the pilot is seconds of one task and fully overlapped
+    by the map wave."""
+    sample_pages = max(_SAMPLE_PAGES, min(200_000, 10 * num_parts))
     keys: list = []
     for keyed, _err, _bro in _keyed_tables(files, config,
-                                           max_pages=_SAMPLE_PAGES):
+                                           max_pages=sample_pages):
         keys.append(keyed.column("tkey").to_numpy(zero_copy_only=False))
     if not keys:
         return []
