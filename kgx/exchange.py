@@ -993,3 +993,85 @@ def compact_canonical_graph(run_dir: str, max_rows: int) -> dict:
     for i, r in oversized:
         os.unlink(os.path.join(run_dir, r["file"]))
     return man
+
+
+def ingest_corpus_batched(corpus, out_root: str,
+                          config: Optional[PipelineConfig] = None,
+                          files_per_batch: int = 256,
+                          num_parts: Optional[int] = None,
+                          fingerprint: Optional[str] = None,
+                          compact_max_rows: Optional[int] = None) -> dict:
+    """Ingest a corpus as a CHAIN of bounded exchange runs + LSM merges
+    — the documented 100 TB answer to the single exchange's M×P object
+    blow-up (module docstring: "coarsen map groups or chain rounds").
+    Each batch of ``files_per_batch`` fragments runs its own
+    write_canonical_graph (M×P bounded by construction, per-partition
+    resume inside the batch), then merges into the standing graph —
+    the base shards never re-shuffle, so total cost is
+    O(corpus + n_batches · base-rewrite-local), and a crash resumes at
+    batch granularity via per-batch fingerprints.
+
+    Layout under ``out_root``: ``runs/batch-%04d`` (delta runs,
+    removable after merge), ``graph-a`` / ``graph-b`` (the standing
+    graph alternates; ``_CURRENT`` names the live one). Returns the
+    final standing-graph manifest (plus ``batches``).
+
+    ``compact_max_rows``: when set, partitions that outgrow it after a
+    merge are re-split in place before the next batch (the LSM
+    compaction trigger), so merge chains of any length keep bounded
+    shards.
+    """
+    import shutil
+
+    config = config or PipelineConfig()
+    files = _list_fragments(corpus)
+    batches = [files[i:i + files_per_batch]
+               for i in range(0, len(files), files_per_batch)]
+    os.makedirs(out_root, exist_ok=True)
+    cur_path = os.path.join(out_root, "_CURRENT")
+
+    def fp(tag):
+        return None if fingerprint is None else "%s/%s" % (fingerprint, tag)
+
+    live = None
+    done_batches = 0
+    # resume: trust _CURRENT only if it names a complete manifest chain
+    if fingerprint is not None and os.path.isfile(cur_path):
+        with open(cur_path) as f:
+            rec = json.loads(f.read())
+        if rec.get("fingerprint") == fingerprint:
+            live = rec["live"]
+            done_batches = rec["batches"]
+
+    for bi in range(done_batches, len(batches)):
+        run_dir = os.path.join(out_root, "runs", "batch-%04d" % bi)
+        write_canonical_graph(batches[bi], run_dir, config,
+                              num_parts=num_parts,
+                              fingerprint=fp("batch-%d" % bi),
+                              keep_key=True)
+        if live is None:
+            live = "graph-a"
+            shutil.rmtree(os.path.join(out_root, live),
+                          ignore_errors=True)
+            shutil.copytree(run_dir, os.path.join(out_root, live))
+        else:
+            nxt = "graph-b" if live == "graph-a" else "graph-a"
+            shutil.rmtree(os.path.join(out_root, nxt), ignore_errors=True)
+            merge_canonical_graphs(os.path.join(out_root, live), run_dir,
+                                   os.path.join(out_root, nxt),
+                                   fingerprint=fp("merge-%d" % bi))
+            live = nxt
+        if compact_max_rows is not None:
+            compact_canonical_graph(os.path.join(out_root, live),
+                                    max_rows=compact_max_rows)
+        tmp = cur_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"fingerprint": fingerprint, "live": live,
+                                "batches": bi + 1}))
+        os.replace(tmp, cur_path)
+
+    with open(os.path.join(out_root, live, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    man["live_dir"] = os.path.join(out_root, live)
+    man["batches"] = len(batches)
+    return man

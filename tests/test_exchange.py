@@ -162,6 +162,45 @@ def test_exchange_tiny_corpus_empty_partitions(ray_session, tmp_path):
     assert got.num_rows == manifest["rows"] == len(want)
 
 
+def test_batched_ingest_matches_single_run(ray_session, corpus, tmp_path):
+    """The 100 TB ingest shape: the corpus chained through bounded
+    write+merge batches (with compaction) equals the single-run graph
+    row-for-row in global order."""
+    import os
+
+    from kgx.exchange import ingest_corpus_batched
+
+    cfg = PipelineConfig(include_altlabels=True)
+    files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+                   if f.endswith(".parquet"))
+    assert len(files) >= 4
+    man = ingest_corpus_batched(corpus, str(tmp_path / "chain"), cfg,
+                                files_per_batch=2, num_parts=5,
+                                fingerprint="fp1",
+                                compact_max_rows=1500)
+    live = man["live_dir"]
+    tables = [pq.read_table(os.path.join(live, p["file"]))
+              for p in man["partitions"] if p["rows"]]
+    got = pa.concat_tables(tables).to_pandas()
+
+    out = str(tmp_path / "single")
+    write_canonical_graph(corpus, out, cfg, num_parts=5, map_tasks=3)
+    _, want = _read_shards(out)
+    want = want.to_pandas()
+    assert man["rows"] == len(got) == len(want)
+    a = got[KEY_COLS].reset_index(drop=True)
+    b = want[KEY_COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # global ORDER identical too
+    # compaction really bounded the shards
+    assert max(p["rows"] for p in man["partitions"]) <= 1500
+    # resume: re-running with the same fingerprint is a no-op fast path
+    man2 = ingest_corpus_batched(corpus, str(tmp_path / "chain"), cfg,
+                                 files_per_batch=2, num_parts=5,
+                                 fingerprint="fp1",
+                                 compact_max_rows=1500)
+    assert man2["rows"] == man["rows"]
+
+
 def test_exchange_include_matches_dataset_engine(ray_session, corpus,
                                                  tmp_path):
     """--include preload through the exchange engine: the parsed RDF
