@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_conflicts": q.kg_label_conflicts,
         "kg_skosify": q.kg_skosify,
         "kg_skosify_exchange": q.kg_skosify_exchange,
+        "kg_ingest_batched": q.kg_ingest_batched,
         "kg_broader_closure": _broader_closure,
         "kg_synthetic": q.kg_synthetic,
         "kg_incremental": q.kg_incremental,
@@ -343,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kg (the reference §2 surface, all 10)
         "kg_triples", "kg_pred_counts", "kg_dedup", "kg_expand",
         "kg_degree_histogram", "kg_skosify", "kg_skosify_exchange",
+        "kg_ingest_batched",
         "kg_broader_closure", "kg_synthetic", "kg_incremental",
         "kg_graph_diff",
         # dedup / LSH
@@ -356,7 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_intervals", "pit_join",
         # relational
         "lineitem_summary", "shipping_priority", "market_share",
-        "no_orders_customers", "integrity_audit",
+        "integrity_audit",
         # training-data assembly
         "decontaminate", "bpe_train", "pack_sequences",
         "temperature_mix", "curate_corpus",

@@ -77,6 +77,34 @@ def kg_skosify(sf_dir: str):
     return graph.map_batches(closure_only, batch_format="pandas")
 
 
+def kg_ingest_batched(sf_dir: str):
+    """kg_triples through ``exchange.ingest_corpus_batched`` — the
+    documents-derived corpus chained as bounded write+merge batches
+    with compaction (the 100 TB ingest shape); the standing graph's
+    triples hash-check against the same SQL as kg_triples."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .exchange import ingest_corpus_batched
+    from .pages import pages_from_documents
+
+    n = pq.read_metadata("%s/documents.parquet" % sf_dir).num_rows
+    root = "/tmp/kgx_ingest_batched_%d" % n
+    shutil.rmtree(root, ignore_errors=True)
+    corpus = os.path.join(root, "pages")
+    pages_from_documents(sf_dir, override_num_blocks=6).write_parquet(corpus)
+    man = ingest_corpus_batched(corpus, os.path.join(root, "chain"),
+                                _doc_config(), files_per_batch=2,
+                                compact_max_rows=200_000)
+    shards = [os.path.join(man["live_dir"], p["file"])
+              for p in man["partitions"] if p["rows"]]
+    return (ray.data.read_parquet(shards)
+            .select_columns(["subj", "pred", "obj", "obj_lang"]))
+
+
 def kg_skosify_exchange(sf_dir: str):
     """kg_skosify routed through the EXCHANGE engine: the documents-derived
     corpus is written to page parquet, write_canonical_graph runs with
@@ -2324,6 +2352,8 @@ KG_ORACLES = {
         "SELECT d AS doc_id, a AS ancestor FROM anc"
     ),
     "kg_triples": TRIPLES_CTE + "SELECT subj, pred, obj, obj_lang FROM triples",
+    "kg_ingest_batched": TRIPLES_CTE
+    + "SELECT subj, pred, obj, obj_lang FROM triples",
     "kg_pred_counts": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
     "kg_dedup": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
     "kg_expand": TRIPLES_CTE + (
