@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_power": simsearch.pca_power,
         "kcenter_coreset": simsearch.kcenter_coreset,
         "mutual_knn": simsearch.mutual_knn,
+        "knn_greedy_search": simsearch.knn_greedy_search,
         # sameAs-chain resolution (iterative hash-partitioned union-find)
         "sameas_components": _sameas_components,
         # iterative graph analytics (integer-quantized, bit-exact oracle)

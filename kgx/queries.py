@@ -7172,3 +7172,52 @@ FROM hit a JOIN hit b
   ON a.doc_id = b.doc_id AND a.phrase < b.phrase
 GROUP BY a.phrase, b.phrase
 """
+
+
+def _greedy_search_sql(n_queries: int = 10, max_hops: int = 12,
+                       k: int = 5) -> str:
+    """Unrolled replay of simsearch.knn_greedy_search: one MATERIALIZED
+    CTE pair per hop (candidates = cur ∪ out-neighbors minus the query;
+    next = row_number 1 by (cosine DESC, id ASC); hops advance only on
+    a move). Converged walks are fixpoints of further hops, so
+    unrolling the full cap is exact regardless of when each query
+    stops."""
+    parts = [
+        "WITH s AS (SELECT a.vec_id AS vid, b.vec_id AS nid,"
+        " list_cosine_similarity(a.embedding, b.embedding) AS sim"
+        " FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),"
+        " r AS (SELECT vid, nid, row_number() OVER (PARTITION BY vid"
+        " ORDER BY sim DESC, nid) AS rk FROM s),"
+        " e AS (SELECT vid, nid FROM r WHERE rk <= %d)," % k,
+        " q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings"
+        " WHERE vec_id < %d)," % n_queries,
+        " h0 AS MATERIALIZED (SELECT qid,"
+        " CASE WHEN qid = 0 THEN 1 ELSE 0 END AS cur, 0 AS hops FROM q)",
+    ]
+    for i in range(max_hops):
+        parts.append(
+            ", x%d AS MATERIALIZED ("
+            "SELECT qid, cur AS cid, cur, hops FROM h%d"
+            " UNION ALL SELECT h.qid, e.nid, h.cur, h.hops"
+            " FROM h%d h JOIN e ON e.vid = h.cur)" % (i, i, i))
+        parts.append(
+            ", s%d AS MATERIALIZED ("
+            "SELECT x.qid, x.cid, x.cur, x.hops,"
+            " row_number() OVER (PARTITION BY x.qid ORDER BY"
+            " list_cosine_similarity(q.qe, em.embedding) DESC, x.cid)"
+            " AS rn"
+            " FROM x%d x JOIN q ON q.qid = x.qid"
+            " JOIN embeddings em ON em.vec_id = x.cid"
+            " WHERE x.cid <> x.qid)" % (i, i))
+        parts.append(
+            ", h%d AS MATERIALIZED ("
+            "SELECT qid, cid AS cur,"
+            " hops + CASE WHEN cid <> cur THEN 1 ELSE 0 END AS hops"
+            " FROM s%d WHERE rn = 1)" % (i + 1, i))
+    parts.append(
+        " SELECT qid AS query_id, CAST(cur AS BIGINT) AS found_id,"
+        " CAST(hops AS BIGINT) AS n_hops FROM h%d" % max_hops)
+    return "".join(parts)
+
+
+DOC_ORACLES["knn_greedy_search"] = _greedy_search_sql()

@@ -1227,3 +1227,229 @@ def silhouette_eval(sf_dir: str, k: int = 8, rounds: int = 2,
             "s_q6": pd.Series(out_s, dtype="int64")})
 
     return load().map_batches(score, batch_format="pandas")
+
+
+def knn_greedy_search(sf_dir: str, n_queries: int = 10,
+                      max_hops: int = 12,
+                      small_graph_threshold: int = 500_000,
+                      num_partitions: Optional[int] = None):
+    """(query_id, found_id, n_hops) — GREEDY GRAPH SEARCH over the exact
+    k-NN graph: the navigation primitive graph-based ANN indexes
+    (HNSW layer 0, NSG) are built on. From a fixed entry node (node 0;
+    node 1 for query 0), repeatedly move to the candidate — current
+    node plus its k out-neighbors, the query itself excluded — with the
+    best (cosine DESC, id ASC) score; stop when the best candidate IS
+    the current node. The (sim, -id) objective strictly increases on
+    every move, so the walk provably terminates (ties collapse to the
+    smallest id, which then holds).
+
+    Scale shape: the query matrix broadcasts once (knn_bruteforce's
+    pattern); each hop is three bucketed co-groups — state×adjacency on
+    hash(cur), candidates×embeddings on hash(cand) (sims computed
+    in-bucket against the broadcast queries), argmax per query on
+    hash(qid) — so per-hop traffic is O(queries·k) fixed-width rows and
+    the graph/embedding tables never move. Graphs at or below
+    ``small_graph_threshold`` nodes take a single-task walk (pinned
+    identical to the distributed loop by test). The walk is exact
+    greedy search, not approximate: its answer is a property of the
+    graph, and the SQL oracle replays every hop.
+    """
+    import ray
+
+    from .readers import bounded_read_parquet as _bread_local
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    import pyarrow.parquet as pq_
+
+    meta_rows = pq_.read_metadata(
+        "%s/embeddings.parquet" % sf_dir).num_rows
+
+    edges = knn_graph(sf_dir).materialize()
+
+    # queries broadcast: ids < n_queries, normalized float64 rows
+    tbl = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                         columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id"))
+    qmask = ids < n_queries
+    Q = _normalize(np.array(
+        tbl.column("embedding").to_pylist(), dtype=np.float64)[qmask])
+    qids = ids[qmask].astype(np.int64)
+    qrow = {int(v): i for i, v in enumerate(qids)}
+
+    def entry_of(q: int) -> int:
+        return 1 if q == 0 else 0
+
+    if meta_rows <= small_graph_threshold:
+        e = edges.to_pandas()
+        adj: dict = {}
+        for v, n in zip(e["vec_id"].astype(int),
+                        e["neighbor_id"].astype(int)):
+            adj.setdefault(v, []).append(n)
+        M = _normalize(np.array(tbl.column("embedding").to_pylist(),
+                                dtype=np.float64))
+        row = {int(v): i for i, v in enumerate(ids)}
+        out = []
+        for q in qids:
+            q = int(q)
+            qe = Q[qrow[q]]
+            cur = entry_of(q)
+            hops = 0
+            for _ in range(max_hops):
+                cands = [c for c in [cur] + adj.get(cur, [])
+                         if c != q]
+                sims = {c: float(M[row[c]] @ qe) for c in cands}
+                nxt = sorted(cands, key=lambda c: (-sims[c], c))[0]
+                if nxt == cur:
+                    break
+                cur = nxt
+                hops += 1
+            else:
+                raise AssertionError(
+                    "greedy walk for query %d hit max_hops=%d without "
+                    "converging — raise the hop cap (and the oracle's "
+                    "unrolled depth)" % (q, max_hops))
+            out.append((q, cur, hops))
+        return pd.DataFrame(out, columns=["query_id", "found_id",
+                                          "n_hops"]).astype("int64")
+
+    # ---- distributed loop (forced by small_graph_threshold=0) ----
+    import ray.data
+
+    q_ref = ray.put((qrow, Q))
+
+    emb = _bread_local("%s/embeddings.parquet" % sf_dir,
+                       columns=["vec_id", "embedding"])
+
+    def emb_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "embedding": df["embedding"],
+            "side": np.int8(1), "qid": np.int64(0)})
+        out["bucket"] = (df["vec_id"].astype("int64")
+                         % nparts).astype("int32")
+        return out
+
+    def adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "vec_id": df["vec_id"].astype("int64"),
+            "neighbor_id": df["neighbor_id"].astype("int64"),
+            "side": np.int8(1), "qid": np.int64(0)})
+        out["bucket"] = (out["vec_id"] % nparts).astype("int32")
+        return out
+
+    adj_tagged = edges.map_batches(adj_rows,
+                                   batch_format="pandas").materialize()
+    emb_tagged = emb.map_batches(emb_rows,
+                                 batch_format="pandas").materialize()
+
+    state = pd.DataFrame({
+        "qid": qids,
+        "cur": [entry_of(int(q)) for q in qids],
+        "n_hops": np.int64(0)})
+
+    from .traindata import _bcast_get
+
+    for _hop in range(max_hops):
+        sdf = state.copy()
+        sdf["bucket"] = (sdf["cur"] % nparts).astype("int32")
+        s_ds = ray.data.from_pandas(pd.DataFrame({
+            "vec_id": sdf["cur"].astype("int64"),
+            "neighbor_id": np.int64(-1),
+            "side": np.int8(0), "qid": sdf["qid"].astype("int64"),
+            "bucket": sdf["bucket"]}))
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            st = df[df["side"] == 0][["qid", "vec_id"]]
+            ad = df[(df["side"] == 1)][["vec_id", "neighbor_id"]]
+            if st.empty:
+                return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                     "cand": pd.Series([], dtype="int64"),
+                                     "bucket": pd.Series([], dtype="int32")})
+            m = st.merge(ad, on="vec_id", how="left")
+            cands = pd.concat([
+                pd.DataFrame({"qid": st["qid"], "cand": st["vec_id"]}),
+                pd.DataFrame({"qid": m["qid"],
+                              "cand": m["neighbor_id"]}).dropna()],
+                ignore_index=True)
+            cands["cand"] = cands["cand"].astype("int64")
+            cands = cands[cands["cand"] != cands["qid"]].drop_duplicates()
+            cands["bucket"] = (cands["cand"] % nparts).astype("int32")
+            return cands
+
+        cands = (s_ds.union(adj_tagged)
+                 .groupby("bucket").map_groups(expand,
+                                               batch_format="pandas"))
+
+        dim = Q.shape[1]
+
+        def cand_tag(df: pd.DataFrame) -> pd.DataFrame:
+            # typed zero placeholder so the union's embedding column
+            # concats with the real float32 tensor rows
+            return pd.DataFrame({
+                "vec_id": df["cand"].astype("int64"),
+                "embedding": [np.zeros(dim, dtype=np.float32)] * len(df),
+                "side": np.int8(0), "qid": df["qid"].astype("int64"),
+                "bucket": df["bucket"].astype("int32")})
+
+        def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            qrow_l, Q_l = _bcast_get(q_ref)
+            emb_side = df[df["side"] == 1]
+            cand_side = df[df["side"] == 0]
+            if cand_side.empty:
+                return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                     "cand": pd.Series([], dtype="int64"),
+                                     "sim": pd.Series([], dtype="float64"),
+                                     "qb": pd.Series([], dtype="int32")})
+            ev = {int(v): e for v, e in
+                  zip(emb_side["vec_id"].astype("int64"),
+                      emb_side["embedding"])}
+            sims = []
+            for c in cand_side["vec_id"].astype("int64"):
+                e = np.asarray(ev[int(c)], dtype=np.float64)
+                sims.append(e / np.linalg.norm(e))
+            qi = cand_side["qid"].astype("int64").to_numpy()
+            sv = np.asarray([float(s @ Q_l[qrow_l[int(q)]])
+                             for s, q in zip(sims, qi)])
+            out = pd.DataFrame({"qid": qi,
+                                "cand": cand_side["vec_id"]
+                                .astype("int64").to_numpy(),
+                                "sim": sv})
+            out["qb"] = (out["qid"] % nparts).astype("int32")
+            return out
+
+        scored = (cands.map_batches(cand_tag, batch_format="pandas")
+                  .union(emb_tagged)
+                  .groupby("bucket").map_groups(score_bucket,
+                                                batch_format="pandas"))
+
+        def argmax_q(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                     "nxt": pd.Series([], dtype="int64")})
+            d = df.sort_values(["qid", "sim", "cand"],
+                               ascending=[True, False, True])
+            top = d.groupby("qid", as_index=False).first()
+            return pd.DataFrame({"qid": top["qid"].astype("int64"),
+                                 "nxt": top["cand"].astype("int64")})
+
+        best = (scored.groupby("qb").map_groups(argmax_q,
+                                                batch_format="pandas")
+                .to_pandas())
+        state = state.merge(best, on="qid", how="left")
+        moved = state["nxt"].notna() & (state["nxt"] != state["cur"])
+        state.loc[moved, "cur"] = state.loc[moved, "nxt"].astype("int64")
+        state.loc[moved, "n_hops"] += 1
+        state = state.drop(columns=["nxt"])
+        if not moved.any():
+            break
+    else:
+        raise AssertionError(
+            "distributed greedy walk hit max_hops=%d without converging"
+            % max_hops)
+
+    return pd.DataFrame({
+        "query_id": state["qid"].astype("int64"),
+        "found_id": state["cur"].astype("int64"),
+        "n_hops": state["n_hops"].astype("int64")})

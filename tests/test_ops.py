@@ -806,6 +806,47 @@ class TestSimSearch:
             assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+class TestGreedySearch:
+    def test_gate_matches_distributed_and_walk_laws(self, ray_session):
+        import numpy as np
+
+        from kgx.simsearch import knn_greedy_search, _normalize
+
+        got = knn_greedy_search(SF).sort_values(
+            "query_id").reset_index(drop=True)
+        dist = knn_greedy_search(SF, small_graph_threshold=0) \
+            .sort_values("query_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, dist)
+        # walk laws: found != query, hop counts within the cap, and the
+        # found node is a LOCAL optimum of the knn graph (no out-
+        # neighbor beats it for its query) — the greedy contract
+        import duckdb
+
+        from kgx.simsearch import knn_graph
+
+        e = knn_graph(SF).to_pandas()
+        adj = {}
+        for v, n in zip(e["vec_id"].astype(int),
+                        e["neighbor_id"].astype(int)):
+            adj.setdefault(v, []).append(n)
+        emb = duckdb.sql(
+            "SELECT vec_id, embedding FROM read_parquet("
+            "'%s/embeddings.parquet') ORDER BY vec_id" % SF).df()
+        M = _normalize(np.array(emb["embedding"].tolist(),
+                                dtype=np.float64))
+        row = {int(v): i for i, v in enumerate(emb["vec_id"])}
+        for r in got.itertuples():
+            q, f = int(r.query_id), int(r.found_id)
+            assert f != q and 0 <= r.n_hops <= 12
+            qe = M[row[q]]
+            fsim = float(M[row[f]] @ qe)
+            for nb in adj.get(f, []):
+                if nb == q:
+                    continue
+                nsim = float(M[row[nb]] @ qe)
+                assert (nsim, -nb) <= (fsim, -f)
+
+
 class TestKmeans:
     def test_kmeans_clusters_matches_local_argmax(self, ray_session):
         import numpy as np
