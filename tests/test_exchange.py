@@ -201,6 +201,52 @@ def test_batched_ingest_matches_single_run(ray_session, corpus, tmp_path):
     assert man2["rows"] == man["rows"]
 
 
+def test_batched_ingest_resumes_after_mid_chain_crash(ray_session, corpus,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """Kill the chain between batches; the rerun must resume from
+    _CURRENT (not restart) and still equal the single-run graph."""
+    import os
+
+    import kgx.exchange as ex
+
+    cfg = PipelineConfig(include_altlabels=True)
+    root = str(tmp_path / "chain")
+    real_merge = ex.merge_canonical_graphs
+    calls = {"n": 0}
+
+    def dying_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before first merge")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(ex, "merge_canonical_graphs", dying_merge)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ex.ingest_corpus_batched(corpus, root, cfg, files_per_batch=2,
+                                 num_parts=5, fingerprint="fpc")
+    # batch 0 committed, the crash hit while merging batch 1
+    with open(os.path.join(root, "_CURRENT")) as f:
+        assert json.load(f)["batches"] == 1
+    monkeypatch.setattr(ex, "merge_canonical_graphs", real_merge)
+    man = ex.ingest_corpus_batched(corpus, root, cfg, files_per_batch=2,
+                                   num_parts=5, fingerprint="fpc")
+    assert calls["n"] == 1  # resumed: batch 0 was not reprocessed
+
+    out = str(tmp_path / "single")
+    write_canonical_graph(corpus, out, cfg, num_parts=5, map_tasks=3)
+    _, want = _read_shards(out)
+    live = man["live_dir"]
+    got = pa.concat_tables(
+        [pq.read_table(os.path.join(live, p["file"]))
+         for p in man["partitions"] if p["rows"]]).to_pandas()
+    w = want.to_pandas()
+    assert man["rows"] == len(got) == len(w)
+    pd.testing.assert_frame_equal(
+        got[KEY_COLS].reset_index(drop=True),
+        w[KEY_COLS].reset_index(drop=True))
+
+
 def test_exchange_include_matches_dataset_engine(ray_session, corpus,
                                                  tmp_path):
     """--include preload through the exchange engine: the parsed RDF
