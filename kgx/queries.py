@@ -105,6 +105,49 @@ def kg_ingest_batched(sf_dir: str):
             .select_columns(["subj", "pred", "obj", "obj_lang"]))
 
 
+def kg_nt_roundtrip(sf_dir: str):
+    """kg_triples through the N-Triples SERIALIZATION LOOP: the corpus
+    graph is written as sorted .nt shards by the exchange engine, the
+    shards are re-ingested (one parse task per shard — kgx/turtle.py's
+    reader covers the NT subset it writes), and the recovered triples
+    hash-check against the kg_triples SQL. This is the sink↔source
+    closure a graph pipeline needs for interchange with rdflib/Jena
+    tooling.
+    """
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .exchange import write_canonical_graph
+    from .pages import pages_from_documents
+    from .turtle import parse_turtle
+
+    n = pq.read_metadata("%s/documents.parquet" % sf_dir).num_rows
+    root = "/tmp/kgx_nt_roundtrip_%d" % n
+    shutil.rmtree(root, ignore_errors=True)
+    corpus = os.path.join(root, "pages")
+    pages_from_documents(sf_dir).write_parquet(corpus)
+    man = write_canonical_graph(corpus, os.path.join(root, "graph"),
+                                _doc_config(), fmt="ntriples")
+    shards = [os.path.join(root, "graph", p["file"])
+              for p in man["partitions"] if p["rows"]]
+
+    def parse_shard(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for path in df["path"]:
+            with open(path, encoding="utf-8") as fp:
+                rows.extend(parse_turtle(fp.read()))
+        return pd.DataFrame(
+            rows, columns=["subj", "pred", "obj", "obj_is_literal",
+                           "obj_lang", "obj_datatype"])
+
+    paths = ray.data.from_pandas(pd.DataFrame({"path": shards}))
+    return (paths.map_batches(parse_shard, batch_format="pandas")
+            .select_columns(["subj", "pred", "obj", "obj_lang"]))
+
+
 def kg_skosify_exchange(sf_dir: str):
     """kg_skosify routed through the EXCHANGE engine: the documents-derived
     corpus is written to page parquet, write_canonical_graph runs with
@@ -2353,6 +2396,8 @@ KG_ORACLES = {
     ),
     "kg_triples": TRIPLES_CTE + "SELECT subj, pred, obj, obj_lang FROM triples",
     "kg_ingest_batched": TRIPLES_CTE
+    + "SELECT subj, pred, obj, obj_lang FROM triples",
+    "kg_nt_roundtrip": TRIPLES_CTE
     + "SELECT subj, pred, obj, obj_lang FROM triples",
     "kg_pred_counts": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
     "kg_dedup": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
