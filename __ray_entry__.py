@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_skosify_exchange": q.kg_skosify_exchange,
         "kg_ingest_batched": q.kg_ingest_batched,
         "kg_nt_roundtrip": q.kg_nt_roundtrip,
+        "kg_ttl_roundtrip": q.kg_ttl_roundtrip,
         "kg_broader_closure": _broader_closure,
         "kg_synthetic": q.kg_synthetic,
         "kg_incremental": q.kg_incremental,

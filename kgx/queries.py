@@ -148,6 +148,39 @@ def kg_nt_roundtrip(sf_dir: str):
             .select_columns(["subj", "pred", "obj", "obj_lang"]))
 
 
+def kg_ttl_roundtrip(sf_dir: str):
+    """kg_triples through the ORDERED TURTLE loop — the reference's
+    primary output format (OrderedTurtleSerializer, mc2skos.py:332-346):
+    the corpus graph serializes to prefixed sorted Turtle, re-ingests
+    through the same reader --include uses, and hash-checks against the
+    kg_triples SQL. Single-file by the reference's contract (ordered
+    ttl is the small/medium-graph interchange format; bulk runs use the
+    sharded nt/parquet sinks)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .materialize import write_turtle
+    from .turtle import parse_turtle
+
+    n = pq.read_metadata("%s/documents.parquet" % sf_dir).num_rows
+    root = "/tmp/kgx_ttl_roundtrip_%d" % n
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    path = os.path.join(root, "graph.ttl")
+    with open(path, "w", encoding="utf-8") as fp:
+        write_turtle(doc_graph(sf_dir), fp)
+    with open(path, encoding="utf-8") as fp:
+        rows = parse_turtle(fp.read())
+    df = pd.DataFrame(
+        rows, columns=["subj", "pred", "obj", "obj_is_literal",
+                       "obj_lang", "obj_datatype"])
+    return ray.data.from_pandas(
+        df[["subj", "pred", "obj", "obj_lang"]])
+
+
 def kg_skosify_exchange(sf_dir: str):
     """kg_skosify routed through the EXCHANGE engine: the documents-derived
     corpus is written to page parquet, write_canonical_graph runs with
@@ -2398,6 +2431,8 @@ KG_ORACLES = {
     "kg_ingest_batched": TRIPLES_CTE
     + "SELECT subj, pred, obj, obj_lang FROM triples",
     "kg_nt_roundtrip": TRIPLES_CTE
+    + "SELECT subj, pred, obj, obj_lang FROM triples",
+    "kg_ttl_roundtrip": TRIPLES_CTE
     + "SELECT subj, pred, obj, obj_lang FROM triples",
     "kg_pred_counts": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
     "kg_dedup": TRIPLES_CTE + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
