@@ -141,6 +141,7 @@ def run_queries(sf_dir: str) -> dict:
         "kg_skosify_exchange": lambda: q.kg_skosify_exchange(sf_dir),
         "kg_ingest_batched": lambda: q.kg_ingest_batched(sf_dir),
         "kg_nt_roundtrip": lambda: q.kg_nt_roundtrip(sf_dir),
+        "kg_ttl_roundtrip": lambda: q.kg_ttl_roundtrip(sf_dir),
         "kg_label_conflicts": lambda: q.kg_label_conflicts(sf_dir),
         "kg_expand": lambda: q.kg_expand(sf_dir),
         "kg_incremental": lambda: q.kg_incremental(sf_dir),
