@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "fingerprint_overlap_pairs": dedup.fingerprint_overlap_pairs,
         "typo_pairs": dedup.typo_pairs,
+        "typo_pairs_dl": dedup.typo_pairs_dl,
         "linkage_scores": dedup.linkage_scores,
         "dedup_keep_best": dedup.dedup_keep_best,
         "dup_group_spectrum": dedup.dup_group_spectrum,

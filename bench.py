@@ -365,6 +365,7 @@ def run_queries(sf_dir: str) -> dict:
         "kg_subtree_sizes": lambda: _subtree(sf_dir),
         "unpivot_quality": lambda: textops.unpivot_quality(sf_dir),
         "typo_pairs": lambda: dedup.typo_pairs(sf_dir),
+        "typo_pairs_dl": lambda: dedup.typo_pairs_dl(sf_dir),
         "mad_chars": lambda: textops.mad_chars(sf_dir),
         "dedup_keep_best": lambda: dedup.dedup_keep_best(sf_dir),
         "dup_group_spectrum": lambda: dedup.dup_group_spectrum(sf_dir),

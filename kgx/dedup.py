@@ -1114,6 +1114,88 @@ def typo_pairs(sf_dir: str, num_partitions=None):
                                            batch_format="pandas"))
 
 
+def _dl_le1(a: str, b: str) -> bool:
+    """Unrestricted Damerau-Levenshtein <= 1: one insert/delete/
+    substitute OR one adjacent transposition (at distance 1 the two DL
+    variants coincide; matches DuckDB's damerau_levenshtein)."""
+    if _ed_le1(a, b):
+        return True
+    if len(a) != len(b):
+        return False
+    diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    return (len(diff) == 2 and diff[1] == diff[0] + 1
+            and a[diff[0]] == b[diff[1]] and a[diff[1]] == b[diff[0]])
+
+
+def typo_pairs_dl(sf_dir: str, num_partitions=None):
+    """(name_a, name_b, is_transposition) — the fuzzy-matching join at
+    Damerau-Levenshtein <= 1: everything ``typo_pairs`` finds PLUS the
+    adjacent-transposition typos plain edit distance misses (the most
+    common human keystroke error — "teh"). ``is_transposition`` = 1 for
+    pairs only DL catches (lev = 2). Same SymSpell deletion-
+    neighborhood blocking: a transposed pair shares the variant that
+    deletes either transposed character, so DL<=1 candidates always
+    co-locate and only candidates pay the exact verify.
+
+    Scale shape: identical to typo_pairs — distinct-name combiner,
+    len+1 variant rows per name, one hash(variant) co-group + one
+    fixed-width hash(pair) dedup exchange.
+    """
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _bread("%s/customer.parquet" % sf_dir, columns=["c_name"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        names = pd.Series(df["c_name"].unique()).astype(str)
+        rows_v, rows_n = [], []
+        for n in names:
+            rows_v.append(n)
+            rows_n.append(n)
+            for i in range(len(n)):
+                rows_v.append(n[:i] + n[i + 1:])
+                rows_n.append(n)
+        out = pd.DataFrame({"variant": rows_v, "name": rows_n})
+        out["bucket"] = (pd.util.hash_pandas_object(out["variant"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["variant", "name"]].drop_duplicates()
+        m = d.merge(d, on="variant")
+        m = m[m["name_x"] < m["name_y"]]
+        m = m[["name_x", "name_y"]].drop_duplicates()
+        ok = [_dl_le1(a, b) for a, b in zip(m["name_x"], m["name_y"])]
+        m = m[pd.Series(ok, index=m.index, dtype=bool)]
+        tr = [0 if _ed_le1(a, b) else 1
+              for a, b in zip(m["name_x"], m["name_y"])]
+        h = pd.util.hash_pandas_object(m["name_x"] + "\x1f"
+                                       + m["name_y"], index=False)
+        return pd.DataFrame({
+            "name_a": m["name_x"].astype(str),
+            "name_b": m["name_y"].astype(str),
+            "is_transposition": pd.Series(tr, index=m.index,
+                                          dtype="int64"),
+            "bucket2": (h % nparts).astype("int32")})
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["name_a", "name_b",
+                "is_transposition"]].drop_duplicates()
+        return pd.DataFrame({
+            "name_a": g["name_a"].astype(str),
+            "name_b": g["name_b"].astype(str),
+            "is_transposition": g["is_transposition"].astype("int64")})
+
+    return (ds.map_batches(variants, batch_format="pandas")
+            .groupby("bucket").map_groups(candidates,
+                                          batch_format="pandas")
+            .groupby("bucket2").map_groups(dedup_pairs,
+                                           batch_format="pandas"))
+
+
 def dedup_keep_best(sf_dir: str, num_partitions=None):
     """(doc_id) — exact dedup on the canonicalized text with a QUALITY
     survivorship policy: within a duplicate group keep the LONGEST

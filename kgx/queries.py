@@ -7301,3 +7301,15 @@ def _greedy_search_sql(n_queries: int = 10, max_hops: int = 12,
 
 
 DOC_ORACLES["knn_greedy_search"] = _greedy_search_sql()
+
+# DL<=1 fuzzy join: DuckDB's damerau_levenshtein is the unrestricted
+# variant, which coincides with the engine's single-operation check at
+# distance 1; transposition-only pairs are exactly those at lev = 2
+DOC_ORACLES["typo_pairs_dl"] = """
+WITH v AS (SELECT DISTINCT c_name AS n FROM customer)
+SELECT a.n AS name_a, b.n AS name_b,
+       CAST(CASE WHEN levenshtein(a.n, b.n) = 2 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_transposition
+FROM v a JOIN v b
+  ON a.n < b.n AND damerau_levenshtein(a.n, b.n) <= 1
+"""
