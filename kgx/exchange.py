@@ -318,6 +318,75 @@ def _include_table(include, config: PipelineConfig):
     return out if out.num_rows else None
 
 
+@ray.remote
+def _route_table_task(tbl: pa.Table, boundaries: list, num_parts: int):
+    """Range-partition one keyed table against a run's boundaries
+    (the _route_delta_task rule for in-memory blocks)."""
+    if tbl is None or tbl.num_rows == 0:
+        return None if num_parts == 1 else tuple([None] * num_parts)
+    slices = _range_partition_slices(tbl, boundaries, num_parts)
+    slices = [s if s.num_rows else None for s in slices]
+    return slices[0] if num_parts == 1 else tuple(slices)
+
+
+def _closure_triples_table(pairs: "pd.DataFrame",
+                           config: PipelineConfig) -> pa.Table:
+    """(a, b) closure pairs → keyed+encoded broaderTransitive (and,
+    per config, narrowerTransitive) triple table."""
+    subj = list(pairs["a"])
+    obj = list(pairs["b"])
+    pred = [_SKOS + "broaderTransitive"] * len(pairs)
+    if config.skosify_narrower:
+        subj += list(pairs["b"])
+        obj += list(pairs["a"])
+        pred += [_SKOS + "narrowerTransitive"] * len(pairs)
+    n = len(subj)
+    tbl = pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "pred": pa.array(pred, pa.string()),
+        "obj": pa.array(obj, pa.string()),
+        "obj_is_literal": pa.array([False] * n, pa.bool_()),
+        "obj_lang": pa.nulls(n, pa.string()),
+        "obj_datatype": pa.nulls(n, pa.string())})
+    return _dict_encode(_add_tkey_arrow(tbl, expand=config.expand))
+
+
+def _skosify_closure_slice_refs(broader_tables: list, boundaries: list,
+                                num_parts: int,
+                                config: PipelineConfig) -> list:
+    """DISTRIBUTED --skosify closure for hierarchies past the driver
+    cap: the broader edges become a Dataset, components.transitive_
+    closure runs its bucketed path-doubling loop, and every closure
+    block is keyed and range-scattered by a task — the driver never
+    holds the pair set. Returns per-partition LISTS of slice refs."""
+    import pandas as pd
+    import ray.data
+
+    from .components import transitive_closure
+
+    edges = ray.data.from_arrow(broader_tables).map_batches(
+        lambda df: pd.DataFrame({"a": df["subj"].astype(str),
+                                 "b": df["obj"].astype(str)}),
+        batch_format="pandas")
+    closure = transitive_closure(edges)
+
+    def keyed_blocks(df: pd.DataFrame):
+        return _closure_triples_table(df, config)
+
+    keyed = closure.map_batches(keyed_blocks, batch_format="pandas")
+    out: list = [[] for _ in range(num_parts)]
+    for block_ref in keyed.to_arrow_refs():
+        rets = _route_table_task.options(
+            num_returns=num_parts if num_parts > 1 else 1).remote(
+            block_ref, boundaries, num_parts)
+        if num_parts == 1:
+            out[0].append(rets)
+        else:
+            for p in range(num_parts):
+                out[p].append(rets[p])
+    return out
+
+
 def _skosify_closure_slices(broader_tables: list, boundaries: list,
                             num_parts: int,
                             config: PipelineConfig) -> list:
@@ -346,11 +415,6 @@ def _skosify_closure_slices(broader_tables: list, boundaries: list,
     else:
         p = pd.DataFrame({"a": pd.Series([], dtype="object"),
                           "b": pd.Series([], dtype="object")})
-    if len(p) > _SKOSIFY_EDGE_CAP:
-        raise ValueError(
-            "--skosify hierarchy exceeds %d edges; route through the "
-            "Dataset engine (pipeline.run_pipeline) whose closure is "
-            "fully distributed" % _SKOSIFY_EDGE_CAP)
     for _ in range(64):
         step = p.merge(p, left_on="b", right_on="a", suffixes=("", "_r"))
         step = pd.DataFrame({"a": step["a"], "b": step["b_r"]})
@@ -358,22 +422,7 @@ def _skosify_closure_slices(broader_tables: list, boundaries: list,
         if len(new) == len(p):
             break
         p = new
-    subj = list(p["a"])
-    obj = list(p["b"])
-    pred = [_SKOS + "broaderTransitive"] * len(p)
-    if config.skosify_narrower:
-        subj += list(p["b"])
-        obj += list(p["a"])
-        pred += [_SKOS + "narrowerTransitive"] * len(p)
-    n = len(subj)
-    tbl = pa.table({
-        "subj": pa.array(subj, pa.string()),
-        "pred": pa.array(pred, pa.string()),
-        "obj": pa.array(obj, pa.string()),
-        "obj_is_literal": pa.array([False] * n, pa.bool_()),
-        "obj_lang": pa.nulls(n, pa.string()),
-        "obj_datatype": pa.nulls(n, pa.string())})
-    keyed = _dict_encode(_add_tkey_arrow(tbl, expand=config.expand))
+    keyed = _closure_triples_table(p, config)
     return _range_partition_slices(keyed, boundaries, num_parts)
 
 
@@ -400,7 +449,8 @@ def write_canonical_graph(corpus, out_dir: str,
                           fingerprint: Optional[str] = None,
                           fmt: str = "parquet",
                           keep_key: bool = False,
-                          include=None) -> dict:
+                          include=None,
+                          skosify_edge_cap: int = _SKOSIFY_EDGE_CAP) -> dict:
     """pages parquet → canonical sorted graph shards, in two passes.
 
     ``corpus`` — a directory of page parquet fragments (or a file list).
@@ -504,10 +554,18 @@ def write_canonical_graph(corpus, out_dir: str,
                 _SKOS + "broader")).select(["subj", "obj"])
             if inc_bro.num_rows:
                 btables.append(inc_bro)
-        for p_idx, s in enumerate(_skosify_closure_slices(
-                btables, boundaries_eager, P, config)):
-            if s.num_rows:
-                slice_refs[p_idx].append(ray.put(s))
+        n_edges = sum(t.num_rows for t in btables)
+        if n_edges > skosify_edge_cap:
+            # hierarchy past the driver cap: fully distributed closure
+            # (components.transitive_closure) + per-block scatter tasks
+            for p_idx, refs in enumerate(_skosify_closure_slice_refs(
+                    btables, boundaries_eager, P, config)):
+                slice_refs[p_idx].extend(refs)
+        else:
+            for p_idx, s in enumerate(_skosify_closure_slices(
+                    btables, boundaries_eager, P, config)):
+                if s.num_rows:
+                    slice_refs[p_idx].append(ray.put(s))
 
     pending = {}
     for p in range(P):

@@ -290,6 +290,23 @@ def test_exchange_include_matches_dataset_engine(ray_session, corpus,
                               "http://example.org/inc/C"}
 
 
+def test_exchange_skosify_distributed_closure_matches_driver_path(
+        ray_session, corpus, tmp_path):
+    """skosify_edge_cap=0 forces the fully distributed closure
+    (transitive_closure + per-block scatter tasks); output must be
+    row-identical to the driver path-doubling path."""
+    cfg = PipelineConfig(include_altlabels=True, skosify=True)
+    out_a = str(tmp_path / "driver")
+    out_b = str(tmp_path / "dist")
+    write_canonical_graph(corpus, out_a, cfg, num_parts=5, map_tasks=3)
+    write_canonical_graph(corpus, out_b, cfg, num_parts=5, map_tasks=3,
+                          skosify_edge_cap=0)
+    _, a = _read_shards(out_a)
+    _, b = _read_shards(out_b)
+    pd.testing.assert_frame_equal(a.to_pandas()[KEY_COLS],
+                                  b.to_pandas()[KEY_COLS])
+
+
 @pytest.mark.parametrize("expand", [False, True])
 def test_exchange_skosify_matches_dataset_engine(ray_session, corpus,
                                                  tmp_path, expand):
