@@ -54,9 +54,10 @@ from .pipeline import ERROR_PRED, _FusedExtractLink
 _PAGE_COLUMNS = ["url", "html"]
 _SAMPLE_PAGES = 3072  # pilot size: ~30k sampled keys at ~10 triples/page
 _SKOS = "http://www.w3.org/2004/02/skos/core#"
-# --skosify closure edge cap for the driver-side path-doubling step; the
-# concept HIERARCHY is orders of magnitude smaller than the page corpus
-# (one broader edge per concept), so this bounds driver memory, not scale
+# --skosify closure path switch: hierarchies at or below this take one
+# driver-side path-doubling step (a concept hierarchy is one broader
+# edge per concept — MBs); above it the closure runs fully distributed
+# (_skosify_closure_slice_refs) and the driver never holds the pairs
 _SKOSIFY_EDGE_CAP = 5_000_000
 
 # low-cardinality payload columns (measured 11/3/3 distinct values vs
@@ -402,9 +403,11 @@ def _skosify_closure_slices(broader_tables: list, boundaries: list,
     Partitioning assumption (stated per the custom-operator rule): the
     concept HIERARCHY is tiny relative to the page corpus — one broader
     edge per concept, ~10^5-10^6 for real vocabularies — so the closure
-    is one driver-side path-doubling step (log2(depth) rounds) guarded
-    by _SKOSIFY_EDGE_CAP; the closure OUTPUT still scatters into the
-    distributed reduce, never onto the driver's output path.
+    is one driver-side path-doubling step (log2(depth) rounds) on this
+    path; hierarchies past _SKOSIFY_EDGE_CAP take the fully distributed
+    twin (_skosify_closure_slice_refs). Either way the closure OUTPUT
+    scatters into the distributed reduce, never onto the driver's
+    output path.
     """
     import pandas as pd
 
