@@ -1085,6 +1085,17 @@ def ingest_corpus_batched(corpus, out_root: str,
     import shutil
 
     config = config or PipelineConfig()
+    if config.skosify:
+        # per-batch closure would miss broader chains that span batches
+        # (batch graphs close only their own hierarchy; the merge does
+        # not re-close) — silently under-closed output is worse than an
+        # error. Run skosify in one exchange, the Dataset engine, or as
+        # a post-pass over the standing graph.
+        raise ValueError(
+            "ingest_corpus_batched cannot apply --skosify per batch: "
+            "the transitive closure must see the WHOLE hierarchy. "
+            "Run write_canonical_graph (single run) or the Dataset "
+            "engine with skosify instead.")
     files = _list_fragments(corpus)
     batches = [files[i:i + files_per_batch]
                for i in range(0, len(files), files_per_batch)]

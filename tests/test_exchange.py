@@ -201,6 +201,16 @@ def test_batched_ingest_matches_single_run(ray_session, corpus, tmp_path):
     assert man2["rows"] == man["rows"]
 
 
+def test_batched_ingest_rejects_per_batch_skosify(corpus, tmp_path):
+    """Per-batch closure would miss cross-batch broader chains — the
+    chain must refuse skosify rather than silently under-close."""
+    from kgx.exchange import ingest_corpus_batched
+
+    with pytest.raises(ValueError, match="WHOLE hierarchy"):
+        ingest_corpus_batched(corpus, str(tmp_path / "x"),
+                              PipelineConfig(skosify=True))
+
+
 def test_batched_ingest_resumes_after_mid_chain_crash(ray_session, corpus,
                                                       tmp_path,
                                                       monkeypatch):
