@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_sample": traindata.seeded_sample,
         "stratified_sample": traindata.stratified_sample,
         "temperature_mix": traindata.temperature_mix,
+        "subsample_tokens": traindata.subsample_tokens,
         "weighted_sample": traindata.weighted_sample,
         "pack_sequences": traindata.pack_sequences,
         "chunk_documents": traindata.chunk_documents,

@@ -290,6 +290,7 @@ def run_queries(sf_dir: str) -> dict:
         "msf_boruvka": lambda: _msf_boruvka(sf_dir),
         "label_propagation": lambda: _label_propagation(sf_dir),
         "temperature_mix": lambda: traindata.temperature_mix(sf_dir),
+        "subsample_tokens": lambda: traindata.subsample_tokens(sf_dir),
         "rrf_fusion": lambda: traindata.rrf_fusion(sf_dir),
         "gopher_filter": lambda: textops.gopher_filter(sf_dir),
         "heavy_hitters": lambda: traindata.heavy_hitters(sf_dir),

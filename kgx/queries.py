@@ -7313,3 +7313,35 @@ SELECT a.n AS name_a, b.n AS name_b,
 FROM v a JOIN v b
   ON a.n < b.n AND damerau_levenshtein(a.n, b.n) <= 1
 """
+
+# word2vec subsampling: p = sqrt(t/f) + t/f with t = 1/1024; keep draw =
+# md5-u64("doc:pos:tok")/2^64 — sqrt/division exactly rounded, identical
+# expression trees, so the sampled counts hash-match exactly
+DOC_ORACLES["subsample_tokens"] = """
+WITH cnts AS (
+  SELECT t AS tok, count(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t),
+tot AS (SELECT sum(c) AS n FROM cnts),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+sc AS (
+  SELECT p.doc_id, p.i, p.t[p.i] AS w,
+         sqrt(0.0009765625 / (CAST(c.c AS DOUBLE)
+                              / CAST(t.n AS DOUBLE)))
+         + 0.0009765625 / (CAST(c.c AS DOUBLE)
+                           / CAST(t.n AS DOUBLE)) AS p
+  FROM pos p JOIN cnts c ON c.tok = p.t[p.i] CROSS JOIN tot t),
+kept AS (
+  SELECT doc_id,
+         CASE WHEN p >= 1.0 THEN 1
+              WHEN CAST(('0x' || substr(md5(doc_id || ':' || i || ':'
+                        || w), 1, 16))::UBIGINT AS DOUBLE)
+                   / 18446744073709551616.0 < p THEN 1
+              ELSE 0 END AS k
+  FROM sc)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(k) AS BIGINT) AS n_kept
+FROM kept GROUP BY doc_id
+"""

@@ -2650,3 +2650,65 @@ def hll_sliding_users(sf_dir: str, window_days: int = 7, p: int = 8):
     return pd.DataFrame(
         rows, columns=["win_start_day", "zero_registers",
                        "est_distinct"]).astype("int64")
+
+
+def subsample_tokens(sf_dir: str):
+    """(doc_id, n_tokens, n_kept) — word2vec FREQUENCY SUBSAMPLING
+    (Mikolov et al. 2013, word2vec.c): an occurrence of token w
+    survives with p = sqrt(t/f) + t/f where f is w's corpus frequency
+    and t = 1/1024 (dyadic) — frequent filler tokens are mostly
+    dropped, rare content tokens always kept (p >= 1). The keep draw
+    is the md5-u64 of "doc:pos:token" mapped to [0,1) — deterministic,
+    so the sketch-style trick applies: the sampling itself carries an
+    EXACT oracle. sqrt and float division are exactly-rounded IEEE ops
+    (portable like ln, unlike exp — BASELINE discipline), and the
+    expression tree is written identically on both sides.
+
+    Scale shape: unigram counts from the broadcast-aggregate combiner
+    (unigram_lm_score's shape); the keep pass is map-only — per batch
+    one polars explode + a per-occurrence md5 (the same cost class as
+    the fingerprint ops); only three ints per doc leave the batch.
+    """
+    import math
+
+    from .textops import _local_token_counts_arrow, token_hash64
+
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+    vocab = (ds.map_batches(_local_token_counts_arrow,
+                            batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("tok").sum("n").to_pandas())
+    total = int(vocab["sum(n)"].sum())
+    T = 0.0009765625  # 1/1024, dyadic
+    pkeep = {}
+    for tok, c in zip(vocab["tok"], vocab["sum(n)"]):
+        f = float(int(c)) / float(total)
+        r = T / f
+        pkeep[tok] = math.sqrt(r) + r
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        out_doc, out_n, out_k = [], [], []
+        for doc_id, text in zip(df["doc_id"].astype("int64"),
+                                df["text"]):
+            toks = text.split(" ")
+            kept = 0
+            for i, w in enumerate(toks, start=1):
+                p = pkeep[w]
+                if p >= 1.0:
+                    kept += 1
+                    continue
+                h = int.from_bytes(hashlib.md5(
+                    ("%d:%d:%s" % (doc_id, i, w)).encode()).digest()[:8],
+                    "big")
+                if float(h) / 18446744073709551616.0 < p:
+                    kept += 1
+            out_doc.append(int(doc_id))
+            out_n.append(len(toks))
+            out_k.append(kept)
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "n_tokens": pd.Series(out_n, dtype="int64"),
+            "n_kept": pd.Series(out_k, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas")
