@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": textops.dup_ngram_stats,
         "pii_scrub": textops.pii_scrub,
         "unigram_lm_score": textops.unigram_lm_score,
+        "continuation_counts": textops.continuation_counts,
         "bigram_lm_score": textops.bigram_lm_score,
         "tfidf_keywords": textops.tfidf_keywords,
         "pmi_bigrams": textops.pmi_bigrams,

@@ -165,6 +165,7 @@ def run_queries(sf_dir: str) -> dict:
         "repetition_stats": lambda: textops.repetition_stats(sf_dir),
         "dup_ngram_stats": lambda: textops.dup_ngram_stats(sf_dir),
         "unigram_lm_score": lambda: textops.unigram_lm_score(sf_dir),
+        "continuation_counts": lambda: textops.continuation_counts(sf_dir),
         "bigram_lm_score": lambda: textops.bigram_lm_score(sf_dir),
         "tfidf_keywords": lambda: textops.tfidf_keywords(sf_dir),
         "pmi_bigrams": lambda: textops.pmi_bigrams(sf_dir),

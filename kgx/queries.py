@@ -7345,3 +7345,15 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(k) AS BIGINT) AS n_kept
 FROM kept GROUP BY doc_id
 """
+
+# Kneser-Ney continuation counts: distinct predecessors per token
+DOC_ORACLES["continuation_counts"] = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT DISTINCT p.t[p.i] AS prev, p.t[p.i + 1] AS tok
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks) p)
+SELECT tok, CAST(count(DISTINCT prev) AS BIGINT) AS n_left_contexts
+FROM pairs GROUP BY tok
+"""

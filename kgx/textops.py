@@ -2535,3 +2535,50 @@ def compression_ratio(sf_dir: str, level: int = 6):
             "ratio_ppm": (1_000_000 * nc) // np.maximum(nb, 1)})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def continuation_counts(sf_dir: str, num_partitions: Optional[int] = None):
+    """(tok, n_left_contexts) — Kneser-Ney CONTINUATION counts: for each
+    token, the number of DISTINCT predecessors it follows corpus-wide.
+    The KN-smoothed LM's signature statistic — "how many contexts does
+    this word complete" separates versatile words from ones frozen
+    inside collocations, which raw frequency (unigram_lm_score) cannot.
+
+    Scale shape: per-batch polars explode+shift builds the distinct
+    (prev, tok) pairs (the combiner bounds shuffle rows at the BIGRAM
+    vocabulary); one hash(tok) co-group counts distinct predecessors
+    exactly. Map + one exchange, never occurrence-sized.
+    """
+    import ray
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["text"])
+
+    def pairs(tbl) -> pd.DataFrame:
+        import polars as pl
+
+        g = (pl.from_arrow(tbl.select(["text"]))
+             .with_columns(pl.col("text").str.split(" ").alias("t"))
+             .drop("text").with_row_index("r").explode("t")
+             .with_columns(pl.col("t").shift(-1).over("r").alias("y"))
+             .drop_nulls("y")
+             .select(["t", "y"]).unique()).to_pandas()
+        out = pd.DataFrame({"prev": g["t"], "tok": g["y"]})
+        out["bucket"] = (pd.util.hash_pandas_object(out["tok"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["prev", "tok"])
+             .groupby("tok", as_index=False)["prev"].nunique()
+             .rename(columns={"prev": "n_left_contexts"}))
+        return pd.DataFrame({
+            "tok": g["tok"].astype(str),
+            "n_left_contexts": g["n_left_contexts"].astype("int64")})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(count_distinct,
+                                          batch_format="pandas"))
