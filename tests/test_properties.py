@@ -274,3 +274,24 @@ class TestSsjoinBandedFuzz:
             got_d = {(int(r.doc_id_a), int(r.doc_id_b)): int(r.sim_q)
                      for r in got.itertuples()}
             assert got_d == want, "trial %d" % trial
+
+
+class TestDamerauLe1Fuzz:
+    @given(st.lists(st.text(alphabet="abcd", min_size=0, max_size=6),
+                    min_size=2, max_size=8, unique=True))
+    @settings(max_examples=50, deadline=None)
+    def test_dl_le1_matches_duckdb(self, names):
+        """The engine's single-operation DL<=1 check must agree with
+        DuckDB's unrestricted damerau_levenshtein on every pair —
+        including the variant-sensitive transposition shapes."""
+        import duckdb
+
+        from kgx.dedup import _dl_le1
+
+        con = duckdb.connect()
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                want = con.execute(
+                    "SELECT damerau_levenshtein(?, ?) <= 1",
+                    [a, b]).fetchone()[0]
+                assert _dl_le1(a, b) == bool(want), (a, b)
