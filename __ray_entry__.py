@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textops.pii_scrub,
         "unigram_lm_score": textops.unigram_lm_score,
         "continuation_counts": textops.continuation_counts,
+        "token_burstiness": textops.token_burstiness,
         "bigram_lm_score": textops.bigram_lm_score,
         "tfidf_keywords": textops.tfidf_keywords,
         "pmi_bigrams": textops.pmi_bigrams,

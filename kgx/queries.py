@@ -7357,3 +7357,15 @@ pairs AS (
 SELECT tok, CAST(count(DISTINCT prev) AS BIGINT) AS n_left_contexts
 FROM pairs GROUP BY tok
 """
+
+# Church-Gale burstiness: occurrences over containing docs, q20
+DOC_ORACLES["token_burstiness"] = """
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents)
+SELECT tok, CAST(count(*) AS BIGINT) AS cf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) * 1048576 // count(DISTINCT doc_id) AS BIGINT)
+         AS burst_q20
+FROM occ GROUP BY tok
+"""

@@ -2582,3 +2582,52 @@ def continuation_counts(sf_dir: str, num_partitions: Optional[int] = None):
                            zero_copy_batch=True)
             .groupby("bucket").map_groups(count_distinct,
                                           batch_format="pandas"))
+
+
+def token_burstiness(sf_dir: str, num_partitions: Optional[int] = None):
+    """(tok, cf, df, burst_q20) — Church-Gale BURSTINESS per token:
+    collection frequency over document frequency, floor-quantized to
+    2^-20. cf/df ≈ 1 marks evenly-sprinkled function words; high
+    ratios mark topical words that clump into few documents — the
+    signal behind IDF correction terms and topical-spam detection.
+
+    Scale shape: ONE per-batch polars combiner emits both partials
+    (occurrence count + distinct-doc count per token; shuffle rows
+    bounded at per-block vocabulary); one hash(tok) co-group sums and
+    divides. Exact integers end to end.
+    """
+    import ray
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def partials(tbl) -> pd.DataFrame:
+        import polars as pl
+
+        ex = (pl.from_arrow(tbl.select(["doc_id", "text"]))
+              .with_columns(pl.col("text").str.split(" ").alias("t"))
+              .drop("text").explode("t"))
+        g = (ex.group_by("t")
+             .agg(pl.len().cast(pl.Int64).alias("cf"),
+                  pl.col("doc_id").n_unique().cast(pl.Int64)
+                  .alias("df"))).to_pandas()
+        out = pd.DataFrame({"tok": g["t"], "cf": g["cf"], "df": g["df"]})
+        out["bucket"] = (pd.util.hash_pandas_object(out["tok"],
+                                                    index=False)
+                         % nparts).astype("int32")
+        return out
+
+    def reduce_tok(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)[["cf", "df"]].sum()
+        return pd.DataFrame({
+            "tok": g["tok"].astype(str),
+            "cf": g["cf"].astype("int64"),
+            "df": g["df"].astype("int64"),
+            "burst_q20": ((g["cf"].astype("int64") * (1 << 20))
+                          // g["df"].astype("int64")).astype("int64")})
+
+    return (ds.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(reduce_tok,
+                                          batch_format="pandas"))
