@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm_score": textops.unigram_lm_score,
         "continuation_counts": textops.continuation_counts,
         "token_burstiness": textops.token_burstiness,
+        "tail_index_hill": textops.tail_index_hill,
         "bigram_lm_score": textops.bigram_lm_score,
         "tfidf_keywords": textops.tfidf_keywords,
         "pmi_bigrams": textops.pmi_bigrams,

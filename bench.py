@@ -167,6 +167,7 @@ def run_queries(sf_dir: str) -> dict:
         "unigram_lm_score": lambda: textops.unigram_lm_score(sf_dir),
         "continuation_counts": lambda: textops.continuation_counts(sf_dir),
         "token_burstiness": lambda: textops.token_burstiness(sf_dir),
+        "tail_index_hill": lambda: textops.tail_index_hill(sf_dir),
         "bigram_lm_score": lambda: textops.bigram_lm_score(sf_dir),
         "tfidf_keywords": lambda: textops.tfidf_keywords(sf_dir),
         "pmi_bigrams": lambda: textops.pmi_bigrams(sf_dir),

@@ -7369,3 +7369,21 @@ SELECT tok, CAST(count(*) AS BIGINT) AS cf,
          AS burst_q20
 FROM occ GROUP BY tok
 """
+
+# Hill tail-index over the top-k doc lengths: k / sum ln(x_i/x_(k+1)),
+# ln of exact integer ratios (shared libm), floor-q20
+DOC_ORACLES["tail_index_hill"] = """
+WITH ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars DESC) AS rn
+  FROM documents),
+xk1 AS (SELECT n_chars AS v FROM ranked WHERE rn = 101),
+s AS (
+  SELECT sum(CAST(floor(1048576.0
+        * ln(CAST(r.n_chars AS DOUBLE) / CAST(x.v AS DOUBLE)))
+        AS BIGINT)) AS sq
+  FROM ranked r CROSS JOIN xk1 x WHERE r.rn <= 100)
+SELECT CAST(100 AS BIGINT) AS k,
+       CAST((SELECT v FROM xk1) AS BIGINT) AS xk1,
+       CAST((100::HUGEINT * 1099511627776) // (SELECT sq FROM s)
+            AS BIGINT) AS hill_q20
+"""

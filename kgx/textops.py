@@ -2631,3 +2631,39 @@ def token_burstiness(sf_dir: str, num_partitions: Optional[int] = None):
                            zero_copy_batch=True)
             .groupby("bucket").map_groups(reduce_tok,
                                           batch_format="pandas"))
+
+
+def tail_index_hill(sf_dir: str, k: int = 100):
+    """(k, xk1, hill_q20) — the HILL ESTIMATOR of the document-length
+    tail index over the top-``k`` order statistics: alpha_hat =
+    k / Σ_{i≤k} ln(x_(i) / x_(k+1)) — the standard heavy-tail
+    diagnostic (is the length distribution power-law-ish, and how
+    heavy?) complementing ``powerlaw_alpha``'s discrete degree MLE.
+    Every ln term floor-quantizes to 2^-20 BEFORE the sum (integer,
+    order-independent — float sums are not associative and SQL sum
+    order is unspecified), so the final (k << 40) // S_q division is
+    pure-integer and bit-portable (the exp-free discipline).
+
+    Scale shape: per-batch top-(k+1) combiner (fixed-width partials),
+    driver merges k+1 values — a corpus-size-independent collect; no
+    full sort, no exchange.
+    """
+    import math
+
+    ds = _read_documents(sf_dir, columns=["n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["n_chars"].to_numpy(np.int64))[::-1][:k + 1]
+        return pd.DataFrame({"v": pd.Series(v, dtype="int64")})
+
+    parts = ds.map_batches(topk, batch_format="pandas").to_pandas()
+    top = np.sort(parts["v"].to_numpy(np.int64))[::-1][:k + 1]
+    xk1 = int(top[k])
+    s_q = 0
+    for x in top[:k]:
+        s_q += math.floor(
+            1048576.0 * math.log(float(int(x)) / float(xk1)))
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "xk1": pd.Series([xk1], dtype="int64"),
+        "hill_q20": pd.Series([(k << 40) // s_q], dtype="int64")})
