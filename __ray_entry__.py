@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_conflicts": q.kg_label_conflicts,
         "kg_skosify": q.kg_skosify,
         "kg_skosify_exchange": q.kg_skosify_exchange,
+        "kg_skosify_repair": q.kg_skosify_repair,
         "kg_ingest_batched": q.kg_ingest_batched,
         "kg_nt_roundtrip": q.kg_nt_roundtrip,
         "kg_ttl_roundtrip": q.kg_ttl_roundtrip,

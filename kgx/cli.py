@@ -50,15 +50,15 @@ def _pages_from_xml_file(path: str):
 
 
 def _include_dataset(path: str):
-    """--include RDF preload: parse a small Turtle file into triple rows."""
+    """--include RDF preload: parse a small RDF file (format from
+    extension — Turtle/NT/JSON-LD) into triple rows."""
     import pyarrow as pa
     import ray.data
 
+    from .rdfio import load_rdf
     from .schemas import GRAPH
-    from .turtle import parse_turtle
 
-    with open(path, encoding="utf-8") as fp:
-        triples = parse_turtle(fp.read())
+    triples = load_rdf(path)
     rows = [
         {"subj": s, "pred": p, "obj": o, "obj_is_literal": lit,
          "obj_lang": lang, "obj_datatype": dt}
@@ -75,7 +75,8 @@ def main(argv=None) -> int:
     parser.add_argument("-o", "--outformat",
                         choices=["turtle", "nt", "ndjson", "jskos", "parquet"])
     parser.add_argument("--include", action="append", default=[],
-                        help="Turtle file(s) to merge before dedup")
+                        help="RDF file(s) to merge before dedup "
+                             "(format from extension: .ttl/.nt/.jsonld)")
     parser.add_argument("--uri", dest="base_uri", help="concept URI template override")
     parser.add_argument("--scheme", dest="scheme", help="scheme URI or registry code")
     parser.add_argument("--whitespace", dest="whitespace")
@@ -91,6 +92,13 @@ def main(argv=None) -> int:
     parser.add_argument("--skosify", action="store_true",
                         help="transitive broader-closure cleanup pass "
                              "(reference: skosify with examples/skosify.cfg)")
+    parser.add_argument("--skosify-repair", dest="skosify_repair",
+                        action="store_true",
+                        help="with --skosify: also drop cycle-closing "
+                             "broader edges and mark broader-less "
+                             "in-scheme concepts as top concepts "
+                             "(skosify's hierarchy checks; Dataset "
+                             "engine only)")
     parser.add_argument("-l", "--list-schemes", dest="list_schemes", action="store_true")
     parser.add_argument("--engine", choices=["dataset", "exchange"],
                         default="dataset",
@@ -126,6 +134,7 @@ def main(argv=None) -> int:
         skip_authority=args.skip_authority,
         expand=args.expand,
         skosify=args.skosify,
+        skosify_repair=args.skosify_repair,
         default_uri=args.base_uri,
         default_scheme=args.scheme,
         default_whitespace=args.whitespace,

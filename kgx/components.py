@@ -313,6 +313,207 @@ def skos_transitive_triples(triples, num_partitions: Optional[int] = None,
     return closure.map_batches(to_triples, batch_format="pandas")
 
 
+def skos_repair(triples, num_partitions: Optional[int] = None,
+                small_graph_threshold: int = 2_000_000,
+                mark_top_concepts: bool = True):
+    """HIERARCHY-CYCLE REMOVAL + TOP-CONCEPT (orphan) REPAIR — the two
+    ``skosify.skosify`` cleanup actions beyond the transitive closure
+    (the reference delegates to skosify, mc2skos.py:198-201, whose
+    hierarchy check drops cycle-closing broader edges and whose
+    mark-top-concepts step flags broader-less in-scheme concepts).
+
+    Cycle rule (deterministic and ORDER-FREE — skosify's DFS drops a
+    traversal-order-dependent back edge, which a distributed engine
+    cannot reproduce): a ``skos:broader`` edge is dropped iff both
+    endpoints lie in the same broader-graph SCC AND subj >= obj
+    (string order). Within an SCC the kept edges all point
+    string-increasing, so the remaining graph is acyclic; cross-SCC
+    edges are never touched (the condensation is already a DAG);
+    self-loops always drop. Acyclic inputs pass through unchanged —
+    every SCC is a singleton, and a singleton's only intra-SCC edge
+    would be a self-loop.
+
+    Orphan rule: after the drop, every subject with a
+    ``skos:inScheme`` edge, NO remaining broader edge and no existing
+    ``skos:topConceptOf`` gains (c, topConceptOf, scheme) and
+    (scheme, hasTopConcept, c).
+
+    Scale shape: one SCC run over the broader edge set (scc_labels —
+    single-task Kosaraju gate under ``small_graph_threshold``, the
+    distributed elimination loop above it) plus three bucketed
+    co-group exchanges (attach subj-label, attach obj-label, orphan
+    anti-join), each keyed on a 64-bit content hash coarsened to
+    ``nparts`` Ray groups. The node hash is internal only (SCC
+    membership equality); the drop rule itself compares URI strings,
+    so the SQL oracle replays it without the hash. Assumes no 64-bit
+    hash collision between distinct URIs (birthday-safe below ~10^9
+    distinct nodes).
+    """
+    import ray.data
+
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    broader_p = SKOS + "broader"
+    in_scheme_p = SKOS + "inScheme"
+    top_of_p = SKOS + "topConceptOf"
+    has_top_p = SKOS + "hasTopConcept"
+
+    nparts = num_partitions or _nparts()
+    triples = triples.materialize()
+    cols = triples.schema().names
+
+    def h64(s: pd.Series) -> np.ndarray:
+        return pd.util.hash_pandas_object(
+            s.astype(str), index=False).to_numpy("uint64") \
+            .astype("int64")
+
+    def edges_batch(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["pred"] == broader_p]
+        return pd.DataFrame({"src": h64(e["subj"]), "dst": h64(e["obj"])})
+
+    labels = scc_labels(
+        triples.map_batches(edges_batch, batch_format="pandas"),
+        small_graph_threshold=small_graph_threshold,
+        num_partitions=nparts, id_col="node").materialize()
+
+    # ---- intra-SCC (cycle-closing) edge detection -------------------
+    # two uniform-schema co-groups attach subj- then obj-SCC labels to
+    # the (subj, obj) edge key table; the resulting DROP-PAIR set is
+    # anomaly-sized by construction (only edges inside actual cycles)
+    # and broadcasts back as a map-side blacklist — a corpus where the
+    # drop set rivals the corpus is corrupt beyond repair, asserted.
+    FRAME = ["node", "scc", "side", "subj", "obj", "scc_s", "bucket"]
+
+    def lab_frame(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        node = df["node"].astype("int64")
+        return pd.DataFrame({
+            "node": node.to_numpy(),
+            "scc": df["scc_id"].astype("int64").to_numpy(),
+            "side": np.full(n, 0, dtype="int8"),
+            "subj": [""] * n, "obj": [""] * n,
+            "scc_s": np.zeros(n, dtype="int64"),
+            "bucket": (node % nparts).astype("int32").to_numpy()})[FRAME]
+
+    def edge_frame(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["pred"] == broader_p]
+        n = len(e)
+        node = h64(e["subj"])
+        return pd.DataFrame({
+            "node": node,
+            "scc": np.zeros(n, dtype="int64"),
+            "side": np.full(n, 1, dtype="int8"),
+            "subj": e["subj"].astype(str).to_numpy(),
+            "obj": e["obj"].astype(str).to_numpy(),
+            "scc_s": np.zeros(n, dtype="int64"),
+            "bucket": (node % nparts).astype("int32")})[FRAME]
+
+    def attach_subj(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["side"] == 0][["node", "scc"]]
+        body = df[df["side"] == 1].drop(columns=["scc", "scc_s"])
+        m = body.merge(lab, on="node", how="left")
+        m["scc_s"] = m["scc"].fillna(-1).astype("int64")
+        m["scc"] = np.int64(0)
+        node = h64(m["obj"])  # re-key for the obj-label pass
+        m["node"] = node
+        m["bucket"] = (node % nparts).astype("int32")
+        return m[FRAME]
+
+    def attach_obj(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["side"] == 0][["node", "scc"]]
+        body = df[df["side"] == 1].drop(columns=["scc"])
+        m = body.merge(lab, on="node", how="left")
+        scc_o = m["scc"].fillna(-2).astype("int64")
+        hit = m[(m["scc_s"] == scc_o)
+                & (m["subj"] >= m["obj"])]
+        return hit[["subj", "obj"]].drop_duplicates()
+
+    lab_ds = labels.map_batches(lab_frame, batch_format="pandas")
+    pass1 = lab_ds.union(
+        triples.map_batches(edge_frame, batch_format="pandas")) \
+        .groupby("bucket").map_groups(attach_subj,
+                                      batch_format="pandas")
+    drops = lab_ds.union(pass1) \
+        .groupby("bucket").map_groups(attach_obj,
+                                      batch_format="pandas") \
+        .to_pandas()
+    assert len(drops) < 10_000_000, \
+        "skos_repair: %d cycle-closing broader edges — the hierarchy " \
+        "is not anomalously cyclic, it is mostly cycles; refusing to " \
+        "broadcast a corpus-sized blacklist" % len(drops)
+    drop_set = frozenset(zip(drops["subj"], drops["obj"]))
+
+    def split_rest(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["pred"] != broader_p]
+
+    rest_rows = triples.map_batches(split_rest, batch_format="pandas")
+
+    def apply_drop(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["pred"] == broader_p]
+        if not drop_set:
+            return e[cols]
+        keys = list(zip(e["subj"].astype(str), e["obj"].astype(str)))
+        mask = np.array([k not in drop_set for k in keys], dtype=bool)
+        return e.loc[mask, cols]
+
+    kept_broader = triples.map_batches(apply_drop,
+                                       batch_format="pandas") \
+        .materialize()
+
+    if not mark_top_concepts:
+        return rest_rows.union(kept_broader)
+
+    # orphan repair: inScheme subjects with no kept broader and no
+    # existing topConceptOf
+    def probe_rows(side: int, keep_obj: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "subj": df["subj"].astype(str),
+                "obj": df["obj"].astype(str) if keep_obj else "",
+            })
+            out["side"] = np.int8(side)
+            out["bucket"] = (h64(out["subj"]) % nparts).astype("int32")
+            return out
+        return fn
+
+    def filter_pred(p: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["pred"] == p]
+        return fn
+
+    u = (triples.map_batches(filter_pred(in_scheme_p),
+                             batch_format="pandas")
+         .map_batches(probe_rows(0, True), batch_format="pandas")) \
+        .union(kept_broader.map_batches(probe_rows(1, False),
+                                        batch_format="pandas")) \
+        .union(triples.map_batches(filter_pred(top_of_p),
+                                   batch_format="pandas")
+               .map_batches(probe_rows(2, False),
+                            batch_format="pandas"))
+
+    def orphan_triples(df: pd.DataFrame) -> pd.DataFrame:
+        has_parent = set(df.loc[df["side"] == 1, "subj"])
+        has_top = set(df.loc[df["side"] == 2, "subj"])
+        sch = df[df["side"] == 0]
+        orphan = sch[~sch["subj"].isin(has_parent)
+                     & ~sch["subj"].isin(has_top)]
+        n = len(orphan)
+        out = pd.DataFrame({
+            "subj": list(orphan["subj"]) + list(orphan["obj"]),
+            "pred": [top_of_p] * n + [has_top_p] * n,
+            "obj": list(orphan["obj"]) + list(orphan["subj"]),
+        })
+        out["obj_is_literal"] = False
+        out["obj_lang"] = pd.Series([None] * 2 * n, dtype="object")
+        out["obj_datatype"] = pd.Series([None] * 2 * n, dtype="object")
+        if "url" in cols:
+            out["url"] = ""
+        return out[cols]
+
+    added = u.groupby("bucket").map_groups(orphan_triples,
+                                           batch_format="pandas")
+    return rest_rows.union(kept_broader).union(added)
+
+
 def broader_closure(sf_dir: str):
     """All (doc_id, ancestor) pairs under the documents broader-chain
     (parent = doc_id // 2), computed by distributed transitive closure.

@@ -25,6 +25,12 @@ class PipelineConfig:
     # transitive broader closure → skos:broaderTransitive (+ inverse)
     skosify: bool = False
     skosify_narrower: bool = True
+    # hierarchy-cycle removal + top-concept (orphan) repair — the
+    # skosify.skosify cleanup actions beyond the closure (see
+    # components.skos_repair for the deterministic order-free rule).
+    # Opt-in: it can ADD topConceptOf/hasTopConcept triples, so the
+    # closure-only default keeps Dataset↔exchange output parity.
+    skosify_repair: bool = False
 
     # default-scheme override (mc2skos.py:261-265 / vocabularies.py:20-35)
     default_uri: Optional[str] = None       # --uri
@@ -50,4 +56,5 @@ class PipelineConfig:
             "skip_authority": self.skip_authority,
             "expand": self.expand,
             "skosify": self.skosify,
+            "skosify_repair": self.skosify_repair,
         }

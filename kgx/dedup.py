@@ -754,7 +754,8 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4,
             .groupby("cell").map_groups(pairs_in_cell, batch_format="pandas"))
 
 
-def semantic_dedup(sf_dir: str, threshold: float = 0.4, nlist: int = 64):
+def semantic_dedup(sf_dir: str, threshold: float = 0.4, nlist: int = 64,
+                   chunk: int = 4096):
     """(vec_id, cluster) survivors of SemDeDup-style semantic dedup
     (Abbas et al. 2023, arXiv:2303.09540): cluster every embedding with
     the trained spherical-k-means quantizer (same assignment rule as
@@ -767,41 +768,66 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.4, nlist: int = 64):
     Scale shape: the quantizer trains once on a bounded driver-side
     sample (O(sample·d), independent of table size) and broadcasts via
     closure; assignment is one vectorized map pass; the only shuffle is
-    ``groupby(cluster)``. Per-cluster work is O(n_c²·d) — the published
-    algorithm's own contract is that ``nlist`` scales with N (SemDeDup
-    uses ~10^5 clusters for billions of vectors) so n_c ≈ N/nlist stays
-    bounded; size nlist to ~N/50k at corpus scale.
+    the single cluster exchange — COARSENED to ``hash(cluster) %
+    nparts`` Ray groups (never one Ray group per cluster key: the
+    published contract is nlist ~10^5 at billions of vectors, exactly
+    the high-cardinality ``map_groups`` pathology), with the true
+    per-cluster grouping in pandas inside the partition. Per-cluster
+    work is O(n_c²·d) compute by the algorithm's definition, but the
+    similarity matrix is built in ``chunk`` -column blocks (O(n_c·chunk)
+    memory, never the dense n_c² matrix — 20 GB at n_c = 50k).
     """
+    import ray
     import ray.data
 
     from .simsearch import train_centroids
 
     C = train_centroids(sf_dir, nlist)
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 8)))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         M = np.array(df["embedding"].to_list(), dtype=np.float64)
+        cl = np.argmax(M @ C.T, axis=1).astype("int64")
         return pd.DataFrame({
             "vec_id": df["vec_id"].astype("int64"),
             "embedding": df["embedding"],
-            "cluster": np.argmax(M @ C.T, axis=1).astype("int64"),
+            "cluster": cl,
+            "bucket": (cl % nparts).astype("int32"),
         })
 
     def prune_cluster(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("vec_id").reset_index(drop=True)
         M = np.array(df["embedding"].to_list(), dtype=np.float64)
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        sims = M @ M.T
-        # dup[j] iff any earlier row i<j has sims[i, j] >= threshold
-        dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        n = len(M)
+        # dup[j] iff any earlier row i<j has cos(i, j) >= threshold;
+        # "earlier" means ALL earlier rows, kept or dropped (SemDeDup
+        # keeps one representative per duplicate chain). Column-chunked:
+        # each block compares rows [0, e) against columns [s, e).
+        dup = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            sims = M[:e] @ M[s:e].T
+            earlier = (np.arange(e)[:, None]
+                       < np.arange(s, e)[None, :])
+            dup[s:e] = ((sims >= threshold) & earlier).any(axis=0)
         keep = df.loc[~dup]
         return pd.DataFrame({"vec_id": keep["vec_id"].astype("int64"),
                              "cluster": keep["cluster"].astype("int64")})
 
+    def prune_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [prune_cluster(g) for _, g in df.groupby("cluster")]
+        if not outs:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
     ds = _bread("%s/embeddings.parquet" % sf_dir,
                                columns=["vec_id", "embedding"])
     return (ds.map_batches(assign, batch_format="pandas")
-            .groupby("cluster").map_groups(prune_cluster,
-                                           batch_format="pandas"))
+            .groupby("bucket").map_groups(prune_bucket,
+                                          batch_format="pandas"))
 
 
 def winnow_fingerprints(sf_dir: str, k: int = 4, w: int = 4):
@@ -2447,10 +2473,17 @@ def percolation_curve(sf_dir: str,
     transition starts.
 
     Scale shape: per threshold, one blocked pair stage + the
-    union-find component loop (both the shared machinery);
-    per-threshold summaries are output-sized driver folds. The sweep
-    shares nothing across thresholds by design — each point is the
-    exact graph a production run at that setting would see.
+    union-find component loop (both the shared machinery). The pair
+    graph NEVER lands on the driver — edges flow Dataset→Dataset into
+    ``connected_components`` (a column rename inside ``map_batches``),
+    and the component-size summary is the per-batch-combiner pattern:
+    per-batch ``value_counts`` partials, hash(component)%nparts bucket
+    co-group to true sizes, then ONE summary row per bucket; the
+    driver folds only ``nparts`` rows per threshold. This matters
+    precisely at low thresholds, where the edge count explodes — the
+    percolation regime the curve exists to probe. The sweep shares
+    nothing across thresholds by design — each point is the exact
+    graph a production run at that setting would see.
     """
     import ray
 
@@ -2458,23 +2491,44 @@ def percolation_curve(sf_dir: str,
 
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
+                             "b": df["doc_id_b"].astype("int64")})
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["component"].value_counts()
+        comp_ids = pd.Series(vc.index, dtype="int64")
+        return pd.DataFrame({
+            "component": comp_ids.to_numpy(),
+            "cnt": vc.to_numpy().astype("int64"),
+            "bucket": (pd.util.hash_pandas_object(comp_ids, index=False)
+                       % nparts).astype("int32")})
+
+    def bucket_summary(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("component")["cnt"].sum()
+        return pd.DataFrame({"n_nodes": [int(sizes.sum())],
+                             "n_components": [len(sizes)],
+                             "max_component": [int(sizes.max())]})
+
     rows = []
     for t in thresholds:
         pairs = jaccard_pairs(sf_dir, t / 100.0,
                               num_partitions=nparts)
-        e = pairs.to_pandas()
-        n_edges = len(e)
+        edges = pairs.map_batches(
+            to_edges, batch_format="pandas").materialize()
+        n_edges = edges.count()
         if n_edges == 0:
             rows.append((t, 0, 0, 0, 0))
             continue
-        edges = ray.data.from_pandas(pd.DataFrame({
-            "a": e["doc_id_a"].astype("int64"),
-            "b": e["doc_id_b"].astype("int64")}))
         comp = connected_components(edges, num_partitions=nparts)
-        comp = comp.to_pandas() if hasattr(comp, "to_pandas") else comp
-        sizes = comp.groupby("component").size()
-        rows.append((t, n_edges, len(comp), len(sizes),
-                     int(sizes.max())))
+        s = comp.map_batches(size_partial, batch_format="pandas") \
+            .groupby("bucket") \
+            .map_groups(bucket_summary, batch_format="pandas") \
+            .to_pandas()
+        rows.append((t, n_edges, int(s["n_nodes"].sum()),
+                     int(s["n_components"].sum()),
+                     int(s["max_component"].max())))
     return pd.DataFrame(
         rows, columns=["thr_pct", "n_edges", "n_touched",
                        "n_components", "max_component"]).astype("int64")

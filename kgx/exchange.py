@@ -282,7 +282,8 @@ def _reduce_task(part_idx: int, out_dir: str, fmt: str, keep_key: bool,
 
 def _include_table(include, config: PipelineConfig):
     """--include RDF preload for the exchange engine: parse the (small)
-    Turtle files driver-side into ONE GRAPH-schema table. The caller
+    RDF files (format from extension — Turtle/NT/JSON-LD, rdfio.load_rdf)
+    driver-side into ONE GRAPH-schema table. The caller
     keys it with the shared tkey construction and range-scatters it
     into the existing reduce sort+dedup — Dataset-engine parity with
     pipeline._union_includes running before canonicalize (reference:
@@ -295,7 +296,7 @@ def _include_table(include, config: PipelineConfig):
     """
     if not include:
         return None
-    from .turtle import parse_turtle
+    from .rdfio import load_rdf
 
     items = include if isinstance(include, (list, tuple)) else [include]
     tables = []
@@ -305,8 +306,7 @@ def _include_table(include, config: PipelineConfig):
         if isinstance(inc, pa.Table):
             tables.append(inc.select(cols))
             continue
-        with open(inc, encoding="utf-8") as fp:
-            trips = parse_turtle(fp.read())
+        trips = load_rdf(inc)
         tables.append(pa.table({
             "subj": pa.array([t[0] for t in trips], pa.string()),
             "pred": pa.array([t[1] for t in trips], pa.string()),
@@ -471,6 +471,13 @@ def write_canonical_graph(corpus, out_dir: str,
     config = config or PipelineConfig()
     if keep_key and fmt != "parquet":
         raise ValueError("keep_key requires fmt='parquet'")
+    if config.skosify_repair:
+        raise ValueError(
+            "write_canonical_graph does not implement skosify_repair "
+            "(the cycle-drop/top-concept pass can add and remove rows "
+            "after the map wave keyed them). Run the Dataset engine, "
+            "or repair the written graph with components.skos_repair "
+            "as a post-pass.")
     files = _list_fragments(corpus)
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
@@ -1097,6 +1104,10 @@ def ingest_corpus_batched(corpus, out_root: str,
             "Run write_canonical_graph (single run) or the Dataset "
             "engine with skosify instead.")
     files = _list_fragments(corpus)
+    if not files:
+        raise ValueError(
+            "ingest_corpus_batched: no parquet fragments found under %r "
+            "— nothing to ingest" % (corpus,))
     batches = [files[i:i + files_per_batch]
                for i in range(0, len(files), files_per_batch)]
     os.makedirs(out_root, exist_ok=True)

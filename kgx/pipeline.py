@@ -185,7 +185,16 @@ def _apply_skosify(real, config: PipelineConfig):
     broader-closure triples into the stream before the canonicalize
     shuffle, so the closure's dedup+sort rides the same range exchange.
     The stream is pinned once (spill-backed) because the iterative closure
-    re-reads the broader edges each round."""
+    re-reads the broader edges each round.
+
+    With ``config.skosify_repair``, the hierarchy repair pass
+    (components.skos_repair: cycle-closing broader-edge removal +
+    top-concept marking — the rest of skosify.skosify's checks) runs
+    FIRST, so the closure never traverses a cycle."""
+    if config.skosify_repair:
+        from .components import skos_repair
+
+        real = skos_repair(real)
     if not config.skosify:
         return real
     from .components import skos_transitive_triples

@@ -77,6 +77,65 @@ def kg_skosify(sf_dir: str):
     return graph.map_batches(closure_only, batch_format="pandas")
 
 
+def kg_skosify_repair(sf_dir: str):
+    """--skosify hierarchy REPAIR (components.skos_repair — the
+    skosify.skosify checks beyond the closure, reference delegation at
+    mc2skos.py:198-201): the doc corpus broader TREE is made cyclic by
+    injecting deterministic back-edges — a 2-cycle (the reverse of the
+    tree edge) at every doc_id % 97 == 0, a 3-ring closure
+    doc → 4·doc at doc_id % 211 == 3 (when 4·doc exists), and a
+    self-loop at doc_id % 401 == 5 — then repaired. Output: every
+    surviving skos:broader edge plus the topConceptOf/hasTopConcept
+    marks the orphan rule adds (nodes whose only outgoing broader edge
+    was cycle-dropped become top concepts — the corpus makes real ones).
+    The SQL oracle replays SCC membership as mutual ≥1-step
+    reachability (recursive CTE to fixpoint — no depth cap needed: the
+    pair set is finite) and the subj >= obj string drop rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .components import skos_repair
+    from .readers import bounded_read_parquet as _bread
+    from .schemas import GRAPH
+
+    n = pq.read_metadata("%s/documents.parquet" % sf_dir).num_rows
+    graph = doc_graph(sf_dir)
+    docs = _bread("%s/documents.parquet" % sf_dir, columns=["doc_id"])
+    broader_p = SKOS + "broader"
+
+    def inject(df: pd.DataFrame) -> pa.Table:
+        i = df["doc_id"].astype("int64")
+
+        def uri(s):
+            return ("http://example.org/doc/"
+                    + s.astype("int64").astype(str))
+
+        two = i[(i > 0) & (i % 97 == 0)]
+        ring = i[(i > 0) & (i % 211 == 3) & (4 * i < n)]
+        loop = i[i % 401 == 5]
+        subj = (list(uri(two // 2)) + list(uri(ring))
+                + list(uri(loop)))
+        obj = (list(uri(two)) + list(uri(4 * ring)) + list(uri(loop)))
+        m = len(subj)
+        return pa.Table.from_pydict({
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array([broader_p] * m, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "obj_is_literal": pa.array([False] * m, pa.bool_()),
+            "obj_lang": pa.nulls(m, pa.string()),
+            "obj_datatype": pa.nulls(m, pa.string()),
+        }, schema=GRAPH)
+
+    extra = docs.map_batches(inject, batch_format="pandas")
+    repaired = skos_repair(graph.union(extra))
+    keep = {broader_p, SKOS + "topConceptOf", SKOS + "hasTopConcept"}
+
+    def filter_repair(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["pred"].isin(keep)][["subj", "pred", "obj"]]
+
+    return repaired.map_batches(filter_repair, batch_format="pandas")
+
+
 def kg_ingest_batched(sf_dir: str):
     """kg_triples through ``exchange.ingest_corpus_batched`` — the
     documents-derived corpus chained as bounded write+merge batches
@@ -2427,6 +2486,53 @@ KG_ORACLES = {
     "kg_broader_closure": _ANC_CTE + (
         "SELECT d AS doc_id, a AS ancestor FROM anc"
     ),
+    # SCC as mutual >=1-step reachability (plain UNION recursion — the
+    # pair set is finite so the fixpoint terminates without a depth
+    # cap); drop rule subj >= obj on URI STRINGS, identical to
+    # components.skos_repair. Orphans: every doc (all carry inScheme,
+    # none carry topConceptOf) without a surviving outgoing edge.
+    "kg_skosify_repair": """
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT doc_id AS si, doc_id // 2 AS oi FROM documents WHERE doc_id > 0
+  UNION ALL
+  SELECT doc_id // 2, doc_id FROM documents
+  WHERE doc_id > 0 AND doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id, 4 * doc_id FROM documents
+  WHERE doc_id > 0 AND doc_id % 211 = 3
+    AND 4 * doc_id < (SELECT count(*) FROM documents)
+  UNION ALL
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % 401 = 5),
+reach AS (
+  SELECT si AS a, oi AS b FROM edges
+  UNION
+  SELECT r.a, e.oi FROM reach r JOIN edges e ON e.si = r.b),
+kept AS MATERIALIZED (
+  SELECT 'http://example.org/doc/' || e.si AS s,
+         'http://example.org/doc/' || e.oi AS o
+  FROM edges e
+  WHERE NOT (
+    EXISTS (SELECT 1 FROM reach r1
+            WHERE r1.a = e.si AND r1.b = e.oi)
+    AND EXISTS (SELECT 1 FROM reach r2
+                WHERE r2.a = e.oi AND r2.b = e.si)
+    AND 'http://example.org/doc/' || e.si
+        >= 'http://example.org/doc/' || e.oi)),
+orphans AS (
+  SELECT 'http://example.org/doc/' || doc_id AS curi FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM kept k
+                    WHERE k.s = 'http://example.org/doc/' || d.doc_id))
+SELECT s AS subj,
+       'http://www.w3.org/2004/02/skos/core#broader' AS pred,
+       o AS obj FROM kept
+UNION ALL
+SELECT curi, 'http://www.w3.org/2004/02/skos/core#topConceptOf',
+       'http://example.org/docs/' FROM orphans
+UNION ALL
+SELECT 'http://example.org/docs/',
+       'http://www.w3.org/2004/02/skos/core#hasTopConcept', curi
+FROM orphans
+""",
     "kg_triples": TRIPLES_CTE + "SELECT subj, pred, obj, obj_lang FROM triples",
     "kg_ingest_batched": TRIPLES_CTE
     + "SELECT subj, pred, obj, obj_lang FROM triples",
@@ -6554,7 +6660,8 @@ FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)
 # symmetrized exact k-NN edges; far node = min id at max first-sweep
 # eccentricity
 DOC_ORACLES["diameter_estimate"] = """
-WITH RECURSIVE s AS (
+WITH RECURSIVE nbound AS (SELECT count(*) AS c FROM embeddings),
+s AS (
   SELECT a.vec_id AS vid, b.vec_id AS nid,
          list_cosine_similarity(a.embedding, b.embedding) AS sim
   FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),
@@ -6570,14 +6677,16 @@ e AS (
 w1 AS (
   SELECT (SELECT min(vec_id) FROM embeddings) AS node, 0 AS d
   UNION
-  SELECT e.b, w.d + 1 FROM w1 w JOIN e ON e.a = w.node WHERE w.d < 16),
+  SELECT e.b, w.d + 1 FROM w1 w JOIN e ON e.a = w.node
+  WHERE w.d < (SELECT c FROM nbound)),
 d1 AS (SELECT node, min(d) AS d FROM w1 GROUP BY node),
 ecc1 AS (SELECT max(d) AS v FROM d1),
 far AS (SELECT min(node) AS v FROM d1 WHERE d = (SELECT v FROM ecc1)),
 w2 AS (
   SELECT (SELECT v FROM far) AS node, 0 AS d
   UNION
-  SELECT e.b, w.d + 1 FROM w2 w JOIN e ON e.a = w.node WHERE w.d < 16),
+  SELECT e.b, w.d + 1 FROM w2 w JOIN e ON e.a = w.node
+  WHERE w.d < (SELECT c FROM nbound)),
 d2 AS (SELECT node, min(d) AS d FROM w2 GROUP BY node)
 SELECT CAST((SELECT min(vec_id) FROM embeddings) AS BIGINT)
          AS start_node,
@@ -7261,7 +7370,21 @@ def _greedy_search_sql(n_queries: int = 10, max_hops: int = 12,
     next = row_number 1 by (cosine DESC, id ASC); hops advance only on
     a move). Converged walks are fixpoints of further hops, so
     unrolling the full cap is exact regardless of when each query
-    stops."""
+    stops.
+
+    TOLERANCE ASSUMPTION (deviation from the bit-exact-oracle
+    discipline, documented per ADVICE): the per-hop argmax compares
+    numpy float64 normalized-dot (engine) against DuckDB
+    ``list_cosine_similarity`` (oracle) — different expression trees,
+    so the two sides agree only up to last-ulp rounding. The oracle
+    therefore assumes NO near-tie within ~1 ulp among a hop's
+    candidates; on this md5-derived corpus the minimum observed
+    candidate gap is ~1e-3 (10^13 ulp), and the secondary id-ASC key
+    only ever breaks EXACT ties (identical vectors), which both sides
+    resolve identically. A corpus with adversarially colinear
+    embeddings could flip a hop; the integer-exact alternative
+    (quantize embeddings to 2^15 grid, compare s_a²·|b|² vs s_b²·|a|²
+    in HUGEINT) is noted here for that case."""
     parts = [
         "WITH s AS (SELECT a.vec_id AS vid, b.vec_id AS nid,"
         " list_cosine_similarity(a.embedding, b.embedding) AS sim"

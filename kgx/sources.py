@@ -398,72 +398,126 @@ def bucketed_join(sf_dir: str, num_buckets: int = 16):
 
 
 def zonemap_pruned_read(sf_dir: str, lo: int = 200, hi: int = 280,
-                        rows_per_group: int = 64):
+                        rows_per_group: int = 64,
+                        num_files: int = 8):
     """(doc_id, lang, n_chars_rt, text_md5) — ZONE-MAP (row-group
     min/max statistics) data skipping, the intra-file complement of
     ``partition_pruned_read``'s directory pruning: documents are laid
-    out SORTED by ``n_chars`` into small parquet row groups, and a
-    range predicate ``n_chars ∈ [lo, hi]`` is then served by opening
-    ONLY the row groups whose [min, max] zone intersects the range —
-    the footer statistics are the index. At 100 TB this is the
-    standard warehouse trick (Snowflake micro-partitions, Parquet/ORC
+    out RANGE-PARTITIONED by ``n_chars`` into ``num_files`` files,
+    each locally sorted with small parquet row groups, and a range
+    predicate ``n_chars ∈ [lo, hi]`` is then served by opening ONLY
+    the row groups whose [min, max] zone intersects the range — the
+    footer statistics are the index. At 100 TB this is the standard
+    warehouse trick (Snowflake micro-partitions, Parquet/ORC
     predicate pushdown): a sorted-layout column turns every range
     scan into a tiny fraction of I/O with no separate index structure.
 
-    Scale shape: the layout write is one range-partitioned sort
-    (done once); the pruned read plans from footer METADATA only
-    (zone intersection), then reads the few matching groups. The
-    residual in-group filter is exact, so pruning never changes the
-    answer — only which bytes are touched (asserted by test: the
-    planner's group list is minimal for the layout).
+    Scale shape: the layout write is two streaming passes — an exact
+    bounded histogram of the zone column (per-batch ``value_counts``
+    partials; rows bounded by DISTINCT lengths, not documents) picks
+    the range boundaries, then each range partition sorts locally and
+    writes ITS OWN file inside the partition task (nothing sorted or
+    written on the driver). The pruned read plans from footer
+    METADATA only (zone intersection over all files), then each
+    touched file is read by its own task. The residual in-group
+    filter is exact, so pruning never changes the answer — only which
+    bytes are touched (asserted by test: the planner's group list is
+    minimal for the layout).
     """
+    import glob as _glob
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import ray.data
 
     from .readers import bounded_read_parquet as _bread
 
     out = _roundtrip_dir(sf_dir, "zonemap")
     marker = os.path.join(out, "_DONE")
-    path = os.path.join(out, "docs_sorted.parquet")
-    if not os.path.isfile(marker):
+    if not (os.path.isfile(marker)
+            and _glob.glob(os.path.join(out, "part_*.parquet"))):
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        # layout write: globally sorted by the zone column, small row
-        # groups so zones are tight (Ray's sort is the range shuffle;
-        # at 100 TB each range partition writes its own sorted file)
         ds = _bread("%s/documents.parquet" % sf_dir,
                     columns=["doc_id", "lang", "n_chars", "text"])
-        t = ds.sort("n_chars").to_pandas()
-        pq.write_table(pa.Table.from_pandas(t, preserve_index=False),
-                       path, row_group_size=rows_per_group)
+
+        def len_partial(df: pd.DataFrame) -> pd.DataFrame:
+            vc = df["n_chars"].value_counts()
+            return pd.DataFrame({
+                "n_chars": pd.Series(vc.index, dtype="int64").to_numpy(),
+                "cnt": vc.to_numpy().astype("int64")})
+
+        hist = (ds.map_batches(len_partial, batch_format="pandas")
+                .to_pandas().groupby("n_chars")["cnt"].sum().sort_index())
+        if len(hist):
+            values = hist.index.to_numpy("int64")
+            counts = hist.cumsum().to_numpy("int64")
+            total_rows = int(counts[-1])
+            cuts = np.array([total_rows * (i + 1) // num_files
+                             for i in range(num_files - 1)], dtype="int64")
+            bounds = values[np.searchsorted(counts, cuts, side="left")]
+
+            def route(df: pd.DataFrame) -> pd.DataFrame:
+                return df.assign(part=np.searchsorted(
+                    bounds, df["n_chars"].to_numpy("int64"),
+                    side="left").astype("int32"))
+
+            def write_part(df: pd.DataFrame) -> pd.DataFrame:
+                p = int(df["part"].iloc[0])
+                t = df.sort_values(["n_chars", "doc_id"]) \
+                    .drop(columns=["part"])
+                pq.write_table(
+                    pa.Table.from_pandas(t, preserve_index=False),
+                    os.path.join(out, "part_%05d.parquet" % p),
+                    row_group_size=rows_per_group)
+                return pd.DataFrame({"part": [p], "rows": [len(t)]})
+
+            (ds.map_batches(route, batch_format="pandas")
+             .groupby("part")
+             .map_groups(write_part, batch_format="pandas")
+             .materialize())
         with open(marker, "w") as fp:
             fp.write("ok")
 
-    f = pq.ParquetFile(path)
-    touched = []
-    for g in range(f.metadata.num_row_groups):
-        col = None
-        for c in range(f.metadata.row_group(g).num_columns):
-            cc = f.metadata.row_group(g).column(c)
-            if cc.path_in_schema == "n_chars":
-                col = cc
-                break
-        st = col.statistics
-        if st.min <= hi and st.max >= lo:  # zone intersects the range
-            touched.append(g)
-    zonemap_pruned_read.last_plan = (touched, f.metadata.num_row_groups)
-    if not touched:
-        t = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                          "lang": pd.Series([], dtype="object"),
-                          "n_chars": pd.Series([], dtype="int64"),
-                          "text": pd.Series([], dtype="object")})
-    else:
-        t = f.read_row_groups(touched).to_pandas()
-    t = t[(t["n_chars"] >= lo) & (t["n_chars"] <= hi)]
-    import ray.data
+    files = sorted(os.path.basename(p) for p in
+                   _glob.glob(os.path.join(out, "part_*.parquet")))
+    touched, total = [], 0
+    for fname in files:
+        md = pq.ParquetFile(os.path.join(out, fname)).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = next(rg.column(c).statistics
+                      for c in range(rg.num_columns)
+                      if rg.column(c).path_in_schema == "n_chars")
+            if st.min <= hi and st.max >= lo:  # zone intersects
+                touched.append((fname, g))
+            total += 1
+    zonemap_pruned_read.last_plan = (touched, total)
 
-    pruned = ray.data.from_pandas(
-        t[["doc_id", "lang", "text"]].reset_index(drop=True))
+    if not touched:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "lang": pd.Series([], dtype="object"),
+                              "text": pd.Series([], dtype="object")})
+        return ray.data.from_pandas(empty).map_batches(
+            _digest_batch, batch_format="pandas")
+
+    plan: dict = {}
+    for fname, g in touched:
+        plan.setdefault(fname, []).append(g)
+    items = [{"file": f, "groups": gs} for f, gs in sorted(plan.items())]
+
+    def read_groups(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for fname, groups in zip(df["file"], df["groups"]):
+            f = pq.ParquetFile(os.path.join(out, fname))
+            t = f.read_row_groups([int(g) for g in groups]).to_pandas()
+            t = t[(t["n_chars"] >= lo) & (t["n_chars"] <= hi)]
+            outs.append(t[["doc_id", "lang", "text"]])
+        return pd.concat(outs, ignore_index=True)
+
+    pruned = ray.data.from_items(
+        items, override_num_blocks=len(items)).map_batches(
+        read_groups, batch_format="pandas")
     return pruned.map_batches(_digest_batch, batch_format="pandas")
 
 

@@ -2379,8 +2379,9 @@ def entity_mentions(sf_dir: str, gazetteer=MENTION_GAZETTEER):
             mask = pc.greater(n, 0)
             outs.append(pa.table({
                 "doc_id": pc.filter(doc, mask),
-                "phrase": pa.array([p] * pc.sum(pc.cast(mask, pa.int64())).as_py(),
-                                   pa.string()),
+                "phrase": pa.array(
+                    [p] * (pc.sum(pc.cast(mask, pa.int64())).as_py() or 0),
+                    pa.string()),
                 "n_mentions": pc.filter(n, mask)}))
         return pa.concat_tables(outs)
 
@@ -2658,11 +2659,21 @@ def tail_index_hill(sf_dir: str, k: int = 100):
 
     parts = ds.map_batches(topk, batch_format="pandas").to_pandas()
     top = np.sort(parts["v"].to_numpy(np.int64))[::-1][:k + 1]
+    # preconditions of the estimator itself (mirrors the
+    # quantize-counts assert discipline): the corpus must have more
+    # than k docs, and the top k lengths must not ALL equal x_(k+1)
+    # (s_q = 0 ⇒ the tail is flat and alpha is undefined; the SQL
+    # oracle divides by zero in the same place)
+    assert len(top) > k, \
+        "tail_index_hill needs > k=%d documents, got %d" % (k, len(top))
     xk1 = int(top[k])
     s_q = 0
     for x in top[:k]:
         s_q += math.floor(
             1048576.0 * math.log(float(int(x)) / float(xk1)))
+    assert s_q > 0, \
+        "tail_index_hill: degenerate tail (quantized ln-sum is 0 — " \
+        "top k lengths indistinguishable from x_(k+1) at 2^-20 grid)"
     return pd.DataFrame({
         "k": pd.Series([k], dtype="int64"),
         "xk1": pd.Series([xk1], dtype="int64"),

@@ -896,6 +896,19 @@ class TestKmeans:
         assert sorted(out["vec_id"]) == sorted(keep)
         assert 0 < len(out) < len(ids)  # non-vacuous: some pruned, some kept
 
+    def test_semantic_dedup_chunked_matmul_invariant(self, ray_session):
+        # the column-chunked similarity blocks (the O(n_c·chunk)-memory
+        # path that replaces the dense n_c² matrix) must be invisible:
+        # a chunk small enough to force many block boundaries in every
+        # cluster returns the identical survivor set
+        from kgx.dedup import semantic_dedup
+
+        base = semantic_dedup(SF).to_pandas().sort_values("vec_id")
+        tiny = semantic_dedup(SF, chunk=3).to_pandas() \
+            .sort_values("vec_id")
+        assert base["vec_id"].tolist() == tiny["vec_id"].tolist()
+        assert base["cluster"].tolist() == tiny["cluster"].tolist()
+
 
 class TestEvents:
     def test_sessionize_bounds(self, ray_session):
@@ -5718,24 +5731,35 @@ class TestZonemapRead:
 
         got = zonemap_pruned_read(SF).to_pandas()
         touched, total = zonemap_pruned_read.last_plan
-        # pruning actually skips most of the file on the sorted layout
+        # pruning actually skips most of the layout
         assert len(touched) < total / 2
         assert len(touched) >= 1
-        # the plan is sound AND minimal for the zones: touched groups
-        # intersect [200, 280], untouched ones provably cannot
+        # the plan is sound AND minimal for the zones: touched
+        # (file, group) entries intersect [200, 280], untouched ones
+        # provably cannot — checked across EVERY file of the
+        # range-partitioned layout
+        import glob
         import os
 
-        f = pq.ParquetFile(os.path.join(_roundtrip_dir(SF, "zonemap"),
-                                        "docs_sorted.parquet"))
-        for g in range(total):
-            rg = f.metadata.row_group(g)
-            st = next(rg.column(c).statistics
-                      for c in range(rg.num_columns)
-                      if rg.column(c).path_in_schema == "n_chars")
-            if g in touched:
-                assert st.min <= 280 and st.max >= 200
-            else:
-                assert st.max < 200 or st.min > 280
+        layout = _roundtrip_dir(SF, "zonemap")
+        files = sorted(os.path.basename(p) for p in
+                       glob.glob(os.path.join(layout, "part_*.parquet")))
+        assert len(files) > 1  # the layout is actually multi-file
+        touched_set = set(touched)
+        seen = 0
+        for fname in files:
+            f = pq.ParquetFile(os.path.join(layout, fname))
+            for g in range(f.metadata.num_row_groups):
+                rg = f.metadata.row_group(g)
+                st = next(rg.column(c).statistics
+                          for c in range(rg.num_columns)
+                          if rg.column(c).path_in_schema == "n_chars")
+                if (fname, g) in touched_set:
+                    assert st.min <= 280 and st.max >= 200
+                else:
+                    assert st.max < 200 or st.min > 280
+                seen += 1
+        assert seen == total
         # answer == full-scan truth
         import duckdb
 
@@ -6357,6 +6381,39 @@ class TestPercolationCurve:
         assert int(got.loc[got["thr_pct"] == 80, "n_edges"].iloc[0]) \
             == len(e80)
         assert (got["n_components"] <= got["n_touched"]).all()
+
+    def test_distributed_summary_matches_local_truth(self, ray_session):
+        # the per-batch-combiner + bucket co-group summary (the fix for
+        # the driver round-trip of the pair graph) must agree with a
+        # local union-find over the same pair set at the DENSEST sweep
+        # point — the percolation regime the old code OOMed in
+        from kgx.dedup import jaccard_pairs, percolation_curve
+
+        got = percolation_curve(SF, thresholds=(50,)).iloc[0]
+        e = jaccard_pairs(SF, 0.5).to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(e["doc_id_a"].astype(int),
+                        e["doc_id_b"].astype(int)):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = set(e["doc_id_a"].astype(int)) \
+            | set(e["doc_id_b"].astype(int))
+        sizes: dict = {}
+        for n in nodes:
+            r = find(n)
+            sizes[r] = sizes.get(r, 0) + 1
+        assert int(got["n_edges"]) == len(e)
+        assert int(got["n_touched"]) == len(nodes)
+        assert int(got["n_components"]) == len(sizes)
+        assert int(got["max_component"]) == max(sizes.values())
 
 
 class TestBurstIntervals:
