@@ -353,7 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kg (the reference §2 surface, all 10)
         "kg_triples", "kg_pred_counts", "kg_dedup", "kg_expand",
         "kg_degree_histogram", "kg_skosify", "kg_skosify_exchange",
-        "kg_ingest_batched",
+        "kg_skosify_repair", "kg_ingest_batched",
         "kg_broader_closure", "kg_synthetic", "kg_incremental",
         "kg_graph_diff",
         # dedup / LSH

@@ -139,6 +139,7 @@ def run_queries(sf_dir: str) -> dict:
     battery = {
         "kg_triples": lambda: q.kg_triples(sf_dir),
         "kg_skosify_exchange": lambda: q.kg_skosify_exchange(sf_dir),
+        "kg_skosify_repair": lambda: q.kg_skosify_repair(sf_dir),
         "kg_ingest_batched": lambda: q.kg_ingest_batched(sf_dir),
         "kg_nt_roundtrip": lambda: q.kg_nt_roundtrip(sf_dir),
         "kg_ttl_roundtrip": lambda: q.kg_ttl_roundtrip(sf_dir),

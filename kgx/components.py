@@ -366,6 +366,31 @@ def skos_repair(triples, num_partitions: Optional[int] = None,
             s.astype(str), index=False).to_numpy("uint64") \
             .astype("int64")
 
+    # ---- intra-SCC (cycle-closing) edge detection -------------------
+    # small-graph gate (the connected_components/scc convention): a
+    # broader edge list that fits one worker's heap resolves its SCCs
+    # and drop pairs in a single local pass instead of paying the
+    # scc_labels run + two label-attach co-groups below
+    edge_pairs = triples.map_batches(
+        lambda df: df.loc[df["pred"] == broader_p, ["subj", "obj"]],
+        batch_format="pandas").materialize()
+    if edge_pairs.count() <= small_graph_threshold:
+        e = edge_pairs.to_pandas()
+        ik = pd.concat([e["subj"], e["obj"]], ignore_index=True)
+        codes, _ = pd.factorize(ik)
+        half = len(e)
+        loc = _kosaraju(pd.DataFrame({
+            "src": codes[:half].astype("int64"),
+            "dst": codes[half:].astype("int64")}))
+        lab = dict(zip(loc["node"], loc["scc_id"]))
+        same = np.array([lab.get(a, -1) == lab.get(b, -2)
+                         for a, b in zip(codes[:half], codes[half:])],
+                        dtype=bool)
+        hit = e[same & (e["subj"] >= e["obj"]).to_numpy()]
+        drops = hit.drop_duplicates()
+        return _skos_repair_apply(triples, cols, drops, nparts,
+                                  mark_top_concepts, h64)
+
     def edges_batch(df: pd.DataFrame) -> pd.DataFrame:
         e = df[df["pred"] == broader_p]
         return pd.DataFrame({"src": h64(e["subj"]), "dst": h64(e["obj"])})
@@ -375,7 +400,6 @@ def skos_repair(triples, num_partitions: Optional[int] = None,
         small_graph_threshold=small_graph_threshold,
         num_partitions=nparts, id_col="node").materialize()
 
-    # ---- intra-SCC (cycle-closing) edge detection -------------------
     # two uniform-schema co-groups attach subj- then obj-SCC labels to
     # the (subj, obj) edge key table; the resulting DROP-PAIR set is
     # anomaly-sized by construction (only edges inside actual cycles)
@@ -436,6 +460,21 @@ def skos_repair(triples, num_partitions: Optional[int] = None,
         .groupby("bucket").map_groups(attach_obj,
                                       batch_format="pandas") \
         .to_pandas()
+    return _skos_repair_apply(triples, cols, drops, nparts,
+                              mark_top_concepts, h64)
+
+
+def _skos_repair_apply(triples, cols, drops: pd.DataFrame, nparts: int,
+                       mark_top_concepts: bool, h64):
+    """Shared tail of ``skos_repair``: broadcast the drop-pair
+    blacklist, filter the broader rows map-side, and (optionally) run
+    the orphan-repair co-group."""
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    broader_p = SKOS + "broader"
+    in_scheme_p = SKOS + "inScheme"
+    top_of_p = SKOS + "topConceptOf"
+    has_top_p = SKOS + "hasTopConcept"
+
     assert len(drops) < 10_000_000, \
         "skos_repair: %d cycle-closing broader edges — the hierarchy " \
         "is not anomalously cyclic, it is mostly cycles; refusing to " \

@@ -6444,6 +6444,71 @@ class TestModularity:
         assert q_num / (4 * m * m) > 0.5
 
 
+class TestSkosRepair:
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+
+    def _graph(self):
+        import pyarrow as pa
+        import ray.data
+
+        from kgx.schemas import GRAPH
+
+        S = self.SKOS
+        u = "http://x/%s"
+        broader, in_s, top = (S + "broader", S + "inScheme",
+                              S + "topConceptOf")
+        rows = []
+        # 2-cycle A1<->A2; 3-ring R1->R2->R3->R1; self-loop SL;
+        # L: in scheme, no broader; T: already a top concept
+        for s, p, o in [
+            ("A1", broader, u % "A2"), ("A2", broader, u % "A1"),
+            ("R1", broader, u % "R2"), ("R2", broader, u % "R3"),
+            ("R3", broader, u % "R1"),
+            ("SL", broader, u % "SL"),
+            ("A1", in_s, "http://x/sch"), ("A2", in_s, "http://x/sch"),
+            ("R1", in_s, "http://x/sch"), ("R2", in_s, "http://x/sch"),
+            ("R3", in_s, "http://x/sch"), ("SL", in_s, "http://x/sch"),
+            ("L", in_s, "http://x/sch"),
+            ("T", in_s, "http://x/sch"), ("T", top, "http://x/sch"),
+        ]:
+            rows.append({"subj": u % s, "pred": p, "obj": o,
+                         "obj_is_literal": False, "obj_lang": None,
+                         "obj_datatype": None})
+        return ray.data.from_arrow(pa.Table.from_pylist(rows,
+                                                        schema=GRAPH))
+
+    def test_rules_and_local_vs_distributed_pin(self, ray_session):
+        from kgx.components import skos_repair
+
+        S = self.SKOS
+        u = "http://x/%s"
+        local = skos_repair(self._graph()).to_pandas()
+        dist = skos_repair(self._graph(),
+                           small_graph_threshold=0).to_pandas()
+        key = ["subj", "pred", "obj"]
+        a = local[key].sort_values(key).reset_index(drop=True)
+        b = dist[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        kept = set(zip(local.loc[local["pred"] == S + "broader", "subj"],
+                       local.loc[local["pred"] == S + "broader", "obj"]))
+        # within each SCC only string-increasing edges survive; the
+        # self-loop always drops; the result is acyclic
+        assert kept == {(u % "A1", u % "A2"), (u % "R1", u % "R2"),
+                        (u % "R2", u % "R3")}
+        tops = set(local.loc[local["pred"] == S + "topConceptOf",
+                             "subj"])
+        # orphans: lost-their-only-edge A2/R3, self-loop SL, edgeless
+        # L; NOT A1/R1/R2 (kept edges) and NOT T (already marked)
+        assert tops == {u % "A2", u % "R3", u % "SL", u % "L",
+                        u % "T"}  # T's original row passes through
+        added_has_top = set(
+            local.loc[local["pred"] == S + "hasTopConcept", "obj"])
+        assert added_has_top == {u % "A2", u % "R3", u % "SL", u % "L"}
+        # non-broader rows pass through untouched
+        assert (local["pred"] == S + "inScheme").sum() == 8
+
+
 class TestPercolationCurve:
     def test_monotone_in_threshold(self, ray_session):
         from kgx.dedup import jaccard_pairs, percolation_curve
