@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": textops.token_burstiness,
         "tail_index_hill": textops.tail_index_hill,
         "bigram_lm_score": textops.bigram_lm_score,
+        "kn_bigram_score": textops.kn_bigram_score,
         "tfidf_keywords": textops.tfidf_keywords,
         "pmi_bigrams": textops.pmi_bigrams,
         "rollup_stats": textops.rollup_stats,

@@ -170,6 +170,7 @@ def run_queries(sf_dir: str) -> dict:
         "token_burstiness": lambda: textops.token_burstiness(sf_dir),
         "tail_index_hill": lambda: textops.tail_index_hill(sf_dir),
         "bigram_lm_score": lambda: textops.bigram_lm_score(sf_dir),
+        "kn_bigram_score": lambda: textops.kn_bigram_score(sf_dir),
         "tfidf_keywords": lambda: textops.tfidf_keywords(sf_dir),
         "pmi_bigrams": lambda: textops.pmi_bigrams(sf_dir),
         "segment_dedup": lambda: traindata.segment_dedup(sf_dir),

@@ -702,6 +702,44 @@ SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
        coalesce(a.lm2_q20, 0) AS lm2_q20
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
+    # textops.kn_bigram_score: interpolated Kneser-Ney with D = 3/4 —
+    # same float64 expression tree as the engine (greatest/max binds
+    # never: scoring the training corpus means c_vw >= 1), ln shared
+    # libm, per-term floor-quantize before the order-independent sum
+    "kn_bigram_score": r"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (SELECT doc_id, t[i] AS v, t[i + 1] AS w
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks)),
+cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY v, w),
+cv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY v),
+n1pv AS (SELECT v, CAST(count(DISTINCT w) AS BIGINT) AS c
+         FROM big GROUP BY v),
+contw AS (SELECT w, CAST(count(DISTINCT v) AS BIGINT) AS c
+          FROM big GROUP BY w),
+n1pt AS (SELECT CAST(count(*) AS DOUBLE) AS T
+         FROM (SELECT DISTINCT v, w FROM big)),
+term AS (
+  SELECT b.doc_id,
+         CAST(floor(1048576.0 * ln(
+           greatest(CAST(cvw.c AS DOUBLE) - 0.75, 0.0)
+             / CAST(cv.c AS DOUBLE)
+           + ((0.75 * CAST(n1pv.c AS DOUBLE)) / CAST(cv.c AS DOUBLE))
+             * (CAST(contw.c AS DOUBLE) / t.T))) AS BIGINT) AS q
+  FROM big b
+  JOIN cvw ON cvw.v = b.v AND cvw.w = b.w
+  JOIN cv ON cv.v = b.v
+  JOIN n1pv ON n1pv.v = b.v
+  JOIN contw ON contw.w = b.w
+  CROSS JOIN n1pt t),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(q) AS BIGINT) AS kn_q20
+        FROM term GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.kn_q20, 0) AS kn_q20
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
     # textops.gopher_filter: every rule an integer inequality over exact
     # counts (mean-word-length as 3n ≤ len_sum ≤ 10n), same stopword
     # list and [A-Za-z] class as the engine

@@ -491,6 +491,40 @@ def unigram_lm_score(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def _bigram_rows_fn(nparts: int):
+    """Per-batch (doc_id, v, w, m) adjacent-bigram count combiner,
+    keyed on hash(v) — shared by ``bigram_lm_score`` and
+    ``kn_bigram_score``. Vectorized polars explode + shift within each
+    document row; < 2-token docs ride along as (v = w = "", m = 0)
+    sentinel rows so they surface in the output with zero scores."""
+
+    def bigram_rows(tbl) -> pd.DataFrame:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        g = (pl.from_arrow(tbl.select(["doc_id", "text"]))
+             .with_columns(pl.col("text").str.split(" ").alias("t"))
+             .drop("text").with_row_index("r").explode("t")
+             .with_columns(pl.col("t").shift(-1).over("r").alias("w"))
+             .drop_nulls("w")
+             .group_by(["doc_id", "t", "w"])
+             .agg(pl.len().cast(pl.Int64).alias("m"))
+             .rename({"t": "v"})).to_pandas()
+        g["doc_id"] = g["doc_id"].astype("int64")
+        zero = tbl.filter(pc.equal(
+            pc.count_substring(tbl.column("text"), " "),
+            0)).column("doc_id").to_pylist()
+        if zero:
+            g = pd.concat([g, pd.DataFrame({
+                "doc_id": pd.Series(zero, dtype="int64"),
+                "v": "", "w": "", "m": np.int64(0)})], ignore_index=True)
+        g["bucket"] = (pd.util.hash_pandas_object(g["v"], index=False)
+                       % nparts).astype("int32")
+        return g
+
+    return bigram_rows
+
+
 def bigram_lm_score(sf_dir: str, num_partitions: Optional[int] = None):
     """(doc_id, n_bigrams, lm2_q20) — interpolated bigram language-model
     score per document: Σ over positions i ≥ 2 of
@@ -526,32 +560,7 @@ def bigram_lm_score(sf_dir: str, num_partitions: Optional[int] = None):
     total = float(int(vocab["sum(n)"].sum()))
     uni = {t: int(n) for t, n in zip(vocab["tok"], vocab["sum(n)"])}
 
-    def bigram_rows(tbl) -> pd.DataFrame:
-        import polars as pl
-        import pyarrow.compute as pc
-
-        # adjacent (v, w) pairs per doc, vectorized: explode + shift
-        # within the row (each input row is one document)
-        g = (pl.from_arrow(tbl.select(["doc_id", "text"]))
-             .with_columns(pl.col("text").str.split(" ").alias("t"))
-             .drop("text").with_row_index("r").explode("t")
-             .with_columns(pl.col("t").shift(-1).over("r").alias("w"))
-             .drop_nulls("w")
-             .group_by(["doc_id", "t", "w"])
-             .agg(pl.len().cast(pl.Int64).alias("m"))
-             .rename({"t": "v"})).to_pandas()
-        g["doc_id"] = g["doc_id"].astype("int64")
-        # < 2-token docs ride along as sentinel rows (v = w = "")
-        zero = tbl.filter(pc.equal(
-            pc.count_substring(tbl.column("text"), " "),
-            0)).column("doc_id").to_pylist()
-        if zero:
-            g = pd.concat([g, pd.DataFrame({
-                "doc_id": pd.Series(zero, dtype="int64"),
-                "v": "", "w": "", "m": np.int64(0)})], ignore_index=True)
-        g["bucket"] = (pd.util.hash_pandas_object(g["v"], index=False)
-                       % nparts).astype("int32")
-        return g
+    bigram_rows = _bigram_rows_fn(nparts)
 
     def score_part(df: pd.DataFrame) -> pd.DataFrame:
         zero = df[df["m"] == 0]
@@ -597,6 +606,116 @@ def bigram_lm_score(sf_dir: str, num_partitions: Optional[int] = None):
         return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
                              "n_bigrams": g["nb"].astype("int64"),
                              "lm2_q20": g["s"].astype("int64")})
+
+    return (partials.map_batches(rebucket, batch_format="pandas")
+            .groupby("b2").map_groups(final, batch_format="pandas"))
+
+
+def kn_bigram_score(sf_dir: str, num_partitions: Optional[int] = None):
+    """(doc_id, n_bigrams, kn_q20) — INTERPOLATED KNESER-NEY bigram
+    language-model score per document (Kneser & Ney, ICASSP 1995, in
+    the interpolated formulation of Chen & Goodman 1998): Σ over
+    positions i ≥ 2 of floor(2^20 · ln(P_KN(wᵢ|wᵢ₋₁))) with absolute
+    discount D = 3/4 (dyadic):
+
+        P_KN(w|v) = max(c(v,w) − D, 0) / c(v,·)
+                  + (D · N1+(v,·)) / c(v,·) · (N1+(·,w) / N1+(·,·))
+
+    The continuation probability N1+(·,w)/N1+(·,·) — how many DISTINCT
+    contexts a word completes, ``continuation_counts``' statistic — is
+    what distinguishes KN from ``bigram_lm_score``'s linear
+    interpolation: "Francisco" is frequent but completes one context,
+    so KN correctly scores it low in novel contexts. This is the
+    smoothing real perplexity-filter LMs use. Every count is an exact
+    integer, D is dyadic, both engines evaluate the IDENTICAL float64
+    expression tree (ln is the shared-libm portable call), and each
+    term floor-quantizes to int64 BEFORE the order-independent sum —
+    the SQL oracle hash-matches bit-for-bit. Docs with < 2 tokens
+    score (0, 0). Scoring the corpus itself means every bigram was
+    counted, so P_KN ≥ (1−D)/c(v,·) > 0 — ln never sees 0.
+
+    Scale shape: the (doc, v, w, m) bigram combiner table materializes
+    ONCE and takes the hash(v) exchange twice. Pass 1: all copies of a
+    (v, w) type co-locate under the v key, so distinct-(v,w) is
+    partition-exact and per-w distinct-v PARTIALS fold driver-side
+    into the vocabulary-sized continuation table (broadcast via
+    closure — the unigram_lm_score shape: MBs of vocabulary against
+    TBs of corpus). Pass 2: c(v,w), c(v,·) and N1+(v,·) are all
+    partition-local under the same key; per-doc partials then sum in
+    the bucketed doc-keyed hash aggregate."""
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = _read_documents(sf_dir, columns=["doc_id", "text"])
+
+    g = ds.map_batches(_bigram_rows_fn(nparts), batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+
+    # pass 1: continuation partials — exact because a (v, w) type
+    # lives in exactly one v-partition
+    def cont_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["m"] > 0]
+        types = df[["v", "w"]].drop_duplicates()
+        out = types.groupby("w", as_index=False).size()
+        return pd.DataFrame({"w": out["w"],
+                             "n1p": out["size"].astype("int64")})
+
+    cont_df = (g.groupby("bucket").map_groups(cont_partials,
+                                              batch_format="pandas")
+               .to_pandas().groupby("w")["n1p"].sum())
+    cont = {w: int(n) for w, n in cont_df.items()}
+    n1p_tot = float(sum(cont.values()))
+
+    def score_part(df: pd.DataFrame) -> pd.DataFrame:
+        zero = df[df["m"] == 0]
+        df = df[df["m"] > 0]
+        outs = []
+        if len(df):
+            cvw = df.groupby(["v", "w"], as_index=False)["m"].sum() \
+                .rename(columns={"m": "c_vw"})
+            cv = df.groupby("v", as_index=False)["m"].sum() \
+                .rename(columns={"m": "c_v"})
+            n1pv = df[["v", "w"]].drop_duplicates() \
+                .groupby("v", as_index=False).size() \
+                .rename(columns={"size": "n1p_v"})
+            d = df.merge(cvw, on=["v", "w"]).merge(cv, on="v") \
+                .merge(n1pv, on="v")
+            c_vw = d["c_vw"].to_numpy(dtype="float64")
+            c_v = d["c_v"].to_numpy(dtype="float64")
+            n1v = d["n1p_v"].to_numpy(dtype="float64")
+            cw = np.array([cont[w] for w in d["w"]], dtype="float64")
+            p = (np.maximum(c_vw - 0.75, 0.0) / c_v
+                 + ((0.75 * n1v) / c_v) * (cw / n1p_tot))
+            q = np.floor(1048576.0 * np.log(p)).astype("int64")
+            part = pd.DataFrame({"doc_id": d["doc_id"],
+                                 "nb": d["m"].astype("int64"),
+                                 "s": d["m"].to_numpy(dtype="int64") * q})
+            outs.append(part.groupby("doc_id", as_index=False).sum())
+        if len(zero):
+            outs.append(pd.DataFrame({
+                "doc_id": zero["doc_id"].astype("int64"),
+                "nb": np.int64(0), "s": np.int64(0)}))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "nb": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = g.groupby("bucket").map_groups(score_part,
+                                              batch_format="pandas")
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            b2=(pd.util.hash_pandas_object(df["doc_id"], index=False)
+                % nparts).astype("int32"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        gg = df.groupby("doc_id", as_index=False)[["nb", "s"]].sum()
+        return pd.DataFrame({"doc_id": gg["doc_id"].astype("int64"),
+                             "n_bigrams": gg["nb"].astype("int64"),
+                             "kn_q20": gg["s"].astype("int64")})
 
     return (partials.map_batches(rebucket, batch_format="pandas")
             .groupby("b2").map_groups(final, batch_format="pandas"))

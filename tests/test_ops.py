@@ -222,6 +222,43 @@ class TestTextOps:
             assert df.loc[doc_id, "lm2_q20"] == want
             assert df.loc[doc_id, "n_bigrams"] == max(0, len(toks) - 1)
 
+    def test_kn_bigram_score_matches_local_replay(self, ray_session):
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from kgx.textops import kn_bigram_score
+
+        df = kn_bigram_score(SF).to_pandas().set_index("doc_id")
+        assert len(df) == 500
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "text"])
+        texts = dict(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+        cvw, cv = Counter(), Counter()
+        succ, pred = {}, {}
+        for text in texts.values():
+            toks = text.split(" ")
+            for v, w in zip(toks, toks[1:]):
+                cvw[(v, w)] += 1
+                cv[v] += 1
+                succ.setdefault(v, set()).add(w)
+                pred.setdefault(w, set()).add(v)
+        tot = float(len(cvw))
+        for doc_id in list(texts)[:20]:
+            toks = texts[doc_id].split(" ")
+            want = sum(
+                math.floor(1048576.0 * math.log(
+                    max(float(cvw[(v, w)]) - 0.75, 0.0) / float(cv[v])
+                    + ((0.75 * float(len(succ[v]))) / float(cv[v]))
+                    * (float(len(pred[w])) / tot)))
+                for v, w in zip(toks, toks[1:]))
+            assert df.loc[doc_id, "kn_q20"] == want
+            assert df.loc[doc_id, "n_bigrams"] == max(0, len(toks) - 1)
+        # a proper probability: ln(P_KN) <= 0 term-wise
+        assert (df["kn_q20"] <= 0).all()
+
 
 def _write_neardup_corpus(path, n_docs, skewed, L=50):
     """Synthetic near-dup corpora for the skew kill-test.
