@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_noisy_counts": traindata.dp_noisy_counts,
         "negative_samples": traindata.negative_samples,
         "stratified_split": traindata.stratified_split,
+        "weighted_reservoir_sample": traindata.weighted_reservoir_sample,
         "bootstrap_means": traindata.bootstrap_means,
         "heavy_hitters": traindata.heavy_hitters,
         "hll_distinct": traindata.hll_distinct,

@@ -285,6 +285,8 @@ def run_queries(sf_dir: str) -> dict:
             lambda: traindata.negative_samples(sf_dir),
         "stratified_split":
             lambda: traindata.stratified_split(sf_dir),
+        "weighted_reservoir_sample":
+            lambda: traindata.weighted_reservoir_sample(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
         "clustering_coeff": lambda: _clustering_coeff(sf_dir),

@@ -5488,6 +5488,25 @@ GROUP BY th.t, tot.n_pos
 
 # exact stratified 80/10/10 split: per-lang md5 rank, first floor(0.8n)
 # train, next floor(0.1n) val, rest test
+# A-ES weighted reservoir: identical float64 expression tree (cast →
+# +1 → exact 2^-64 scale → shared-libm ln → /w), doc_id tiebreak
+DOC_ORACLES["weighted_reservoir_sample"] = """
+WITH kdoc AS (
+  SELECT source, doc_id,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                  ::UBIGINT AS DOUBLE) + 1.0)
+            / 18446744073709551616.0)
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM documents),
+r AS (SELECT source, doc_id, key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key DESC, doc_id) AS rk
+      FROM kdoc)
+SELECT source, CAST(rk AS BIGINT) AS rank, doc_id,
+       CAST(floor(1048576.0 * key) AS BIGINT) AS key_q20
+FROM r WHERE rk <= 5
+"""
+
 DOC_ORACLES["stratified_split"] = """
 WITH r AS (
   SELECT doc_id, lang,

@@ -2157,6 +2157,61 @@ def negative_samples(sf_dir: str, n_samples: int = 500):
         "token": pd.Series([str(toks[j]) for j in idx])})
 
 
+def weighted_reservoir_sample(sf_dir: str, k: int = 5):
+    """(source, rank, doc_id, key_q20) — WEIGHTED RESERVOIR SAMPLING
+    per source, the A-ES scheme (Efraimidis & Spirakis, IPL 2006):
+    each doc draws u ∈ (0, 1] deterministically from md5(doc_id) and
+    competes with key = ln(u)/w, weight w = n_chars; the k LARGEST
+    keys per source win. This is the one-pass weighted sampler
+    corpus-curation mixtures use when "sample proportional to length /
+    quality weight" must stream (the reservoir never exceeds k rows
+    per group, no matter the corpus).
+
+    Determinism/oracle: u = (CAST(h AS DOUBLE) + 1) / 2^64 — the cast
+    rounds identically in both engines, +1 and the power-of-two
+    division are exact; ln is the shared-libm portable call; key
+    comparison of identical doubles is exact, with doc_id as the
+    (never-reached) tiebreak. ``key_q20 = floor(2^20·key)`` of
+    identical doubles is identical, so the output hash-matches.
+
+    Scale shape: map-only per-batch top-k partials per source (each
+    batch emits ≤ groups·k fixed-width rows — the reservoir property),
+    then one tiny co-group on the low-cardinality source key finishes
+    the top-k. No corpus-sized shuffle anywhere.
+    """
+    ds = _read_documents(sf_dir, columns=["doc_id", "source",
+                                          "n_chars"])
+
+    def keys_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        h = np.array([_md5_u64(str(int(i))) for i in ids],
+                     dtype="uint64")
+        u = (h.astype("float64") + 1.0) / 18446744073709551616.0
+        w = df["n_chars"].to_numpy(dtype="float64")
+        key = np.log(u) / w
+        out = pd.DataFrame({"source": df["source"].astype(str),
+                            "doc_id": ids.to_numpy(),
+                            "key": key})
+        out = out.sort_values(["source", "key", "doc_id"],
+                              ascending=[True, False, True])
+        return out.groupby("source", sort=False).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "doc_id"],
+                            ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "source": df["source"].astype(str),
+            "rank": pd.Series(range(1, len(df) + 1),
+                              dtype="int64").to_numpy(),
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "key_q20": np.floor(1048576.0 * df["key"].to_numpy())
+            .astype("int64")})
+
+    return (ds.map_batches(keys_topk, batch_format="pandas")
+            .groupby("source").map_groups(finish,
+                                          batch_format="pandas"))
+
+
 def stratified_split(sf_dir: str, pcts=(80, 10)):
     """(doc_id, lang, split) — EXACT stratified train/val/test split:
     within each language docs rank by md5(doc_id:split) and the first

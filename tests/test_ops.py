@@ -260,6 +260,32 @@ class TestTextOps:
         assert (df["kn_q20"] <= 0).all()
 
 
+class TestWeightedReservoir:
+    def test_aes_matches_local_replay(self, ray_session):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from kgx.traindata import _md5_u64, weighted_reservoir_sample
+
+        got = weighted_reservoir_sample(SF).to_pandas()
+        t = pq.read_table("%s/documents.parquet" % SF,
+                          columns=["doc_id", "source", "n_chars"]) \
+            .to_pandas()
+        t["key"] = [
+            math.log((float(_md5_u64(str(int(d)))) + 1.0)
+                     / 18446744073709551616.0) / float(w)
+            for d, w in zip(t["doc_id"], t["n_chars"])]
+        for src, g in t.groupby("source"):
+            want = g.sort_values(["key", "doc_id"],
+                                 ascending=[False, True]).head(5)
+            mine = got[got["source"] == src].sort_values("rank")
+            assert mine["doc_id"].tolist() \
+                == want["doc_id"].astype(int).tolist()
+        # every source contributes exactly k winners
+        assert got.groupby("source").size().eq(5).all()
+
+
 def _write_neardup_corpus(path, n_docs, skewed, L=50):
     """Synthetic near-dup corpora for the skew kill-test.
 
