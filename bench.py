@@ -202,6 +202,7 @@ def run_queries(sf_dir: str) -> dict:
         "kcenter_coreset": lambda: simsearch.kcenter_coreset(sf_dir),
         "mutual_knn": lambda: simsearch.mutual_knn(sf_dir),
         "knn_greedy_search": lambda: simsearch.knn_greedy_search(sf_dir),
+        "hnsw_search": lambda: simsearch.hnsw_search(sf_dir),
         "sssp_weighted": lambda: _sssp_weighted(sf_dir),
         "session_overlap_pairs":
             lambda: events.session_overlap_pairs(sf_dir),

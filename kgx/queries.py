@@ -7482,6 +7482,80 @@ def _greedy_search_sql(n_queries: int = 10, max_hops: int = 12,
 
 DOC_ORACLES["knn_greedy_search"] = _greedy_search_sql()
 
+
+def _hnsw_search_sql(n_queries: int = 10, max_hops: int = 12,
+                     k: int = 5, cap: int = 2) -> str:
+    """Unrolled replay of simsearch.hnsw_search: the deterministic
+    geometric layer table (md5 low-bit CASE), one exact k-NN edge CTE
+    per layer (members = lvl >= layer), the per-query top-layer entry
+    (min member id, query excluded), and the greedy hop unrolling of
+    _greedy_search_sql repeated per layer with each layer's fixpoint
+    seeding the next (hops accumulate through the descent). The same
+    float-argmax tolerance assumption as knn_greedy_search applies."""
+    parts = [
+        "WITH lv AS MATERIALIZED (SELECT vec_id,"
+        " CASE WHEN h % 4 = 0 THEN 2 WHEN h % 2 = 0 THEN 1"
+        " ELSE 0 END AS lvl FROM (SELECT vec_id,"
+        " ('0x' || substr(md5('lvl:' || CAST(vec_id AS VARCHAR)),"
+        " 1, 16))::UBIGINT AS h FROM embeddings)),",
+    ]
+    for l in range(cap, -1, -1):
+        memb = ("" if l == 0 else
+                " JOIN lv la ON la.vec_id = a.vec_id AND la.lvl >= %d"
+                " JOIN lv lb ON lb.vec_id = b.vec_id AND lb.lvl >= %d"
+                % (l, l))
+        parts.append(
+            " sim%d AS (SELECT a.vec_id AS vid, b.vec_id AS nid,"
+            " list_cosine_similarity(a.embedding, b.embedding) AS sim"
+            " FROM embeddings a JOIN embeddings b"
+            " ON a.vec_id != b.vec_id%s),"
+            " rk%d AS (SELECT vid, nid, row_number() OVER"
+            " (PARTITION BY vid ORDER BY sim DESC, nid) AS rk"
+            " FROM sim%d),"
+            " e%d AS (SELECT vid, nid FROM rk%d WHERE rk <= %d),"
+            % (l, memb, l, l, l, l, k))
+    parts.append(
+        " q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings"
+        " WHERE vec_id < %d)," % n_queries)
+    parts.append(
+        " g%d_0 AS MATERIALIZED (SELECT q.qid,"
+        " (SELECT min(vec_id) FROM lv"
+        "  WHERE lvl >= %d AND vec_id <> q.qid) AS cur,"
+        " 0 AS hops FROM q)" % (cap, cap))
+    for l in range(cap, -1, -1):
+        if l < cap:  # seed from the layer above's fixpoint
+            parts.append(
+                ", g%d_0 AS MATERIALIZED (SELECT * FROM g%d_%d)"
+                % (l, l + 1, max_hops))
+        for i in range(max_hops):
+            parts.append(
+                ", x%d_%d AS MATERIALIZED ("
+                "SELECT qid, cur AS cid, cur, hops FROM g%d_%d"
+                " UNION ALL SELECT h.qid, e.nid, h.cur, h.hops"
+                " FROM g%d_%d h JOIN e%d e ON e.vid = h.cur)"
+                % (l, i, l, i, l, i, l))
+            parts.append(
+                ", t%d_%d AS MATERIALIZED ("
+                "SELECT x.qid, x.cid, x.cur, x.hops,"
+                " row_number() OVER (PARTITION BY x.qid ORDER BY"
+                " list_cosine_similarity(q.qe, em.embedding) DESC,"
+                " x.cid) AS rn"
+                " FROM x%d_%d x JOIN q ON q.qid = x.qid"
+                " JOIN embeddings em ON em.vec_id = x.cid"
+                " WHERE x.cid <> x.qid)" % (l, i, l, i))
+            parts.append(
+                ", g%d_%d AS MATERIALIZED ("
+                "SELECT qid, cid AS cur,"
+                " hops + CASE WHEN cid <> cur THEN 1 ELSE 0 END AS hops"
+                " FROM t%d_%d WHERE rn = 1)" % (l, i + 1, l, i))
+    parts.append(
+        " SELECT qid AS query_id, CAST(cur AS BIGINT) AS found_id,"
+        " CAST(hops AS BIGINT) AS n_hops FROM g0_%d" % max_hops)
+    return "".join(parts)
+
+
+DOC_ORACLES["hnsw_search"] = _hnsw_search_sql()
+
 # DL<=1 fuzzy join: DuckDB's damerau_levenshtein is the unrestricted
 # variant, which coincides with the engine's single-operation check at
 # distance 1; transposition-only pairs are exactly those at lev = 2

@@ -150,7 +150,25 @@ def _cell_topk_partial(qids: np.ndarray, cids: np.ndarray,
     })
 
 
-def knn_graph(sf_dir: str, k: int = 5, num_blocks: int = None):
+def _hnsw_level(ids, cap: int = 2):
+    """Deterministic HNSW layer assignment: geometric(1/2) via the
+    md5-derived hash's low bits, capped — lvl = 2 if h % 4 == 0 else
+    1 if h % 2 == 0 else 0 (cap=2), so a node appears in layers
+    0..lvl. Replayed in SQL as the same modulo CASE."""
+    from .traindata import _md5_u64
+
+    out = []
+    for v in ids:
+        h = _md5_u64("lvl:%d" % int(v))
+        lvl = 0
+        while lvl < cap and h % (1 << (lvl + 1)) == 0:
+            lvl += 1
+        out.append(lvl)
+    return np.array(out, dtype=np.int64)
+
+
+def knn_graph(sf_dir: str, k: int = 5, num_blocks: int = None,
+              level_at_least: int = None):
     """(vec_id, neighbor_id, rank) — the exact all-pairs k-NN graph: top-k
     cosine neighbors for EVERY vector (what semantic-dedup clustering,
     graph-based ANN indexes and kNN-classification pipelines build on),
@@ -180,6 +198,9 @@ def knn_graph(sf_dir: str, k: int = 5, num_blocks: int = None):
                                columns=["vec_id", "embedding"])
 
     def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        if level_at_least is not None:  # hnsw layer restriction
+            df = df[_hnsw_level(df["vec_id"].astype("int64"))
+                    >= level_at_least]
         g = (df["vec_id"] % B).astype("int32")
         copies = []
         for h in range(B):
@@ -1278,44 +1299,62 @@ def knn_greedy_search(sf_dir: str, n_queries: int = 10,
     qids = ids[qmask].astype(np.int64)
     qrow = {int(v): i for i, v in enumerate(qids)}
 
-    def entry_of(q: int) -> int:
-        return 1 if q == 0 else 0
-
+    entries = [1 if int(q) == 0 else 0 for q in qids]
     if meta_rows <= small_graph_threshold:
-        e = edges.to_pandas()
-        adj: dict = {}
-        for v, n in zip(e["vec_id"].astype(int),
-                        e["neighbor_id"].astype(int)):
-            adj.setdefault(v, []).append(n)
         M = _normalize(np.array(tbl.column("embedding").to_pylist(),
                                 dtype=np.float64))
         row = {int(v): i for i, v in enumerate(ids)}
-        out = []
-        for q in qids:
-            q = int(q)
-            qe = Q[qrow[q]]
-            cur = entry_of(q)
-            hops = 0
-            for _ in range(max_hops):
-                cands = [c for c in [cur] + adj.get(cur, [])
-                         if c != q]
-                sims = {c: float(M[row[c]] @ qe) for c in cands}
-                nxt = sorted(cands, key=lambda c: (-sims[c], c))[0]
-                if nxt == cur:
-                    break
-                cur = nxt
-                hops += 1
-            else:
-                raise AssertionError(
-                    "greedy walk for query %d hit max_hops=%d without "
-                    "converging — raise the hop cap (and the oracle's "
-                    "unrolled depth)" % (q, max_hops))
-            out.append((q, cur, hops))
+        out = _greedy_walk_local(edges.to_pandas(), M, row, Q, qrow,
+                                 qids, entries, max_hops)
         return pd.DataFrame(out, columns=["query_id", "found_id",
                                           "n_hops"]).astype("int64")
 
-    # ---- distributed loop (forced by small_graph_threshold=0) ----
+    return _greedy_walk_dist(sf_dir, edges, qids, entries, Q, qrow,
+                             max_hops, nparts)
+
+
+def _greedy_walk_local(edge_df, M, row, Q, qrow, qids, entries,
+                       max_hops: int):
+    """Single-task greedy (cosine DESC, id ASC) walks over one edge
+    set; shared by knn_greedy_search's small-graph gate and each layer
+    of hnsw_search. Returns [(qid, found, hops)] aligned to qids."""
+    adj: dict = {}
+    for v, n in zip(edge_df["vec_id"].astype(int),
+                    edge_df["neighbor_id"].astype(int)):
+        adj.setdefault(v, []).append(n)
+    out = []
+    for q, entry in zip(qids, entries):
+        q = int(q)
+        qe = Q[qrow[q]]
+        cur = int(entry)
+        hops = 0
+        for _ in range(max_hops):
+            cands = [c for c in [cur] + adj.get(cur, [])
+                     if c != q]
+            sims = {c: float(M[row[c]] @ qe) for c in cands}
+            nxt = sorted(cands, key=lambda c: (-sims[c], c))[0]
+            if nxt == cur:
+                break
+            cur = nxt
+            hops += 1
+        else:
+            raise AssertionError(
+                "greedy walk for query %d hit max_hops=%d without "
+                "converging — raise the hop cap (and the oracle's "
+                "unrolled depth)" % (q, max_hops))
+        out.append((q, cur, hops))
+    return out
+
+
+def _greedy_walk_dist(sf_dir: str, edges, qids, entries, Q, qrow,
+                      max_hops: int, nparts: int):
+    """Distributed greedy walk (see knn_greedy_search's docstring for
+    the three bucketed co-groups per hop); shared with hnsw_search's
+    per-layer descents. ``entries`` aligns with ``qids``."""
+    import ray
     import ray.data
+
+    from .readers import bounded_read_parquet as _bread_local
 
     q_ref = ray.put((qrow, Q))
 
@@ -1346,7 +1385,7 @@ def knn_greedy_search(sf_dir: str, n_queries: int = 10,
 
     state = pd.DataFrame({
         "qid": qids,
-        "cur": [entry_of(int(q)) for q in qids],
+        "cur": [int(e) for e in entries],
         "n_hops": np.int64(0)})
 
     from .traindata import _bcast_get
@@ -1453,3 +1492,89 @@ def knn_greedy_search(sf_dir: str, n_queries: int = 10,
         "query_id": state["qid"].astype("int64"),
         "found_id": state["cur"].astype("int64"),
         "n_hops": state["n_hops"].astype("int64")})
+
+
+def hnsw_search(sf_dir: str, n_queries: int = 10, max_hops: int = 12,
+                cap: int = 2,
+                small_graph_threshold: int = 500_000,
+                num_partitions: Optional[int] = None):
+    """(query_id, found_id, n_hops) — MULTI-LAYER GREEDY SEARCH, the
+    HNSW descent (Malkov & Yashunin, TPAMI 2020) over deterministic
+    layers: node v joins layers 0..lvl(v) with lvl geometric(1/2) from
+    md5 low bits capped at ``cap`` (so layer 2 holds ~n/4 nodes, layer
+    1 ~n/2, layer 0 all — the exponentially-thinning hierarchy); each
+    layer's graph is the EXACT k-NN graph among its members (knn_graph
+    restricted by ``level_at_least``). A query starts at the top
+    layer's minimum-id member (itself excluded), runs the same
+    (cosine DESC, id ASC) greedy walk knn_greedy_search pins, and each
+    layer's fixpoint seeds the next layer down; n_hops sums all
+    layers. Upper layers cross the space in long strides before layer
+    0 refines locally — the reason HNSW beats flat greedy search on
+    hard queries.
+
+    Scale shape: cap+1 knn_graph builds (block-grid, O(N·B·k) reduce
+    rows each — upper layers shrink geometrically) and cap+1 walks;
+    walk state is O(queries) rows and each hop is the three bucketed
+    co-groups of _greedy_walk_dist (single-task gate under
+    ``small_graph_threshold``, pinned identical). The SQL oracle
+    replays layers, entries and every hop (unrolled MATERIALIZED CTEs
+    per layer); the knn_greedy_search float-argmax tolerance
+    assumption applies per hop.
+    """
+    import ray
+
+    import pyarrow.parquet as pq_
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+    meta_rows = pq_.read_metadata(
+        "%s/embeddings.parquet" % sf_dir).num_rows
+    tbl = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                         columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id"))
+    qmask = ids < n_queries
+    Q = _normalize(np.array(
+        tbl.column("embedding").to_pylist(), dtype=np.float64)[qmask])
+    qids = ids[qmask].astype(np.int64)
+    qrow = {int(v): i for i, v in enumerate(qids)}
+
+    lvls = _hnsw_level(ids, cap)
+    top_members = sorted(int(v) for v, l in zip(ids, lvls)
+                         if l >= cap)
+    assert len(top_members) >= 2, \
+        "hnsw_search: top layer needs >= 2 members"
+
+    def entry_for(q: int) -> int:
+        for v in top_members:
+            if v != q:
+                return v
+        raise AssertionError("no top-layer entry for query %d" % q)
+
+    entries = [entry_for(int(q)) for q in qids]
+    total = {int(q): 0 for q in qids}
+    local = meta_rows <= small_graph_threshold
+    if local:
+        M = _normalize(np.array(tbl.column("embedding").to_pylist(),
+                                dtype=np.float64))
+        row = {int(v): i for i, v in enumerate(ids)}
+    cur = entries
+    for layer in range(cap, -1, -1):
+        edges = knn_graph(sf_dir,
+                          level_at_least=layer if layer > 0 else None)
+        if local:
+            out = _greedy_walk_local(edges.to_pandas(), M, row, Q,
+                                     qrow, qids, cur, max_hops)
+            res = {q: (f, h) for q, f, h in out}
+        else:
+            df = _greedy_walk_dist(sf_dir, edges.materialize(), qids,
+                                   cur, Q, qrow, max_hops, nparts)
+            res = {int(r.query_id): (int(r.found_id), int(r.n_hops))
+                   for r in df.itertuples()}
+        cur = [res[int(q)][0] for q in qids]
+        for q in qids:
+            total[int(q)] += res[int(q)][1]
+    return pd.DataFrame({
+        "query_id": pd.Series(qids, dtype="int64"),
+        "found_id": pd.Series(cur, dtype="int64"),
+        "n_hops": pd.Series([total[int(q)] for q in qids],
+                            dtype="int64")})

