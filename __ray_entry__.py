@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_knn": simsearch.mutual_knn,
         "knn_greedy_search": simsearch.knn_greedy_search,
         "hnsw_search": simsearch.hnsw_search,
+        "ann_recall": simsearch.ann_recall,
         # sameAs-chain resolution (iterative hash-partitioned union-find)
         "sameas_components": _sameas_components,
         # iterative graph analytics (integer-quantized, bit-exact oracle)

@@ -203,6 +203,7 @@ def run_queries(sf_dir: str) -> dict:
         "mutual_knn": lambda: simsearch.mutual_knn(sf_dir),
         "knn_greedy_search": lambda: simsearch.knn_greedy_search(sf_dir),
         "hnsw_search": lambda: simsearch.hnsw_search(sf_dir),
+        "ann_recall": lambda: simsearch.ann_recall(sf_dir),
         "sssp_weighted": lambda: _sssp_weighted(sf_dir),
         "session_overlap_pairs":
             lambda: events.session_overlap_pairs(sf_dir),

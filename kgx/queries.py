@@ -1495,6 +1495,18 @@ WHERE rk <= {k}
 try:
     DOC_ORACLES["knn_ivf"] = _ivf_sql()
     DOC_ORACLES["knn_ivfpq"] = _ivfpq_sql()
+    # recall@k: the two oracles nested as derived tables (DuckDB allows
+    # WITH inside a subquery), intersected per query — evaluation of an
+    # index by its own oracle pair
+    DOC_ORACLES["ann_recall"] = (
+        "SELECT e.query_id, CAST(5 AS BIGINT) AS k,"
+        " CAST(count(i.neighbor_id) AS BIGINT) AS n_hits"
+        " FROM (" + DOC_ORACLES["knn_bruteforce"] + ") e"
+        " LEFT JOIN (" + _ivf_sql() + ") i"
+        " ON i.query_id = e.query_id"
+        " AND i.neighbor_id = e.neighbor_id"
+        " GROUP BY e.query_id"
+    )
 except OSError:
     pass
 

@@ -1494,6 +1494,60 @@ def _greedy_walk_dist(sf_dir: str, edges, qids, entries, Q, qrow,
         "n_hops": state["n_hops"].astype("int64")})
 
 
+def ann_recall(sf_dir: str, k: int = 5,
+               num_partitions: Optional[int] = None):
+    """(query_id, k, n_hits) — RECALL@k evaluation of the IVF index
+    against exact brute force, per query: n_hits = |top-k(IVF) ∩
+    top-k(exact)| (recall = n_hits/k, kept as exact integers). The
+    standard ANN quality gate — every index deployment reports this
+    number before trading exactness for speed; here it composes the
+    two independently-oracled ops (``knn_ivf``, ``knn_bruteforce``)
+    so the evaluation itself is oracle-checkable.
+
+    Scale shape: both sides emit O(queries·k) fixed-width rows; the
+    intersection is ONE hash(query) co-group over those tiny tables —
+    evaluation cost is query-sized regardless of corpus size.
+    """
+    import ray
+    import ray.data
+
+    nparts = num_partitions or max(
+        4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "query_id": df["query_id"].astype("int64"),
+                "neighbor_id": df["neighbor_id"].astype("int64"),
+                "side": np.int8(side)})
+            out["bucket"] = (out["query_id"] % nparts).astype("int32")
+            return out
+        return fn
+
+    def as_ds(x):
+        return x if hasattr(x, "map_batches") \
+            else ray.data.from_pandas(x)
+
+    u = as_ds(knn_ivf(sf_dir, k=k)) \
+        .map_batches(tag(0), batch_format="pandas") \
+        .union(as_ds(knn_bruteforce(sf_dir, k=k))
+               .map_batches(tag(1), batch_format="pandas"))
+
+    def hits(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0][["query_id", "neighbor_id"]]
+        b = df[df["side"] == 1][["query_id", "neighbor_id"]]
+        m = a.merge(b, on=["query_id", "neighbor_id"])
+        n = m.groupby("query_id").size()
+        qs = pd.Series(sorted(set(b["query_id"])), dtype="int64")
+        return pd.DataFrame({
+            "query_id": qs.to_numpy(),
+            "k": np.int64(k),
+            "n_hits": np.array([int(n.get(q, 0)) for q in qs],
+                               dtype="int64")})
+
+    return u.groupby("bucket").map_groups(hits, batch_format="pandas")
+
+
 def hnsw_search(sf_dir: str, n_queries: int = 10, max_hops: int = 12,
                 cap: int = 2,
                 small_graph_threshold: int = 500_000,

@@ -890,6 +890,25 @@ class TestSimSearch:
             assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+class TestAnnRecall:
+    def test_recall_matches_set_intersection(self, ray_session):
+        from kgx.simsearch import ann_recall, knn_bruteforce, knn_ivf
+
+        got = ann_recall(SF).to_pandas().set_index("query_id")
+        ivf = knn_ivf(SF)
+        ivf = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
+        ex = knn_bruteforce(SF)
+        ex = ex.to_pandas() if hasattr(ex, "to_pandas") else ex
+        for q in ex["query_id"].unique():
+            a = set(ivf.loc[ivf["query_id"] == q, "neighbor_id"])
+            b = set(ex.loc[ex["query_id"] == q, "neighbor_id"])
+            assert int(got.loc[q, "n_hits"]) == len(a & b)
+        assert (got["n_hits"].between(0, 5)).all()
+        # the index is actually good on this corpus
+        assert got["n_hits"].mean() >= 3.0
+        assert (got["n_hits"] == 5).any()
+
+
 class TestHnswSearch:
     def test_gate_matches_distributed_and_descent_laws(self,
                                                        ray_session):
