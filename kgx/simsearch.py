@@ -1494,6 +1494,97 @@ def _greedy_walk_dist(sf_dir: str, edges, qids, entries, Q, qrow,
         "n_hops": state["n_hops"].astype("int64")})
 
 
+def knn_graph_layers(sf_dir: str, k: int = 5, cap: int = 2,
+                     num_blocks: int = None):
+    """(layer, vec_id, neighbor_id, rank) — ALL of hnsw_search's layer
+    graphs from ONE block-grid pass: each grid cell computes its
+    similarity matrix once and emits per-layer masked partial top-ks
+    (members = lvl >= layer), so the corpus is read and the all-pairs
+    matmul grid is scheduled once instead of cap+1 times. The layer
+    rides inside the reduce key (query_id·4 + layer) so the existing
+    bucketed top-k reduce is reused unchanged; per-layer edge sets are
+    pinned identical to ``knn_graph(level_at_least=l)`` by test."""
+    import ray
+    import ray.data
+
+    if num_blocks is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_blocks = max(4, int((4 * ncpu) ** 0.5))
+    B = num_blocks
+
+    ds = _bread("%s/embeddings.parquet" % sf_dir,
+                columns=["vec_id", "embedding"])
+
+    def to_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df["vec_id"] % B).astype("int32")
+        copies = []
+        for h in range(B):
+            lo = np.minimum(g, h)
+            hi = np.maximum(g, h)
+            copies.append(pd.DataFrame({
+                "vec_id": df["vec_id"],
+                "embedding": df["embedding"],
+                "g": g,
+                "cell": (lo * B + hi).astype("int32"),
+            }))
+        return pd.concat(copies, ignore_index=True)
+
+    def layered_partials(ids, lv, sims, cids, clv, k):
+        parts = []
+        for layer in range(cap + 1):
+            rm = lv >= layer
+            cm = clv >= layer
+            if not rm.any() or not cm.any():
+                continue
+            sub = sims[np.ix_(rm, cm)]
+            p = _cell_topk_partial(ids[rm] * 4 + layer, cids[cm],
+                                   sub, k)
+            parts.append(p)
+        return parts
+
+    def topk_in_cell(df: pd.DataFrame) -> pd.DataFrame:
+        cell = int(df["cell"].iloc[0])
+        lo, hi = divmod(cell, B)
+        ids = df["vec_id"].to_numpy()
+        lv = _hnsw_level(ids, cap)
+        M = _normalize(np.array(df["embedding"].tolist(),
+                                dtype=np.float64))
+        if lo == hi:
+            sims = M @ M.T
+            np.fill_diagonal(sims, -np.inf)
+            parts = layered_partials(ids, lv, sims, ids, lv, k)
+        else:
+            left = df["g"].to_numpy() == lo
+            A, C = M[left], M[~left]
+            aid, cid = ids[left], ids[~left]
+            alv, clv = lv[left], lv[~left]
+            sims = A @ C.T if len(aid) and len(cid) else \
+                np.zeros((len(aid), len(cid)))
+            parts = (layered_partials(aid, alv, sims, cid, clv, k)
+                     + layered_partials(cid, clv, sims.T, aid, alv, k))
+        if not parts:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64")})
+        return pd.concat(parts, ignore_index=True)
+
+    partial = ds.map_batches(to_cells, batch_format="pandas") \
+        .groupby("cell").map_groups(topk_in_cell,
+                                    batch_format="pandas")
+    reduced = _final_topk_reduce(partial, k)
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["query_id"].astype("int64")
+        return pd.DataFrame({
+            "layer": (q % 4).astype("int64"),
+            "vec_id": (q // 4).astype("int64"),
+            "neighbor_id": df["neighbor_id"].astype("int64"),
+            "rank": df["rank"].astype("int64")})
+
+    return reduced.map_batches(decode, batch_format="pandas")
+
+
 def ann_recall(sf_dir: str, k: int = 5,
                num_partitions: Optional[int] = None):
     """(query_id, k, n_hits) — RECALL@k evaluation of the IVF index
@@ -1612,15 +1703,22 @@ def hnsw_search(sf_dir: str, n_queries: int = 10, max_hops: int = 12,
                                 dtype=np.float64))
         row = {int(v): i for i, v in enumerate(ids)}
     cur = entries
+    # ONE block-grid pass builds every layer's edge set
+    all_edges = knn_graph_layers(sf_dir, cap=cap).materialize()
+    if local:
+        all_e = all_edges.to_pandas()
     for layer in range(cap, -1, -1):
-        edges = knn_graph(sf_dir,
-                          level_at_least=layer if layer > 0 else None)
         if local:
-            out = _greedy_walk_local(edges.to_pandas(), M, row, Q,
+            edge_df = all_e[all_e["layer"] == layer]
+            out = _greedy_walk_local(edge_df, M, row, Q,
                                      qrow, qids, cur, max_hops)
             res = {q: (f, h) for q, f, h in out}
         else:
-            df = _greedy_walk_dist(sf_dir, edges.materialize(), qids,
+            edges = all_edges.map_batches(
+                lambda df, _l=layer: df[df["layer"] == _l]
+                [["vec_id", "neighbor_id", "rank"]],
+                batch_format="pandas").materialize()
+            df = _greedy_walk_dist(sf_dir, edges, qids,
                                    cur, Q, qrow, max_hops, nparts)
             res = {int(r.query_id): (int(r.found_id), int(r.n_hops))
                    for r in df.itertuples()}

@@ -944,6 +944,25 @@ class TestHnswSearch:
         flat = knn_greedy_search(SF).set_index("query_id")
         assert set(got["query_id"]) == set(flat.index)
 
+    def test_one_pass_layer_build_matches_per_layer_builds(
+            self, ray_session):
+        # knn_graph_layers shares ONE block-grid matmul across layers;
+        # every layer's edge set must equal the standalone
+        # knn_graph(level_at_least=l) build
+        from kgx.simsearch import knn_graph, knn_graph_layers
+
+        le = knn_graph_layers(SF).to_pandas()
+        cols = ["vec_id", "neighbor_id", "rank"]
+        for l in (0, 1, 2):
+            a = le[le["layer"] == l][cols] \
+                .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+            b = knn_graph(SF, level_at_least=l if l else None) \
+                .to_pandas()[cols] \
+                .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+        assert (le.groupby("layer").size().sort_index(ascending=False)
+                .is_monotonic_increasing)  # layers thin upward
+
 
 class TestGreedySearch:
     def test_gate_matches_distributed_and_walk_laws(self, ray_session):
