@@ -211,6 +211,31 @@ def test_batched_ingest_rejects_per_batch_skosify(corpus, tmp_path):
                               PipelineConfig(skosify=True))
 
 
+def test_batched_ingest_rejects_empty_corpus(tmp_path):
+    """An empty corpus directory must raise a clear ValueError before
+    the batch loop, not an opaque TypeError on the final manifest."""
+    import os
+
+    from kgx.exchange import ingest_corpus_batched
+
+    empty = tmp_path / "empty_corpus"
+    os.makedirs(str(empty))
+    with pytest.raises(ValueError, match="no parquet fragments"):
+        ingest_corpus_batched(str(empty), str(tmp_path / "out"),
+                              PipelineConfig())
+
+
+def test_exchange_rejects_skosify_repair(corpus, tmp_path):
+    """The exchange cannot add/remove rows after the map wave keyed
+    them — skosify_repair must be refused loudly."""
+    from kgx.exchange import write_canonical_graph
+
+    with pytest.raises(ValueError, match="skosify_repair"):
+        write_canonical_graph(corpus, str(tmp_path / "x"),
+                              PipelineConfig(skosify=True,
+                                             skosify_repair=True))
+
+
 def test_batched_ingest_resumes_after_mid_chain_crash(ray_session, corpus,
                                                       tmp_path,
                                                       monkeypatch):

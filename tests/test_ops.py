@@ -260,6 +260,37 @@ class TestTextOps:
         assert (df["kn_q20"] <= 0).all()
 
 
+class TestTailIndexGuards:
+    def _corpus(self, tmp_path, n_chars_values):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = tmp_path / "docs"
+        p.mkdir()
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(len(n_chars_values)),
+                                   pa.int64()),
+                "n_chars": pa.array(n_chars_values, pa.int64())}),
+            str(p / "documents.parquet"))
+        return str(p)
+
+    def test_too_few_docs_raises_named_precondition(self, ray_session,
+                                                    tmp_path):
+        from kgx.textops import tail_index_hill
+
+        sf = self._corpus(tmp_path, [100, 200, 300])
+        with pytest.raises(AssertionError, match="needs > k"):
+            tail_index_hill(sf, k=10)
+
+    def test_flat_tail_raises_degenerate(self, ray_session, tmp_path):
+        from kgx.textops import tail_index_hill
+
+        sf = self._corpus(tmp_path, [500] * 30)
+        with pytest.raises(AssertionError, match="degenerate tail"):
+            tail_index_hill(sf, k=10)
+
+
 class TestWeightedReservoir:
     def test_aes_matches_local_replay(self, ray_session):
         import math
