@@ -365,7 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs", "ssjoin_prefix", "semantic_dedup",
         # ANN / similarity search
         "knn_bruteforce", "knn_ivf", "knn_ivfpq", "kmeans_clusters",
-        "pq_codes",
+        "pq_codes", "hnsw_search", "ann_recall",
         # events / windows
         "sessionize", "events_asof", "cohort_retention",
         "scd2_intervals", "pit_join",
@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data assembly
         "decontaminate", "bpe_train", "pack_sequences",
         "temperature_mix", "curate_corpus",
+        "weighted_reservoir_sample",
         # multimodal
         "bmp_pixel_stats", "wav_frame_features", "y4m_frame_stats",
         "bmp_dhash",
@@ -382,7 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank", "sameas_components", "scc", "triangle_count",
         "sssp_weighted",
         # text analysis
-        "token_counts", "gopher_filter",
+        "token_counts", "gopher_filter", "kn_bigram_score",
         # source formats
         "gzip_ndjson_roundtrip",
         # web-text KG front end (mention detection -> linking)
