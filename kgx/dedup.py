@@ -66,19 +66,25 @@ def dedup_first3(sf_dir: str):
     return _bucketed_min(ds, key)
 
 
-def _block_pairs_exact(ids, sets, threshold: float) -> list:
-    """All-pairs exact token-set Jaccard inside one block: O(n²)."""
+def _block_pairs_exact(ids, sets, threshold: float,
+                       with_counts: bool = False) -> list:
+    """All-pairs exact token-set Jaccard inside one block: O(n²).
+    ``with_counts`` appends the exact (inter, union) integers so a
+    caller can re-threshold later with the identical float compare
+    (percolation_curve's shared-pair-stage optimization)."""
     out = []
     for i, j in itertools.combinations(range(len(ids)), 2):
         inter = len(sets[i] & sets[j])
         union = len(sets[i]) + len(sets[j]) - inter
         if union and inter / union >= threshold:
-            out.append(tuple(sorted((ids[i], ids[j]))))
+            a, b = sorted((ids[i], ids[j]))
+            out.append((a, b, inter, union) if with_counts else (a, b))
     return out
 
 
 def _block_pairs_escalated(ids, sets, threshold: float, num_perm: int = 64,
-                           bands: int = 16, max_bucket: int = 200) -> list:
+                           bands: int = 16, max_bucket: int = 200,
+                           with_counts: bool = False) -> list:
     """Oversized-block path: MinHash-LSH candidate generation + EXACT
     Jaccard verify, O(n·num_perm + candidates) instead of O(n²).
 
@@ -113,14 +119,16 @@ def _block_pairs_escalated(ids, sets, threshold: float, num_perm: int = 64,
         inter = len(sets[i] & sets[j])
         union = len(sets[i]) + len(sets[j]) - inter
         if union and inter / union >= threshold:
-            out.append(tuple(sorted((ids[i], ids[j]))))
+            a, b = sorted((ids[i], ids[j]))
+            out.append((a, b, inter, union) if with_counts else (a, b))
     return sorted(out)  # set-iteration order must not leak into the output
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = 0.8,
                   num_partitions: Optional[int] = None,
                   max_block: Optional[int] = None,
-                  block_cap: Optional[int] = 4096):
+                  block_cap: Optional[int] = 4096,
+                  emit_counts: bool = False):
     """(doc_id_a, doc_id_b) pairs with token-set Jaccard >= threshold,
     blocked on the first token.
 
@@ -154,7 +162,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.8,
         })
 
     def verify_part(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        rows = []
         for _, g in df.groupby("block", sort=False):
             ids = g["doc_id"].tolist()
             texts = g["text"]
@@ -164,14 +172,16 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.8,
                 texts = texts.iloc[order]
             sets = [set(t.split(" ")) for t in texts]
             if block_cap is not None and len(ids) > block_cap:
-                pairs = _block_pairs_escalated(ids, sets, threshold)
+                rows.extend(_block_pairs_escalated(
+                    ids, sets, threshold, with_counts=emit_counts))
             else:
-                pairs = _block_pairs_exact(ids, sets, threshold)
-            for a, b in pairs:
-                out_a.append(a)
-                out_b.append(b)
-        return pd.DataFrame({"doc_id_a": pd.Series(out_a, dtype="int64"),
-                             "doc_id_b": pd.Series(out_b, dtype="int64")})
+                rows.extend(_block_pairs_exact(
+                    ids, sets, threshold, with_counts=emit_counts))
+        cols = (["doc_id_a", "doc_id_b", "inter", "union_sz"]
+                if emit_counts else ["doc_id_a", "doc_id_b"])
+        return pd.DataFrame(rows, columns=cols).astype("int64") \
+            if rows else pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in cols})
 
     return (ds.map_batches(add_block, batch_format="pandas")
             .groupby("part").map_groups(verify_part, batch_format="pandas"))
@@ -2614,18 +2624,23 @@ def percolation_curve(sf_dir: str,
     percolation failure); the curve shows exactly where that phase
     transition starts.
 
-    Scale shape: per threshold, one blocked pair stage + the
-    union-find component loop (both the shared machinery). The pair
-    graph NEVER lands on the driver — edges flow Dataset→Dataset into
-    ``connected_components`` (a column rename inside ``map_batches``),
-    and the component-size summary is the per-batch-combiner pattern:
+    Scale shape: the blocked pair stage runs ONCE at the lowest sweep
+    threshold with ``emit_counts=True`` — the exact (inter, union)
+    integers ride along, so every higher point is a map-side filter
+    re-applying the IDENTICAL float compare (inter/union ≥ t) instead
+    of re-reading and re-tokenizing the corpus per threshold. For
+    exact-path blocks this is literally the same pair set a standalone
+    run at t would produce; for ``block_cap``-escalated blocks the
+    lower threshold's banding is MORE permissive, so candidate recall
+    per point is ≥ the standalone run's (the only divergence, and in
+    the conservative direction). Per threshold the filtered edges flow
+    Dataset→Dataset into ``connected_components``, and the
+    component-size summary is the per-batch-combiner pattern:
     per-batch ``value_counts`` partials, hash(component)%nparts bucket
     co-group to true sizes, then ONE summary row per bucket; the
     driver folds only ``nparts`` rows per threshold. This matters
     precisely at low thresholds, where the edge count explodes — the
-    percolation regime the curve exists to probe. The sweep shares
-    nothing across thresholds by design — each point is the exact
-    graph a production run at that setting would see.
+    percolation regime the curve exists to probe.
     """
     import ray
 
@@ -2634,9 +2649,18 @@ def percolation_curve(sf_dir: str,
     nparts = num_partitions or max(
         4, int(ray.cluster_resources().get("CPU", 8)))
 
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"a": df["doc_id_a"].astype("int64"),
-                             "b": df["doc_id_b"].astype("int64")})
+    pairs_all = jaccard_pairs(sf_dir, min(thresholds) / 100.0,
+                              num_partitions=nparts,
+                              emit_counts=True).materialize()
+
+    def to_edges_at(thr: float):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            keep = (df["inter"].to_numpy(dtype="float64")
+                    / df["union_sz"].to_numpy(dtype="float64")) >= thr
+            e = df.loc[keep]
+            return pd.DataFrame({"a": e["doc_id_a"].astype("int64"),
+                                 "b": e["doc_id_b"].astype("int64")})
+        return fn
 
     def size_partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["component"].value_counts()
@@ -2655,10 +2679,8 @@ def percolation_curve(sf_dir: str,
 
     rows = []
     for t in thresholds:
-        pairs = jaccard_pairs(sf_dir, t / 100.0,
-                              num_partitions=nparts)
-        edges = pairs.map_batches(
-            to_edges, batch_format="pandas").materialize()
+        edges = pairs_all.map_batches(
+            to_edges_at(t / 100.0), batch_format="pandas").materialize()
         n_edges = edges.count()
         if n_edges == 0:
             rows.append((t, 0, 0, 0, 0))
