@@ -1002,6 +1002,44 @@ def _split_task(path: str, k: int) -> list:
     return pieces
 
 
+def repair_canonical_graph(run_dir: str, out_dir: str,
+                           fingerprint: Optional[str] = None) -> dict:
+    """Skosify hierarchy REPAIR as a post-pass over a WRITTEN canonical
+    graph — the exchange-engine route to ``skosify_repair`` (the
+    exchange itself refuses the flag: repair adds/removes rows after
+    the map wave keyed them). Reads the run's parquet shards, applies
+    ``components.skos_repair`` (order-free intra-SCC broader-edge drop
+    + top-concept marking), and re-canonicalizes into ``out_dir`` via
+    the standard sorted materialize with a manifest — so the result is
+    a first-class canonical graph again (mergeable, diffable,
+    resumable). Triple-SET parity with the Dataset engine running
+    ``skosify_repair=True`` in-pipeline is pinned by test: repair
+    commutes with canonicalize because the drop rule keys on triple
+    content only and the added marks dedup identically.
+    """
+    import ray.data
+
+    from .components import skos_repair
+    from .materialize import materialize
+
+    with open(os.path.join(run_dir, "_MANIFEST.json")) as fp:
+        man = json.load(fp)
+    shards = [os.path.join(run_dir, p["file"])
+              for p in man["partitions"] if p["rows"]]
+    cols = ["subj", "pred", "obj", "obj_is_literal", "obj_lang",
+            "obj_datatype"]
+    graph = ray.data.read_parquet(shards, columns=cols)
+    repaired = skos_repair(graph)
+    # repair can re-introduce duplicates (added marks may already
+    # exist); one content-keyed dedup pass restores set semantics
+    # before the sorted write
+    from .canonicalize import canonicalize
+
+    return materialize(canonicalize(repaired), out_dir,
+                       fingerprint=fingerprint,
+                       config_dict={"repaired_from": run_dir})
+
+
 def compact_canonical_graph(run_dir: str, max_rows: int) -> dict:
     """Split every partition whose shard exceeds ``max_rows`` into
     ceil(rows/max_rows) even pieces, in place — the LSM compaction

@@ -236,6 +236,57 @@ def test_exchange_rejects_skosify_repair(corpus, tmp_path):
                                              skosify_repair=True))
 
 
+def test_repair_post_pass_matches_dataset_engine(ray_session, corpus,
+                                                 tmp_path):
+    """repair_canonical_graph (the exchange route to skosify_repair)
+    must produce the same triple SET as the Dataset engine running
+    skosify_repair=True in-pipeline — including on a graph with a real
+    broader cycle (injected via --include)."""
+    import os
+
+    import ray.data
+
+    from kgx.cli import _include_dataset
+    from kgx.exchange import (repair_canonical_graph,
+                              write_canonical_graph)
+    from kgx.pipeline import build_graph
+
+    inc = tmp_path / "cyc.ttl"
+    inc.write_text(
+        "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+        "<http://x/a> skos:broader <http://x/b> .\n"
+        "<http://x/b> skos:broader <http://x/a> .\n"
+        "<http://x/a> skos:inScheme <http://x/sch> .\n"
+        "<http://x/b> skos:inScheme <http://x/sch> .\n")
+    cfg = PipelineConfig(include_altlabels=True)
+    base = str(tmp_path / "base")
+    write_canonical_graph(corpus, base, cfg, num_parts=5, map_tasks=3,
+                          include=[str(inc)])
+    man = repair_canonical_graph(base, str(tmp_path / "rep"))
+    shards = [os.path.join(str(tmp_path / "rep"), p["file"])
+              for p in man["partitions"] if p["rows"]]
+    got = ray.data.read_parquet(shards).to_pandas()
+
+    pages = ray.data.read_parquet(corpus, columns=["url", "html"])
+    want = build_graph(
+        pages, PipelineConfig(include_altlabels=True,
+                              skosify_repair=True),
+        include=_include_dataset(str(inc))).to_pandas()
+    a = got[KEY_COLS].sort_values(KEY_COLS).reset_index(drop=True)
+    b = want[KEY_COLS].sort_values(KEY_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # the cycle really got repaired: b>=a dropped, a->b kept, and the
+    # node that lost its only broader edge became a top concept
+    S = "http://www.w3.org/2004/02/skos/core#"
+    bro = got[got["pred"] == S + "broader"]
+    assert ((bro["subj"] == "http://x/a")
+            & (bro["obj"] == "http://x/b")).any()
+    assert not ((bro["subj"] == "http://x/b")
+                & (bro["obj"] == "http://x/a")).any()
+    assert ((got["pred"] == S + "topConceptOf")
+            & (got["subj"] == "http://x/b")).any()
+
+
 def test_batched_ingest_resumes_after_mid_chain_crash(ray_session, corpus,
                                                       tmp_path,
                                                       monkeypatch):
