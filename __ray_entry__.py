@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx import queries as q
     from kgx.components import broader_closure as _broader_closure
     from kgx.components import pagerank as _pagerank
+    from kgx.components import personalized_pagerank as _ppr
     from kgx.components import sameas_components as _sameas_components
     from kgx.components import kcore as _kcore
     from kgx.components import label_propagation as _label_propagation
@@ -209,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sameas_components": _sameas_components,
         # iterative graph analytics (integer-quantized, bit-exact oracle)
         "pagerank": _pagerank,
+        "personalized_pagerank": _ppr,
         "triangle_count": _triangle_count,
         "clustering_coeff": _clustering_coeff,
         "adamic_adar": _adamic_adar,

@@ -603,10 +603,13 @@ def sameas_components(sf_dir: str):
 _PR_Q = 1 << 40  # rank mass quantum: ranks are int64 multiples of Q/N
 
 
-def _local_pagerank(edges, num_nodes: int, iters: int):
+def _local_pagerank(edges, num_nodes: int, iters: int, seeds=None):
     """Single-task vectorized PageRank — the small-graph fast path.
     Bit-identical to the distributed loop (same int64 floor arithmetic;
-    np.add.at sums are exact integers, so order is irrelevant)."""
+    np.add.at sums are exact integers, so order is irrelevant).
+    ``seeds`` switches to PERSONALIZED PageRank: the restart mass (and
+    the initial rank) concentrates on the seed set instead of spreading
+    uniformly."""
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
         src = df["src"].to_numpy(dtype=np.int64)
@@ -614,8 +617,19 @@ def _local_pagerank(edges, num_nodes: int, iters: int):
         deg = np.zeros(num_nodes, dtype=np.int64)
         np.add.at(deg, src, 1)
         assert deg.min() > 0, "pagerank: dangling node (no out-edges)"
-        base = (15 * (_PR_Q // num_nodes)) // 100
-        r = np.full(num_nodes, _PR_Q // num_nodes, dtype=np.int64)
+        if seeds is None:
+            base = np.full(num_nodes,
+                           (15 * (_PR_Q // num_nodes)) // 100,
+                           dtype=np.int64)
+            r = np.full(num_nodes, _PR_Q // num_nodes, dtype=np.int64)
+        else:
+            sd = np.asarray(sorted(int(x) for x in seeds),
+                            dtype=np.int64)
+            share = _PR_Q // len(sd)
+            base = np.zeros(num_nodes, dtype=np.int64)
+            base[sd] = (15 * share) // 100
+            r = np.zeros(num_nodes, dtype=np.int64)
+            r[sd] = share
         for _ in range(iters):
             acc = np.zeros(num_nodes, dtype=np.int64)
             np.add.at(acc, dst, r[src] // deg[src])
@@ -629,7 +643,8 @@ def _local_pagerank(edges, num_nodes: int, iters: int):
 
 def pagerank_ranks(edges, num_nodes: int, iters: int = 8,
                    num_partitions: Optional[int] = None,
-                   small_graph_threshold: int = 2_000_000):
+                   small_graph_threshold: int = 2_000_000,
+                   seeds=None):
     """Dataset[(src:int64, dst:int64)] → Dataset[(node, rank_q)] —
     integer-quantized PageRank, damping 85/100, over nodes 0..num_nodes-1.
 
@@ -658,7 +673,7 @@ def pagerank_ranks(edges, num_nodes: int, iters: int = 8,
 
     edges = edges.materialize()
     if edges.count() <= small_graph_threshold:
-        return _local_pagerank(edges, num_nodes, iters)
+        return _local_pagerank(edges, num_nodes, iters, seeds=seeds)
 
     nparts = num_partitions or _nparts()
 
@@ -707,12 +722,34 @@ def pagerank_ranks(edges, num_nodes: int, iters: int = 8,
                 .map_groups(attach_deg, batch_format="pandas")
                 .materialize())
 
-    base = (15 * (_PR_Q // num_nodes)) // 100
+    # seeds=None → classic uniform restart; else PERSONALIZED restart:
+    # the seed set broadcasts via closure (PPR seeds are an entity
+    # neighborhood — small by use-case, unlike the node universe)
+    if seeds is None:
+        base_uniform = (15 * (_PR_Q // num_nodes)) // 100
+        seed_set = None
+        seed_base = 0
+        init_r = _PR_Q // num_nodes
+
+        def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["id"].astype("int64"),
+                "r": np.int64(init_r)})
+    else:
+        seed_set = frozenset(int(x) for x in seeds)
+        share = _PR_Q // len(seed_set)
+        seed_base = (15 * share) // 100
+        base_uniform = None
+
+        def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+            nodes = df["id"].astype("int64")
+            return pd.DataFrame({
+                "node": nodes,
+                "r": np.where(nodes.isin(seed_set), np.int64(share),
+                              np.int64(0))})
+
     ranks = ray.data.range(num_nodes).map_batches(
-        lambda df: pd.DataFrame({
-            "node": df["id"].astype("int64"),
-            "r": np.int64(_PR_Q // num_nodes)}),
-        batch_format="pandas")
+        init_rank, batch_format="pandas")
     zeros = ray.data.range(num_nodes).map_batches(
         lambda df: pd.DataFrame({"dst": df["id"].astype("int64"),
                                  "c": np.int64(0)}),
@@ -743,9 +780,14 @@ def pagerank_ranks(edges, num_nodes: int, iters: int = 8,
 
     def new_rank(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("dst", as_index=False)["c"].sum()
+        if seed_set is None:
+            b = base_uniform
+        else:
+            b = np.where(g["dst"].astype("int64").isin(seed_set),
+                         np.int64(seed_base), np.int64(0))
         return pd.DataFrame({
             "node": g["dst"].astype("int64"),
-            "r": (base + (85 * g["c"]) // 100).astype("int64")})
+            "r": (b + (85 * g["c"]) // 100).astype("int64")})
 
     edge_sided = edge_tbl.map_batches(
         lambda df: df.assign(side=np.int8(0)), batch_format="pandas")
@@ -791,6 +833,44 @@ def pagerank(sf_dir: str, iters: int = 8):
     return out.map_batches(
         lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
                                  "rank_q": df["rank_q"].astype("int64")}),
+        batch_format="pandas")
+
+
+def personalized_pagerank(sf_dir: str, iters: int = 8,
+                          seed_mod: int = 101):
+    """(doc_id, ppr_q) — PERSONALIZED PageRank over the same two-rule
+    document graph as ``pagerank``, with the restart mass concentrated
+    on the seed set {doc_id % seed_mod == 0} instead of uniform: the
+    KG relatedness primitive (PPR from an entity's neighborhood ranks
+    the graph by proximity to it — entity recommendation, related-
+    concept panels, seed-expanded retrieval all start here; Jeh &
+    Widom WWW 2003). Same integer-quantized fixed-iteration arithmetic
+    as pagerank (int64 floor division throughout), so the unrolled-CTE
+    SQL oracle reproduces every rank bit-for-bit.
+
+    Scale shape: identical to pagerank_ranks (edge table bucketed
+    once, rank vector re-ships per round) plus a broadcast seed set —
+    PPR seeds are an entity neighborhood, small by use-case.
+    """
+    import ray.data
+
+    docs = ray.data.read_parquet("%s/documents.parquet" % sf_dir,
+                                 columns=["doc_id"])
+    n = docs.count()
+    seeds = np.arange(0, n, seed_mod, dtype=np.int64)
+
+    def edge_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        tree = pd.DataFrame({"src": ids[ids > 0],
+                             "dst": (ids[ids > 0] // 2)})
+        scatter = pd.DataFrame({"src": ids, "dst": (ids * ids + 1) % n})
+        return pd.concat([tree, scatter]).drop_duplicates()
+
+    edges = docs.map_batches(edge_batch, batch_format="pandas")
+    out = pagerank_ranks(edges, num_nodes=n, iters=iters, seeds=seeds)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype("int64"),
+                                 "ppr_q": df["rank_q"].astype("int64")}),
         batch_format="pandas")
 
 

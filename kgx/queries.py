@@ -2735,6 +2735,49 @@ DOC_ORACLES["label_propagation"] = _labelprop_sql()
 DOC_ORACLES["pagerank"] = _pagerank_sql()
 
 
+def _ppr_sql(iters: int = 8, seed_mod: int = 101) -> str:
+    """Exact mirror of components.personalized_pagerank: pagerank's
+    unrolled integer CTE chain with the restart/init mass on the seed
+    set (doc_id % seed_mod == 0) — base = 15·(Q // |S|) // 100 for
+    seeds, 0 elsewhere; r0 likewise."""
+    q = 1 << 40
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+c{k} AS (
+  SELECT e.dst AS doc_id, sum(r.r // e.deg) AS s
+  FROM edges e JOIN r{k} r ON r.doc_id = e.src GROUP BY e.dst),
+r{k + 1} AS (
+  SELECT n.doc_id,
+         CAST(CASE WHEN n.doc_id % {seed_mod} = 0
+                   THEN (15 * ({q} // p.ns)) // 100 ELSE 0 END
+              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n CROSS JOIN params p
+  LEFT JOIN c{k} c ON c.doc_id = n.doc_id)""")
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+params AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN doc_id % {seed_mod} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ns
+  FROM nodes),
+eraw AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id > 0
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 1) % p.n FROM documents, params p),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eraw GROUP BY src),
+edges AS (SELECT e.src, e.dst, d.deg FROM eraw e JOIN deg d USING (src)),
+r0 AS (SELECT doc_id,
+              CAST(CASE WHEN doc_id % {seed_mod} = 0
+                   THEN {q} // p.ns ELSE 0 END AS BIGINT) AS r
+       FROM nodes, params p),{",".join(steps)}
+SELECT doc_id, r AS ppr_q FROM r{iters}
+"""
+
+
+DOC_ORACLES["personalized_pagerank"] = _ppr_sql()
+
+
 def _kmeans_assign_ctes(sf_dir: str, nlist: int) -> str:
     """The shared assignment CTE chain: trained centroids embedded as
     literals → per-vector dot products → argmax cluster in ``asgn``."""

@@ -291,6 +291,55 @@ class TestTailIndexGuards:
             tail_index_hill(sf, k=10)
 
 
+class TestPersonalizedPagerank:
+    def test_local_vs_distributed_and_reachability_law(self,
+                                                      ray_session):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from kgx.components import pagerank_ranks, personalized_pagerank
+
+        n = pq.read_metadata("%s/documents.parquet" % SF).num_rows
+        seeds = np.arange(0, n, 101, dtype=np.int64)
+
+        def edges_df():
+            ids = np.arange(n, dtype=np.int64)
+            tree = pd.DataFrame({"src": ids[ids > 0],
+                                 "dst": ids[ids > 0] // 2})
+            scat = pd.DataFrame({"src": ids, "dst": (ids * ids + 1) % n})
+            return pd.concat([tree, scat]).drop_duplicates() \
+                .reset_index(drop=True)
+
+        local = pagerank_ranks(ray.data.from_pandas(edges_df()), n,
+                               seeds=seeds).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        dist = pagerank_ranks(ray.data.from_pandas(edges_df()), n,
+                              seeds=seeds,
+                              small_graph_threshold=0).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(local, dist)
+        # the public op is the local path over the same edges
+        got = personalized_pagerank(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got["ppr_q"].tolist() == local["rank_q"].tolist()
+        # restart-locality law: positive mass only on nodes reachable
+        # from a seed within the iteration budget; every seed positive
+        e = edges_df()
+        adj: dict = {}
+        for s, d in zip(e["src"], e["dst"]):
+            adj.setdefault(int(s), []).append(int(d))
+        reach = set(int(x) for x in seeds)
+        frontier = set(reach)
+        for _ in range(8):
+            nxt = {d for v in frontier for d in adj.get(v, [])}
+            frontier = nxt - reach
+            reach |= nxt
+        pos = set(got.loc[got["ppr_q"] > 0, "doc_id"].astype(int))
+        assert pos <= reach
+        assert set(int(x) for x in seeds) <= pos
+        assert len(pos) < n  # personalization is real: not all nodes
+
+
 class TestWeightedReservoir:
     def test_aes_matches_local_replay(self, ray_session):
         import math
