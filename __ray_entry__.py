@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kgx.components import broader_closure as _broader_closure
     from kgx.components import pagerank as _pagerank
     from kgx.components import personalized_pagerank as _ppr
+    from kgx.components import harmonic_centrality as _harmonic
     from kgx.components import sameas_components as _sameas_components
     from kgx.components import kcore as _kcore
     from kgx.components import label_propagation as _label_propagation
@@ -211,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analytics (integer-quantized, bit-exact oracle)
         "pagerank": _pagerank,
         "personalized_pagerank": _ppr,
+        "harmonic_centrality": _harmonic,
         "triangle_count": _triangle_count,
         "clustering_coeff": _clustering_coeff,
         "adamic_adar": _adamic_adar,

@@ -116,6 +116,7 @@ def run_queries(sf_dir: str) -> dict:
     from kgx.components import label_propagation as _label_propagation
     from kgx.components import pagerank as _pagerank
     from kgx.components import personalized_pagerank as _ppr
+    from kgx.components import harmonic_centrality as _harmonic
     from kgx.components import bfs_distances as _bfs_distances
     from kgx.components import bipartite_conflicts as _bipartite
     from kgx.components import scc as _scc
@@ -292,6 +293,7 @@ def run_queries(sf_dir: str) -> dict:
             lambda: traindata.weighted_reservoir_sample(sf_dir),
         "pagerank": lambda: _pagerank(sf_dir),
         "personalized_pagerank": lambda: _ppr(sf_dir),
+        "harmonic_centrality": lambda: _harmonic(sf_dir),
         "kcore": lambda: _kcore(sf_dir),
         "clustering_coeff": lambda: _clustering_coeff(sf_dir),
         "adamic_adar": lambda: _adamic_adar(sf_dir),

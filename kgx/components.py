@@ -836,6 +836,77 @@ def pagerank(sf_dir: str, iters: int = 8):
         batch_format="pandas")
 
 
+def harmonic_centrality(sf_dir: str, sources=(0, 1, 2, 3),
+                        small_graph_threshold: int = 2_000_000):
+    """(doc_id, harm_q20) — SAMPLED HARMONIC CENTRALITY over the
+    two-rule document graph: H_S(v) = Σ_{s∈S, 0<d(s,v)} ⌊2^20/d(s,v)⌋
+    with d the directed BFS hop distance from each of |S| fixed sample
+    sources (the Eppstein–Wang estimation scheme: exact centrality is
+    all-sources BFS; a fixed sample gives the standard pivot
+    estimator, and harmonic — unlike closeness — handles unreachable
+    pairs by contributing 0 instead of ∞). Contributions are
+    floor-quantized integers BEFORE the sum, so the oracle (one
+    recursive min-distance CTE per source, the diameter_estimate
+    machinery) hash-matches bit-for-bit.
+
+    Scale shape: |S| ``bfs_levels`` traversals (edge table bucketed
+    once per traversal, frontier-only shuffles; single-task gate under
+    the threshold), then one hash(doc) bucket-sum of |S| node-sized
+    contribution tables. Nodes unreached from every source surface
+    with harm_q20 = 0 via the document spine.
+    """
+    import ray.data
+
+    docs = _bread("%s/documents.parquet" % sf_dir,
+                  columns=["doc_id"])
+    n = docs.count()
+    nparts = _nparts()
+
+    def edge_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        tree = pd.DataFrame({"src": ids[ids > 0],
+                             "dst": (ids[ids > 0] // 2)})
+        scatter = pd.DataFrame({"src": ids, "dst": (ids * ids + 1) % n})
+        return pd.concat([tree, scatter]).drop_duplicates()
+
+    edges = docs.map_batches(edge_batch,
+                             batch_format="pandas").materialize()
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["dist"] > 0]
+        out = pd.DataFrame({
+            "doc_id": d["node"].astype("int64"),
+            "c": (np.int64(1 << 20)
+                  // d["dist"].astype("int64").to_numpy())})
+        out["bucket"] = (out["doc_id"] % nparts).astype("int32")
+        return out
+
+    parts = None
+    for s in sources:
+        lev = bfs_levels(edges, [int(s)],
+                         small_graph_threshold=small_graph_threshold)
+        if not hasattr(lev, "map_batches"):
+            lev = ray.data.from_pandas(lev)
+        c = lev.map_batches(contrib, batch_format="pandas")
+        parts = c if parts is None else parts.union(c)
+
+    spine = docs.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "c": np.int64(0),
+            "bucket": (df["doc_id"].astype("int64")
+                       % nparts).astype("int32")}),
+        batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)["c"].sum()
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "harm_q20": g["c"].astype("int64")})
+
+    return parts.union(spine).groupby("bucket") \
+        .map_groups(fold, batch_format="pandas")
+
+
 def personalized_pagerank(sf_dir: str, iters: int = 8,
                           seed_mod: int = 101):
     """(doc_id, ppr_q) — PERSONALIZED PageRank over the same two-rule

@@ -2778,6 +2778,41 @@ SELECT doc_id, r AS ppr_q FROM r{iters}
 DOC_ORACLES["personalized_pagerank"] = _ppr_sql()
 
 
+def _harmonic_sql(sources=(0, 1, 2, 3)) -> str:
+    """Exact mirror of components.harmonic_centrality: one recursive
+    min-distance walk per sample source (the diameter_estimate
+    machinery, depth bounded by node count), contributions
+    floor-quantized to ⌊2^20/d⌋ before the order-free sum."""
+    walks, joins, terms = [], [], []
+    for i, s in enumerate(sources):
+        walks.append(f"""
+w{i} AS (
+  SELECT {s} AS node, 0 AS d
+  UNION
+  SELECT e.t, w.d + 1 FROM w{i} w JOIN e ON e.s = w.node
+  WHERE w.d < (SELECT c FROM nb)),
+c{i} AS MATERIALIZED (
+  SELECT node, 1048576 // min(d) AS v FROM w{i}
+  GROUP BY node HAVING min(d) > 0)""")
+        joins.append(f" LEFT JOIN c{i} ON c{i}.node = doc.doc_id")
+        terms.append(f"coalesce(c{i}.v, 0)")
+    return f"""
+WITH RECURSIVE nb AS (SELECT CAST(count(*) AS BIGINT) AS c
+                      FROM documents),
+e AS MATERIALIZED (
+  SELECT doc_id AS s, doc_id // 2 AS t FROM documents WHERE doc_id > 0
+  UNION
+  SELECT doc_id, (doc_id * doc_id + 1) % (SELECT c FROM nb)
+  FROM documents),{",".join(walks)}
+SELECT doc.doc_id,
+       CAST({" + ".join(terms)} AS BIGINT) AS harm_q20
+FROM documents doc{"".join(joins)}
+"""
+
+
+DOC_ORACLES["harmonic_centrality"] = _harmonic_sql()
+
+
 def _kmeans_assign_ctes(sf_dir: str, nlist: int) -> str:
     """The shared assignment CTE chain: trained centroids embedded as
     literals → per-vector dot products → argmax cluster in ``asgn``."""

@@ -291,6 +291,43 @@ class TestTailIndexGuards:
             tail_index_hill(sf, k=10)
 
 
+class TestHarmonicCentrality:
+    def test_local_replay(self, ray_session):
+        # (bfs_levels' own local/distributed parity is pinned in its
+        # tests; forcing the distributed loop here pays 4 sources ×
+        # ~10 rounds × 2 shuffles of pure orchestration for no extra
+        # coverage)
+        import pyarrow.parquet as pq
+        from collections import deque
+
+        from kgx.components import harmonic_centrality
+
+        got = harmonic_centrality(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        n = pq.read_metadata("%s/documents.parquet" % SF).num_rows
+        adj: dict = {}
+        for v in range(n):
+            if v > 0:
+                adj.setdefault(v, set()).add(v // 2)
+            adj.setdefault(v, set()).add((v * v + 1) % n)
+        want = np.zeros(n, dtype=np.int64)
+        for s in (0, 1, 2, 3):
+            dd = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                for w in adj.get(u, ()):
+                    if w not in dd:
+                        dd[w] = dd[u] + 1
+                        q.append(w)
+            for v, d in dd.items():
+                if d > 0:
+                    want[v] += (1 << 20) // d
+        assert got["harm_q20"].tolist() == want.tolist()
+        # central nodes (near the tree root) dominate the periphery
+        assert got.loc[0, "harm_q20"] > got["harm_q20"].median()
+
+
 class TestPersonalizedPagerank:
     def test_local_vs_distributed_and_reachability_law(self,
                                                       ray_session):
