@@ -1674,31 +1674,42 @@ def hnsw_search(sf_dir: str, n_queries: int = 10, max_hops: int = 12,
         4, int(ray.cluster_resources().get("CPU", 8)))
     meta_rows = pq_.read_metadata(
         "%s/embeddings.parquet" % sf_dir).num_rows
-    tbl = pq_.read_table("%s/embeddings.parquet" % sf_dir,
-                         columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id"))
-    qmask = ids < n_queries
-    Q = _normalize(np.array(
-        tbl.column("embedding").to_pylist(), dtype=np.float64)[qmask])
-    qids = ids[qmask].astype(np.int64)
+    # query matrix: row-group-filtered read, queries-sized — the full
+    # embedding table never lands on the driver on the distributed path
+    qtbl = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", n_queries)])
+    Q = _normalize(np.array(qtbl.column("embedding").to_pylist(),
+                            dtype=np.float64))
+    qids = np.asarray(qtbl.column("vec_id")).astype(np.int64)
     qrow = {int(v): i for i, v in enumerate(qids)}
 
-    lvls = _hnsw_level(ids, cap)
-    top_members = sorted(int(v) for v, l in zip(ids, lvls)
-                         if l >= cap)
-    assert len(top_members) >= 2, \
+    # entry rule needs only the TWO smallest top-layer ids (min, and
+    # second-min for the query that IS the min) — a bounded per-batch
+    # fold, never the node-sized top-layer membership on the driver
+    def min2_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vid = df["vec_id"].astype("int64").to_numpy()
+        top = np.sort(vid[_hnsw_level(vid, cap) >= cap])[:2]
+        return pd.DataFrame({"v": pd.Series(top, dtype="int64")})
+
+    top2 = np.sort(_bread("%s/embeddings.parquet" % sf_dir,
+                          columns=["vec_id"])
+                   .map_batches(min2_partial, batch_format="pandas")
+                   .to_pandas()["v"].to_numpy())[:2]
+    assert len(top2) >= 2, \
         "hnsw_search: top layer needs >= 2 members"
+    top2 = [int(top2[0]), int(top2[1])]
 
     def entry_for(q: int) -> int:
-        for v in top_members:
-            if v != q:
-                return v
-        raise AssertionError("no top-layer entry for query %d" % q)
+        return top2[1] if q == top2[0] else top2[0]
 
     entries = [entry_for(int(q)) for q in qids]
     total = {int(q): 0 for q in qids}
     local = meta_rows <= small_graph_threshold
     if local:
+        tbl = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                             columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id"))
         M = _normalize(np.array(tbl.column("embedding").to_pylist(),
                                 dtype=np.float64))
         row = {int(v): i for i, v in enumerate(ids)}
