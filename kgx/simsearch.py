@@ -1289,18 +1289,22 @@ def knn_greedy_search(sf_dir: str, n_queries: int = 10,
 
     edges = knn_graph(sf_dir).materialize()
 
-    # queries broadcast: ids < n_queries, normalized float64 rows
-    tbl = pq_.read_table("%s/embeddings.parquet" % sf_dir,
-                         columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id"))
-    qmask = ids < n_queries
-    Q = _normalize(np.array(
-        tbl.column("embedding").to_pylist(), dtype=np.float64)[qmask])
-    qids = ids[qmask].astype(np.int64)
+    # queries broadcast: row-group-filtered read, queries-sized — the
+    # full embedding table lands driver-side only inside the
+    # small-graph local gate below
+    qtbl = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", n_queries)])
+    Q = _normalize(np.array(qtbl.column("embedding").to_pylist(),
+                            dtype=np.float64))
+    qids = np.asarray(qtbl.column("vec_id")).astype(np.int64)
     qrow = {int(v): i for i, v in enumerate(qids)}
 
     entries = [1 if int(q) == 0 else 0 for q in qids]
     if meta_rows <= small_graph_threshold:
+        tbl = pq_.read_table("%s/embeddings.parquet" % sf_dir,
+                             columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id"))
         M = _normalize(np.array(tbl.column("embedding").to_pylist(),
                                 dtype=np.float64))
         row = {int(v): i for i, v in enumerate(ids)}
