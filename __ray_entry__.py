@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_percentiles": events.interarrival_percentiles,
         "cumulative_users_by_day": events.cumulative_users_by_day,
         "dense_daily_counts": events.dense_daily_counts,
+        "w1_drift": events.w1_drift,
         "scd2_intervals": events.scd2_intervals,
         "autocorr_daily": events.autocorr_daily,
         "interval_coverage": events.interval_coverage,

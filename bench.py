@@ -184,6 +184,7 @@ def run_queries(sf_dir: str) -> dict:
         "pq_codes": lambda: simsearch.pq_codes(sf_dir),
         "cohort_retention": lambda: events.cohort_retention(sf_dir),
         "dense_daily_counts": lambda: events.dense_daily_counts(sf_dir),
+        "w1_drift": lambda: events.w1_drift(sf_dir),
         "scd2_intervals": lambda: events.scd2_intervals(sf_dir),
         "autocorr_daily": lambda: events.autocorr_daily(sf_dir),
         "interval_coverage":

@@ -4402,6 +4402,37 @@ FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
 
 # gap-filled daily count series: every epoch day in the global span
 # appears for every type, zero-filled (dense grid via generate_series)
+# exact integer W1: cross-multiplied cumulative gaps over the dense
+# day grid (same day/grid construction as dense_daily_counts)
+DOC_ORACLES["w1_drift"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+grid AS (
+  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                            (SELECT hi FROM span)))
+              AS day) d
+  LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day),
+cum AS (SELECT event_type, day,
+               sum(n) OVER (PARTITION BY event_type
+                            ORDER BY day) AS cn
+        FROM grid),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS N
+        FROM grid GROUP BY event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(sum(abs(a.cn * tb.N - b.cn * ta.N)) AS BIGINT) AS w1_num,
+       ta.N AS n_a, tb.N AS n_b
+FROM cum a
+JOIN cum b ON b.day = a.day AND a.event_type < b.event_type
+JOIN tot ta ON ta.event_type = a.event_type
+JOIN tot tb ON tb.event_type = b.event_type
+GROUP BY a.event_type, b.event_type, ta.N, tb.N
+"""
+
 DOC_ORACLES["dense_daily_counts"] = """
 WITH c AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,

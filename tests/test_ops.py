@@ -6813,6 +6813,33 @@ class TestPercolationCurve:
         assert int(got["max_component"]) == max(sizes.values())
 
 
+class TestW1Drift:
+    def test_w1_laws_and_local_replay(self, ray_session):
+        from kgx.events import dense_daily_counts, w1_drift
+
+        got = w1_drift(SF)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        dense = dense_daily_counts(SF)
+        dense = dense.to_pandas() if hasattr(dense, "to_pandas") \
+            else dense
+        piv = dense.pivot(index="day", columns="event_type",
+                          values="n_events").sort_index()
+        cum = piv.cumsum()
+        tot = piv.sum()
+        assert len(got) == 10  # C(5,2) type pairs
+        for r in got.itertuples():
+            want = int(np.abs(
+                cum[r.type_a].to_numpy("int64") * int(tot[r.type_b])
+                - cum[r.type_b].to_numpy("int64")
+                * int(tot[r.type_a])).sum())
+            assert int(r.w1_num) == want
+            assert r.type_a < r.type_b  # canonical pair order
+        # metric laws on the normalized value: nonneg; identical
+        # distributions would give 0 (none here — all pairs positive)
+        assert (got["w1_num"] >= 0).all()
+        assert (got["w1_num"] > 0).all()
+
+
 class TestBurstIntervals:
     def test_viterbi_replay_and_optimality(self, ray_session):
         import math
