@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": textops.lang_counts,
         "lang_id": textops.lang_id,
         "langid_confusion": textops.langid_confusion,
+        "mutual_information": textops.mutual_information,
         "chi2_terms": textops.chi2_terms,
         "fingerprint": textops.fingerprint,
         "repetition_stats": textops.repetition_stats,

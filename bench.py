@@ -164,6 +164,7 @@ def run_queries(sf_dir: str) -> dict:
         "top_terms": lambda: textops.top_terms(sf_dir),
         "top_terms_by_lang": lambda: textops.top_terms_by_lang(sf_dir),
         "langid_confusion": lambda: textops.langid_confusion(sf_dir),
+        "mutual_information": lambda: textops.mutual_information(sf_dir),
         "chi2_terms": lambda: textops.chi2_terms(sf_dir),
         "repetition_stats": lambda: textops.repetition_stats(sf_dir),
         "dup_ngram_stats": lambda: textops.dup_ngram_stats(sf_dir),

@@ -4402,6 +4402,25 @@ FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
 
 # gap-filled daily count series: every epoch day in the global span
 # appears for every type, zero-filled (dense grid via generate_series)
+# per-cell MI decomposition: integer-product ratios through shared
+# libm ln, floor-quantized per cell
+DOC_ORACLES["mutual_information"] = """
+WITH t AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+tn AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM t),
+ni AS (SELECT lang, CAST(sum(n) AS BIGINT) AS c FROM t GROUP BY lang),
+mj AS (SELECT source, CAST(sum(n) AS BIGINT) AS c
+       FROM t GROUP BY source)
+SELECT t.lang, t.source, t.n AS n_ij,
+       CAST(t.n * floor(1048576.0 * ln(
+         CAST(t.n * tn.N AS DOUBLE) / CAST(ni.c * mj.c AS DOUBLE)))
+         AS BIGINT) AS mi_term_q20
+FROM t CROSS JOIN tn
+JOIN ni ON ni.lang = t.lang
+JOIN mj ON mj.source = t.source
+"""
+
 # exact integer W1: cross-multiplied cumulative gaps over the dense
 # day grid (same day/grid construction as dense_daily_counts)
 DOC_ORACLES["w1_drift"] = """

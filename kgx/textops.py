@@ -1733,6 +1733,49 @@ def mad_chars(sf_dir: str):
         .reset_index(drop=True)
 
 
+def mutual_information(sf_dir: str):
+    """(lang, source, n_ij, mi_term_q20) + implicit total — the
+    per-cell decomposition of the MUTUAL INFORMATION between the
+    ``lang`` and ``source`` columns: for each contingency cell,
+    mi_term_q20 = n_ij · ⌊2^20 · ln((n_ij·N)/(n_i·m_j))⌋ (the plug-in
+    MI estimate is Σ terms / (N·2^20) nats) — the dataset-association
+    audit (is language confounded with source? stratified sampling and
+    leakage checks start here). Every ratio is a division of exact
+    sub-2^53 integer products, ln is the shared-libm portable call,
+    and each term floor-quantizes BEFORE anything sums — the SQL
+    oracle hash-matches bit-for-bit, per cell.
+
+    Scale shape: per-batch (lang, source) crosstab combiner — the
+    exchange carries cells, never documents; marginals and the term
+    arithmetic run on the |langs|·|sources| output grid driver-side.
+    Zero all-to-alls.
+    """
+    import math
+
+    ds = _read_documents(sf_dir, columns=["lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"]).size().reset_index(name="n")
+        return g
+
+    t = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby(["lang", "source"], as_index=False)["n"].sum())
+    N = int(t["n"].sum())
+    ni = t.groupby("lang")["n"].sum()
+    mj = t.groupby("source")["n"].sum()
+    terms = []
+    for r in t.itertuples():
+        ratio = float(int(r.n) * N) / float(int(ni[r.lang])
+                                            * int(mj[r.source]))
+        terms.append(int(r.n) * math.floor(1048576.0 * math.log(ratio)))
+    return pd.DataFrame({
+        "lang": t["lang"].astype(str),
+        "source": t["source"].astype(str),
+        "n_ij": t["n"].astype("int64"),
+        "mi_term_q20": pd.Series(terms, dtype="int64")}) \
+        .sort_values(["lang", "source"]).reset_index(drop=True)
+
+
 def psi_drift(sf_dir: str):
     """(lang, n_a, n_b, psi_term_q) — Population Stability Index
     terms between two deterministic halves of the corpus (md5(doc_id)

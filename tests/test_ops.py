@@ -6813,6 +6813,39 @@ class TestPercolationCurve:
         assert int(got["max_component"]) == max(sizes.values())
 
 
+class TestMutualInformation:
+    def test_cell_replay_and_mi_laws(self, ray_session):
+        import math
+
+        import duckdb
+
+        from kgx.textops import mutual_information
+
+        got = mutual_information(SF)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        t = duckdb.sql(
+            "SELECT lang, source, count(*) AS n FROM read_parquet("
+            "'%s/documents.parquet') GROUP BY lang, source" % SF).df()
+        N = int(t["n"].sum())
+        ni = t.groupby("lang")["n"].sum()
+        mj = t.groupby("source")["n"].sum()
+        assert len(got) == len(t)
+        for r in got.itertuples():
+            n = int(t[(t["lang"] == r.lang)
+                      & (t["source"] == r.source)]["n"].iloc[0])
+            want = n * math.floor(1048576.0 * math.log(
+                float(n * N) / float(int(ni[r.lang])
+                                     * int(mj[r.source]))))
+            assert int(r.mi_term_q20) == want
+            assert int(r.n_ij) == n
+        # plug-in MI is >= 0 up to quantization (each floor loses
+        # < 2^-20 nats per observation)
+        mi_nats = got["mi_term_q20"].sum() / (N * 1048576.0)
+        assert mi_nats > -1e-5
+        assert mi_nats < math.log(min(t["lang"].nunique(),
+                                      t["source"].nunique())) + 1e-9
+
+
 class TestW1Drift:
     def test_w1_laws_and_local_replay(self, ray_session):
         from kgx.events import dense_daily_counts, w1_drift
